@@ -1,0 +1,254 @@
+"""Aggregation operators A1-A8 (SURVEY.md §2.4).
+
+Spark's HashAggregate automatically does partial (map-side) + final
+aggregation — the hand-written MapReduce combiner idiom, for free.
+At 100 TB the partial agg collapses each scan partition to ~|groups|
+rows before the shuffle, so these queries shuffle kilobytes, not
+terabytes. Float sums are rounded identically on both engine and
+oracle sides (addition order differs; FIXTURES.md rule 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "P2", "F2", "O1"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: TPC-H Q1-shaped grouped aggregate (the canonical batch rollup)."""
+    li = scan(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_global_agg",
+    oracle="""
+        SELECT count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+    """,
+    tags=("A2",),
+)
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global (keyless) aggregate."""
+    orders = scan(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_distinct_users_daily",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS u
+        FROM events
+        GROUP BY d
+        ORDER BY d
+    """,
+    tags=("A3", "F2"),
+)
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact count-distinct per day (daily unique users)."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_approx_distinct_users",
+    oracle=None,  # approximate (HLL++) has no exact oracle; rows-only check.
+    tags=("A4",),
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approx count-distinct (HyperLogLog++) — the 100 TB-scale twin
+    of A3; rsd 1%. Exactness is instead unit-tested against A3 bounds."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_u"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd,
+               round(var_samp(value), 4) AS var,
+               round(corr(value, user_id), 6) AS c,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A5",),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: statistical aggregates (stddev/variance/corr/exact percentile)."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("c"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_rollup_day_type",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d, event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total,
+               grouping(date_trunc('day', ts)) AS g_d,
+               grouping(event_type) AS g_t
+        FROM events
+        GROUP BY ROLLUP (d, event_type)
+        ORDER BY g_d, g_t, d, event_type
+    """,
+    tags=("A6",),
+)
+def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ROLLUP multi-granularity aggregate (day x event_type -> day -> all),
+    with GROUPING() flags to disambiguate rollup NULLs from data NULLs."""
+    ev = scan(spark, sf_dir, "events").withColumn(
+        "d", F.date_trunc("day", F.col("ts"))
+    )
+    return (
+        ev.rollup("d", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.grouping("d").cast("long").alias("g_d"),
+            F.grouping("event_type").cast("long").alias("g_t"),
+        )
+        .orderBy("g_d", "g_t", "d", "event_type")
+    )
+
+
+@query(
+    "q_cube_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               grouping(o_orderstatus) AS g_s,
+               grouping(o_orderpriority) AS g_p
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_s, g_p, o_orderstatus, o_orderpriority
+    """,
+    tags=("A6",),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: CUBE over two low-cardinality dimensions."""
+    orders = scan(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("o_orderstatus").cast("long").alias("g_s"),
+            F.grouping("o_orderpriority").cast("long").alias("g_p"),
+        )
+        .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q_collect_set",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("A7",),
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_set — per-user set of event types (canonicalized to a
+    sorted comma-joined string so both engines hash identically)."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+        SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) >= 70
+        ORDER BY user_id
+    """,
+    tags=("A8", "A1"),
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: HAVING — post-aggregation filter (heavy users)."""
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .filter(F.col("n") >= 70)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,88 @@
+"""Curated-table catalog: schema-asserted parquet scans (S1).
+
+``scan(spark, sf_dir, table)`` is the single entry point every query
+goes through. It:
+
+* applies the required session confs (the driver may hand us a bare
+  session — ``spark.sql.legacy.parquet.nanosAsLong`` must be on BEFORE
+  the events scan or Spark throws PARQUET_TYPE_ILLEGAL);
+* repairs the events ns-timestamp: parquet TIMESTAMP(NANOS) arrives as
+  bigint nanos, exposed as both ``ts`` (timestamp_ntz, µs — safe for
+  date_trunc/windowing) and ``ts_ns`` (raw bigint — exact integer
+  arithmetic that hash-matches DuckDB ``epoch_ns(ts)``);
+* asserts the post-repair schema against schemas.EXPECTED so drift in
+  fixtures fails loudly instead of corrupting downstream results.
+
+Scale note: a plain ``spark.read.parquet(path)`` keeps predicate
+pushdown, column pruning, and partition pruning intact — the repair
+uses ``withColumn`` on the scan output, which Catalyst folds into the
+projected scan (no extra pass). At 100 TB the same call reads a
+date-partitioned directory tree and prunes partitions from filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark import schemas
+from hadoop_log_analysis_spark.session import configure_session
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _repair_events(df: DataFrame) -> DataFrame:
+    # ts arrives as bigint epoch-nanos (nanosAsLong). Integer `div` is
+    # mandatory: float division of ~1.7e18 loses precision above 2^53.
+    # timestamp_micros gives TimestampType; with session tz pinned to UTC
+    # the cast to timestamp_ntz is an identity reinterpretation, matching
+    # DuckDB's naive reading of the same instants.
+    return df.select(
+        "event_id",
+        F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)").alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Schema-asserted scan of one curated table under ``sf_dir``."""
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        df = _repair_events(df)
+    expected = schemas.EXPECTED[table]
+    actual_fields = [(f.name, f.dataType) for f in df.schema.fields]
+    expected_fields = [(f.name, f.dataType) for f in expected.fields]
+    if actual_fields != expected_fields:
+        raise RuntimeError(
+            f"schema drift for {table}: expected {expected_fields}, got {actual_fields}"
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every curated table (used by tests and view registration)."""
+    return {t: scan(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register temp views for the SQL entry path (SURVEY.md §3.2.3)."""
+    for t in TABLES:
+        scan(spark, sf_dir, t).createOrReplaceTempView(t + suffix)
