@@ -1,1 +1,390 @@
-"""Placeholder — queries land in this module incrementally."""
+"""Join operators J1-J8 (SURVEY.md §2.3).
+
+Join-strategy posture for 100 TB: dimension tables (region, nation,
+supplier, customer at realistic scale-out ratios) broadcast — the
+MapReduce "map-side join" idiom, explicit via broadcast() where we
+know cardinality, otherwise AQE converts at runtime. Fact-to-fact
+joins (lineitem x orders, events x events) shuffle on the join key —
+sort-merge by default, AQE splits skewed partitions. Non-equi joins
+(J5/J6) carry an equality component wherever semantics allow so Spark
+plans a hash/merge join with a range residual instead of a pure BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.functions import ts_us
+from hadoop_log_analysis_spark.operators.joins import asof_join
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+# epoch seconds of 2024-01-01T00:00:00Z — base for synthetic order
+# timestamps in the as-of queries (BASELINE.md q_asof_join draft).
+_EPOCH_2024 = 1_704_067_200
+_NS = 1_000_000_000
+
+
+@query(
+    "q_broadcast_join",
+    oracle="""
+        SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    tags=("J1", "A1"),
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: explicit broadcast of small dims onto the fact — map-side join."""
+    supplier = scan(spark, sf_dir, "supplier")
+    nation = scan(spark, sf_dir, "nation")
+    region = scan(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q_join5",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("J1", "J2", "A1", "O1"),
+)
+def q_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: TPC-H Q5 shape — 6-table star join, facts shuffled, dims
+    broadcast; revenue per nation."""
+    customer = scan(spark, sf_dir, "customer")
+    orders = scan(spark, sf_dir, "orders")
+    lineitem = scan(spark, sf_dir, "lineitem")
+    supplier = scan(spark, sf_dir, "supplier")
+    nation = scan(spark, sf_dir, "nation")
+    region = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q_join_fact_fact",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("J2", "A1"),
+)
+def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: shuffled fact-to-fact equi-join (reduce-side join idiom);
+    no broadcast hint — Catalyst/AQE pick the strategy."""
+    lineitem = scan(spark, sf_dir, "lineitem")
+    orders = scan(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_left_join_counts",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    tags=("J3",),
+)
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join — order counts per customer including zeros."""
+    customer = scan(spark, sf_dir, "customer")
+    orders = scan(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_full_outer_counts",
+    oracle="""
+        SELECT coalesce(o.k, e.k) AS k,
+               coalesce(o.n_orders, 0) AS n_orders,
+               coalesce(e.n_events, 0) AS n_events
+        FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        FULL JOIN (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY user_id) e
+          ON o.k = e.k
+        ORDER BY k
+    """,
+    tags=("J3",),
+)
+def q_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full outer join of two aggregates (activity reconciliation)."""
+    orders = scan(spark, sf_dir, "orders")
+    events = scan(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("n_orders"))
+    e = events.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("n_events"))
+    return (
+        o.join(e, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi join — customers with at least one big order."""
+    customer = scan(spark, sf_dir, "customer")
+    big = scan(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti join — customers that never produced an event."""
+    customer = scan(spark, sf_dir, "customer")
+    events = scan(spark, sf_dir, "events")
+    return (
+        customer.join(events, F.col("c_custkey") == F.col("user_id"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name
+    """,
+    tags=("J5",),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: explicit cartesian product (tiny dims only, by construction)."""
+    region = scan(spark, sf_dir, "region")
+    nation = scan(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "q_theta_band_join",
+    oracle="""
+        SELECT p_partkey, count(*) AS n_matches
+        FROM part JOIN lineitem
+          ON l_extendedprice BETWEEN p_retailprice * 0.9 AND p_retailprice * 1.1
+        WHERE p_partkey < 50
+        GROUP BY p_partkey
+        ORDER BY p_partkey
+    """,
+    tags=("J5",),
+)
+def q_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: theta (non-equi) band join — price-band matching. The small
+    side is broadcast so the BNLJ is a broadcast-nested-loop, the only
+    viable physical strategy for a pure inequality predicate."""
+    part = scan(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    lineitem = scan(spark, sf_dir, "lineitem")
+    cond = F.col("l_extendedprice").between(
+        F.col("p_retailprice") * 0.9, F.col("p_retailprice") * 1.1
+    )
+    return (
+        F.broadcast(part)
+        .join(lineitem, cond)
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, count(*) AS n_following
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS tns FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, epoch_us(ts) AS tns FROM events) e
+          ON e.user_id = p.user_id
+         AND e.tns > p.tns
+         AND e.tns <= p.tns + 3600000000
+        GROUP BY p.event_id
+        ORDER BY p.event_id
+    """,
+    tags=("J6",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval join with an equality component — activity within
+    1h after each purchase. The user_id equality makes it a hash/merge
+    join with a range residual, not a BNLJ."""
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), "event_id", ts_us().alias("p_tns")
+    )
+    e = ev.select(F.col("user_id").alias("e_user"), ts_us().alias("e_tns"))
+    hour_us = 3_600_000_000
+    return (
+        p.join(
+            e,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("e_tns") > F.col("p_tns"))
+            & (F.col("e_tns") <= F.col("p_tns") + hour_us),
+        )
+        .groupBy(F.col("event_id").alias("purchase_id"))
+        .agg(F.count("*").alias("n_following"))
+        .orderBy("purchase_id")
+    )
+
+
+def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic order timestamps (µs) in the events time range (BASELINE.md)."""
+    orders = scan(spark, sf_dir, "orders")
+    return orders.select(
+        ((F.lit(_EPOCH_2024) + F.col("o_orderkey") % 2_592_000) * 1_000_000).alias("tus"),
+        "o_totalprice",
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+             o AS (SELECT (1704067200 + o_orderkey % 2592000) * 1000000 AS ots_us,
+                          o_totalprice
+                   FROM orders)
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        FROM (SELECT e.event_id, o.o_totalprice
+              FROM e ASOF JOIN o ON e.tus >= o.ots_us)
+    """,
+    tags=("J7",),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: keyless as-of join — each event matched to the latest
+    (synthetic-timestamped) order at or before it; DuckDB ASOF JOIN is
+    the oracle. Implemented via operators.joins.asof_join (union +
+    ordered window carry)."""
+    ev = scan(spark, sf_dir, "events").select("event_id", ts_us().alias("tus"))
+    ord_ts = _orders_with_synth_ts(spark, sf_dir)
+    joined = asof_join(ev, ord_ts, ts_col="tus", payload=["o_totalprice"])
+    return joined.agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+
+
+@query(
+    "q_asof_by_user",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tns FROM events),
+             p AS (SELECT user_id, epoch_us(ts) AS tns, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT count(*) AS n, round(sum(prior_purchase), 2) AS s
+        FROM (SELECT e.event_id, p.value AS prior_purchase
+              FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.tns >= p.tns)
+    """,
+    tags=("J7",),
+)
+def q_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: keyed as-of join — each event annotated with the user's most
+    recent purchase value at that time (inner: events before the first
+    purchase drop)."""
+    ev = scan(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", ts_us().alias("tus"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us().alias("tus"), F.col("value").alias("prior_purchase")
+    )
+    joined = asof_join(
+        left, purchases, ts_col="tus", by=["user_id"], payload=["prior_purchase"]
+    )
+    return joined.agg(
+        F.count("*").alias("n"), F.round(F.sum("prior_purchase"), 2).alias("s")
+    )
+
+
+@query(
+    "q_self_join_funnel",
+    oracle="""
+        SELECT s.user_id, count(*) AS n_pairs
+        FROM (SELECT user_id, epoch_us(ts) AS tns FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT user_id, epoch_us(ts) AS tns FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id AND p.tns > s.tns
+        GROUP BY s.user_id
+        ORDER BY s.user_id
+    """,
+    tags=("J8",),
+)
+def q_self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: self-join funnel — signup followed by purchase, per user."""
+    ev = scan(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", ts_us().alias("s_tns")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), ts_us().alias("p_tns")
+    )
+    return (
+        s.join(p, (F.col("user_id") == F.col("p_user")) & (F.col("p_tns") > F.col("s_tns")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

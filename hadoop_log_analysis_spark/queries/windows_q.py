@@ -1,1 +1,219 @@
-"""Placeholder — queries land in this module incrementally."""
+"""Window-function operators W1-W6 (SURVEY.md §2.5).
+
+All window orderings carry a unique tie-break column (event_id) so
+output is deterministic and hash-comparable (FIXTURES.md rule 2).
+Time arithmetic uses integer MICROsecond epochs on both sides
+(functions.ts_us vs DuckDB epoch_us) — DuckDB truncates the fixtures'
+ns timestamps to µs on read, so µs is the exact common unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.functions import ts_us
+from hadoop_log_analysis_spark.operators.windows import sessionize, topk_per_group
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+_MIN30_US = 30 * 60 * 1_000_000
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+        SELECT user_id, event_id, value, rn FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events)
+        WHERE rn <= 3
+        ORDER BY user_id, rn
+    """,
+    tags=("W1", "W2"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-3 events by value per user via operators.windows.topk_per_group."""
+    ev = scan(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return topk_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], k=3
+    ).orderBy("user_id", "rn")
+
+
+@query(
+    "q_rank_variants",
+    oracle="""
+        SELECT user_id, event_id,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        ORDER BY user_id, event_id
+    """,
+    tags=("W1",),
+)
+def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: rank / dense_rank / ntile over a per-user value ordering."""
+    ev = scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+        SELECT user_id, event_id,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+               coalesce(lead(event_type) OVER w, 'NONE') AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY user_id, event_id
+    """,
+    tags=("W3",),
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag/lead — inter-event gaps and next event type per user
+    (nulls coalesced to sentinels so both engines emit non-null ints)."""
+    ev = scan(spark, sf_dir, "events").withColumn("tus", ts_us())
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("tus") - F.lag("tus").over(w), F.lit(-1)).alias("gap_us"),
+            F.coalesce(F.lead("event_type").over(w), F.lit("NONE")).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_running_aggs",
+    oracle="""
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                      ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS sum_1h
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    tags=("W4",),
+)
+def q_running_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running cumulative sum, 5-row moving average, and a 1-hour
+    RANGE frame over integer-microsecond time."""
+    ev = scan(spark, sf_dir, "events").withColumn("tus", ts_us())
+    w_rows = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    w_cum = w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ma5 = w_rows.rowsBetween(-4, Window.currentRow)
+    w_1h = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_HOUR_US, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w_cum), 2).alias("cum_value"),
+            F.round(F.avg("value").over(w_ma5), 4).alias("ma5"),
+            F.round(F.sum("value").over(w_1h), 2).alias("sum_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_first_last",
+    oracle="""
+        SELECT user_id,
+               max(CASE WHEN rn = 1 THEN event_id END) AS first_event,
+               max(CASE WHEN rnd = 1 THEN event_id END) AS last_event,
+               max(CASE WHEN rnd = 1 THEN event_type END) AS last_type
+        FROM (SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id) AS rn,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnd
+              FROM events)
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("W5",),
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: first/last event per user (deterministic via ranked windows)."""
+    ev = scan(spark, sf_dir, "events").withColumn("tus", ts_us())
+    w_asc = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_asc).alias("rn"),
+        F.row_number().over(w_desc).alias("rnd"),
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias("first_event"),
+            F.max(F.when(F.col("rnd") == 1, F.col("event_id"))).alias("last_event"),
+            F.max(F.when(F.col("rnd") == 1, F.col("event_type"))).alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS tus,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), s AS (
+            SELECT user_id, tus,
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM g
+        )
+        SELECT user_id, sid, count(*) AS n, max(tus) - min(tus) AS dur_us
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, sid
+    """,
+    tags=("W6", "W3", "W4"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: batch sessionization — 30-minute-gap sessions per user via
+    operators.windows.sessionize; session row counts and durations."""
+    ev = scan(spark, sf_dir, "events").select("user_id", ts_us().alias("tus"))
+    sessions = sessionize(ev, gap=_MIN30_US, ts_col="tus")
+    return (
+        sessions.groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("tus") - F.min("tus")).alias("dur_us"),
+        )
+        .orderBy("user_id", "sid")
+    )
