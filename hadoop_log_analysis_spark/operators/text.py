@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.8 L5/L7).
+
+Tokenization, token statistics, quality scoring, language-ID scoring,
+and document fingerprinting — all as JVM array/string expressions
+(codegen'd, map-only, no shuffle until the caller aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Large prime for the polynomial rolling fingerprint.
+FP_MOD = 1_000_000_007
+
+# Tiny per-language marker lists for the n-gram/stopword-hit language
+# heuristic. (The fixtures' synthetic vocabulary is language-neutral;
+# the operator contract is the scoring formula, exercised as-is.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "scan", "filter"),
+    "fr": ("le", "et", "de", "la", "un"),
+    "es": ("el", "y", "de", "la", "que"),
+    "de": ("der", "und", "die", "das", "ein"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+STOPWORDS: tuple[str, ...] = ("join", "filter", "scan", "merge", "select")
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def n_tokens(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def regex_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token count: alpha runs and digit runs counted separately."""
+    return F.expr(f"size(regexp_extract_all({text_col}, '[a-z]+|[0-9]+', 0))")
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def distinct_token_ratio(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+
+
+def mean_token_len(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality score: length saturation, lexical
+    diversity, and inverse boilerplate (stopword) density."""
+    len_term = F.least(n_tokens(text_col).cast("double") / 60.0, F.lit(1.0))
+    return (
+        0.4 * len_term
+        + 0.4 * distinct_token_ratio(text_col)
+        + 0.2 * (1.0 - stopword_ratio(text_col))
+    )
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Marker-hit count per language (the language-ID heuristic)."""
+    toks = F.array_distinct(tokens(text_col))
+    cols = []
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(F.size(F.array_intersect(toks, arr)).alias(f"hits_{lang}"))
+    return cols
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Polynomial rolling hash over token codes, mod a large prime —
+    an order-sensitive document fingerprint (unlike the set-based
+    MinHash). code(t) = ascii(first char)*31 + length(t)."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(split({text_col}, ' '),
+                    t -> CAST(ascii(substring(t, 1, 1)) * 31 + length(t) AS BIGINT)),
+          0L, (acc, c) -> pmod(acc * 131 + c, {FP_MOD}))
+        """
+    )

@@ -1,1 +1,422 @@
-"""Placeholder — queries land in this module incrementally."""
+"""LLM-data-pipeline operators L1-L7 + extras (SURVEY.md §2.8).
+
+Dedup (exact / MinHash-LSH / SimHash / blocked n-gram Jaccard /
+embedding-cosine), similarity search (exact + IVF), text analysis
+(tokens, TF-IDF, n-grams, quality, language-ID, fingerprint), and the
+language/quality filter. Probabilistic operators (LSH, SimHash, IVF)
+are rows-only here and recall-tested against their exact twins in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.operators import text as TXT
+from hadoop_log_analysis_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_candidate_pairs,
+    token_jaccard,
+)
+from hadoop_log_analysis_spark.operators.similarity import (
+    ann_ivf_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+
+@query(
+    "q_dedup",
+    oracle="""
+        SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts
+        FROM documents
+    """,
+    tags=("L1", "O5"),
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact-duplicate accounting over the corpus."""
+    docs = scan(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+    )
+
+
+@query(
+    "q_dedup_exact_groups",
+    oracle="""
+        SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        FROM documents
+        GROUP BY h
+        ORDER BY keeper
+    """,
+    tags=("L1",),
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash — deterministic keeper (min id)
+    per group; ``n > 1`` rows are the duplicates removed."""
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .orderBy("keeper")
+    )
+
+
+@query("q_minhash_near_dups", oracle=None, tags=("L2",))
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash + banded-LSH near-duplicate pairs, exact-Jaccard
+    verified at 0.6 (probabilistic recall -> rows-only; recall vs the
+    exact blocked twin is unit-tested)."""
+    docs = scan(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.6).orderBy("a_id", "b_id")
+
+
+@query("q_simhash_pairs", oracle=None, tags=("L2",))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash fingerprint near-dup candidates (Hamming <= 8 over
+    banded 16-bit chunks)."""
+    docs = scan(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs).orderBy("a_id", "b_id")
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+        WITH t AS (SELECT doc_id, substring(text, 1, 40) AS pfx,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jacc
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= 0.3
+        ORDER BY a_id, b_id
+    """,
+    tags=("L2",),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: deterministic near-dup detection — block on 40-char prefix,
+    verify token-set Jaccard >= 0.3 (exact, so fully SQL-oracled)."""
+    docs = scan(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = t.select(F.col("doc_id").alias("a_id"), "pfx", F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), "pfx", F.col("toks").alias("b_toks"))
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("jacc", token_jaccard(F.col("a_toks"), F.col("b_toks")))
+        .filter(F.col("jacc") >= 0.3)
+        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q_cosine_knn",
+    oracle="""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+             s AS (SELECT e.vec_id,
+                          list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                             * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+                                i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))))
+                          AS sim
+                   FROM embeddings e, q
+                   WHERE e.vec_id <> 0)
+        SELECT vec_id, round(sim, 6) AS sim
+        FROM s
+        ORDER BY s.sim DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("L3", "F5"),
+)
+def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact cosine top-10 neighbors of vector 0 (brute force,
+    zip_with/aggregate dot product in double)."""
+    emb = scan(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_id=0, k=10)
+
+
+@query(
+    "q_embedding_near_dups",
+    oracle="""
+        WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                          list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                          AS sim
+                   FROM embeddings a JOIN embeddings b
+                     ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT a_id, b_id, round(sim, 6) AS sim
+        FROM s
+        WHERE sim >= 0.9
+        ORDER BY a_id, b_id
+    """,
+    tags=("L2", "L3"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: embedding-cosine near-dup pairs, label-blocked so the
+    join is per-block instead of a full cross product."""
+    emb = scan(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.9).orderBy("a_id", "b_id")
+
+
+@query("q_ann_ivf", oracle=None, tags=("L4",))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: approximate top-10 via IVF coarse quantization (per-label
+    centroids, 3-probe) — recall vs q_cosine_knn is unit-tested."""
+    emb = scan(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, query_id=0, k=10, n_probe=3)
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (SELECT lower(unnest(string_split(text, ' '))) AS tok
+              FROM documents WHERE lang = 'en')
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    tags=("L5", "F1", "F5"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: top-20 tokens of the English sub-corpus (tokenize+explode)."""
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+             tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+             dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+             n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT doc_id, t, round(c * ln(n.n_docs / df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (t), n
+        WHERE doc_id < 20
+        ORDER BY doc_id, t
+    """,
+    tags=("L5",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: TF-IDF (raw tf x ln(N/df)) for the first 20 docs, computed
+    relationally — demonstrates the explode/agg/join formulation that
+    scales (vs. ml.feature.HashingTF which hashes away the terms)."""
+    docs = scan(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, not a driver loop: single count for the formula
+    return (
+        tf.join(dfreq, "t")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "t",
+            F.round(F.col("c") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "t")
+    )
+
+
+@query(
+    "q_bigrams",
+    oracle="""
+        SELECT bg, count(*) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        GROUP BY bg
+        ORDER BY n DESC, bg
+        LIMIT 20
+    """,
+    tags=("L5", "F5"),
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: top-20 token bigrams (n-gram generation via higher-order
+    array expressions, no ml.feature round-trip)."""
+    docs = scan(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(20)
+    )
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS n_regex_tokens,
+               round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                                  x -> length(x))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS mean_tok_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("L5",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: per-document token statistics (whitespace + BPE-ish regex
+    token counts, mean token length)."""
+    docs = scan(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.n_tokens().alias("n_tokens"),
+        TXT.regex_token_count().alias("n_regex_tokens"),
+        F.round(TXT.mean_token_len(), 4).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               round(0.4 * least(CAST(len(toks) AS DOUBLE) / 60.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                   + 0.2 * (1.0 - CAST(len(list_filter(toks,
+                         x -> list_contains(['join','filter','scan','merge','select'], x)))
+                         AS DOUBLE) / len(toks)), 6) AS score
+        FROM t
+        ORDER BY doc_id
+    """,
+    tags=("L5", "L7"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/L7: deterministic quality score (length saturation + lexical
+    diversity + inverse boilerplate density)."""
+    docs = scan(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TXT.quality_score(), 6).alias("score")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_lang_id_scores",
+    oracle="""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT doc_id,
+               len(list_intersect(toks, ['the','and','of','scan','filter'])) AS hits_en,
+               len(list_intersect(toks, ['le','et','de','la','un'])) AS hits_fr,
+               len(list_intersect(toks, ['el','y','de','la','que'])) AS hits_es,
+               len(list_intersect(toks, ['der','und','die','das','ein'])) AS hits_de,
+               len(list_intersect(toks, ['de','shi','bu','le','wo'])) AS hits_zh
+        FROM t
+        ORDER BY doc_id
+    """,
+    tags=("L5", "L7"),
+)
+def q_lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: language-ID heuristic — per-language marker-hit scores
+    (argmax would be the predicted language)."""
+    docs = scan(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TXT.lang_scores()).orderBy("doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(ascii(substring(t, 1, 1)) * 31
+                                            + length(t) AS BIGINT))),
+                 (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("L5",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: order-sensitive polynomial rolling-hash fingerprint."""
+    docs = scan(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint().alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "q_lang_quality_filter",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE lang = 'en'
+          AND n_chars BETWEEN 100 AND 400
+          AND len(string_split(text, ' ')) >= 20
+        ORDER BY doc_id
+    """,
+    tags=("L7",),
+)
+def q_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: language + length + token-count corpus filter."""
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(100, 400)
+            & (TXT.n_tokens() >= 20)
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query("q_multimodal_features", oracle=None, tags=("L6",))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: multimodal pipeline — synthetic binary payload + typed
+    metadata -> Arrow-batched mapInPandas feature extraction (decode
+    stubbed; plumbing real) -> per-format aggregate."""
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        attach_synthetic_binary,
+        decode_features,
+    )
+
+    docs = scan(spark, sf_dir, "documents")
+    feats = decode_features(attach_synthetic_binary(docs))
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_w"),
+            F.round(F.avg("height"), 2).alias("avg_h"),
+        )
+        .orderBy("fmt")
+    )

@@ -1,1 +1,165 @@
-"""Placeholder — queries land in this module incrementally."""
+"""Source & sink operators S1-S6 (SURVEY.md §2.1).
+
+Roundtrip queries derive a raw file (text log / CSV / JSON / parquet)
+from a fixture table, read it back through the corresponding source,
+and aggregate — the oracle computes the same aggregate straight from
+the parquet view, so the roundtrip itself is what's verified.
+Derived files live under .tmp/ keyed by scale factor (deterministic
+content, overwritten per run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.sources.logs import (
+    format_events_as_log_lines,
+    parse_app_log,
+    read_text_logs,
+)
+from hadoop_log_analysis_spark.sources.sinks import read_back, write_partitioned
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def _derived_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_TMP, f"derived_{kind}_{tag}")
+
+
+@query(
+    "q_scan_identity",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("S1",),
+)
+def q_scan_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: schema-asserted parquet scan, identity projection."""
+    return scan(spark, sf_dir, "region").orderBy("r_regionkey")
+
+
+@query(
+    "q_log_parse",
+    oracle="""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S2", "S3"),
+)
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3: write events as raw pipe-delimited log lines (plus
+    injected malformed lines), re-read with spark.read.text, regex-parse
+    back to typed columns dropping the malformed, aggregate. The oracle
+    computes the same aggregate from the original parquet — verifying
+    the full text roundtrip + parse."""
+    path = _derived_dir(sf_dir, "textlog")
+    events = scan(spark, sf_dir, "events")
+    lines = format_events_as_log_lines(events)
+    garbage = spark.createDataFrame(
+        [("this is not a log line",), ("evt|malformed",), ("",)], ["value"]
+    )
+    lines.unionByName(garbage).coalesce(4).write.mode("overwrite").text(path)
+    parsed = parse_app_log(read_text_logs(spark, path))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("S4",),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: CSV sink + header/schema CSV source roundtrip."""
+    path = _derived_dir(sf_dir, "csv")
+    orders = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.coalesce(4).write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+        SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S5",),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: JSON-lines sink + source roundtrip."""
+    path = _derived_dir(sf_dir, "json")
+    events = scan(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    events.coalesce(4).write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("uid_sum"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_parquet_sink_partitioned",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d, count(*) AS n
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY d
+        ORDER BY d
+    """,
+    tags=("S6",),
+)
+def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: event_type-partitioned parquet sink; the read-back filter on
+    the partition column prunes to the error/ directory only (partition
+    pruning is asserted in tests/test_plans.py)."""
+    path = _derived_dir(sf_dir, "parquet_part")
+    events = scan(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    write_partitioned(events, path, ["event_type"])
+    back = read_back(spark, path)
+    return (
+        back.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("d")
+    )
