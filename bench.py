@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the 12 BASELINE.md headline queries (each covering a distinct
+SURVEY.md §2 operator family) on local[$SPARK_GRAFT_CPUS], default
+/root/testdata/sf0.1, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing discipline (BASELINE.md "2x of PySpark warm" criterion): each
+query is built + executed once to warm codegen/caches, then timed on a
+fresh execution. Session startup is excluded per BASELINE.md §
+"Interpretation of the 2x criterion".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from hadoop_log_analysis_spark.queries import load_registry
+from hadoop_log_analysis_spark.session import get_spark
+
+# BASELINE.md headline suite — one per operator family.
+HEADLINE = (
+    "q_pricing_summary",      # A1 agg (TPC-H Q1 shape)
+    "q_join5",                # J1/J2 6-table join (TPC-H Q5 shape)
+    "q_topk_users",           # A1+O2 top-k
+    "q_hourly_errors",        # flagship: filter + time bucket agg
+    "q_window_rank",          # W1/W2 window top-3 per user
+    "q_sessionize",           # W3/W4/W6 sessionization
+    "q_distinct_users_daily", # A3 count-distinct
+    "q_json_extract",         # F7 JSON
+    "q_text_tokens",          # L5 tokenize/explode
+    "q_dedup",                # L1 exact dedup accounting
+    "q_cosine_knn",           # L3 embedding similarity
+    "q_asof_join",            # J7 as-of join
+)
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_registry()
+    spark = get_spark(app_name="hla-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        fn(spark, sf_dir).collect()  # warm: plan build + codegen + file listing
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
