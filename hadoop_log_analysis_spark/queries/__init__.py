@@ -55,6 +55,7 @@ _MODULES = (
     "llm_ops",
     "udfs",
     "streaming_q",
+    "scale_q",
 )
 
 

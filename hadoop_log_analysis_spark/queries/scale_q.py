@@ -1,0 +1,134 @@
+"""Scale-posture operators: skew salting and bucketed co-located joins
+(SURVEY.md §4 "skew handling" / "shuffle partitioning").
+
+These are result-preserving physical rewrites, so every query here is
+fully DuckDB-oracled against the plain formulation — what is being
+verified is that the scale machinery does NOT change answers; the
+plan-shape benefits (split hot keys, no exchange on bucketed joins)
+are asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.operators.skew import salted_agg, salted_join
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A1", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5 hot event_type keys —
+    identical answer to the plain GROUP BY (the oracle), but the
+    partial phase spreads each hot key over 16 salt groups."""
+    events = scan(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        unique_col="event_id",
+        n_salts=16,
+        aggs={"n": "count:*", "total": "sum:value"},
+    )
+    return out.select(
+        "event_type", "n", F.round("total", 2).alias("total")
+    ).orderBy("event_type")
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("J2", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join (customer replicated 8x, events salted
+    deterministically on event_id) — answer equals the plain join."""
+    events = scan(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    customer = scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        events, customer, "user_id", "c_custkey", "event_id", n_salts=8
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("J2", "bucketing"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: lineitem and orders written as
+    tables bucketed 8-ways on the join key, then joined WITHOUT a
+    shuffle (both sides pre-partitioned identically; the no-Exchange
+    plan shape is asserted in tests/test_plans.py). At 100 TB this is
+    the amortize-one-shuffle-forever pattern for recurring joins."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, ord_tbl = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    catalog = spark.catalog
+
+    def _clear_stale(tbl: str) -> None:
+        # A fresh in-memory catalog + a leftover warehouse dir from a
+        # previous session -> LOCATION_ALREADY_EXISTS on saveAsTable.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+    if not catalog.tableExists(li_tbl):
+        _clear_stale(li_tbl)
+        (
+            scan(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if not catalog.tableExists(ord_tbl):
+        _clear_stale(ord_tbl)
+        (
+            scan(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ord_tbl)
+        )
+    li = spark.table(li_tbl)
+    orders = spark.table(ord_tbl)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .orderBy("o_orderpriority")
+    )

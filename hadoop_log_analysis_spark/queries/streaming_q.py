@@ -1,1 +1,260 @@
-"""Placeholder — queries land in this module incrementally."""
+"""Structured Streaming operators S7 + T1-T7 (SURVEY.md §2.10).
+
+Every query here REALLY streams: a time-ordered JSON drop directory
+derived from the events fixture is consumed incrementally
+(``maxFilesPerTrigger`` microbatches, ``availableNow`` trigger), then
+the drained result is returned as a batch DataFrame. Where the
+streaming semantics are deterministic (complete-mode aggregations,
+watermark-safe dedup, final-state reductions) the query carries a
+full DuckDB oracle — the stream must hash-match the batch answer,
+which is the stream-batch parity law (SURVEY.md §5.4) enforced at
+the driver level, not just in unit tests.
+
+Time crosses engine boundaries as epoch-µs bigints throughout
+(memory/duckdb-ns-truncation): Spark ``unix_micros``, DuckDB
+``epoch_us`` — both truncate the fixture's ns timestamps to µs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.streaming.events_stream import (
+    TMP,
+    derive_drop_dir,
+    read_events_stream,
+    run_foreach_batch_to_parquet,
+    run_to_table,
+)
+
+
+def _us(col):
+    return F.unix_micros(col)
+
+
+@query(
+    "q_stream_hourly_errors",
+    oracle="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hr_us, count(*) AS errors
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY hr_us
+        ORDER BY hr_us
+    """,
+    tags=("S7", "T1", "T7"),
+)
+def q_stream_hourly_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+T1: tumbling 1-hour window over the error stream, complete
+    mode (all windows retained -> deterministic == batch answer)."""
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+    agg = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("errors"))
+    )
+    out = run_to_table(agg, "t1_hourly_errors", "complete")
+    return out.select(_us(F.col("w.start")).alias("hr_us"), "errors").orderBy("hr_us")
+
+
+@query(
+    "q_stream_sliding_counts",
+    oracle="""
+        SELECT ws_us, count(*) AS n
+        FROM (SELECT unnest(list_transform(range(0, 4),
+                     k -> (epoch_us(ts) // 900000000 - k) * 900000000)) AS ws_us
+              FROM events)
+        GROUP BY ws_us
+        ORDER BY ws_us
+    """,
+    tags=("T2",),
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding window (1 h width / 15 min slide) event counts,
+    complete mode. Each event lands in 4 overlapping windows; the
+    oracle enumerates the same 4 window starts per event."""
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(agg, "t2_sliding", "complete")
+    return out.select(_us(F.col("w.start")).alias("ws_us"), "n").orderBy("ws_us")
+
+
+@query(
+    "q_stream_sessions",
+    oracle="""
+        WITH g AS (SELECT user_id, ts,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             s AS (SELECT user_id, ts,
+                          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM g)
+        SELECT user_id,
+               epoch_us(min(ts)) AS s_start_us,
+               epoch_us(max(ts)) + 1800000000 AS s_end_us,
+               count(*) AS n
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, s_start_us
+    """,
+    tags=("T3",),
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: streaming session windows (30-min gap) per user — the
+    streaming twin of batch W6 sessionization, and the oracle IS the
+    batch formulation (lag -> break -> running sum -> agg). Spark's
+    session_window end = last event + gap, mirrored as +1800000000 µs."""
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+    agg = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(agg, "t3_sessions", "complete")
+    return out.select(
+        "user_id",
+        _us(F.col("w.start")).alias("s_start_us"),
+        _us(F.col("w.end")).alias("s_end_us"),
+        "n",
+    ).orderBy("user_id", "s_start_us")
+
+
+@query("q_stream_watermark_late", oracle=None, tags=("T4",))
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermark + late data. Append-mode hourly counts with a
+    10-minute watermark over the time-ordered drop: append only emits
+    a window once the watermark passes its end, so the result is the
+    set of closed windows; the final in-flight window is withheld.
+    Late rows behind the watermark are dropped by the aggregation
+    (parity with batch on closed windows is unit-tested)."""
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop, max_files_per_trigger=1)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(agg, "t4_watermark", "append")
+    return out.select(_us(F.col("w.start")).alias("hr_us"), "n").orderBy("hr_us")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS ids
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("T5",),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: streaming dedup. The drop variant duplicates every 20th
+    event; ``dropDuplicatesWithinWatermark`` on event_id removes them
+    (each dup shares its original's event time, so it always lands
+    within the watermark). The deduped stream must equal the original
+    events table — a full SQL oracle on per-type counts."""
+    drop = derive_drop_dir(spark, sf_dir, with_dups=True)
+    events = read_events_stream(spark, drop, max_files_per_trigger=1)
+    deduped = events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_table(deduped, "t5_dedup", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("event_id").alias("ids"))
+        .orderBy("event_type")
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_T6_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_so_far", T.LongType()),
+    ]
+)
+
+
+def _count_state_fn(key, pdf_iter, state):
+    """Per-user running event count (GroupState), emitted per batch."""
+    import pandas as pd
+
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+
+@query(
+    "q_stream_stateful_counts",
+    oracle="""
+        SELECT user_id, count(*) AS n
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("T6",),
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: arbitrary stateful op — applyInPandasWithState keeps a
+    per-user running count across microbatches, emitting the running
+    value each batch (update mode). The max emitted value per user is
+    the final state == the batch per-user count (SQL oracle)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop, max_files_per_trigger=1)
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        _count_state_fn,
+        outputStructType=_T6_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(updates, "t6_stateful", "update")
+    return (
+        out.groupBy("user_id").agg(F.max("n_so_far").alias("n")).orderBy("user_id")
+    )
+
+
+@query(
+    "q_stream_sink_parquet",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("T7", "S6"),
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: foreachBatch sink — each microbatch appended to an
+    event_type-partitioned parquet directory (exactly-once via the
+    checkpoint), then read back and aggregated; must equal the batch
+    table (SQL oracle)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(TMP, f"stream_sink_{tag}")
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+    run_foreach_batch_to_parquet(events, f"t7_sink_{tag}", out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("event_type")
+    )

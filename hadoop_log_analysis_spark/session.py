@@ -71,6 +71,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("HLA_DRIVER_MEM", "8g"))
+        # Local-scale parallelism (measured, BASELINE.md methodology):
+        # fixture files are ~1-30 MB, far under the 128 MB split default,
+        # so scans would run single-task; 16 MB splits fan them out, and
+        # a 4 MB AQE advisory stops coalescing from serializing the tiny
+        # post-shuffle stages (sessionize 2.1s -> 1.05s, join5 -> 1.24s).
+        # On a real cluster at 100 TB keep the 128 MB / 64 MB defaults —
+        # these two are local-mode knobs only.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         # Local-mode shuffle is in-process; keep broadcast threshold default
         # (10 MB) — all dims (region/nation/customer/supplier/part at test
         # SFs) fall under it, exercising the same plan shape as production.

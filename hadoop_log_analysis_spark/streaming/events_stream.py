@@ -1,0 +1,180 @@
+"""File-source event streams derived from the events fixture (S7).
+
+The batch/stream unification story (SURVEY.md §1.2): the same events
+schema flows through both engines. A "drop directory" of JSON-lines
+files is derived deterministically from ``events.parquet`` —
+time-ordered files, so the stream replays the month roughly in event
+order — and every T1-T7 operator consumes it through
+``spark.readStream``.
+
+Timestamps cross the JSON boundary as **epoch-microsecond bigints**
+(``ts_us``), never as strings: deterministic, precision-exact, and
+µs on both engine sides (DuckDB oracle uses ``epoch_us`` which also
+truncates the fixture's ns — see memory/duckdb-ns-truncation).
+
+Scale posture: the file source at 100 TB becomes a real queue
+(Kafka) with identical downstream code; watermarks + state-store
+(RocksDB provider) bound state. ``maxFilesPerTrigger`` here forces
+multi-microbatch execution so tests exercise real incremental state,
+not one giant batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+TMP = os.path.join(_REPO, ".tmp")
+
+# JSON-lines drop schema: ts as epoch-µs bigint (see module docstring).
+DROP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def derive_drop_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, with_dups: bool = False
+) -> str:
+    """Write the events fixture as ``n_files`` time-ordered JSON files.
+
+    Files are range-partitioned on ts (file 0 = earliest slice), so a
+    ``maxFilesPerTrigger=1`` stream replays the month in order —
+    watermarks advance monotonically like they would against a live
+    feed. Built once per (sf, variant); deterministic content.
+
+    ``with_dups``: additionally duplicate one in every 20 events
+    (deterministic ``event_id % 20 == 0`` rule) for T5 dedup.
+    """
+    from hadoop_log_analysis_spark.sources.catalog import scan
+
+    variant = "dups" if with_dups else "plain"
+    path = os.path.join(TMP, f"stream_drop_{variant}_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    events = scan(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    if with_dups:
+        dups = events.filter(F.col("event_id") % 20 == 0)
+        events = events.unionByName(dups)
+    (
+        events.repartitionByRange(n_files, "ts_us")
+        .sortWithinPartitions("ts_us", "event_id")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    # The file source replays files in modification-time order; the write
+    # above stamps them all identically, which would randomize replay
+    # order and make watermark-dependent ops (T4/T5) drop whole files as
+    # late. Stamp strictly increasing mtimes in ts order (part numbering
+    # follows the range-partition order: part-00000 = earliest slice).
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = os.path.getmtime(os.path.join(path, parts[0]))
+    for i, f in enumerate(parts):
+        full = os.path.join(path, f)
+        os.utime(full, (base + 10 * i, base + 10 * i))
+    open(marker, "w").close()
+    return path
+
+
+def read_events_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 2
+) -> DataFrame:
+    """S7: streaming file source over a drop directory -> typed events.
+
+    Emits the batch-identical column set (event_id, ts, user_id,
+    event_type, value) with ``ts`` as TimestampType (UTC session, so
+    instants match the batch ntz values exactly).
+    """
+    raw = (
+        spark.readStream.schema(DROP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def run_to_table(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame to completion; return the result.
+
+    ``trigger(availableNow=True)`` processes everything currently in
+    the drop dir as real incremental microbatches (bounded by the
+    source's maxFilesPerTrigger) then stops — the deterministic way to
+    verify a streaming pipeline. Memory sink; checkpoint under .tmp,
+    cleared per run (stale checkpoints no-op re-runs).
+    """
+    spark = sdf.sparkSession
+    ckpt = os.path.join(TMP, f"stream_ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
+def run_foreach_batch_to_parquet(
+    sdf: DataFrame, name: str, out_dir: str, timeout_sec: int = 300
+) -> None:
+    """T7: drain via foreachBatch -> partitioned parquet sink.
+
+    foreachBatch is the production fan-out sink: each microbatch is a
+    batch DataFrame the callback writes with the full batch writer
+    (partitioning, dynamic overwrite, multiple sinks). Append-safe:
+    the checkpoint makes each batch exactly-once into the directory.
+    """
+    ckpt = os.path.join(TMP, f"stream_ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

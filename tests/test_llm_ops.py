@@ -1,0 +1,109 @@
+"""LLM-pipeline operator semantics: recall of probabilistic ops vs
+their exact twins, and algebraic properties (SURVEY.md §5.5).
+
+The probabilistic operators (MinHash-LSH L2, IVF L4) are rows-only at
+the driver; THESE tests are their correctness story: recall measured
+against the exact, fully-oracled formulations on the same fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash_candidate_pairs,
+    token_jaccard,
+)
+from hadoop_log_analysis_spark.operators.similarity import ann_ivf_topk, cosine_topk
+from hadoop_log_analysis_spark.sources.catalog import scan
+from tests.conftest import SF001
+
+
+def _exact_near_dup_pairs(docs, threshold):
+    """Ground truth: prefix-blocked exact token-Jaccard pairs (the
+    fixture's near-dups share a 40-char prefix by construction)."""
+    t = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = t.select(F.col("doc_id").alias("a_id"), "pfx", F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), "pfx", F.col("toks").alias("b_toks"))
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("jacc", token_jaccard("a_toks", "b_toks"))
+        .filter(F.col("jacc") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = scan(spark, SF001, "documents")
+    truth = {tuple(r) for r in _exact_near_dup_pairs(docs, 0.6).collect()}
+    found = {
+        (r.a_id, r.b_id) for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    # Precision is exact by construction (every candidate re-verified).
+    extra = found - truth
+    assert not extra, f"LSH emitted pairs failing exact Jaccard: {sorted(extra)[:5]}"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(found)}/{len(truth)})"
+
+
+def test_ivf_is_exact_within_probed_buckets(spark):
+    """IVF's correctness property: output == exact top-k restricted to
+    the probed buckets. (Absolute recall is data-dependent: these
+    fixture embeddings are near-random — intra-label mean cosine 0.013
+    vs inter -0.003 — so recall ~= coverage fraction, n_probe/10;
+    on clustered real data the same operator's recall is high.)"""
+    from hadoop_log_analysis_spark.operators.similarity import cosine, ivf_centroids
+
+    emb = scan(spark, SF001, "embeddings")
+    approx = [
+        (r.vec_id, r.sim)
+        for r in ann_ivf_topk(emb, query_id=0, k=10, n_probe=3).collect()
+    ]
+    # Reconstruct the probe set the same way the operator does.
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    probed = [
+        r.label
+        for r in (
+            ivf_centroids(emb)
+            .crossJoin(F.broadcast(q))
+            .select("label", cosine(F.col("centroid"), F.col("__qvec")).alias("cs"))
+            .orderBy(F.col("cs").desc(), "label")
+            .limit(3)
+        ).collect()
+    ]
+    # Keep the query row itself so cosine_topk can find its vector even
+    # when the query's own label is not among the probed buckets.
+    exact_in_probed = [
+        (r.vec_id, r.sim)
+        for r in cosine_topk(
+            emb.filter(F.col("label").isin(probed) | (F.col("vec_id") == 0)), 0, k=10
+        ).collect()
+    ]
+    assert approx == exact_in_probed
+    # Coverage-level recall floor vs the unrestricted exact top-k.
+    exact = [r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()]
+    recall = len({v for v, _ in approx} & set(exact)) / len(exact)
+    assert recall >= 0.2, f"IVF@3/10-probe recall {recall:.2f} below coverage floor"
+
+
+def test_exact_dedup_idempotent_and_complete(spark):
+    docs = scan(spark, SF001, "documents")
+    once = exact_dedup(docs, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == twice.count() == n_twice
+    assert n_once == docs.select("text").distinct().count()
+
+
+def test_simhash_pairs_are_bounded_and_ordered(spark):
+    docs = scan(spark, SF001, "documents")
+    rows = simhash_candidate_pairs(docs, max_hamming=8).collect()
+    assert rows, "simhash should find candidates among prefix-dup docs"
+    assert all(r.a_id < r.b_id and r.hamming <= 8 for r in rows)

@@ -1,0 +1,105 @@
+"""Physical-plan assertions (SURVEY.md §4 — "rely; verify with explain").
+
+Catalyst gives pushdown/pruning/broadcast for free ONLY if the engine
+expresses plans declaratively; these tests pin that contract so a
+refactor that silently breaks it (e.g. a UDF blocking pushdown, a
+collect-loop hiding a join) fails CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.queries import load_registry
+from hadoop_log_analysis_spark.sources.catalog import scan
+from tests.conftest import SF001
+
+REGISTRY = load_registry()
+
+
+def _formatted(df, execute: bool = False) -> str:
+    """explain("formatted") as a string; ``execute`` first when the
+    assertion concerns the AQE final plan (codegen spans)."""
+    if execute:
+        df.collect()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = scan(spark, SF001, "lineitem").filter(F.col("l_quantity") > 40.0)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = scan(spark, SF001, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    # ReadSchema must carry only the 2 projected columns of 16.
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dims_broadcast_in_join5(spark):
+    plan = _formatted(REGISTRY["q_join5"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted(REGISTRY["q_topk_users"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    # q_parquet_sink_partitioned writes event_type-partitioned parquet;
+    # re-reading with the partition filter must prune, not scan+filter.
+    REGISTRY["q_parquet_sink_partitioned"].fn(spark, SF001).collect()
+    from hadoop_log_analysis_spark.queries.sources_q import _derived_dir
+
+    back = spark.read.parquet(_derived_dir(SF001, "parquet_part")).filter(
+        F.col("event_type") == "error"
+    )
+    plan = _formatted(back)
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters: ")[1].splitlines()[0]
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    plan = _formatted(REGISTRY["q_hourly_errors"].fn(spark, SF001), execute=True)
+    assert "[codegen id :" in plan  # codegen spans present in final plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # Force SMJ (defeat broadcast) to prove the bucketed tables co-locate:
+    # a correct bucketed join plans with ZERO Exchange on the join keys.
+    REGISTRY["q_bucketed_join"].fn(spark, SF001).collect()  # ensure tables exist
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(REGISTRY["q_bucketed_join"].fn(spark, SF001))
+        join_section = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in join_section
+        assert "Exchange hashpartitioning(l_orderkey" not in join_section
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_splits_hot_keys(spark):
+    # The salted plan must aggregate twice: by (event_type, salt-expr)
+    # then by event_type — 4 HashAggregate nodes (partial+final x 2
+    # phases) with the deterministic xxhash64 salt in the keys (the
+    # alias is inlined by the analyzer, so match the expression).
+    plan = _formatted(REGISTRY["q_salted_agg"].fn(spark, SF001))
+    assert "xxhash64" in plan and "pmod" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_llm_dedup_minhash_stays_jvm_side(spark):
+    # The MinHash/LSH pipeline must not contain Python evaluation nodes
+    # (BatchEvalPython / ArrowEvalPython) — it is built from higher-order
+    # array expressions precisely so it stays in codegen at 100 TB.
+    plan = _formatted(REGISTRY["q_minhash_near_dups"].fn(spark, SF001))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
