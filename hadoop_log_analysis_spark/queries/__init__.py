@@ -52,6 +52,7 @@ _MODULES = (
     "windows_q",
     "setops",
     "scalar_fns",
+    "advanced",
     "llm_ops",
     "udfs",
     "streaming_q",

@@ -1,0 +1,419 @@
+"""Advanced relational surface beyond the SURVEY.md §2 core: pivot /
+unpivot, grouping sets, scalar + correlated subqueries, time-spine
+gap-fill, exact percentiles, array argmax, the pure-SQL (CTE) entry
+path, deterministic sampling, histograms, and time-range windows.
+
+Scale notes (100 TB posture) per query are on the docstrings; the
+shared principles:
+
+* pivot/unpivot/grouping-sets are single-shuffle hash aggregates —
+  Catalyst compiles pivot to one `HashAggregate` over
+  `count(CASE WHEN ...)` columns (no per-value scans);
+* scalar subqueries become broadcast joins (the 1-row aggregate side
+  is trivially broadcastable, AQE does it without a hint);
+* the time spine is generated from a 1-row aggregate (`sequence` +
+  `explode`), so the spine costs O(#buckets), never O(#events);
+* deterministic modulo sampling pushes the predicate into the parquet
+  scan — at 100 TB a 5 % hash-sample reads row groups, not the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import register_views, scan
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_pivot_event_day",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("A1", "pivot"),
+)
+def q_pivot_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event_type.
+
+    The explicit value list matters at scale: with it, Spark compiles
+    the pivot into ONE aggregate pass (`count(CASE WHEN ...)` per
+    value); without it, a separate distinct-values job runs first.
+    """
+    ev = scan(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # pivot emits NULL for absent (day, type) combos; the oracle's
+    # FILTER counts emit 0 — normalize.
+    return piv.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("d")
+
+
+@query(
+    "q_unpivot_status_metrics",
+    oracle="""
+        SELECT o_orderstatus, 'n' AS metric, CAST(count(*) AS DOUBLE) AS val
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT o_orderstatus, 'total' AS metric, round(sum(o_totalprice), 2) AS val
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus, metric
+    """,
+    tags=("O3", "unpivot"),
+)
+def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status metrics to long (metric, val) rows.
+
+    ``DataFrame.unpivot`` is a zero-shuffle narrow transform (an
+    `Expand` node): n metric columns -> n rows per input row, no
+    exchange — unlike the UNION-of-aggregates formulation, which
+    re-scans the input per metric (fine for the oracle, wrong at scale).
+    """
+    orders = scan(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["n", "total"], "metric", "val"
+    ).orderBy("o_orderstatus", "metric")
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """,
+    tags=("A6", "sql-path"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+: explicit GROUPING SETS via the SQL entry path (SURVEY.md §3.2.3).
+
+    Rollup/cube are fixed lattices; GROUPING SETS picks exactly the
+    granularities wanted — here two independent 1-D rollups + grand
+    total in ONE pass (single Expand + HashAggregate, one shuffle)
+    instead of three scans. Identical SQL text runs on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+    """,
+    tags=("J1", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+
+    DataFrame form: the 1-row aggregate is crossJoin-broadcast to every
+    partition — the exact plan Catalyst builds for an uncorrelated
+    scalar subquery. At 100 TB the broadcast side is 1 row; the fact
+    side never shuffles.
+    """
+    cust = scan(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_above_customer_avg",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+    """,
+    tags=("W4", "subquery"),
+)
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery: orders above their customer's average.
+
+    Spark-first decorrelation: a window average over the grouping key
+    replaces the per-row subquery — one shuffle on o_custkey instead
+    of a self-join, and identical semantics (every row compares
+    against its full-group mean).
+    """
+    orders = scan(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("_cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("_cust_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_gapfill_hours",
+    oracle="""
+        WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                          max(date_trunc('hour', ts)) AS hi
+                   FROM events),
+             spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                       FROM b),
+             e AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                   FROM events WHERE event_type = 'error' GROUP BY 1)
+        SELECT spine.hr, coalesce(e.n, 0) AS n_errors
+        FROM spine LEFT JOIN e USING (hr)
+        ORDER BY spine.hr
+    """,
+    tags=("F2", "F5", "J3", "timeseries"),
+)
+def q_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: dense hourly spine, zero-filled error counts.
+
+    The spine comes from a 1-row (min, max) aggregate -> `sequence` ->
+    `explode`: O(#hours) rows generated driver-free, then a broadcast
+    left join against the (already tiny) hourly aggregate. No step is
+    proportional to raw event count except the initial agg scans.
+    """
+    ev = scan(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    bounds = ev.agg(F.min(hr).alias("lo"), F.max(hr).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hr.alias("hr"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(errs, "hr", "left")
+        .select("hr", F.coalesce("n", F.lit(0)).alias("n_errors"))
+        .orderBy("hr")
+    )
+
+
+@query(
+    "q_percentile_by_type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A5",),
+)
+def q_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+: exact interpolated percentiles per group.
+
+    Spark `percentile` and DuckDB `quantile_cont` share linear
+    interpolation semantics. Exact percentiles buffer each group's
+    values — fine for bounded group counts; at 100 TB with huge groups
+    switch to `approx_percentile` (t-digest, mergeable partial aggs),
+    declared separately as rows-only (q_stats_agg covers approx).
+    """
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_array_argmax",
+    oracle="""
+        SELECT vec_id,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+               CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS pos
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 100
+    """,
+    tags=("F5",),
+)
+def q_array_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+: argmax over an array column (max component + its 1-based index).
+
+    Pure built-ins (`array_max` / `array_position`) — stays inside
+    whole-stage codegen, no UDF. The float32 component is widened to
+    double BEFORE rounding on both sides so the representations match.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+            F.array_position(
+                F.col("embedding"), F.array_max("embedding")
+            ).alias("pos"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_monthly_above_avg_cte",
+    oracle="""
+        WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+                          round(sum(o_totalprice), 2) AS rev
+                   FROM orders GROUP BY 1)
+        SELECT mon, rev FROM m
+        WHERE rev > (SELECT avg(rev) FROM m)
+        ORDER BY mon
+    """,
+    tags=("sql-path", "A1", "subquery"),
+)
+def q_monthly_above_avg_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry path (SURVEY.md §3.2.3): CTE + scalar subquery.
+
+    The IDENTICAL SQL text runs on Spark (over registered views) and
+    DuckDB — demonstrating the engine's second client surface. Spark
+    plans the CTE once and reuses it for both the filter and the
+    subquery side (ReusedExchange/InMemoryRelation at scale).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+                          round(sum(o_totalprice), 2) AS rev
+                   FROM orders GROUP BY 1)
+        SELECT mon, rev FROM m
+        WHERE rev > (SELECT avg(rev) FROM m)
+        ORDER BY mon
+        """
+    )
+
+
+@query(
+    "q_deterministic_sample",
+    oracle="""
+        SELECT count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+    """,
+    tags=("P2", "sampling"),
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% key-modulo sample with summary stats.
+
+    `TABLESAMPLE`/`df.sample` are seed-dependent and engine-specific
+    (never oracle-matchable); modulo-on-key sampling is reproducible
+    across engines and re-runs — the right idiom for sampled dev runs
+    over 100 TB. The predicate is a plain comparison, so it reaches the
+    scan and benefits from row-group statistics where available.
+    """
+    orders = scan(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 20 == 0).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "q_doc_length_histogram",
+    oracle="""
+        SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("A1", "F3", "L5"),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (50-char buckets).
+
+    The classic profiling query for a training corpus. One hash
+    aggregate; cardinality = #buckets, so the shuffle is tiny at any
+    scale.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket")
+    return docs.groupBy(bucket).agg(F.count("*").alias("n")).orderBy("bucket")
+
+
+@query(
+    "q_time_range_window",
+    oracle="""
+        SELECT event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000000000
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ), 4) AS avg_1h
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("W4", "F2", "timeseries"),
+)
+def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+: per-user trailing 1-hour moving average (RANGE frame on time).
+
+    A true time-range frame (not row-count): peers are all events of
+    the same user within the past 3600 s. Ordering on integer epoch
+    seconds keeps Spark and DuckDB frame semantics identical (both
+    include equal-key peers). One shuffle on user_id; the sort within
+    partitions is the same sort the sessionizer needs — on a real
+    pipeline these share an exchange.
+    """
+    ev = scan(spark, sf_dir, "events")
+    # integer `div` is mandatory: float division of ~1.7e18 ns loses
+    # precision above 2^53 (same rule as the catalog's ts repair).
+    epoch_s = F.expr("ts_ns div 1000000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id", F.round(F.avg("value").over(w), 4).alias("avg_1h")
+        ).orderBy("event_id")
+    )
