@@ -420,3 +420,144 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@query(
+    "q_cross_source_overlap",
+    oracle="""
+        SELECT substring(text, 1, 40) AS prefix,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY 1
+        HAVING count(DISTINCT source) > 1
+        ORDER BY n_docs DESC, prefix
+    """,
+    tags=("L1", "L7", "contamination"),
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check: content fingerprints appearing in >1 source.
+
+    The train/eval-overlap question every corpus pipeline must answer:
+    group by a content fingerprint (40-char prefix here; sha2 or
+    MinHash in production) and flag fingerprints spanning multiple
+    sources. One hash aggregate on the fingerprint — at 100 TB this is
+    the same shuffle profile as exact dedup, and the fingerprint
+    groupBy key is uniform (no skew) by construction.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, 40).alias("prefix"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .orderBy(F.desc("n_docs"), "prefix")
+    )
+
+
+@query(
+    "q_dup_cluster_sizes",
+    oracle="""
+        SELECT sz, count(*) AS n_clusters
+        FROM (SELECT count(*) AS sz FROM documents GROUP BY text)
+        GROUP BY sz
+        ORDER BY sz
+    """,
+    tags=("L1",),
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (dedup impact profile).
+
+    Answers "how much would exact dedup shrink this corpus?" before
+    running it: cluster size -> number of clusters. Two chained hash
+    aggregates; the second input is already tiny (distinct texts).
+    At 100 TB, group by sha2(text) instead of raw text so the shuffle
+    carries 32-byte keys, not documents.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("sz")
+    )
+
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 4) AS l2
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 200
+    """,
+    tags=("L3", "F5"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding via higher-order array functions.
+
+    The normalization step every cosine pipeline needs, as pure JVM-side
+    expressions: cast components to double FIRST (so Spark and DuckDB
+    accumulate in the same precision), square via ``transform``, sum via
+    ``aggregate``. No UDF, no explode — per-row work inside codegen.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    sq_sum = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        emb.select("vec_id", F.round(F.sqrt(sq_sum), 4).alias("l2"))
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+        WITH comps AS (
+            SELECT label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS comp
+            FROM embeddings, range(1, 65) t(i)
+        ),
+        centroid AS (
+            SELECT label, pos, avg(comp) AS c FROM comps GROUP BY label, pos
+        )
+        SELECT label,
+               round(sqrt(sum(c * c)), 4) AS centroid_l2,
+               CAST(count(*) AS BIGINT) AS dims
+        FROM centroid
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("L4", "F5"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean embedding), reported as its
+    L2 norm — the k-means / IVF coarse-quantizer building block.
+
+    Spark-first distributed formulation: ``posexplode`` to
+    (label, pos, comp), hash-aggregate the mean per (label, pos), then
+    reduce each centroid to its norm. The explode multiplies rows by
+    dim (64x) but the aggregate is map-side partial — the shuffle
+    carries at most |labels| x dims rows per partition, so at 100 TB
+    the exchange is bounded by the centroid table size, not the data.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "comp_f")
+    ).select("label", "pos", F.col("comp_f").cast("double").alias("comp"))
+    centroid = comps.groupBy("label", "pos").agg(F.avg("comp").alias("c"))
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_l2"),
+            F.count("*").alias("dims"),
+        )
+        .orderBy("label")
+    )

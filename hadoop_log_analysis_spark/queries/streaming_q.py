@@ -258,3 +258,61 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("T8", "J6", "S7"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-stream interval join — purchases within 1 h of a click
+    by the same user, both sides live streams.
+
+    Watermarks on BOTH sides + the time-range join condition let Spark
+    bound join state: a buffered click is evicted once the watermark
+    passes click.ts + 1 h (no purchase can match it anymore). The
+    in-order replay (derive_drop_dir stamps file mtimes in ts order)
+    advances the watermark monotonically, so the availableNow drain
+    emits exactly the batch join's matches — a full-hash oracle, the
+    strongest check a streaming op can carry.
+    """
+    drop = derive_drop_dir(spark, sf_dir)
+    clicks = (
+        read_events_stream(spark, drop)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, drop)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("click_id", "purchase_id")
+    out = run_to_table(joined, "t8_stream_stream_join", "append")
+    return out.orderBy("click_id", "purchase_id")

@@ -103,3 +103,44 @@ def test_llm_dedup_minhash_stays_jvm_side(spark):
     # array expressions precisely so it stays in codegen at 100 TB.
     plan = _formatted(REGISTRY["q_minhash_near_dups"].fn(spark, SF001))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _scan_node_ids(plan: str) -> set[str]:
+    """Unique Scan node ids in a formatted plan (the same node appears
+    in the tree, the AQE initial-plan tree, and the details section —
+    dedupe by id so 'one scan' means one physical scan node)."""
+    import re
+
+    return set(re.findall(r"Scan parquet[^\n(]*\((\d+)\)", plan))
+
+
+def test_pivot_is_single_pass(spark):
+    # Explicit pivot values -> ONE aggregate pass over ONE scan of
+    # events (no separate distinct-values job, no re-scan per value).
+    plan = _formatted(REGISTRY["q_pivot_event_day"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_unpivot_is_zero_shuffle_expand(spark):
+    # DataFrame.unpivot compiles to an Expand node, not a union of
+    # re-aggregations: one scan, and no exchange introduced by the melt
+    # itself (the only exchanges belong to the upstream groupBy/orderBy).
+    plan = _formatted(REGISTRY["q_unpivot_status_metrics"].fn(spark, SF001))
+    assert "Expand" in plan
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_scalar_subquery_broadcasts_one_row_side(spark):
+    # The global-average side is 1 row; it must reach the fact side as
+    # a broadcast (nested-loop for the cross join), never a shuffle.
+    plan = _formatted(REGISTRY["q_scalar_subquery"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_gapfill_spine_join_broadcasts(spark):
+    # Spine (O(#hours)) joined to the hourly aggregate: final AQE plan
+    # must broadcast, not sort-merge, two tiny sides.
+    plan = _formatted(REGISTRY["q_gapfill_hours"].fn(spark, SF001), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan and "explode(" in plan  # sequence->explode spine

@@ -42,3 +42,52 @@ def test_events_ts_repair_roundtrip(spark):
         F.unix_micros(F.col("ts").cast("timestamp")) != F.expr("ts_ns div 1000")
     ).count()
     assert bad == 0
+
+
+def test_pivot_row_sums_equal_daily_totals(spark):
+    # Summing the pivoted per-type columns must reproduce the plain
+    # per-day counts — pivot loses no rows.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    piv = load_registry()["q_pivot_event_day"].fn(spark, SF001)
+    type_cols = [c for c in piv.columns if c != "d"]
+    summed = piv.select(
+        "d", sum(F.col(c) for c in type_cols).alias("n")
+    )
+    plain = (
+        scan(spark, SF001, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert summed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(summed).count() == 0
+
+
+def test_gapfill_spine_is_dense_and_complete(spark):
+    # The gap-filled series must be hourly-dense: (max-min)/3600s + 1 rows,
+    # and its error total must equal the raw error count.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    filled = load_registry()["q_gapfill_hours"].fn(spark, SF001).collect()
+    hrs = [r.hr for r in filled]
+    assert len(hrs) == int((max(hrs) - min(hrs)).total_seconds()) // 3600 + 1
+    total = sum(r.n_errors for r in filled)
+    ev = scan(spark, SF001, "events")
+    assert total == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_centroid_dims_match_embedding_width(spark):
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    cents = load_registry()["q_label_centroids"].fn(spark, SF001).collect()
+    assert cents and all(r.dims == 64 for r in cents)
+
+
+def test_unpivot_roundtrips_wide_values(spark):
+    # melt(wide) must carry exactly the wide frame's cells.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    long_df = load_registry()["q_unpivot_status_metrics"].fn(spark, SF001)
+    orders = scan(spark, SF001, "orders")
+    statuses = orders.select("o_orderstatus").distinct().count()
+    assert long_df.count() == statuses * 2  # two metrics per status
