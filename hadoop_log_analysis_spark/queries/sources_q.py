@@ -163,3 +163,87 @@ def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("d")
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S6", "S1"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+: ORC sink + source roundtrip (the second columnar format).
+
+    Same verification trick as the CSV/JSON roundtrips: the oracle
+    aggregates the original parquet, so a lossless ORC write+read is
+    exactly what's being checked (including TIMESTAMP_NTZ handling).
+    ORC shares parquet's scan features (pushdown, column pruning,
+    vectorized reader) — at scale it's a drop-in layout choice.
+    """
+    path = _derived_dir(sf_dir, "orc")
+    events = scan(spark, sf_dir, "events").drop("ts_ns")
+    events.coalesce(4).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_incremental_overwrite",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("S6", "incremental"),
+)
+def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+: dynamic partition overwrite — the incremental-reprocess idiom.
+
+    A stale snapshot (status-'O' partition zeroed) is written
+    partitioned by status; then ONLY the 'O' partition is rewritten
+    with correct rows under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — static mode
+    would truncate the whole table. The read-back aggregate matches the
+    source-of-truth oracle only if untouched partitions survived and
+    the stale partition was fully replaced. This is how a daily
+    pipeline repairs one day of a 100 TB date-partitioned table
+    without touching the other 364.
+    """
+    path = _derived_dir(sf_dir, "dyn_overwrite")
+    orders = scan(spark, sf_dir, "orders")
+    stale = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O", F.lit(0.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    stale.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.filter(F.col("o_orderstatus") == "O")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -217,3 +217,55 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sid")
     )
+
+
+@query(
+    "q_session_window_native",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS tus, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), s AS (
+            SELECT user_id, tus, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id, min(tus) AS start_us, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, start_us
+    """,
+    tags=("W6", "T3"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 via the NATIVE ``session_window`` group expression — the
+    declarative twin of the composed lag/flag/running-sum sessionizer
+    (q_sessionize) and the exact batch analog of streaming T3.
+
+    One hash aggregate with session-merge semantics handled by the
+    engine (gap-merging in the agg, not a window sort pass). Sessions
+    are half-open [start, last+30 min): an event exactly at the close
+    boundary starts a NEW session, hence the >= gap break in the
+    oracle. At scale this is one shuffle on user_id with partial
+    session merge map-side.
+    """
+    ev = scan(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+            "n",
+            "total",
+        )
+        .orderBy("user_id", "start_us")
+    )
