@@ -561,3 +561,64 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+        SELECT min(doc_id) AS component, count(*) AS n_docs
+        FROM documents
+        GROUP BY substring(text, 1, 40)
+        HAVING count(*) > 1
+        ORDER BY component
+    """,
+    tags=("L2", "L1", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via iterative connected components — pairs are
+    not enough for dedup; the pipeline needs groups to pick one
+    representative from.
+
+    Edges = documents sharing a 40-char prefix fingerprint (the
+    fixture's planted near-dup structure); components computed by
+    distributed min-label propagation (operators.clustering). Because
+    each doc has exactly one prefix, the true components are the
+    prefix groups — giving an exact SQL oracle for an ITERATIVE graph
+    algorithm: component id (min doc_id) + member count must match the
+    per-prefix-group aggregate.
+    """
+    from hadoop_log_analysis_spark.operators.clustering import connected_components
+
+    docs = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = docs.select(F.col("prefix"), F.col("doc_id").alias("a_id"))
+    b = docs.select(F.col("prefix"), F.col("doc_id").alias("b_id"))
+    edges = a.join(b, "prefix").filter(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id"
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+@query("q_kmeans_ivf", oracle=None, tags=("L4", "iterative"))
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer training: 2 Lloyd iterations refining the
+    per-label coarse centroids (operators.clustering.kmeans_refine).
+    Rows-only (iterative float means have no tractable SQL oracle);
+    invariants — member counts sum to the corpus, 64-d centroids —
+    are property-tested.
+    """
+    from hadoop_log_analysis_spark.operators.clustering import kmeans_refine
+    from hadoop_log_analysis_spark.operators.similarity import ivf_centroids
+
+    emb = scan(spark, sf_dir, "embeddings")
+    init = ivf_centroids(emb)
+    refined = kmeans_refine(emb, init, n_iter=2)
+    return refined.select(
+        "label", F.size("centroid").alias("dims"), "n_members"
+    ).orderBy("label")

@@ -91,3 +91,25 @@ def test_unpivot_roundtrips_wide_values(spark):
     orders = scan(spark, SF001, "orders")
     statuses = orders.select("o_orderstatus").distinct().count()
     assert long_df.count() == statuses * 2  # two metrics per status
+
+
+def test_kmeans_members_partition_the_corpus(spark):
+    # Every vector is assigned to exactly one refined centroid.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    rows = load_registry()["q_kmeans_ivf"].fn(spark, SF001).collect()
+    emb_count = scan(spark, SF001, "embeddings").count()
+    assert sum(r.n_members for r in rows) == emb_count
+    assert all(r.dims == 64 for r in rows)
+
+
+def test_connected_components_transitive_closure(spark):
+    # On a hand-built graph with two components and a chain, labels
+    # must reach the min id of each component (diameter > 1 exercised).
+    from hadoop_log_analysis_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["a_id", "b_id"]
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
