@@ -54,6 +54,7 @@ _MODULES = (
     "scalar_fns",
     "advanced",
     "llm_ops",
+    "pipeline_q",
     "udfs",
     "streaming_q",
     "scale_q",

@@ -1,0 +1,542 @@
+"""Training-data pipeline depth: chunking, retrieval scoring, corpus
+mixing, indexing, quantization, and CDC merge (beyond SURVEY.md §2's
+base inventory — the ops a 100 TB pretraining-data pipeline runs daily).
+
+Every query here is deliberately expressed with JVM-side built-ins
+(split / explode / sequence / slice / higher-order lambdas) so the hot
+path stays inside whole-stage codegen: no Python UDFs. Scale notes per
+query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+# Context-window chunking parameters: 32-token windows, stride 24
+# (8-token overlap) — the standard pretraining tokenize-and-pack shape.
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+# BM25 constants (Robertson/Sparck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "window", "merge")
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, toks,
+                          unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS st
+                   FROM t)
+        SELECT doc_id,
+               st // {CHUNK_STRIDE} AS chunk_idx,
+               array_to_string(list_slice(toks, st + 1, st + {CHUNK_LEN}), ' ') AS chunk_text,
+               len(list_slice(toks, st + 1, st + {CHUNK_LEN})) AS n_chunk_toks
+        FROM s
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("L5", "F5", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into 32-token
+    windows with stride 24 (8-token overlap) — the tokenize-and-pack
+    step of a pretraining pipeline, fully SQL-oracled.
+
+    Spark shape: map-only (split -> sequence -> explode -> slice), no
+    shuffle until the verification ORDER BY; at 100 TB this pipelines
+    straight from scan to sink with zero exchanges.
+    """
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("st"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("st") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.array_join(F.expr(f"slice(toks, st + 1, {CHUNK_LEN})"), " ").alias(
+            "chunk_text"
+        ),
+        F.size(F.expr(f"slice(toks, st + 1, {CHUNK_LEN})")).alias("n_chunk_toks"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+             tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d
+                    WHERE tok IN ('join', 'window', 'merge')
+                    GROUP BY doc_id, dl, tok),
+             dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+             s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t)
+        SELECT doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                         * (tf * ({BM25_K1} + 1))
+                         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))), 4)
+                 AS bm25,
+               count(*) AS n_terms
+        FROM tf JOIN dfreq USING (tok), s
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("L5", "ranking"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (k1=1.2, b=0.75) of the corpus against a
+    3-term query — the retrieval-quality scorer used when mining
+    training data by relevance.
+
+    Scale shape: term-filtered explode collapses to a tiny tf table
+    before any shuffle; df and corpus stats are 1-row/|terms|-row
+    aggregates broadcast onto it — no full-corpus shuffle.
+    """
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        t.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", term_score)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+        WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+             tot AS (SELECT count(*) AS n_total FROM documents),
+             rates AS (SELECT lang, n_before,
+                              least(1000, CAST(round((n_total / 5.0) / n_before * 1000) AS BIGINT))
+                                AS thresh
+                       FROM counts, tot)
+        SELECT r.lang, r.n_before, r.thresh, count(*) AS n_after
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE d.doc_id % 1000 < r.thresh
+        GROUP BY r.lang, r.n_before, r.thresh
+        ORDER BY r.lang
+    """,
+    tags=("L7", "sampling", "mixture"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified rebalancing: each language stratum is
+    down-sampled toward an equal 1/5 share of the corpus via a
+    key-modulo filter (doc_id % 1000 < per-stratum threshold) —
+    reproducible data mixing with no RNG state.
+
+    Scale shape: per-stratum rates come from a tiny broadcast
+    aggregate; the sample itself is a map-side filter, so re-mixing
+    100 TB is one scan with no shuffle of the wide rows.
+    """
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_before",
+        F.least(
+            F.lit(1000),
+            F.round((F.col("n_total") / 5.0) / F.col("n_before") * 1000).cast(
+                "long"
+            ),
+        ).alias("thresh"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.pmod("doc_id", F.lit(1000)) < F.col("thresh"))
+        .groupBy("lang", "n_before", "thresh")
+        .agg(F.count("*").alias("n_after"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_source_mixture",
+    oracle="""
+        WITH per AS (SELECT source, count(*) AS n_docs,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY source)
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE)
+                     / (SELECT sum(len(string_split(text, ' '))) FROM documents), 4)
+                 AS token_share
+        FROM per
+        ORDER BY source
+    """,
+    tags=("L7", "mixture"),
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per-source document and token counts and
+    each source's share of total tokens — the dashboard a data-mixing
+    run is tuned against.
+
+    Token counts are integers (whitespace tokens), so the shares are
+    exact single divisions — no float-summation-order hazard.
+    """
+    docs = scan(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("ntok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    total = docs.agg(F.sum("ntok").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("tot"), 4).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+        SELECT tok, count(*) AS df, list_sort(list(doc_id)) AS postings
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY tok
+    """,
+    tags=("L5", "index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction: token -> document frequency +
+    sorted posting list — the retrieval-index build step, as one
+    explode + one hash aggregate.
+
+    At 100 TB the posting lists of frequent terms become the skew
+    hazard; the fix (not needed at fixture vocab size) is chunked
+    postings via (tok, doc_id // B) pre-aggregation.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("tok")
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+        WITH pe AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           unnest(generate_series(1, len(embedding))) AS pos
+                    FROM embeddings),
+             mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pe GROUP BY pos),
+             j AS (SELECT vec_id, x, mn, mx,
+                          CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 254.0) AS BIGINT)
+                            AS code
+                   FROM pe JOIN mm USING (pos))
+        SELECT vec_id,
+               round(avg(abs(x - (mn + (code + 0.5) * (mx - mn) / 255.0))), 6) AS q_err
+        FROM j
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+    tags=("L4", "quantization", "F5"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store: per-dimension
+    min/max codebook -> 8-bit codes -> mean absolute reconstruction
+    error per vector. This is the compression step that makes a
+    100 TB vector store servable (4x smaller + SIMD-friendly).
+
+    Scale shape: the codebook is a 64-row aggregate broadcast back
+    onto the posexploded vectors; everything else is map-side.
+    """
+    pe = (
+        scan(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    )
+    mm = pe.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.least(
+        F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))),
+        F.lit(254.0),
+    ).cast("long")
+    dequant = F.col("mn") + (F.col("code") + 0.5) * (
+        F.col("mx") - F.col("mn")
+    ) / 255.0
+    return (
+        pe.join(F.broadcast(mm), "pos")
+        .withColumn("code", code)
+        .groupBy("vec_id")
+        .agg(F.round(F.avg(F.abs(F.col("x") - dequant)), 6).alias("q_err"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, source, toks,
+                          unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS st
+                   FROM t),
+             c AS (SELECT source, doc_id, st // {CHUNK_STRIDE} AS chunk_idx,
+                          len(list_slice(toks, st + 1, st + {CHUNK_LEN})) AS n
+                   FROM s),
+             w AS (SELECT source, n,
+                          CAST((sum(n) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+                                             ROWS UNBOUNDED PRECEDING) - n) // 128 AS BIGINT)
+                            AS seq_id
+                   FROM c)
+        SELECT source, seq_id, count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM w
+        GROUP BY source, seq_id
+        ORDER BY source, seq_id
+    """,
+    tags=("L5", "W4", "chunking"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: the chunk stream (q_doc_chunks shape) is
+    packed into ~128-token training sequences per source by running
+    token count — chunk i goes to sequence floor(prefix_tokens / 128).
+    Deterministic ordering (doc_id, chunk_idx) makes the packing
+    reproducible.
+
+    Scale shape: the running sum partitions by source, so parallelism
+    is bounded by source count — at 100 TB the same window runs per
+    (source, date-bucket) to keep partitions bounded; semantics
+    unchanged, noted here because the fixture has no date column on
+    documents.
+    """
+    from pyspark.sql import Window
+
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    c = t.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("st"),
+        "toks",
+    ).select(
+        "source",
+        "doc_id",
+        (F.col("st") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(F.expr(f"slice(toks, st + 1, {CHUNK_LEN})")).alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = c.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "seq_id", ((F.col("cum") - F.col("n")) / 128).cast("long")
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(F.count("*").alias("n_chunks"), F.sum("n").alias("n_tokens"))
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             sh AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(toks) - 7),
+                                  i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+                             AS g
+                    FROM t),
+             ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+             tr AS (SELECT doc_id, g FROM sh WHERE doc_id >= 20)
+        SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared_grams
+        FROM tr JOIN ev ON tr.g = ev.g
+        GROUP BY tr.doc_id
+        ORDER BY doc_id
+    """,
+    tags=("L5", "L1", "contamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token-level
+    8-gram with the eval set (here: doc_id < 20 plays the benchmark)
+    are flagged with their shared-gram count — the standard n-gram
+    overlap decontamination pass before pretraining.
+
+    Scale shape: eval-side shingles are tiny and broadcast; the
+    training side never shuffles its full text, only exploded 8-grams
+    that survive the broadcast semi-join.
+    """
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # Guard: Spark's sequence(1, n) DESCENDS for n < 1 — emit no
+    # shingles for sub-8-token docs (DuckDB generate_series is empty).
+    shingles = F.when(
+        F.size("toks") >= 8,
+        F.expr(
+            "transform(sequence(1, size(toks) - 7),"
+            " i -> array_join(slice(toks, i, 8), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = t.select("doc_id", F.explode(shingles).alias("g"))
+    ev = sh.filter(F.col("doc_id") < 20).select("g").distinct()
+    tr = sh.filter(F.col("doc_id") >= 20)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+        WITH upd AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+                            o_totalprice * 1.05 AS o_totalprice
+                     FROM orders WHERE o_orderkey % 7 = 0),
+             merged AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                        FROM orders WHERE o_orderkey % 7 <> 0
+                        UNION ALL SELECT * FROM upd)
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("O3", "J4", "cdc"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (upsert) as a DataFrame idiom: a deterministic change
+    batch (every 7th order repriced, restamped status 'X') is applied
+    to the base table via anti-join + unionByName — the
+    MERGE-without-a-lakehouse pattern, verified by post-merge rollup.
+
+    Scale note: the anti-join shuffles on the merge key exactly once;
+    with a bucketed base table (see q_bucketed_join) it is shuffle-free
+    on the base side.
+    """
+    base = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+        )
+    )
+    merged = base.join(upd, "o_orderkey", "left_anti").unionByName(upd)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_shipping_priority",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_trunc('day', o_orderdate) AS odate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, odate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("J1", "J2", "A1", "O2"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    open revenue — selective dim filter broadcast onto the fact
+    chain, then a single grouped top-k.
+
+    Plan intent at scale: the filtered customer set broadcasts
+    (segment cut makes it ~1/5 of an already-small dim); lineitem and
+    orders shuffle once on the shared orderkey; the final top-10 is
+    TakeOrderedAndProject, not a global sort.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        scan(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "o_orderkey", F.date_trunc("day", "o_orderdate").alias("odate")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "odate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )

@@ -138,6 +138,39 @@ def test_scalar_subquery_broadcasts_one_row_side(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_shipping_priority_broadcasts_dim_and_takes_topk(spark):
+    # TPC-H Q3 shape: filtered customer dim must broadcast onto the
+    # fact chain, and the final top-10 must be TakeOrderedAndProject
+    # (no global sort of the grouped output).
+    plan = _formatted(REGISTRY["q_shipping_priority"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_chunks_is_map_only_until_sort(spark):
+    # Chunking is scan -> split/sequence/explode/slice: one scan, no
+    # hash shuffle anywhere (the only exchange is the verification
+    # ORDER BY's range partitioning), and no Python eval nodes.
+    plan = _formatted(REGISTRY["q_doc_chunks"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # The eval-set shingle side is tiny by construction; the overlap
+    # join must be a broadcast, never a full shuffle of training grams.
+    plan = _formatted(REGISTRY["q_decontaminate"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_stays_jvm_side(spark):
+    # Retrieval scoring is built from explode + built-in math only —
+    # it must not fall back to Python evaluation.
+    plan = _formatted(REGISTRY["q_bm25"].fn(spark, SF001))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_gapfill_spine_join_broadcasts(spark):
     # Spine (O(#hours)) joined to the hourly aggregate: final AQE plan
     # must broadcast, not sort-merge, two tiny sides.
