@@ -72,6 +72,75 @@ def _decode_real(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError("real decode wired when codecs are available")
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling over a binary payload: the payload
+    is treated as a sequence of fixed-size ``frame_bytes`` frames (the
+    stand-in for video frames — no codecs in this container) and every
+    ``every``-th frame is emitted with its byte checksum.
+
+    Arrow-batched ``mapInPandas``: whole partitions stream through the
+    Python worker as columnar batches, so 100 TB of payloads decode at
+    partition parallelism with no per-row overhead.
+    """
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every):
+                    chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "n_frames": n_frames,
+                            "frame_sum": sum(chunk),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        frames, FRAME_SCHEMA
+    )
+
+
+def resize_dims(df: DataFrame, box: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan from the metadata struct: target
+    dimensions to fit a ``box``x``box`` bound, computed JVM-side (the
+    actual pixel resample would ride the same mapInPandas path as
+    decode_features; the PLAN — which items shrink and to what — is
+    pure column arithmetic and needs no codec)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    longest = F.greatest(w, h)
+    return df.select(
+        "doc_id",
+        F.when(longest <= box, w.cast("long"))
+        .otherwise(F.floor(w * box / longest))
+        .alias("rw"),
+        F.when(longest <= box, h.cast("long"))
+        .otherwise(F.floor(h * box / longest))
+        .alias("rh"),
+    )
+
+
 def decode_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 

@@ -53,6 +53,7 @@ _MODULES = (
     "setops",
     "scalar_fns",
     "advanced",
+    "analytics_q",
     "llm_ops",
     "pipeline_q",
     "udfs",

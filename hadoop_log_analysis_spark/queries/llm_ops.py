@@ -423,6 +423,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_frames",
+    oracle="""
+        WITH m AS (SELECT doc_id, text,
+                          (doc_id % 16 + 1) * 64 AS w,
+                          (doc_id % 9 + 1) * 64 AS h
+                   FROM documents)
+        SELECT doc_id,
+               (4 + length(text) + 63) // 64 AS n_frames,
+               ((4 + length(text) + 63) // 64 - 1) // 4 + 1 AS n_sampled,
+               CASE WHEN greatest(w, h) <= 256 THEN w
+                    ELSE w * 256 // greatest(w, h) END AS rw,
+               CASE WHEN greatest(w, h) <= 256 THEN h
+                    ELSE h * 256 // greatest(w, h) END AS rh
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("L6", "U4"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: frame sampling + resize planning over binary payloads —
+    every 4th 64-byte frame of each payload is sampled via
+    Arrow-batched mapInPandas, and aspect-preserving 256-box resize
+    dims are computed JVM-side from the metadata struct.
+
+    Rare among multimodal ops, this IS hash-oracled: the payload is
+    deterministic (magic header + utf-8 text), so DuckDB can predict
+    frame counts in closed form from text length while Spark actually
+    walks the bytes in Python — the oracle verifies the real
+    mapInPandas plumbing, not a reimplementation of it.
+    """
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        attach_synthetic_binary,
+        resize_dims,
+        sample_frames,
+    )
+
+    binary = attach_synthetic_binary(scan(spark, sf_dir, "documents"))
+    per_doc = (
+        sample_frames(binary)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.count("*").alias("n_sampled"),
+        )
+    )
+    return (
+        per_doc.join(resize_dims(binary), "doc_id")
+        .select("doc_id", "n_frames", "n_sampled", "rw", "rh")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_cross_source_overlap",
     oracle="""
         SELECT substring(text, 1, 40) AS prefix,

@@ -482,6 +482,94 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_subword_tokens",
+    oracle="""
+        WITH p AS (SELECT unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS piece
+                   FROM documents)
+        SELECT piece, count(*) AS n
+        FROM p
+        GROUP BY piece
+        ORDER BY n DESC, piece
+        LIMIT 20
+    """,
+    tags=("L5", "F1", "tokenization"),
+)
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: documents are segmented into
+    greedy <=4-char alphabetic pieces (a fixed-merge stand-in for a
+    BPE vocab) and the top-20 pieces reported — the tokenizer-side
+    twin of the whitespace token counts in q_text_tokens.
+
+    Scale shape: regexp_extract_all + explode stay in codegen; the
+    shuffle is vocabulary-sized (piece cardinality), not corpus-sized,
+    and partial aggregation collapses pieces map-side first.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(20)
+    )
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+        WITH per AS (SELECT source,
+                            CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS toks
+                     FROM documents GROUP BY source),
+             t AS (SELECT sum(toks) AS tot FROM per),
+             w AS (SELECT source, toks, pow(toks / tot, 0.7) AS wt FROM per, t),
+             z AS (SELECT sum(wt) AS zsum FROM w)
+        SELECT source,
+               CAST(toks AS BIGINT) AS n_tokens,
+               round(toks / tot, 4) AS nat_share,
+               round(wt / zsum, 4) AS sample_weight
+        FROM w, t, z
+        ORDER BY source
+    """,
+    tags=("L7", "mixture"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (T=0.7): per-source sampling
+    weights proportional to token_share^(1/T'), the standard
+    upweighting of small sources when mixing pretraining corpora —
+    reported against each source's natural share.
+
+    Scale shape: everything downstream of the per-source token sum
+    (|sources| rows) is broadcast arithmetic; the only corpus-sized
+    work is the one map-side tokenize + partial sum.
+    """
+    docs = scan(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("ntok")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("ntok").cast("double").alias("toks")
+    )
+    tot = per.agg(F.sum("toks").alias("tot"))
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wt", F.pow(F.col("toks") / F.col("tot"), 0.7)
+    )
+    z = w.agg(F.sum("wt").alias("zsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("toks").cast("long").alias("n_tokens"),
+            F.round(F.col("toks") / F.col("tot"), 4).alias("nat_share"),
+            F.round(F.col("wt") / F.col("zsum"), 4).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_shipping_priority",
     oracle="""
         SELECT o_orderkey,

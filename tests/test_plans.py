@@ -171,6 +171,69 @@ def test_bm25_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_cohort_retention_dedups_before_shuffle(spark):
+    # Partial (map-side) dedup must precede the first exchange so
+    # shuffles move distinct (user, day) pairs, never raw events; one
+    # linear pipeline = one scan; and no Python in the plan.
+    plan = _formatted(REGISTRY["q_cohort_retention"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _first_node_id(plan, "HashAggregate") < _first_node_id(
+        plan, "Exchange"
+    )
+
+
+def _first_node_id(plan: str, node: str) -> int:
+    """Lowest detail-section id of a node kind; ids are assigned
+    leaf-to-root, so smaller id = earlier in execution order."""
+    import re
+
+    ids = [int(i) for i in re.findall(rf"\((\d+)\) {node}", plan)]
+    assert ids, f"no {node} node in plan"
+    return min(ids)
+
+
+def test_hourly_anomaly_windows_over_aggregate(spark):
+    # The z-score window must run over the hourly AGGREGATE (one scan,
+    # agg before window), so the single-series sort is O(hours).
+    plan = _formatted(REGISTRY["q_hourly_anomaly"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert _first_node_id(plan, "HashAggregate") < _first_node_id(
+        plan, "Window"
+    )
+
+
+def test_pareto_total_broadcasts(spark):
+    # The 1-row corpus total joins the ranked users via broadcast
+    # nested-loop, never a shuffle join.
+    plan = _formatted(REGISTRY["q_pareto_users"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_large_orders_broadcasts_having_set_and_takes_topk(spark):
+    # TPC-H Q18 shape: the HAVING-filtered orderkey set and the
+    # customer dim must both broadcast; top-100 must be TakeOrdered.
+    plan = _formatted(REGISTRY["q_large_orders"].fn(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_subword_tokens_stays_jvm_side(spark):
+    # regexp_extract_all + explode + agg must compile to codegen with
+    # a TakeOrdered top-20 — no Python, no global sort.
+    plan = _formatted(REGISTRY["q_subword_tokens"].fn(spark, SF001))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_frames_uses_arrow_batches(spark):
+    # Frame sampling must ride mapInPandas (Arrow batches), not a
+    # row-at-a-time Python UDF.
+    plan = _formatted(REGISTRY["q_multimodal_frames"].fn(spark, SF001))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_gapfill_spine_join_broadcasts(spark):
     # Spine (O(#hours)) joined to the hourly aggregate: final AQE plan
     # must broadcast, not sort-merge, two tiny sides.
