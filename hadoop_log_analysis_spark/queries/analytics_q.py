@@ -187,6 +187,283 @@ def q_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel_steps",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+             s AS (SELECT user_id, min(tns) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY user_id),
+             v AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN s USING (user_id)
+                   WHERE event_type = 'view' AND tns > t1 GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(tns) AS t3 FROM e JOIN v USING (user_id)
+                   WHERE event_type = 'purchase' AND tns > t2 GROUP BY e.user_id)
+        SELECT '1_signup' AS step, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_view_after', count(*) FROM v
+        UNION ALL SELECT '3_purchase_after', count(*) FROM p
+        ORDER BY step
+    """,
+    tags=("J8", "A1", "funnel"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then viewed
+    AFTER their first signup, then purchased AFTER that first
+    qualifying view — strict temporal ordering, not mere co-occurrence.
+
+    Cross-engine exactness: ordering compares ``ts_ns`` (raw bigint
+    nanos, hash-identical to DuckDB's epoch_ns) so the ns->µs repair
+    can never flip a strict inequality at a truncation boundary.
+
+    Scale shape: each stage keys on user_id, so all three joins and
+    aggregates co-partition on one key; stage inputs shrink
+    monotonically (funnels only narrow).
+    """
+    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(s, "1_signup")
+        .unionByName(step(v, "2_view_after"))
+        .unionByName(step(p, "3_purchase_after"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+        WITH o AS (SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+                   FROM events),
+             t AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY tns, event_id) AS prev_type
+                   FROM o)
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
+    tags=("W3", "A1", "funnel"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user behavior: counts of each
+    (previous event type -> next event type) step in per-user
+    ns-ordered event sequences — the input to any session-flow or
+    next-action model.
+
+    Scale shape: one shuffle on user_id for the lag window, then a
+    25-cell (|types|²) aggregate; ordering uses exact bigint nanos +
+    event_id tie-break, so both engines sequence identically.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    t = (
+        scan(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_ns", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+    )
+    return (
+        t.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                   FROM events),
+             days AS (SELECT DISTINCT d FROM a)
+        SELECT days.d, count(DISTINCT a.user_id) AS wau
+        FROM days JOIN a
+          ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+        ORDER BY days.d
+    """,
+    tags=("J6", "A3", "timeseries"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users (WAU) per day — the engagement
+    curve. Rolling DISTINCT cannot be a window frame (distinct does
+    not decompose over frames), so the day spine range-joins the
+    deduped (user, day) pairs and re-counts per anchor day.
+
+    Scale shape: the spine is O(days) and broadcasts; the join fans
+    each (user, day) pair out at most 7x, so work is bounded by
+    7 * |distinct pairs| — independent of raw event volume. At larger
+    windows, switch to HLL sketch unions per day (q_approx-family).
+    """
+    a = (
+        scan(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    days = a.select("d").distinct().withColumnRenamed("d", "anchor")
+    return (
+        a.join(
+            F.broadcast(days),
+            F.col("d").between(
+                F.col("anchor") - F.expr("INTERVAL 6 DAYS"), F.col("anchor")
+            ),
+        )
+        .groupBy(F.col("anchor").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_week_over_week",
+    oracle="""
+        WITH wk AS (SELECT date_trunc('week', ts) AS w, count(*) AS n
+                    FROM events GROUP BY w)
+        SELECT w, n,
+               lag(n) OVER (ORDER BY w) AS prev_n,
+               CAST((n - lag(n) OVER (ORDER BY w)) * 10000
+                    // lag(n) OVER (ORDER BY w) AS BIGINT) AS delta_bp
+        FROM wk
+        ORDER BY w
+    """,
+    tags=("W3", "F2", "timeseries"),
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week traffic delta in integer basis points
+    (truncated toward zero — NB: DuckDB's ``//`` truncates on
+    negatives where Spark's ``floor`` floors, so the Spark side uses
+    a long cast, which truncates identically) — the trend line on
+    every log dashboard, reproducible because the growth ratio never
+    leaves integer arithmetic.
+
+    Scale shape: lag runs over the WEEKLY aggregate (a few hundred
+    rows at any corpus size); the corpus-sized work is one partial
+    count.
+    """
+    wk = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    prev = F.lag("n").over(Window.orderBy("w"))
+    return wk.select(
+        "w",
+        "n",
+        prev.alias("prev_n"),
+        ((F.col("n") - prev) * 10000 / prev).cast("long").alias("delta_bp"),
+    ).orderBy("w")
+
+
+@query(
+    "q_late_orders_by_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("J4", "A1", "subquery"),
+)
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in a quarter with at least one
+    line item shipped >75 days after ordering, counted by priority —
+    a correlated EXISTS whose predicate compares columns across BOTH
+    tables (decorrelation stress test).
+
+    Scale shape: Catalyst rewrites the EXISTS to a left-semi join on
+    orderkey; the cross-table date predicate rides the join condition,
+    and the quarter filter pushes into the orders scan.
+    """
+    orders = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 75 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_argmax_users",
+    oracle="""
+        WITH c AS (SELECT event_type, user_id, count(*) AS n
+                   FROM events GROUP BY event_type, user_id)
+        SELECT event_type,
+               max_by(user_id, n * 1000000 + user_id) AS top_user,
+               max(n) AS top_n,
+               min_by(user_id, n * 1000000 + user_id) AS bottom_user,
+               min(n) AS bottom_n
+        FROM c
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("F8", "A1", "argmax"),
+)
+def q_argmax_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type argmax/argmin via max_by/min_by: the most- and
+    least-active user for each event type, in ONE aggregate pass (no
+    window + filter round trip).
+
+    Determinism: max_by/min_by tie-breaking is engine-defined, so the
+    ordering key packs the tie-break into the value itself
+    (n * 1e6 + user_id is injective for user_id < 1e6).
+
+    Scale shape: two chained hash aggregates, both with partial
+    (map-side) combine; output is |types| rows.
+    """
+    c = (
+        scan(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ordkey = F.col("n") * 1000000 + F.col("user_id")
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.expr("max_by(user_id, n * 1000000 + user_id)").alias("top_user"),
+            F.max("n").alias("top_n"),
+            F.expr("min_by(user_id, n * 1000000 + user_id)").alias(
+                "bottom_user"
+            ),
+            F.min("n").alias("bottom_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q_large_orders",
     oracle=f"""
         WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

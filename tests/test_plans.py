@@ -234,6 +234,31 @@ def test_multimodal_frames_uses_arrow_batches(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_late_orders_exists_becomes_semi_join(spark):
+    # The correlated EXISTS with a cross-table date predicate must
+    # plan as a left-semi join (decorrelated), with the quarter filter
+    # pushed into the orders scan.
+    plan = _formatted(REGISTRY["q_late_orders_by_priority"].fn(spark, SF001))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_event_transitions_single_scan_window_then_agg(spark):
+    # Lag window then 25-cell aggregate: one scan, window precedes the
+    # final aggregate, no Python nodes.
+    plan = _formatted(REGISTRY["q_event_transitions"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _first_node_id(plan, "Window") < _first_node_id(plan, "HashAggregate")
+
+
+def test_rolling_active_spine_broadcasts(spark):
+    # The O(days) spine must broadcast onto the deduped (user, day)
+    # pairs — a range condition, so broadcast nested-loop.
+    plan = _formatted(REGISTRY["q_rolling_active_users"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_gapfill_spine_join_broadcasts(spark):
     # Spine (O(#hours)) joined to the hourly aggregate: final AQE plan
     # must broadcast, not sort-merge, two tiny sides.

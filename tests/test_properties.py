@@ -113,3 +113,62 @@ def test_connected_components_transitive_closure(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_funnel_steps_monotone_narrowing(spark):
+    # A strict-ordered funnel can only narrow: each step's user count
+    # is <= the previous step's.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    rows = (
+        load_registry()["q_funnel_steps"]
+        .fn(spark, SF001)
+        .collect()
+    )
+    counts = [r.n_users for r in sorted(rows, key=lambda r: r.step)]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_transitions_count_events_minus_first_per_user(spark):
+    # Every event except each user's first contributes exactly one
+    # (prev -> next) transition: sum(n) == |events| - |active users|.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    ev = scan(spark, SF001, "events")
+    total = (
+        load_registry()["q_event_transitions"]
+        .fn(spark, SF001)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == ev.count() - ev.select("user_id").distinct().count()
+
+
+def test_pack_sequences_conserves_chunk_tokens(spark):
+    # Packing only regroups chunks: total packed tokens must equal the
+    # total chunk tokens emitted by the chunking query.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    packed = reg["q_pack_sequences"].fn(spark, SF001).agg(F.sum("n_tokens"))
+    chunks = reg["q_doc_chunks"].fn(spark, SF001).agg(F.sum("n_chunk_toks"))
+    assert packed.collect()[0][0] == chunks.collect()[0][0]
+
+
+def test_rolling_active_users_bounds_daily_active(spark):
+    # WAU(d) is sandwiched: DAU(d) <= WAU(d) <= total distinct users.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    ev = scan(spark, SF001, "events")
+    dau = {
+        r.d: r.n
+        for r in ev.select(
+            F.date_trunc("day", "ts").alias("d"), "user_id"
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_users = ev.select("user_id").distinct().count()
+    for r in load_registry()["q_rolling_active_users"].fn(spark, SF001).collect():
+        assert dau[r.d] <= r.wau <= n_users
