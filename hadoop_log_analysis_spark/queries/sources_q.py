@@ -247,3 +247,52 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_compact_small_files",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S6", "compaction"),
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a deliberately fragmented copy of the
+    events table (64 tiny parquet files — the classic streaming-sink
+    pathology) is rewritten to ~16 MB-target files sized from the
+    MEASURED input bytes, then verified lossless: the post-compaction
+    rollup must hash-match the original table.
+
+    This is the maintenance job that keeps a 100 TB lake scannable —
+    at scale the same logic sizes output partitions as
+    total_bytes / 256 MB; file-count reduction itself is asserted in
+    tests (file counts are engine-side facts DuckDB cannot see).
+    """
+    import glob
+
+    src = _derived_dir(sf_dir, "small_files")
+    dst = _derived_dir(sf_dir, "compacted")
+    target_bytes = 16 << 20
+    ev = scan(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    n_out = max(1, -(-total // target_bytes))  # ceil division
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(
+        dst
+    )
+    return (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -172,3 +172,24 @@ def test_rolling_active_users_bounds_daily_active(spark):
     n_users = ev.select("user_id").distinct().count()
     for r in load_registry()["q_rolling_active_users"].fn(spark, SF001).collect():
         assert dau[r.d] <= r.wau <= n_users
+
+
+def test_compaction_reduces_file_count_losslessly(spark):
+    # After q_compact_small_files runs, the compacted dir must hold
+    # far fewer files than the 64-way fragmented source while keeping
+    # every row (row count preserved; content equality is the query's
+    # own DuckDB oracle).
+    import glob
+    import os
+
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.sources_q import _derived_dir
+
+    load_registry()["q_compact_small_files"].fn(spark, SF001).collect()
+    src = glob.glob(os.path.join(_derived_dir(SF001, "small_files"), "*.parquet"))
+    dst = glob.glob(os.path.join(_derived_dir(SF001, "compacted"), "*.parquet"))
+    assert len(src) == 64
+    assert len(dst) < len(src) // 8
+    n_src = spark.read.parquet(_derived_dir(SF001, "small_files")).count()
+    n_dst = spark.read.parquet(_derived_dir(SF001, "compacted")).count()
+    assert n_src == n_dst
