@@ -514,3 +514,58 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q_hierarchical_rollup",
+    oracle="""
+        SELECT date_trunc('week', ts) AS w, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY w, event_type
+        ORDER BY w, event_type
+    """,
+    tags=("A1", "F2", "S6", "timeseries", "rollup"),
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: the HOURLY rollup
+    is materialized once to parquet, and the weekly report is derived
+    by RE-AGGREGATING the hourly table — counts sum, sums sum — so
+    raw events are scanned exactly once no matter how many
+    granularities are served. Verified against a direct weekly
+    aggregate of the raw table (the two must agree exactly).
+
+    This is the hypertable/continuous-aggregate pattern: at 100 TB
+    the hourly layer is ~10^5x smaller than raw events, so
+    day/week/month views cost MBs, not a rescan; incremental refresh
+    = dynamic partition overwrite of touched hours
+    (q_incremental_overwrite is the template).
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    hourly_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        f"rollup_hourly_{tag}",
+    )
+    hourly = (
+        scan(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    hourly.write.mode("overwrite").parquet(hourly_path)
+    materialized = spark.read.parquet(hourly_path)
+    return (
+        materialized.groupBy(
+            F.date_trunc("week", "h").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("total"),
+        )
+        .orderBy("w", "event_type")
+    )

@@ -296,3 +296,48 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("S4", "S6", "xml"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+: XML sink + source roundtrip (Spark 4 native XML, the
+    third self-describing text format after CSV/JSON) — write orders
+    as <row> elements, read back with an EXPLICIT schema (schema
+    inference over XML is a full extra pass at 100 TB), aggregate,
+    and hash-match the original table.
+    """
+    path = _derived_dir(sf_dir, "xml")
+    orders = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

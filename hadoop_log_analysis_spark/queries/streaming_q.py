@@ -316,3 +316,65 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id")
     out = run_to_table(joined, "t8_stream_stream_join", "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+@query(
+    "q_stream_checkpoint_recovery",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("T7", "recovery"),
+)
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+: exactly-once RESTART. Phase 1 drains the first half of the
+    drop files through a foreachBatch parquet sink and stops
+    (simulated downtime); the remaining files then arrive; phase 2
+    starts a new query from the SAME checkpoint. The sink must hold
+    every event exactly once — no replays of phase-1 files, no gaps —
+    which is the recovery guarantee a production pipeline leans on
+    every deploy. Verified by hash-match against the batch table.
+    """
+    import glob
+    import shutil
+
+    drop = derive_drop_dir(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(TMP, f"recovery_stage_{tag}")
+    out = os.path.join(TMP, f"recovery_out_{tag}")
+    ckpt = os.path.join(TMP, f"stream_ckpt_recovery_{tag}")
+    for p in (stage, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(stage)
+    files = sorted(glob.glob(os.path.join(drop, "part-*.json")))
+
+    def drain_once() -> None:
+        events = read_events_stream(spark, stage, max_files_per_trigger=1)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, stage)
+    drain_once()
+    for f in files[half:]:
+        shutil.copy(f, stage)
+    drain_once()  # same checkpoint: resumes, processes ONLY the new files
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
