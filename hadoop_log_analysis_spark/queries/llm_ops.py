@@ -675,3 +675,56 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select(
         "label", F.size("centroid").alias("dims"), "n_members"
     ).orderBy("label")
+
+
+@query(
+    "q_levenshtein_near_dups",
+    oracle="""
+        WITH d AS (SELECT doc_id, lang, n_chars // 50 AS band,
+                          substring(text, 1, 60) AS head
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.head, b.head) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 10
+        ORDER BY id_a, id_b
+    """,
+    tags=("L2", "F1", "fuzzy"),
+)
+def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: edit-distance near-duplicates — doc pairs whose 60-char
+    heads are within Levenshtein distance 10, blocked on (lang,
+    50-char length band) so the quadratic metric only runs inside
+    small candidate groups. Complements the set-based detectors
+    (MinHash/Jaccard ignore order; edit distance catches
+    transposition-style near-dups they miss). Exact hash-match: both
+    engines implement classic Levenshtein.
+
+    Scale shape: blocking bounds pair generation to sum(block²), and
+    the join key (lang, band) shuffles 3-column rows; the O(60²) DP
+    runs JVM-side in codegen, no Python.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("band"),
+        F.substring("text", 1, 60).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+        .orderBy("id_a", "id_b")
+    )

@@ -341,3 +341,69 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# Deterministic garbage injected into the JSON drop for the PERMISSIVE
+# malformed-record test: every line here must fail JSON parsing.
+_CORRUPT_LINES = (
+    "{oops",
+    "not json at all",
+    "[1, 2",
+    '{"event_id": }',
+    "<xml>nope</xml>",
+    '{"unterminated": "str',
+    "}{",
+)
+
+
+@query(
+    "q_json_malformed",
+    oracle=f"""
+        SELECT event_type AS kind, count(*) AS n
+        FROM events
+        GROUP BY kind
+        UNION ALL
+        SELECT '_corrupt' AS kind, {len(_CORRUPT_LINES)} AS n
+        ORDER BY kind
+    """,
+    tags=("S5", "S3", "robustness"),
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+: malformed-record routing on the JSON source. The events
+    table is written as JSON lines plus a file of deliberately broken
+    lines; the read uses PERMISSIVE mode with a _corrupt_record
+    column, so bad lines are ROUTED (counted under '_corrupt'), never
+    dropped silently and never fatal — the production posture for
+    100 TB of third-party logs. Valid counts must equal the batch
+    table; corrupt count must equal exactly the injected lines.
+    """
+    path = _derived_dir(sf_dir, "json_malformed")
+    events = scan(spark, sf_dir, "events").select("event_id", "event_type")
+    events.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "zz-garbage.json"), "w") as fh:
+        fh.write("\n".join(_CORRUPT_LINES) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.lit("_corrupt")
+            )
+            .otherwise(F.col("event_type"))
+            .alias("kind")
+        )
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind")
+    )

@@ -259,6 +259,49 @@ def test_rolling_active_spine_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_sessionize_reuses_one_user_exchange(spark):
+    # Sessionization chains lag -> running-sum windows -> session agg,
+    # all keyed on user_id: the plan must contain exactly ONE user_id
+    # hash exchange feeding both Window operators (exchange reuse is
+    # what keeps multi-window pipelines one-shuffle at 100 TB).
+    import re
+
+    plan = _formatted(REGISTRY["q_sessionize"].fn(spark, SF001))
+    user_exchanges = re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    # 100 TB posture: a selective dim filter on a SHUFFLE join injects
+    # a bloom filter (BloomFilterMightContain) on the fact side,
+    # pruning shuffle input at runtime. Local fixture sizes sit below
+    # the application-side default threshold (10 GB), so the test
+    # lowers it to prove the optimizer path; on a real cluster the
+    # defaults trigger it for exactly this plan shape.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = scan(spark, SF001, "lineitem")
+        orders = scan(spark, SF001, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "might_contain" in _formatted(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_gapfill_spine_join_broadcasts(spark):
     # Spine (O(#hours)) joined to the hourly aggregate: final AQE plan
     # must broadcast, not sort-merge, two tiny sides.
