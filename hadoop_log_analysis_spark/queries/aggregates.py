@@ -252,3 +252,68 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 70)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("A7", "F1"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+: ordered string aggregation — the distinct priorities seen
+    per order status, canonicalized (sorted, comma-joined) so the
+    concatenated string is deterministic across engines and partition
+    orders (raw listagg/string_agg without ORDER BY is not).
+    """
+    orders = scan(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_try_divide",
+    oracle="""
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE l_discount = 0) AS n_zero_div,
+               round(avg(CASE WHEN l_discount <> 0
+                              THEN l_extendedprice / l_discount END), 4)
+                 AS avg_ratio
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("F3", "F4", "robustness"),
+)
+def q_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` yields NULL instead of an
+    error/Inf on the ~5% of rows with zero discount, so the aggregate
+    over the valid rows proceeds and the poisoned rows are COUNTED —
+    the fail-soft posture batch pipelines need (one bad row must not
+    kill a 100 TB job).
+    """
+    li = scan(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_div"),
+            F.round(F.avg(ratio), 4).alias("avg_ratio"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -628,3 +628,145 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q_pretraining_pipeline",
+    oracle=f"""
+        WITH k AS (SELECT text, min(doc_id) AS doc_id
+                   FROM documents WHERE n_chars >= 100 GROUP BY text),
+             d AS (SELECT k.doc_id, doc.source, k.text
+                   FROM k JOIN documents doc ON doc.doc_id = k.doc_id),
+             t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM d),
+             c AS (SELECT source, doc_id, st // {CHUNK_STRIDE} AS chunk_idx,
+                          len(list_slice(toks, st + 1, st + {CHUNK_LEN})) AS n
+                   FROM (SELECT doc_id, source, toks,
+                                unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS st
+                         FROM t)),
+             w AS (SELECT source, n,
+                          CAST((sum(n) OVER (PARTITION BY source
+                                             ORDER BY doc_id, chunk_idx
+                                             ROWS UNBOUNDED PRECEDING) - n) // 128
+                               AS BIGINT) AS seq_id
+                   FROM c),
+             per AS (SELECT source, count(*) AS n_chunks,
+                            CAST(sum(n) AS BIGINT) AS n_tokens,
+                            count(DISTINCT seq_id) AS n_sequences
+                     FROM w GROUP BY source),
+             dp AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+        SELECT source, n_docs, n_chunks, n_sequences, n_tokens
+        FROM per JOIN dp USING (source)
+        ORDER BY source
+    """,
+    tags=("L1", "L5", "L7", "chunking", "pipeline"),
+)
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining data pipeline as ONE declarative
+    plan: length filter -> exact dedup (deterministic min-id keeper)
+    -> context-window chunking (32/24) -> 128-token sequence packing
+    -> per-source corpus accounting. Every stage is individually
+    verified elsewhere (q_dedup_exact_groups, q_doc_chunks,
+    q_pack_sequences, q_source_mixture); this query verifies their
+    COMPOSITION, which is what actually runs in production.
+
+    Scale shape: the filter pushes to the scan; dedup shuffles 32-byte
+    hash keys + ids (not payloads, which rejoin by keeper id);
+    chunking is map-only; packing windows per source. One logical
+    plan end-to-end means Catalyst prunes columns ACROSS stage
+    boundaries — text is dropped the moment token counts exist.
+    """
+    from pyspark.sql import Window
+
+    docs = scan(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    d = keepers.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )  # keeper rows with their source
+    c = (
+        d.select(
+            "doc_id", "source", F.split("text", " ").alias("toks")
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("st"),
+            "toks",
+        )
+        .select(
+            "source",
+            "doc_id",
+            (F.col("st") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(F.expr(f"slice(toks, st + 1, {CHUNK_LEN})")).alias("n"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = c.withColumn(
+        "seq_id", ((F.sum("n").over(w) - F.col("n")) / 128).cast("long")
+    )
+    per = packed.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n").alias("n_tokens"),
+        F.countDistinct("seq_id").alias("n_sequences"),
+    )
+    dp = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        per.join(dp, "source")
+        .select("source", "n_docs", "n_chunks", "n_sequences", "n_tokens")
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_pii_redaction",
+    oracle="""
+        WITH lines AS (SELECT event_id,
+                              concat('user', CAST(user_id AS VARCHAR),
+                                     '@example.com ', event_type) AS raw
+                       FROM events)
+        SELECT event_id,
+               regexp_replace(raw, '[a-z0-9]+@[a-z.]+', '<EMAIL>') AS redacted,
+               substring(sha256(CAST(event_id AS VARCHAR)), 1, 12) AS pseudo
+        FROM lines
+        ORDER BY event_id
+        LIMIT 50
+    """,
+    tags=("F1", "L7", "compliance"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: email-shaped substrings are
+    redacted via regex and the row key is pseudonymized with a
+    truncated SHA-256 — redact + re-key, the standard compliance pass
+    before text enters a training corpus. (The fixture has no real
+    PII, so an email-shaped line is synthesized from events columns —
+    the redaction path itself is what's verified.)
+
+    Scale shape: pure per-row codegen expressions — no shuffle at all
+    until the verification ORDER BY; at 100 TB this is a map-only
+    rewrite pass.
+    """
+    lines = scan(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("@example.com "),
+            F.col("event_type"),
+        ).alias("raw"),
+    )
+    return (
+        lines.select(
+            "event_id",
+            F.regexp_replace("raw", "[a-z0-9]+@[a-z.]+", "<EMAIL>").alias(
+                "redacted"
+            ),
+            F.substring(
+                F.sha2(F.col("event_id").cast("string"), 256), 1, 12
+            ).alias("pseudo"),
+        )
+        .orderBy("event_id")
+        .limit(50)
+    )
