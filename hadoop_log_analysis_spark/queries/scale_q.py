@@ -132,3 +132,79 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+        WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        SELECT count(*) AS n_keys,
+               CAST(max(n) AS BIGINT) AS max_n,
+               round(quantile_cont(n, 0.5), 1) AS med_n,
+               round(max(n) / quantile_cont(n, 0.5), 2) AS skew_ratio,
+               max_by(user_id, n * 1000000 + user_id) AS hottest_key
+        FROM c
+    """,
+    tags=("skew", "A5", "diagnostic"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew DIAGNOSTIC: per-key cardinality profile of a join/agg key
+    (max vs median rows per user_id, plus the hottest key,
+    deterministically tie-broken). This is the measurement that
+    decides whether q_salted_agg/q_salted_join's mitigation is needed
+    — measure first, salt second.
+
+    Scale shape: the per-key count is the only corpus-sized pass; the
+    profile aggregates |keys| rows. Exact percentile is fine at key
+    cardinality; switch to approx_percentile if keys outgrow a
+    partition.
+    """
+    c = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.expr("percentile(n, 0.5)"), 1).alias("med_n"),
+        F.round(F.max("n") / F.expr("percentile(n, 0.5)"), 2).alias(
+            "skew_ratio"
+        ),
+        F.expr("max_by(user_id, n * 1000000 + user_id)").alias("hottest_key"),
+    )
+
+
+@query(
+    "q_observed_metrics",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               round(avg(value), 4) AS avg_value
+        FROM events
+    """,
+    tags=("diagnostic", "A2"),
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics via ``DataFrame.observe``: row count,
+    error count, and mean value are collected as NAMED METRICS on the
+    scan itself — zero extra passes, the accumulators ride the one
+    action. This is how a 100 TB job reports data-quality counters
+    without re-reading anything; the same named metrics surface in
+    StreamingQueryProgress for the streaming twin.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("health")
+    ev = scan(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    ev.write.format("noop").mode("overwrite").save()  # one real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_errors"], m["avg_value"])],
+        "n_rows long, n_errors long, avg_value double",
+    )
