@@ -569,3 +569,103 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w", "event_type")
     )
+
+
+@query(
+    "q_user_segments",
+    oracle="""
+        WITH u AS (SELECT user_id, count(*) AS n_events,
+                          round(sum(CASE WHEN event_type = 'purchase'
+                                         THEN value ELSE 0 END), 2) AS spend
+                   FROM events GROUP BY user_id),
+             b AS (SELECT user_id, n_events, spend,
+                          ntile(4) OVER (ORDER BY n_events DESC, user_id)
+                            AS quartile
+                   FROM u)
+        SELECT quartile, count(*) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS events,
+               round(sum(spend), 2) AS total_spend
+        FROM b
+        GROUP BY quartile
+        ORDER BY quartile
+    """,
+    tags=("W1", "A1", "segmentation"),
+)
+def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User segmentation: activity quartiles via ntile over the
+    per-user aggregate (ordered by integer event count + id, so the
+    tiling is exactly reproducible across engines), rolled up to
+    users / events / purchase spend per quartile — the
+    engagement-tiers report.
+
+    Scale shape: ntile needs a global ordering of the per-USER
+    aggregate (|users| rows), not events; the rollup output is 4
+    rows. Integer ordering keys dodge the float-round tiling hazard.
+    """
+    u = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("spend"),
+        )
+    )
+    b = u.withColumn(
+        "quartile",
+        F.ntile(4).over(Window.orderBy(F.desc("n_events"), "user_id")),
+    )
+    return (
+        b.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("events"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@query(
+    "q_top_tokens_per_lang",
+    oracle="""
+        WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+             c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+             r AS (SELECT lang, tok, n,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY n DESC, tok) AS rn
+                   FROM c)
+        SELECT lang, tok, n, rn
+        FROM r WHERE rn <= 5
+        ORDER BY lang, rn
+    """,
+    tags=("W2", "L5", "A1"),
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 tokens: the W2 per-group top-k pattern
+    applied to text statistics (vocabulary head per language) — the
+    corpus-drift dashboard a multilingual pipeline watches.
+
+    Scale shape: explode collapses into a (lang, tok) partial-agg
+    before shuffling (vocabulary-sized), and the ranking window
+    partitions by lang — no global sort anywhere.
+    """
+    c = (
+        scan(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
