@@ -669,3 +669,150 @@ def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "q_dormant_users",
+    oracle="""
+        WITH mx AS (SELECT user_id, max(epoch_ns(ts)) AS last_ns,
+                           count(*) AS n_events
+                    FROM events GROUP BY user_id),
+             c AS (SELECT max(last_ns) AS corpus_end FROM mx)
+        SELECT user_id, n_events
+        FROM mx, c
+        WHERE last_ns < corpus_end - CAST(43200 AS BIGINT) * 1000000000
+        ORDER BY user_id
+    """,
+    tags=("A1", "J1", "churn"),
+)
+def q_dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn candidates: users whose LAST event predates the corpus
+    end by more than 12 hours — the dormant-user list a
+    re-engagement pipeline consumes (threshold sized to the fixtures'
+    one-month uniform span; a production corpus uses 7-30 days — only
+    the constant changes). Time arithmetic stays in exact bigint nanos
+    on both engines (no timestamp rounding at the cutoff boundary).
+
+    Scale shape: per-user max/count is one partial-agg pass; the
+    corpus end is a 1-row broadcast; the dormancy cut is a map-side
+    filter on the aggregate.
+    """
+    mx = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts_ns").alias("last_ns"), F.count("*").alias("n_events"))
+    )
+    end = mx.agg(F.max("last_ns").alias("corpus_end"))
+    dormancy_ns = 43200 * 1_000_000_000
+    return (
+        mx.crossJoin(F.broadcast(end))
+        .filter(F.col("last_ns") < F.col("corpus_end") - dormancy_ns)
+        .select("user_id", "n_events")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_orders_per_customer_dist",
+    oracle="""
+        WITH pc AS (SELECT c_custkey, count(o_orderkey) AS n
+                    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                    GROUP BY c_custkey)
+        SELECT n AS n_orders, count(*) AS n_customers
+        FROM pc
+        GROUP BY n_orders
+        ORDER BY n_orders
+    """,
+    tags=("J3", "A1", "histogram"),
+)
+def q_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement distribution INCLUDING the zeros: histogram of
+    orders per customer where never-ordered customers count in the
+    n_orders=0 bucket (the left join + count(key) idiom — an inner
+    join would silently drop exactly the customers a lifecycle team
+    cares about).
+
+    Scale shape: two chained aggregates; the first shuffles on
+    custkey (or is shuffle-free if orders are bucketed on o_custkey),
+    the second on the tiny histogram domain.
+    """
+    cust = scan(spark, sf_dir, "customer").select("c_custkey")
+    orders = scan(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    pc = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+    return (
+        pc.groupBy(F.col("n").alias("n_orders"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@query(
+    "q_value_by_daypart",
+    oracle="""
+        SELECT extract(hour FROM ts) AS hod, event_type,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY hod, event_type
+        ORDER BY hod, event_type
+    """,
+    tags=("F2", "A1", "timeseries"),
+)
+def q_value_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality: traffic and mean value per (hour 0-23,
+    event type) — the daily-rhythm heatmap behind capacity planning
+    and anomaly baselines (q_hourly_anomaly's trailing window assumes
+    this rhythm is stable).
+
+    Scale shape: a 120-cell aggregate (24 x |types|) with map-side
+    partial combine — shuffle volume is the output grid, not events.
+    """
+    return (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hod"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hod", "event_type")
+    )
+
+
+@query(
+    "q_median_event_gap",
+    oracle="""
+        WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+                   FROM events),
+             g AS (SELECT tus - lag(tus) OVER (PARTITION BY user_id
+                                               ORDER BY tus, event_id) AS gap
+                   FROM o)
+        SELECT round(quantile_cont(gap, 0.5) / 1e6, 1) AS median_gap_s,
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM g WHERE gap IS NOT NULL
+    """,
+    tags=("W3", "A5", "timeseries"),
+)
+def q_median_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median inter-event gap across all users (lag over per-user
+    ns-exact µs sequences, then an exact interpolated percentile) —
+    the base rate behind the 30-minute sessionization gap threshold
+    (q_sessionize): the threshold should sit far above this median.
+
+    Scale shape: one shuffle on user_id for the lag; the percentile
+    runs over integer gaps. At 100 TB switch the exact percentile to
+    approx_percentile (t-digest) — the global exact sort of gaps is
+    the one non-scalable step here.
+    """
+    from hadoop_log_analysis_spark.functions import ts_us
+
+    o = scan(spark, sf_dir, "events").select(
+        "user_id", ts_us().alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = o.select((F.col("tus") - F.lag("tus").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.agg(
+        F.round(F.expr("percentile(gap, 0.5)") / 1e6, 1).alias("median_gap_s"),
+        F.count("*").alias("n_gaps"),
+    )
