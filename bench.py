@@ -2,7 +2,9 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs the 12 BASELINE.md headline queries (each covering a distinct
-SURVEY.md §2 operator family) on local[$SPARK_GRAFT_CPUS], default
+SURVEY.md §2 operator family) plus 4 LLM-pipeline heavyweights
+(MinHash-LSH, BM25, end-to-end pretraining pipeline, dedup clusters)
+on local[$SPARK_GRAFT_CPUS], default
 /root/testdata/sf0.1, and prints ONE JSON line:
 
     {"metric": "...", "value": <total-sec>, "unit": "sec",
@@ -39,6 +41,12 @@ HEADLINE = (
     "q_dedup",                # L1 exact dedup accounting
     "q_cosine_knn",           # L3 embedding similarity
     "q_asof_join",            # J7 as-of join
+    # r2 additions (VERDICT r1 item 5): the LLM-pipeline heavyweights,
+    # so the north-star features carry a regressable number.
+    "q_minhash_near_dups",    # L2 MinHash + banded LSH near-dup
+    "q_bm25",                 # L5 BM25 ranking
+    "q_pretraining_pipeline", # L1/L5/L7 end-to-end corpus pipeline
+    "q_dedup_clusters",       # L1/L2 iterative connected components
 )
 
 

@@ -15,8 +15,12 @@ between iterations lives in executor/disk blocks, not the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import logging
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -45,6 +49,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # Each node's candidate label: min over its own and neighbors'.
         neighbor_labels = (
@@ -67,6 +72,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Labels were still moving when the iteration budget ran out:
+        # the result is NOT a fixed point (ADVICE.md clustering.py:57).
+        logger.warning(
+            "connected_components hit max_iter=%d before convergence; "
+            "returned labels may merge further on longer-diameter graphs",
+            max_iter,
+        )
     return labels
 
 
@@ -102,17 +115,19 @@ def kmeans_refine(
             .crossJoin(F.broadcast(cents))
             .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
         )
+        # Argmax by (sim desc, bucket asc) as a hash aggregate: max_by
+        # over struct(sim, -bucket) gets map-side partial aggregation,
+        # vs the round-1 row_number window which shuffled and sorted the
+        # whole n x k scored cross product (ADVICE.md clustering.py:108).
         best = (
-            scored.withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("__sim").desc(), F.col("__b")
-                    )
-                ),
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__b"), F.col(vec_col).alias("__v")),
+                    F.struct(F.col("__sim"), (-F.col("__b")).alias("__nb")),
+                ).alias("__best")
             )
-            .filter(F.col("__rn") == 1)
-            .select(id_col, F.col("__b"), vec_col)
+            .select(id_col, F.col("__best.__b").alias("__b"), F.col("__best.__v").alias(vec_col))
         )
         per_dim = (
             best.select("__b", F.posexplode(F.col(vec_col)).alias("pos", "x"))
@@ -129,15 +144,12 @@ def kmeans_refine(
         embeddings.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
         .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("__sim").desc(), F.col("__b")
-                )
-            ),
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("__b"), F.struct(F.col("__sim"), (-F.col("__b")).alias("__nb"))
+            ).alias("__b")
         )
-        .filter(F.col("__rn") == 1)
         .groupBy("__b")
         .agg(F.count("*").alias("n_members"))
     )

@@ -16,7 +16,9 @@ unit-tested against the exact path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -119,28 +121,185 @@ def ann_ivf_topk(
     )
 
 
+def _hyperplanes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes (spherically symmetric, so
+    P[same sign] = 1 - theta/pi holds exactly)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def sign_bits(
+    vec_col: str, n_bits: int = 64, dim: int = 64, seed: int = 7
+) -> Column:
+    """Random-hyperplane sign bits of an array<float|double> column as
+    array<bigint> of 0/1 — the SimHash-for-embeddings fingerprint.
+
+    The hyperplanes are embedded as SQL literals, so the whole
+    computation is one codegen'd map expression: no Python, no shuffle.
+    """
+    planes = _hyperplanes(n_bits, dim, seed)
+    arr = ",".join(
+        "array(" + ",".join(f"{x:.9f}D" for x in row) + ")" for row in planes
+    )
+    return F.expr(
+        f"transform(array({arr}), h -> CASE WHEN "
+        f"aggregate(zip_with({vec_col}, h, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" 0D, (a, x) -> a + x) >= 0 THEN 1L ELSE 0L END)"
+    )
+
+
+def sign_band_hashes(
+    bits_col: str, bands: int, rows_per_band: int
+) -> Column:
+    """Band the bit array into ``bands`` chunks of ``rows_per_band``
+    bits; each element is xxhash64(band_idx, chunk) — a full 64-bit
+    bucket key, so bucket cardinality is not limited to 2^rows_per_band
+    ranges colliding across bands."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), j -> "
+        f"  xxhash64(j, array_join(transform(slice({bits_col},"
+        f" j * {rows_per_band} + 1, {rows_per_band}),"
+        f" x -> cast(x AS string)), '_')))"
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    n_bits: int = 64,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by ``block_col`` so the
-    pair join is per-block instead of a full cross product."""
-    side = embeddings.select(
-        F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col)
+    """Embedding-cosine near-dup pairs via random-hyperplane sign-band
+    LSH: fingerprint -> banded buckets -> candidate self-join ->
+    exact-cosine verify.
+
+    Replaces the round-1 label-blocked plan (VERDICT.md "What's wrong"
+    #1): label blocking is O(n^2/|labels|) pairs, a scale-killer at
+    10^9 vectors; sign-band candidates are ~O(true near-dups).
+    Precision is exact (every candidate is cosine-verified); recall is
+    the LSH 1-(1-p^r)^b curve with p = 1 - arccos(sim)/pi — at the 0.9
+    threshold (p ~ 0.856, r=4, b=16) the per-pair miss rate is ~4e-6,
+    property-tested against brute force in tests/test_llm_ops.py.
+
+    Scale posture: fingerprinting is map-only; the candidate join keys
+    (band_idx, band_hash) are 64-bit hashes, high cardinality; at
+    larger corpora raise ``rows_per_band`` (bucket occupancy ~
+    n/2^r per band) and ``n_bits`` together to keep both recall and
+    bucket sizes bounded.
+    """
+    bands = n_bits // rows_per_band
+    sides = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__bits", sign_bits(vec_col, n_bits, dim, seed)
     )
-    a = side.select(
-        "__blk", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    buckets = sides.select(
+        F.col(id_col),
+        F.posexplode(sign_band_hashes("__bits", bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
     )
-    b = side.select(
-        "__blk", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
     )
     return (
-        a.join(b, "__blk")
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("__sim") >= threshold)
         .select("a_id", "b_id", F.round("__sim", 6).alias("sim"))
+    )
+
+
+def ivf_build(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_dir: str,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist an IVF index: a tiny centroid table plus the
+    full vector set partitioned by coarse bucket.
+
+    Splits the round-1 monolith (VERDICT.md "What's wrong" #2 — the
+    quantizer was recomputed from the full table on every probe). Built
+    once, probed many: the assignments sit in ``bucket=<id>/``
+    partition directories, so a probe's bucket filter becomes partition
+    pruning and only n_probe/|buckets| of the data is ever read.
+    """
+    ivf_centroids(embeddings, bucket_col, vec_col).withColumnRenamed(
+        bucket_col, "bucket"
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index_dir: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF index: route ``query`` (1 row, column
+    ``__qvec``) to its n_probe nearest centroids, exact-rerank inside
+    those buckets only.
+
+    The centroid table is tiny (|buckets| rows) and broadcast; the
+    bucket join against the partitioned assignments triggers dynamic
+    partition pruning, so the probe reads n_probe partitions — no
+    posexplode, no full-table pass (plan-tested in tests/test_plans.py).
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probe = (
+        cents.crossJoin(F.broadcast(query))
+        .select(
+            "bucket", cosine(F.col("centroid"), F.col("__qvec")).alias("__cs")
+        )
+        .orderBy(F.col("__cs").desc(), "bucket")
+        .limit(n_probe)
+        .select("bucket")
+    )
+    asg = spark.read.parquet(f"{index_dir}/assignments")
+    scored = asg.join(F.broadcast(probe), "bucket")
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.crossJoin(F.broadcast(query))
+        .select(
+            id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__sim", 6).alias("sim"))
     )

@@ -20,9 +20,10 @@ from hadoop_log_analysis_spark.operators.dedup import (
     token_jaccard,
 )
 from hadoop_log_analysis_spark.operators.similarity import (
-    ann_ivf_topk,
     cosine_near_dup_pairs,
     cosine_topk,
+    ivf_build,
+    ivf_probe,
 )
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -160,7 +161,7 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
                           AS sim
                    FROM embeddings a JOIN embeddings b
-                     ON a.label = b.label AND a.vec_id < b.vec_id)
+                     ON a.vec_id < b.vec_id)
         SELECT a_id, b_id, round(sim, 6) AS sim
         FROM s
         WHERE sim >= 0.9
@@ -169,18 +170,41 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L2", "L3"),
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/L3: embedding-cosine near-dup pairs, label-blocked so the
-    join is per-block instead of a full cross product."""
+    """L2/L3: embedding-cosine near-dup pairs via sign-band LSH
+    (random-hyperplane fingerprint -> banded candidates -> exact
+    verify). The oracle is the honest brute-force ALL-pairs threshold
+    (no blocking) — recall of the banded plan against it is exact at
+    fixture scale and property-tested on synthetic near-dup clusters in
+    tests/test_llm_ops.py."""
     emb = scan(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.9).orderBy("a_id", "b_id")
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/root/repo/.tmp/ivf_index_{tag}"
+
+
 @query("q_ann_ivf", oracle=None, tags=("L4",))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: approximate top-10 via IVF coarse quantization (per-label
-    centroids, 3-probe) — recall vs q_cosine_knn is unit-tested."""
+    """L4: approximate top-10 via a PERSISTED IVF index — the coarse
+    quantizer is built once per corpus (ivf_build: centroids +
+    bucket-partitioned assignments on disk) and every probe reads only
+    the n_probe pruned partitions. Recall vs q_cosine_knn is
+    unit-tested; the probe plan (no posexplode, no full scan) is
+    plan-tested."""
+    import os
+
     emb = scan(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, query_id=0, k=10, n_probe=3)
+    index_dir = _ivf_index_dir(sf_dir)
+    if not os.path.exists(f"{index_dir}/assignments/_SUCCESS"):
+        ivf_build(spark, emb, index_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec")
+    )
+    return ivf_probe(
+        spark, index_dir, q, k=10, n_probe=3, exclude_id=0
+    )
 
 
 @query(
@@ -425,13 +449,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_frames",
     oracle="""
-        WITH m AS (SELECT doc_id, text,
+        -- octet_length(encode(text)) = utf-8 BYTE length, matching the
+        -- Python len(payload) walk; length(text) counts CHARACTERS and
+        -- would silently diverge on non-ASCII docs (ADVICE.md).
+        WITH m AS (SELECT doc_id,
+                          octet_length(encode(text)) AS text_bytes,
                           (doc_id % 16 + 1) * 64 AS w,
                           (doc_id % 9 + 1) * 64 AS h
                    FROM documents)
         SELECT doc_id,
-               (4 + length(text) + 63) // 64 AS n_frames,
-               ((4 + length(text) + 63) // 64 - 1) // 4 + 1 AS n_sampled,
+               (4 + text_bytes + 63) // 64 AS n_frames,
+               ((4 + text_bytes + 63) // 64 - 1) // 4 + 1 AS n_sampled,
                CASE WHEN greatest(w, h) <= 256 THEN w
                     ELSE w * 256 // greatest(w, h) END AS rw,
                CASE WHEN greatest(w, h) <= 256 THEN h

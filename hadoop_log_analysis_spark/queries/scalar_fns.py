@@ -293,8 +293,13 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_json("props").alias("v")
     )
     k = F.variant_get("v", "$.k", "long")
+    # Integer `div`, not floor(k/10): DuckDB's `//` truncates toward
+    # zero on BIGINT, floor rounds toward -inf — they diverge for
+    # negative k (ADVICE.md scalar_fns.py:297; same reasoning as
+    # q_week_over_week's truncating cast).
     return (
-        ev.select(F.floor(k / 10).alias("bucket"), k.alias("k"))
+        ev.select(k.cast("long").alias("__k"))
+        .select(F.expr("__k div 10").alias("bucket"), F.col("__k").alias("k"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.sum("k").alias("total_k"))
         .orderBy("bucket")

@@ -243,10 +243,11 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("T7", "S6"),
 )
 def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7: foreachBatch sink — each microbatch appended to an
-    event_type-partitioned parquet directory (exactly-once via the
-    checkpoint), then read back and aggregated; must equal the batch
-    table (SQL oracle)."""
+    """T7: foreachBatch sink — each microbatch written to a
+    batch_id-keyed, event_type-partitioned parquet directory
+    (at-least-once delivery made effectively-once by the idempotent
+    batchId overwrite), then read back and aggregated; must equal the
+    batch table (SQL oracle)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(TMP, f"stream_sink_{tag}")
     drop = derive_drop_dir(spark, sf_dir)
@@ -329,13 +330,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("T7", "recovery"),
 )
 def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7+: exactly-once RESTART. Phase 1 drains the first half of the
-    drop files through a foreachBatch parquet sink and stops
-    (simulated downtime); the remaining files then arrive; phase 2
-    starts a new query from the SAME checkpoint. The sink must hold
-    every event exactly once — no replays of phase-1 files, no gaps —
-    which is the recovery guarantee a production pipeline leans on
-    every deploy. Verified by hash-match against the batch table.
+    """T7+: end-to-end effectively-once RESTART. Phase 1 drains the
+    first half of the drop files through a foreachBatch parquet sink
+    and stops (simulated downtime); the remaining files then arrive;
+    phase 2 starts a new query from the SAME checkpoint. foreachBatch
+    delivery is AT-LEAST-once (a mid-batch failure replays the batch),
+    so the sink is made idempotent by keying each batch's output on
+    batch_id and overwriting — replayed batches replace themselves
+    instead of duplicating (ADVICE.md streaming_q.py:357). The sink
+    must hold every event exactly once — no replays of phase-1 files,
+    no gaps. Verified by hash-match against the batch table.
     """
     import glob
     import shutil
@@ -354,7 +358,11 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = read_events_stream(spark, stage, max_files_per_trigger=1)
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out)
+            # batchId-keyed overwrite = idempotent under at-least-once
+            # replay; the directory doubles as a partition column on read.
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
 
         q = (
             events.writeStream.foreachBatch(write_batch)
@@ -363,7 +371,13 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "checkpoint-recovery drain did not finish within 300s; "
+                "sink would be partial"
+            )
 
     half = len(files) // 2
     for f in files[:half]:

@@ -149,7 +149,11 @@ def run_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"stream {name!r} did not drain within {timeout_sec}s"
+        )
     return spark.table(name)
 
 
@@ -160,15 +164,19 @@ def run_foreach_batch_to_parquet(
 
     foreachBatch is the production fan-out sink: each microbatch is a
     batch DataFrame the callback writes with the full batch writer
-    (partitioning, dynamic overwrite, multiple sinks). Append-safe:
-    the checkpoint makes each batch exactly-once into the directory.
+    (partitioning, dynamic overwrite, multiple sinks). Delivery is
+    AT-LEAST-once — a mid-batch failure replays the batch — so the
+    sink keys each batch's files on batch_id and overwrites, making
+    replays idempotent (effectively-once end to end).
     """
     ckpt = os.path.join(TMP, f"stream_ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+        batch_df.write.mode("overwrite").partitionBy("event_type").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)
@@ -177,4 +185,8 @@ def run_foreach_batch_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"stream {name!r} did not drain within {timeout_sec}s"
+        )

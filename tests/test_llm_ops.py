@@ -107,3 +107,71 @@ def test_simhash_pairs_are_bounded_and_ordered(spark):
     rows = simhash_candidate_pairs(docs, max_hamming=8).collect()
     assert rows, "simhash should find candidates among prefix-dup docs"
     assert all(r.a_id < r.b_id and r.hamming <= 8 for r in rows)
+
+
+def test_sign_band_lsh_equals_bruteforce_on_near_dups(spark):
+    """VERDICT r1 item 2: the banded embedding near-dup plan must be
+    exact ⊆ (precision, by construction) and, at the 0.9 operating
+    point (p≈0.856, r=4, b=16 → per-pair miss ~4e-6), recall 1.0. The
+    fixtures carry no pairs ≥ 0.9, so near-dups are synthesized here:
+    2%-multiplicative-noise copies (cosine ≈ 0.998) of fixture rows."""
+    import random
+
+    from hadoop_log_analysis_spark.operators.similarity import (
+        cosine,
+        cosine_near_dup_pairs,
+    )
+
+    base = scan(spark, SF001, "embeddings").orderBy("vec_id").limit(100).collect()
+    rng = random.Random(123)
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in base]
+    rows += [
+        (
+            10_000 + r.vec_id,
+            [float(x) * (1.0 + rng.gauss(0.0, 0.02)) for x in r.embedding],
+        )
+        for r in base[:40]
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    banded = {
+        (r.a_id, r.b_id)
+        for r in cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    a = df.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("__va"))
+    b = df.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("__vb"))
+    exact = {
+        (r.a_id, r.b_id)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("sim") >= 0.9)
+        ).collect()
+    }
+    assert len(exact) >= 30, "synthetic corpus should contain near-dups"
+    assert banded <= exact, f"banded emitted non-dups: {sorted(banded - exact)[:5]}"
+    assert banded == exact, f"banded missed pairs: {sorted(exact - banded)[:5]}"
+
+
+def test_ivf_persisted_probe_matches_monolith(spark):
+    """VERDICT r1 item 3: probing the persisted IVF index (build once,
+    probe many) must return exactly what the build-inline monolith
+    returns for the same (query, k, n_probe)."""
+    import shutil
+
+    from hadoop_log_analysis_spark.operators.similarity import ivf_build, ivf_probe
+
+    emb = scan(spark, SF001, "embeddings")
+    idx = "/root/repo/.tmp/ivf_index_unittest"
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_build(spark, emb, idx)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    probed = [
+        (r.vec_id, r.sim)
+        for r in ivf_probe(spark, idx, q, k=10, n_probe=3, exclude_id=0).collect()
+    ]
+    mono = [
+        (r.vec_id, r.sim)
+        for r in ann_ivf_topk(emb, query_id=0, k=10, n_probe=3).collect()
+    ]
+    assert probed == mono

@@ -308,3 +308,57 @@ def test_gapfill_spine_join_broadcasts(spark):
     plan = _formatted(REGISTRY["q_gapfill_hours"].fn(spark, SF001), execute=True)
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan and "explode(" in plan  # sequence->explode spine
+
+
+def test_ivf_probe_reads_index_not_full_table(spark):
+    # VERDICT r1 item 3: with the index persisted, the probe plan must
+    # contain no posexplode (centroid recomputation) and must scan the
+    # index directories, with the bucket filter pruning assignment
+    # partitions (DPP via the broadcast bucket join).
+    REGISTRY["q_ann_ivf"].fn(spark, SF001).collect()  # builds index once
+    plan = _formatted(REGISTRY["q_ann_ivf"].fn(spark, SF001))
+    assert "posexplode" not in plan
+    assert "ivf_index_sf0.01" in plan  # scans the persisted index
+    assert "dynamicpruning" in plan or "PartitionFilters: [" in plan
+
+
+def test_kmeans_argmax_uses_hash_agg_not_window(spark):
+    # ADVICE r1 clustering.py:108: nearest-centroid argmax must be a
+    # partial-aggregating max_by, not a row_number window shuffling the
+    # n x k scored cross product.
+    plan = _formatted(REGISTRY["q_kmeans_ivf"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
+def test_cbo_stats_hold_and_bucketed_join_plan_stable(spark):
+    # VERDICT r1 item 8: with table/column stats ANALYZEd and CBO on,
+    # the bucketed join must keep the same shuffle-free SMJ shape —
+    # stats improve estimates without destabilizing the plan.
+    REGISTRY["q_bucketed_join"].fn(spark, SF001).collect()  # ensure tables
+    li_tbl, ord_tbl = "li_bkt_sf0_01", "ord_bkt_sf0_01"
+    spark.sql(f"ANALYZE TABLE {li_tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql(f"ANALYZE TABLE {ord_tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    stats_row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {li_tbl}")
+        .filter(F.col("col_name") == "Statistics")
+        .collect()
+    )
+    assert stats_row and "rows" in stats_row[0].data_type
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _formatted(REGISTRY["q_bucketed_join"].fn(spark, SF001))
+        join_section = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in join_section
+        assert "Exchange hashpartitioning(l_orderkey" not in join_section
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -40,3 +40,70 @@ def test_watermark_append_emits_closed_windows_matching_batch(spark):
     withheld = set(batch) - set(emitted)
     # Only windows near the end of the stream may still be open.
     assert len(withheld) <= 2, f"too many withheld windows: {len(withheld)}"
+    # Exact accounting (VERDICT r1 item 7): every input row is either in
+    # an emitted window or in a withheld trailing window — none lost,
+    # none duplicated — and withheld windows strictly follow emitted ones.
+    total = scan(spark, SF001, "events").count()
+    assert total - sum(emitted.values()) == sum(batch[h] for h in withheld)
+    if withheld:
+        assert min(withheld) > max(emitted)
+
+
+def test_watermark_drops_late_row_exact_count(spark):
+    """T4 late-DROP semantics pinned deterministically: a hand-built
+    drop replays (on-time rows) -> (two watermark advances) -> (one
+    late row behind the watermark). Spark 3.4+ filters late input with
+    the PREVIOUS batch's watermark (eviction uses the current one), so
+    the advance must be committed one batch before the late row
+    arrives; the late row's window is then already closed and append
+    mode must emit it WITHOUT the late row — count 2, not 3 — and
+    withhold the still-open trailing windows."""
+    import json
+    import os
+    import shutil
+
+    from hadoop_log_analysis_spark.streaming.events_stream import (
+        TMP,
+        read_events_stream,
+        run_to_table,
+    )
+
+    drop = os.path.join(TMP, "stream_drop_latecase")
+    shutil.rmtree(drop, ignore_errors=True)
+    os.makedirs(drop)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    hour = 3_600_000_000
+    minute = 60_000_000
+    files = [
+        [(1, base_us), (2, base_us + 30 * minute)],  # window 00:00, on time
+        [(3, base_us + 2 * hour)],  # advances watermark to 01:50
+        [(5, base_us + 3 * hour)],  # commits 01:50 as the late-filter wm
+        [(4, base_us + 5 * minute)],  # LATE: window 00:00 already closed
+    ]
+    for i, evs in enumerate(files):
+        with open(os.path.join(drop, f"part-{i:05d}.json"), "w") as f:
+            for eid, ts_us in evs:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts_us": ts_us,
+                            "user_id": 7,
+                            "event_type": "click",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+    base_m = os.path.getmtime(os.path.join(drop, "part-00000.json"))
+    for i in range(len(files)):
+        os.utime(os.path.join(drop, f"part-{i:05d}.json"), (base_m + 10 * i,) * 2)
+    events = read_events_stream(spark, drop, max_files_per_trigger=1)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_table(agg, "t4_latecase", "append")
+    emitted = {(r["w"].start.isoformat(), r.n) for r in out.collect()}
+    assert emitted == {("2024-01-01T00:00:00", 2)}
