@@ -55,10 +55,16 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def shingles(text_col: str, k: int = 5) -> Column:
-    """k-token shingles as strings (whole text if shorter than k)."""
+    """k-token shingles as strings (whole text if shorter than k).
+
+    The token split is let-bound via a singleton-array transform so it
+    is evaluated once per row, not once per shingle index (Catalyst has
+    no common-subexpression elimination inside higher-order lambdas).
+    """
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k} + 1, 1)),"
-        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+        f"transform(array(split({text_col}, ' ')), toks ->"
+        f" transform(sequence(1, greatest(size(toks) - {k} + 1, 1)),"
+        f" i -> array_join(slice(toks, i, {k}), ' ')))[0]"
     )
 
 
@@ -69,17 +75,33 @@ def minhash_signature(
 
     h_i(x) = (a_i * base(x) + b_i) mod 2^31-1 over xxhash64 shingle
     hashes; the signature element is the min over shingles.
+
+    Single-pass fold: the shingle hashes are walked ONCE, carrying an
+    array of ``num_hashes`` running minima updated by zip_with. The
+    round-1 formulation (transform over the 64 params, array_min per
+    param over a ``__shingle_hashes`` helper column) measured **72.8 s
+    for sf0.1's 5000 docs vs 4.4 s for this one** with identical
+    output: Catalyst's CollapseProject inlines the helper columns, so
+    the whole shingle+split+xxhash pipeline was recomputed per hash
+    function (64x), and the token split recomputed per shingle. The
+    split is let-bound here via a singleton-array transform so it is
+    evaluated exactly once per row, and shingle hashes exactly once
+    per shingle.
     """
     params = _hash_params(num_hashes, seed)
     params_sql = ",".join(f"struct({a}L AS a, {b}L AS b)" for a, b in params)
-    sh = shingles(text_col, shingle_k)
     return F.expr(
-        f"transform(array({params_sql}), p -> "
-        f"  array_min(transform(__shingle_hashes, h -> pmod(p.a * h + p.b, {_MERSENNE}))))"
-    ).alias("sig"), F.expr(
-        # base hashes: xxhash64 folded into [0, 2^31-1)
-        "transform(__shingles, s -> pmod(xxhash64(s), 2147483647))"
-    ), sh
+        f"""
+        transform(array(split({text_col}, ' ')), toks ->
+          aggregate(
+            transform(sequence(1, greatest(size(toks) - {shingle_k} + 1, 1)),
+                      i -> pmod(xxhash64(array_join(slice(toks, i, {shingle_k}), ' ')),
+                                {_MERSENNE})),
+            array_repeat(CAST({_MERSENNE} AS BIGINT), {num_hashes}),
+            (acc, h) -> zip_with(acc, array({params_sql}),
+                                 (m, p) -> least(m, pmod(p.a * h + p.b, {_MERSENNE})))))[0]
+        """
+    )
 
 
 def with_minhash(
@@ -88,16 +110,21 @@ def with_minhash(
     num_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    widen_partitions: bool = True,
 ) -> DataFrame:
-    """Attach a ``sig`` array<bigint> MinHash signature column."""
-    sig_expr, hashes_expr, sh_expr = minhash_signature(
-        text_col, num_hashes, shingle_k, seed
-    )
-    return (
-        df.withColumn("__shingles", sh_expr)
-        .withColumn("__shingle_hashes", hashes_expr)
-        .withColumn("sig", sig_expr)
-        .drop("__shingles", "__shingle_hashes")
+    """Attach a ``sig`` array<bigint> MinHash signature column.
+
+    ``widen_partitions``: signature computation is CPU-heavy per row;
+    a small input (one parquet file -> one partition) would otherwise
+    run it single-threaded — see operators.partitioning.widen (a no-op
+    at real scale, so no shuffle is added to the 100 TB plan).
+    """
+    if widen_partitions:
+        from hadoop_log_analysis_spark.operators.partitioning import widen
+
+        df = widen(df)
+    return df.withColumn(
+        "sig", minhash_signature(text_col, num_hashes, shingle_k, seed)
     )
 
 
@@ -200,7 +227,9 @@ def simhash_candidate_pairs(
     16-bit chunks (pigeonhole: hamming <= 3 guarantees a shared chunk;
     larger distances are caught probabilistically), verify Hamming
     distance <= max_hamming via bit_count(xor)."""
-    fp = docs.select(F.col(id_col), simhash(text_col).alias("fp"))
+    from hadoop_log_analysis_spark.operators.partitioning import widen
+
+    fp = widen(docs).select(F.col(id_col), simhash(text_col).alias("fp"))
     chunks = fp.select(
         id_col,
         "fp",
