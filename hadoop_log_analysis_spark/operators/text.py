@@ -83,6 +83,44 @@ def lang_scores(text_col: str = "text") -> list[Column]:
     return cols
 
 
+def dup_token_frac(text_col: str = "text") -> Column:
+    """Fraction of token slots occupied by repeats of an earlier token
+    (Gopher-style repetition signal): 1 - distinct/total."""
+    return 1.0 - distinct_token_ratio(text_col)
+
+
+def top_bigram_frac(text_col: str = "text") -> Column:
+    """Fraction of adjacent-bigram slots taken by the most frequent
+    bigram (Gopher's "fraction of characters in most common n-gram"
+    rule, measured in token slots). 0.0 for single-token docs.
+
+    The token split is let-bound (singleton-array transform) and the
+    mode is computed within-row over the bigram array — map-only, no
+    shuffle, O(distinct-bigrams^2) per row which is bounded by doc
+    length, not corpus size.
+    """
+    return F.expr(
+        f"""
+        transform(array(split({text_col}, ' ')), toks ->
+          CASE WHEN size(toks) < 2 THEN 0.0D ELSE
+            transform(array(transform(sequence(1, size(toks) - 1),
+                        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))),
+              bg -> CAST(array_max(transform(array_distinct(bg),
+                           b -> size(filter(bg, x -> x = b)))) AS DOUBLE)
+                    / CAST(size(bg) AS DOUBLE))[0]
+          END)[0]
+        """
+    )
+
+
+def symbol_token_frac(text_col: str = "text") -> Column:
+    """Fraction of tokens containing anything beyond [a-z0-9] — the
+    C4-style punctuation/symbol density rule."""
+    toks = tokens(text_col)
+    n_sym = F.size(F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]+$")))
+    return n_sym.cast("double") / F.size(toks).cast("double")
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Polynomial rolling hash over token codes, mod a large prime —
     an order-sensitive document fingerprint (unlike the set-based

@@ -112,6 +112,17 @@ _PRIORITY = (
     "q_pandas_udaf",
     "q_apply_in_pandas",
     "q_udtf",
+    # r2 additions — never driver-verified, fast, full oracles (except
+    # q_hll_rollup, rows-only by design)
+    "q_gopher_rules",
+    "q_bpe_merge_pairs",
+    "q_embedding_outliers",
+    "q_semantic_dedup",
+    "q_waiting_orders",
+    "q_idle_rich_customers",
+    "q_hll_rollup",
+    "q_recursive_hierarchy_rollup",
+    "q_lateral_top_lineitems",
     # S7 + T1-T8 — streaming (slowest; end of the priority tier)
     "q_stream_hourly_errors",
     "q_stream_sliding_counts",

@@ -417,3 +417,97 @@ def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", F.round(F.avg("value").over(w), 4).alias("avg_1h")
         ).orderBy("event_id")
     )
+
+
+@query(
+    "q_recursive_hierarchy_rollup",
+    oracle="""
+        WITH RECURSIVE totals AS (
+          SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id),
+        anc(u, a) AS (
+          SELECT user_id, user_id FROM totals
+          UNION ALL
+          SELECT u, a // 2 FROM anc WHERE a > 0)
+        SELECT a AS node, count(DISTINCT u) AS n_users,
+               round(sum(t.tot), 2) AS subtree_value
+        FROM anc JOIN totals t ON anc.u = t.user_id
+        WHERE a < 8
+        GROUP BY a
+        ORDER BY a
+    """,
+    tags=("iterative", "sql", "A1"),
+)
+def q_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup via Spark 4's NATIVE recursive CTE: users
+    form a derived binary-tree taxonomy (parent = id/2) and each
+    node accumulates the event value of its whole subtree by walking
+    every user's ancestor chain. The ancestor id strictly decreases,
+    so the UNION ALL recursion (Spark's supported recursive form —
+    UNION-dedup recursion is not yet in 4.1) terminates in
+    O(log2 max_id) ~ 11 steps, far under the 100-level default cap.
+    DuckDB runs the equivalent recursion (`//` = `div`, both truncate
+    non-negative ids identically) as the oracle — a full hash-matched
+    check of Catalyst's recursive execution.
+
+    Scale: the per-user totals aggregate first (shuffle bounded by
+    |users|), the recursion then walks ~|users| * log(depth) id PAIRS,
+    never raw events.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE totals AS (
+          SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id),
+        anc(u, a) AS (
+          SELECT user_id, user_id FROM totals
+          UNION ALL
+          SELECT u, a div 2 FROM anc WHERE a > 0)
+        SELECT a AS node, count(DISTINCT u) AS n_users,
+               round(sum(t.tot), 2) AS subtree_value
+        FROM anc JOIN totals t ON anc.u = t.user_id
+        WHERE a < 8
+        GROUP BY a
+        ORDER BY a
+        """
+    )
+
+
+@query(
+    "q_lateral_top_lineitems",
+    oracle="""
+        WITH top_o AS (SELECT o_orderkey, o_totalprice FROM orders
+                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        SELECT o.o_orderkey, l.l_linenumber,
+               round(l.l_extendedprice, 2) AS price
+        FROM top_o o, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        ORDER BY o.o_orderkey, price DESC, l.l_linenumber
+    """,
+    tags=("J5", "sql", "subquery"),
+)
+def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-2 priciest lineitems for each of the 10 highest-value orders.
+    LATERAL is the SQL spelling of "top-k per group against a driving
+    row set"; identical SQL runs on DuckDB as the oracle.
+
+    Scale: Catalyst decorrelates the lateral into a join + per-key
+    limit over the 10-row driving side — the lineitem scan is filtered
+    by the (broadcastable) key set, never fully sorted.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH top_o AS (SELECT o_orderkey, o_totalprice FROM orders
+                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        SELECT o.o_orderkey, l.l_linenumber,
+               round(l.l_extendedprice, 2) AS price
+        FROM top_o o, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        ORDER BY o.o_orderkey, price DESC, l.l_linenumber
+        """
+    )

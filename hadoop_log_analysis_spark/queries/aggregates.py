@@ -391,3 +391,40 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_pct"),
         F.count("*").alias("n"),
     )
+
+
+@query("q_hll_rollup", oracle=None, tags=("A4", "rollup"))
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+: REAGGREGATABLE distinct-count sketches — the warehouse
+    pattern approx_count_distinct cannot express. Per-(day, hour)
+    Datasketches HLL sketches of user_id are built once; the daily
+    distinct-user estimate is then answered by MERGING the 24 hourly
+    sketches (hll_union_agg), never rescanning raw events. At 100 TB
+    the hourly sketch table is the only thing a dashboard ever reads:
+    day/week/month rollups are unions of a few KB of sketch bytes.
+
+    Rows-only (sketch estimates are engine-specific, no DuckDB oracle);
+    tests/test_llm_ops.py pins (a) merged estimate == direct one-pass
+    estimate (mergeability is exact for HLL, not approximate) and
+    (b) relative error vs the exact distinct count < 5%, and the exact
+    column is additionally SQL-checked there.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr"), "user_id"
+    )
+    hourly = ev.groupBy("day", "hr").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = hourly.groupBy("day").agg(
+        F.count("*").alias("n_hours"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    direct = ev.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        daily.join(direct, "day")
+        .select("day", "n_hours", "exact_users", "est_users", "est_direct")
+        .orderBy("day")
+    )

@@ -399,3 +399,118 @@ def q_self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_waiting_orders",
+    oracle="""
+        WITH late AS (
+          SELECT DISTINCT l.l_orderkey AS okey, l.l_suppkey AS skey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT s.s_name, count(*) AS numwait
+        FROM late l1 JOIN supplier s ON l1.skey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.okey
+                        AND l2.l_suppkey <> l1.skey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.okey = l1.okey
+                            AND l3.skey <> l1.skey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+    tags=("J4", "J1", "tpch"),
+)
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order ("late" = shipped >60 days after the order
+    date). The double-correlated EXISTS / NOT EXISTS resolves to a
+    left-semi plus a left-anti join on (orderkey, suppkey<>suppkey) —
+    the relational shape Q21 exists to test.
+
+    Scale: all three join legs are keyed on l_orderkey, so one
+    hash-partitioning is reusable across them; the supplier dim
+    broadcasts; no correlated per-row subquery execution anywhere.
+    """
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        scan(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    other_sup = li.alias("l2")
+    with_other = l1.join(
+        other_sup,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    other_late = late.alias("l3")
+    sole_late = with_other.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q_idle_rich_customers",
+    oracle="""
+        WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+        SELECT c.c_nationkey, count(*) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, a
+        WHERE c.c_acctbal > a.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+    tags=("J4", "A2", "tpch"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders since 2000 (every fixture customer has SOME order, so the
+    dormancy cutoff is what makes the anti-join selective), aggregated
+    per nation — scalar aggregate subquery (broadcast as a 1-row cross
+    join, evaluated once) plus NOT EXISTS (left-anti against the
+    filtered orders fact).
+
+    Scale: the anti join shuffles on custkey only; the scalar avg is a
+    full-scan global aggregate but over the small dim table.
+    """
+    cust = scan(spark, sf_dir, "customer")
+    orders = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

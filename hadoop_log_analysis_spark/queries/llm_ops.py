@@ -10,7 +10,7 @@ tests/test_llm_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.operators import text as TXT
@@ -755,4 +755,265 @@ def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 10)
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_gopher_rules",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        m AS (
+          SELECT doc_id, n_tokens,
+                 1.0 - len(list_distinct(toks)) * 1.0 / n_tokens AS dup_frac,
+                 CASE WHEN n_tokens < 2 THEN 0.0 ELSE
+                   (SELECT max(cnt) * 1.0 / (t2.n_tokens - 1)
+                    FROM (SELECT count(*) AS cnt
+                          FROM unnest(list_transform(
+                                 generate_series(1, t2.n_tokens - 1),
+                                 i -> t2.toks[i] || ' ' || t2.toks[i + 1])) u(bg)
+                          GROUP BY bg) c)
+                 END AS bigram_frac,
+                 len(list_filter(toks, x -> NOT regexp_matches(x, '^[a-z0-9]+$')))
+                   * 1.0 / n_tokens AS symbol_frac,
+                 list_sum(list_transform(toks, x -> len(x))) * 1.0 / n_tokens AS mean_len
+          FROM t t2)
+        SELECT doc_id, n_tokens,
+               round(dup_frac, 6) AS dup_frac,
+               round(bigram_frac, 6) AS top_bigram_frac,
+               round(symbol_frac, 6) AS symbol_frac,
+               round(mean_len, 6) AS mean_token_len,
+               (n_tokens BETWEEN 10 AND 5000
+                AND mean_len BETWEEN 2 AND 12
+                AND dup_frac <= 0.4
+                AND bigram_frac <= 0.2
+                AND symbol_frac <= 0.1) AS pass
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("L5", "L7"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/L7: Gopher/C4-style repetition + shape quality rules per doc —
+    duplicate-token fraction, top-bigram slot fraction, symbol-token
+    fraction, mean token length, token count — and the combined pass
+    verdict used by pretraining corpus filters.
+
+    All metrics are within-row array expressions (map-only, no
+    shuffle); the filter is a plain predicate, so at 100 TB this is a
+    single codegen'd scan->project->filter with full pushdown below it.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    n_tok = TXT.n_tokens().cast("long")
+    mean_len = TXT.mean_token_len()
+    dup = TXT.dup_token_frac()
+    bigram = TXT.top_bigram_frac()
+    sym = TXT.symbol_token_frac()
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(dup, 6).alias("dup_frac"),
+        F.round(bigram, 6).alias("top_bigram_frac"),
+        F.round(sym, 6).alias("symbol_frac"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        (
+            n_tok.between(10, 5000)
+            & mean_len.between(2.0, 12.0)
+            & (dup <= 0.4)
+            & (bigram <= 0.2)
+            & (sym <= 0.1)
+        ).alias("pass"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_bpe_merge_pairs",
+    oracle="""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS pair
+          FROM t WHERE len(toks) >= 2)
+        SELECT pair, count(*) AS n
+        FROM bg
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+    tags=("L5",),
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: corpus-wide most-frequent adjacent token pairs — the
+    counting step of one BPE merge iteration (the pair argmax is what a
+    BPE trainer would merge next).
+
+    Plan shape: within-row bigram generation (let-bound token split),
+    explode, partial+final hash aggregation, TakeOrdered for the
+    top-k — the canonical word-count shape, shuffle bounded by distinct
+    pair count, not corpus size.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        """
+        transform(array(split(text, ' ')), toks ->
+          CASE WHEN size(toks) < 2 THEN array()
+               ELSE transform(sequence(1, size(toks) - 1),
+                      i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          END)[0]
+        """
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+        WITH d AS (SELECT label, i, avg(embedding[i]) AS m
+                   FROM embeddings, generate_series(1, 64) t(i)
+                   GROUP BY label, i),
+        c AS (SELECT label, list(m ORDER BY i) AS centroid FROM d GROUP BY label),
+        s AS (SELECT e.label, e.vec_id,
+                     list_dot_product(e.embedding, c.centroid)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+              FROM embeddings e JOIN c USING (label)),
+        r AS (SELECT label, vec_id, round(sim, 6) AS centroid_sim,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY round(sim, 6), vec_id) AS rn
+              FROM s)
+        SELECT label, vec_id, centroid_sim
+        FROM r WHERE rn <= 3
+        ORDER BY label, vec_id
+    """,
+    tags=("L3", "L7"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L7: embedding-quality outlier filter — the 3 vectors least
+    aligned with their label centroid, per label (the "drop vectors far
+    from their cluster center" curation rule).
+
+    Plan: per-(label,dim) partial-aggregated mean -> tiny centroid
+    table (|labels| rows) rebuilt as arrays -> broadcast back -> per-row
+    cosine -> per-label bottom-3 window. Only the two |labels|-sized
+    aggregations shuffle; the scoring pass is map-only against a
+    broadcast, so the plan is a single scan at 100 TB.
+    """
+    from hadoop_log_analysis_spark.operators.similarity import cosine
+
+    emb = scan(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+            "centroid_sim"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("centroid_sim", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "centroid_sim")
+        .orderBy("label", "vec_id")
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle="""
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+          FROM embeddings WHERE vec_id < 40
+          UNION ALL
+          SELECT vec_id + 2000,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.75)
+          FROM embeddings WHERE vec_id < 20),
+        p AS (SELECT a.id AS a_id, b.id AS b_id
+              FROM corpus a JOIN corpus b ON a.id < b.id
+              WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+        e AS (SELECT a_id AS s, b_id AS t FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(s, t) AS (
+          SELECT DISTINCT s, s FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        comp AS (SELECT s AS id, min(t) AS component FROM reach GROUP BY s)
+        SELECT component, count(*) AS n_members, count(*) - 1 AS n_dropped
+        FROM comp
+        GROUP BY component
+        ORDER BY component
+    """,
+    tags=("L2", "L3", "iterative"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: end-to-end SemDeDup-style semantic dedup — sign-band LSH
+    near-dup pairs over embeddings -> connected components -> one
+    keeper (min id) per cluster, reporting cluster size and drop count.
+
+    The fixtures carry no cosine pairs >= 0.6, so duplicate structure
+    is PLANTED inside the query, identically in both engines: scalar-
+    scaled copies (x1.5 for vec_id<40, x0.75 for vec_id<20) are
+    exactly colinear with their base (cosine 1.0, and identical sign
+    bits, so LSH recall on them is deterministic, not probabilistic).
+    The oracle recomputes the same corpus, thresholds ALL pairs
+    exactly, and resolves components via a recursive-CTE transitive
+    closure — a full SQL oracle for the iterative distributed
+    algorithm. Expected: 20 clusters of 3 and 20 of 2.
+
+    Scale: fingerprint+bucket join from cosine_near_dup_pairs (no
+    all-pairs anywhere); min-label propagation is O(diameter)
+    iterations of bounded shuffles (operators/clustering.py).
+    """
+    from hadoop_log_analysis_spark.operators.clustering import connected_components
+
+    emb = scan(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    c1 = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000).alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5D)").alias("v"),
+    )
+    c2 = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000).alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.75D)").alias("v"),
+    )
+    corpus = base.unionByName(c1).unionByName(c2)
+    pairs = cosine_near_dup_pairs(
+        corpus, threshold=0.95, id_col="id", vec_col="v"
+    ).select("a_id", "b_id")
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
     )

@@ -362,3 +362,38 @@ def test_cbo_stats_hold_and_bucketed_join_plan_stable(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_waiting_orders_is_semi_anti_with_broadcast_dim(spark):
+    # TPC-H Q21 shape: EXISTS/NOT EXISTS must compile to left-semi +
+    # left-anti joins (no correlated per-row subqueries) and the
+    # supplier dim must broadcast.
+    plan = _formatted(REGISTRY["q_waiting_orders"].fn(spark, SF001))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_outliers_broadcasts_centroid_table(spark):
+    # The |labels|-row centroid table must broadcast back onto the
+    # embeddings scan; a shuffle join here would re-shuffle the full
+    # vector corpus at 100 TB.
+    plan = _formatted(REGISTRY["q_embedding_outliers"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_is_single_scan_no_shuffle(spark):
+    # The quality-rule metrics are within-row expressions: the plan
+    # must contain no Exchange at all (global sort excepted — assert
+    # before the orderBy by rebuilding the unsorted projection).
+    from hadoop_log_analysis_spark.operators import text as TXT
+
+    docs = scan(spark, SF001, "documents")
+    df = docs.select(
+        "doc_id",
+        TXT.dup_token_frac().alias("d"),
+        TXT.top_bigram_frac().alias("b"),
+        TXT.symbol_token_frac().alias("s"),
+    )
+    plan = _formatted(df)
+    assert "Exchange" not in plan

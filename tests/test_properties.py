@@ -193,3 +193,44 @@ def test_compaction_reduces_file_count_losslessly(spark):
     n_src = spark.read.parquet(_derived_dir(SF001, "small_files")).count()
     n_dst = spark.read.parquet(_derived_dir(SF001, "compacted")).count()
     assert n_src == n_dst
+
+
+def test_hll_rollup_merge_is_lossless_and_accurate(spark):
+    """q_hll_rollup invariants: (a) merging the 24 hourly sketches
+    yields EXACTLY the estimate of a direct one-pass daily sketch (HLL
+    union is register-wise max — mergeability is exact, not
+    approximate); (b) the estimate's relative error vs the exact
+    distinct count stays inside the lgK=12 HLL bound; (c) the exact
+    column itself matches DuckDB."""
+    from hadoop_log_analysis_spark.oracle import run_oracle
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    rows = load_registry()["q_hll_rollup"].fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r.est_users == r.est_direct, f"merge lost info on {r.day}"
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.05
+    exact = {
+        (str(x[0].date() if hasattr(x[0], "date") else x[0]), x[1])
+        for x in run_oracle(
+            "SELECT CAST(ts AS DATE) d, count(DISTINCT user_id) n "
+            "FROM events GROUP BY d",
+            SF001,
+        ).itertuples(index=False)
+    }
+    assert {(str(r.day), r.exact_users) for r in rows} == exact
+
+
+def test_semantic_dedup_cluster_structure(spark):
+    """q_semantic_dedup planted structure: vec_id<20 seeds form
+    3-member clusters (base + x1.5 + x0.75 copies), 20<=vec_id<40 form
+    2-member clusters; every keeper is the base vec_id (min id)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    rows = load_registry()["q_semantic_dedup"].fn(spark, SF001).collect()
+    by_comp = {r.component: r for r in rows}
+    assert set(by_comp) == set(range(40))
+    for comp, r in by_comp.items():
+        expect = 3 if comp < 20 else 2
+        assert r.n_members == expect, f"component {comp}: {r.n_members}"
+        assert r.n_dropped == expect - 1
