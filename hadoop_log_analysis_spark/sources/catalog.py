@@ -43,15 +43,29 @@ TABLES: tuple[str, ...] = (
 
 
 def _repair_events(df: DataFrame) -> DataFrame:
-    # ts arrives as bigint epoch-nanos (nanosAsLong). Integer `div` is
-    # mandatory: float division of ~1.7e18 loses precision above 2^53.
-    # timestamp_micros gives TimestampType; with session tz pinned to UTC
-    # the cast to timestamp_ntz is an identity reinterpretation, matching
-    # DuckDB's naive reading of the same instants.
+    # Fixture generations differ in how events.ts is stored; normalize
+    # both to the pinned (ts timestamp_ntz, ts_ns bigint) pair:
+    #  * TIMESTAMP(NANOS) parquet + nanosAsLong -> bigint epoch-nanos.
+    #    Integer `div` is mandatory: float division of ~1.7e18 loses
+    #    precision above 2^53. timestamp_micros gives TimestampType;
+    #    with session tz pinned to UTC the cast to timestamp_ntz is an
+    #    identity reinterpretation, matching DuckDB's naive reading.
+    #  * TIMESTAMP(MICROS) parquet -> timestamp(_ntz) directly; the ns
+    #    view is the exact integer µs*1000 (hash-matches DuckDB
+    #    epoch_ns(ts), which likewise carries zero sub-µs digits).
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
+        ts_ns = F.col("ts")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     return df.select(
         "event_id",
-        F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)").alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts.alias("ts"),
+        ts_ns.cast("long").alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
