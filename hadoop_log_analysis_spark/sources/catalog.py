@@ -59,9 +59,17 @@ def _repair_events(df: DataFrame) -> DataFrame:
     if isinstance(ts_type, T.LongType):
         ts = F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
         ts_ns = F.col("ts")
-    else:
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         ts = F.col("ts").cast("timestamp_ntz")
         ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        # ADVICE r2: never silently cast an unexpected type (e.g. a
+        # string ts would null out unparseable values while still
+        # matching schemas.EXPECTED, defeating the drift assertion).
+        raise RuntimeError(
+            f"events.ts has unsupported parquet type {ts_type}; expected "
+            "LongType (TIMESTAMP(NANOS) via nanosAsLong) or Timestamp(NTZ)Type"
+        )
     return df.select(
         "event_id",
         ts.alias("ts"),
