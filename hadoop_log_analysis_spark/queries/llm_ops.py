@@ -949,13 +949,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine -> TWO-PHASE bounded bottom-3 (VERDICT r2 "What's wrong" #2:
     the former ``Window.partitionBy(label)`` sorted the whole scored
     corpus through ~10 partitions — a skew scale-killer at 10^9 rows).
-    Phase 1 groups by (label, spark_partition_id) so every group is
-    local to one scan partition and the slice-after-sort aggregate
-    emits at most 3 rows per (label, partition); phase 2 merges those
-    <= 3*|partitions| candidates per label. No window, no full-corpus
-    sort, shuffle payload bounded by 3*|labels|*|partitions| structs.
+    The two-phase aggregate (operators/topk.py grouped_bottom_k) keeps
+    shuffle payload bounded by 3*|labels|*|partitions| structs — no
+    window, no full-corpus sort.
     """
     from hadoop_log_analysis_spark.operators.similarity import cosine
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
 
     emb = scan(spark, sf_dir, "embeddings")
     per_dim = (
@@ -975,19 +974,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_sim"
         ),
     )
-    bottom3 = F.slice(
-        F.array_sort(F.collect_list(F.struct("centroid_sim", "vec_id"))), 1, 3
-    )
-    local = scored.groupBy(
-        "label", F.spark_partition_id().alias("__pid")
-    ).agg(bottom3.alias("__top"))
-    merged = local.groupBy("label").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, 3).alias(
-            "__top"
-        )
-    )
     return (
-        merged.select("label", F.explode("__top").alias("__s"))
+        grouped_bottom_k(
+            scored, ["label"], F.struct("centroid_sim", "vec_id"), 3, "__s"
+        )
         .select(
             "label",
             F.col("__s.vec_id").alias("vec_id"),

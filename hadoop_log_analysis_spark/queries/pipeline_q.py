@@ -770,3 +770,151 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(50)
     )
+
+
+# Corpus-curation additions (round 3): per-domain caps and repeated-line
+# boilerplate removal — the two RefinedWeb/C4-style rules not yet in the
+# registry.
+DOMAIN_CAP_K = 10
+BOILERPLATE_MIN_DOCS = 5
+_BP_HDR = "subscribe to our newsletter"
+_BP_FTR = "all rights reserved"
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+        WITH r AS (SELECT source, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC, doc_id)
+                            AS rn
+                   FROM documents)
+        SELECT source, doc_id, n_chars
+        FROM r WHERE rn <= {DOMAIN_CAP_K}
+        ORDER BY source, n_chars DESC, doc_id
+    """,
+    tags=("L7", "W2", "curation"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most 10 docs per source,
+    preferring the longest (n_chars desc, doc_id tie-break) — the
+    anti-over-representation rule a web-corpus pipeline applies so no
+    single domain dominates the training mixture.
+
+    Scale shape: per-group top-k via the two-phase bounded aggregate
+    (operators/topk.py grouped_bottom_k) — no ``Window.partitionBy
+    (source)``, so a domain with 10^8 pages costs the same shuffle
+    payload (k structs per partition) as one with 10; the oracle's
+    row_number window states the semantics, not the plan.
+    """
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
+
+    docs = scan(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    item = F.struct(
+        (-F.col("n_chars")).alias("__neg"), F.col("doc_id"), F.col("n_chars")
+    )
+    return (
+        grouped_bottom_k(docs, ["source"], item, DOMAIN_CAP_K, "__s")
+        .select(
+            "source",
+            F.col("__s.doc_id").alias("doc_id"),
+            F.col("__s.n_chars").alias("n_chars"),
+        )
+        .orderBy("source", F.desc("n_chars"), "doc_id")
+    )
+
+
+@query(
+    "q_boilerplate_removal",
+    oracle=f"""
+        WITH p AS (SELECT doc_id,
+                          CASE WHEN doc_id % 4 = 0
+                               THEN t1 || chr(10) || '{_BP_FTR}'
+                               ELSE t1 END AS text2
+                   FROM (SELECT doc_id,
+                                CASE WHEN doc_id % 3 = 0
+                                     THEN '{_BP_HDR}' || chr(10) || text
+                                     ELSE text END AS t1
+                         FROM documents)),
+             l AS (SELECT doc_id,
+                          generate_subscripts(string_split(text2, chr(10)), 1)
+                            AS pos,
+                          unnest(string_split(text2, chr(10))) AS line
+                   FROM p),
+             b AS (SELECT line FROM l
+                   GROUP BY line
+                   HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}),
+             k AS (SELECT doc_id, pos, line FROM l
+                   WHERE line NOT IN (SELECT line FROM b)),
+             tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+             agg AS (SELECT doc_id, count(*) AS n_kept,
+                            string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                     FROM k GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+    tags=("L1", "L5", "curation"),
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line boilerplate removal: any line occurring in >= 5
+    distinct documents (nav bars, subscribe prompts, copyright footers)
+    is stripped from every document, which is then reassembled in
+    original line order — C4/RefinedWeb line-level dedup.
+
+    The fixture is single-line word-soup, so boilerplate is PLANTED
+    identically on both sides (q_semantic_dedup's technique): a header
+    line on doc_id % 3 == 0 and a footer on doc_id % 4 == 0. Body
+    lines occur in <= 2 docs (one exact-dup pair) and survive; the
+    planted lines occur in ~n/3 and ~n/4 docs and are removed at every
+    fixture SF.
+
+    Scale shape: line frequency is the word-count shape (hash agg with
+    map-side combine on the line value); the resulting boilerplate set
+    is tiny (true boilerplate vocabulary, not O(corpus)) so the strip
+    is a broadcast LEFT ANTI join; reassembly is a per-doc bounded
+    collect_list + array_sort. No window, no all-pairs anything.
+    """
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
+    t1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(_BP_HDR + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    text2 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(t1, F.lit("\n" + _BP_FTR))
+    ).otherwise(t1)
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(text2, "\n")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    tot = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
