@@ -234,3 +234,31 @@ def test_semantic_dedup_cluster_structure(spark):
         expect = 3 if comp < 20 else 2
         assert r.n_members == expect, f"component {comp}: {r.n_members}"
         assert r.n_dropped == expect - 1
+
+
+def test_grouped_bottom_k_equals_window_reference(spark):
+    # operators/topk.py must be hash-identical to the window plan it
+    # replaces, for any k, including groups smaller than k.
+    from pyspark.sql import Window
+
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
+
+    ev = scan(spark, SF001, "events").select("event_type", "event_id", "value")
+    for k in (1, 3, 50000):
+        got = (
+            grouped_bottom_k(
+                ev, ["event_type"], F.struct("value", "event_id"), k, "__s"
+            )
+            .select("event_type", "__s.value", "__s.event_id")
+            .orderBy("event_type", "value", "event_id")
+            .collect()
+        )
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        want = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("event_type", "value", "event_id")
+            .orderBy("event_type", "value", "event_id")
+            .collect()
+        )
+        assert got == want, f"k={k}: {len(got)} vs {len(want)} rows"
