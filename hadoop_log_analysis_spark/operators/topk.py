@@ -11,12 +11,32 @@ two-phase bounded replacement:
   at most k items per (group, partition);
 * phase 2 merges the <= k * |partitions| survivors per group.
 
-Shuffle payload is bounded by k * |groups| * |partitions| structs —
-independent of row count — and both phases are hash aggregates with
-map-side partial aggregation, never a sort of the full input. The
-result is exactly the k lexicographically-smallest items per group
+Honest cost accounting (read the compiled plan, not the intent):
+Catalyst places the slice AFTER phase 1's final aggregate, so phase
+1's exchange still carries the full projected items, restructured as
+one list per (group, input partition) — same total volume as any
+shuffle of the items, NOT k-bounded. What the rewrite actually buys:
+
+* **no skew**: per-reducer load is <= one input partition's worth of
+  one group (the window plan funnels a whole group — possibly the
+  whole corpus — through one partition);
+* **no sort of the full input**: both phases are hash aggregates; the
+  only sorts are array_sort over per-(group, partition) lists;
+* **bounded phase 2**: the second exchange moves <= k * |groups| *
+  |partitions| structs.
+
+Phase-1 aggregation memory is bounded by (projected item size) x (rows
+of one group in one partition) <= one partition's projected payload —
+keep the item struct narrow (key fields + row id, never the full row)
+and size spark.sql.files.maxPartitionBytes accordingly. For wide items
+a mapInPandas per-batch pre-thin (emit each Arrow batch's local k per
+group before this aggregate) restores a k-bounded exchange at the cost
+of an Arrow pass over the input.
+
+The result is exactly the k lexicographically-smallest items per group
 (ties included deterministically if the item struct is totally
-ordered), hash-identical to the window plan.
+ordered), hash-identical to the window plan (property-tested in
+tests/test_properties.py).
 """
 
 from __future__ import annotations

@@ -949,9 +949,11 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine -> TWO-PHASE bounded bottom-3 (VERDICT r2 "What's wrong" #2:
     the former ``Window.partitionBy(label)`` sorted the whole scored
     corpus through ~10 partitions — a skew scale-killer at 10^9 rows).
-    The two-phase aggregate (operators/topk.py grouped_bottom_k) keeps
-    shuffle payload bounded by 3*|labels|*|partitions| structs — no
-    window, no full-corpus sort.
+    The two-phase aggregate (operators/topk.py grouped_bottom_k)
+    removes the skew funnel and the full-corpus sort: per-reducer load
+    is bounded by one scan partition's (sim, vec_id) pairs, and the
+    second exchange moves only 3*|labels|*|partitions| structs (see
+    topk.py's honest cost accounting).
     """
     from hadoop_log_analysis_spark.operators.similarity import cosine
     from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k

@@ -803,9 +803,11 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-group top-k via the two-phase bounded aggregate
     (operators/topk.py grouped_bottom_k) — no ``Window.partitionBy
-    (source)``, so a domain with 10^8 pages costs the same shuffle
-    payload (k structs per partition) as one with 10; the oracle's
-    row_number window states the semantics, not the plan.
+    (source)``, so a domain with 10^8 pages never funnels through one
+    reducer: per-reducer load is bounded by one scan partition's
+    (n_chars, doc_id) items and the merge exchange by k structs per
+    (source, partition). The oracle's row_number window states the
+    semantics, not the plan.
     """
     from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
 

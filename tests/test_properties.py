@@ -262,3 +262,24 @@ def test_grouped_bottom_k_equals_window_reference(spark):
             .collect()
         )
         assert got == want, f"k={k}: {len(got)} vs {len(want)} rows"
+
+
+def test_boilerplate_removal_idempotent(spark):
+    # Stripping boilerplate from an already-stripped corpus must be a
+    # no-op: no kept line occurs in >= BOILERPLATE_MIN_DOCS docs.
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.pipeline_q import (
+        BOILERPLATE_MIN_DOCS,
+    )
+
+    cleaned = load_registry()["q_boilerplate_removal"].fn(spark, SF001)
+    lines = cleaned.select(
+        "doc_id", F.explode(F.split("text_clean", "\n")).alias("line")
+    ).filter(F.col("line") != "")
+    still_common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .count()
+    )
+    assert still_common == 0
