@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
+from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 
 @query(
@@ -369,9 +370,12 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo parts' share of one month's revenue —
-    a conditional-aggregate ratio over a dim join. The part side
-    broadcasts; the month filter prunes the fact scan; the ratio of
-    two independently-summed doubles is rounded at 4, far above the
+    a conditional-aggregate ratio over a dim join. The part side goes
+    through size-aware ``maybe_broadcast`` (part scales with SF, so at
+    100 TB the partkey equi-join becomes a co-partitioned shuffle join
+    instead of a forced-broadcast OOM);
+    the month filter prunes the fact scan; the ratio of two
+    independently-summed doubles is rounded at 4, far above the
     summation-order noise floor.
     """
     li = scan(spark, sf_dir, "lineitem").filter(
@@ -381,7 +385,8 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = scan(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.join(
-        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        maybe_broadcast(part, table_bytes(sf_dir, "part")),
+        li["l_partkey"] == part["p_partkey"],
     ).agg(
         F.round(
             100.0

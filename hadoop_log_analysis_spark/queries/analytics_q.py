@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
+from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 # Warm-up for the anomaly baseline: a trailing mean/std over fewer
 # than this many hours is too noisy to flag against.
@@ -523,8 +524,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = scan(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
         .select(
             "c_name",
             "o_orderkey",

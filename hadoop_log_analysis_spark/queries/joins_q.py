@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from hadoop_log_analysis_spark.functions import ts_us
 from hadoop_log_analysis_spark.operators.joins import asof_join
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
+from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 # epoch seconds of 2024-01-01T00:00:00Z — base for synthetic order
 # timestamps in the as-of queries (BASELINE.md q_asof_join draft).
@@ -78,10 +79,18 @@ def q_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join order is selectivity-first (Catalyst does not reorder joins
     without CBO stats): the region filter propagates through
-    nation -> supplier as one broadcast dim chain, so lineitem is cut
-    to ~1/|regions| map-side BEFORE the lineitem-orders shuffle — at
-    100 TB that is the difference between shuffling 20 TB and 4 TB.
-    Measured at sf0.1: 1.9 s -> 1.0 s fresh-plan vs the dims-last order.
+    nation -> supplier as one dim chain, so lineitem is cut to
+    ~1/|regions| BEFORE the lineitem-orders shuffle — at 100 TB that
+    is the difference between shuffling 20 TB and 4 TB. Measured at
+    sf0.1: 1.9 s -> 1.0 s fresh-plan vs the dims-last order.
+
+    Broadcast policy: only the fixed-cardinality dims (nation=25,
+    region=5 rows, forever) carry unconditional hints. The
+    supplier-derived dim chain SCALES with SF (10k rows x SF — ~170 GB
+    at 100 TB), so it goes through ``maybe_broadcast`` (operators/
+    partitioning.py): hinted only when the measured on-disk size x
+    decompression factor fits the session threshold, a shuffled join
+    by construction otherwise — never a forced-broadcast OOM.
     """
     customer = scan(spark, sf_dir, "customer")
     orders = scan(spark, sf_dir, "orders")
@@ -95,7 +104,10 @@ def q_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     return (
-        lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(
+            maybe_broadcast(dims, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
@@ -430,8 +442,10 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relational shape Q21 exists to test.
 
     Scale: all three join legs are keyed on l_orderkey, so one
-    hash-partitioning is reusable across them; the supplier dim
-    broadcasts; no correlated per-row subquery execution anywhere.
+    hash-partitioning is reusable across them; the supplier dim goes
+    through size-aware ``maybe_broadcast`` (supplier scales with SF —
+    a blanket hint would OOM at 100 TB); no correlated per-row
+    subquery execution anywhere.
     """
     li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -459,7 +473,10 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(
+            maybe_broadcast(sup, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
+from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 # Context-window chunking parameters: 32-token windows, stride 24
 # (8-token overlap) — the standard pretraining tokenize-and-pack shape.
@@ -592,9 +593,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     open revenue — selective dim filter broadcast onto the fact
     chain, then a single grouped top-k.
 
-    Plan intent at scale: the filtered customer set broadcasts
-    (segment cut makes it ~1/5 of an already-small dim); lineitem and
-    orders shuffle once on the shared orderkey; the final top-10 is
+    Plan intent at scale: the filtered customer set goes through
+    size-aware ``maybe_broadcast`` (customer scales with SF, so a
+    blanket hint would OOM at 100 TB); lineitem and orders shuffle
+    once on the shared orderkey; the final top-10 is
     TakeOrderedAndProject, not a global sort.
     """
     cutoff = F.lit("1998-03-15").cast("timestamp")
@@ -614,7 +616,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
             "o_orderkey", F.date_trunc("day", "o_orderdate").alias("odate")
@@ -876,10 +881,13 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture SF.
 
     Scale shape: line frequency is the word-count shape (hash agg with
-    map-side combine on the line value); the resulting boilerplate set
-    is tiny (true boilerplate vocabulary, not O(corpus)) so the strip
-    is a broadcast LEFT ANTI join; reassembly is a per-doc bounded
-    collect_list + array_sort. No window, no all-pairs anything.
+    map-side combine on the line value); the strip is a LEFT ANTI join
+    against the boilerplate set — usually tiny (true boilerplate
+    vocabulary), so AQE broadcasts it, but deliberately un-hinted: a
+    web-scale corpus can have a multi-GB set of >=5-doc lines, and the
+    un-hinted plan degrades to a shuffled anti-join instead of OOM.
+    Reassembly is a per-doc bounded collect_list + array_sort. No
+    window, no all-pairs anything.
     """
     docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
     t1 = F.when(
@@ -898,7 +906,7 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    kept = lines.join(boiler, "line", "left_anti")
     tot = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

@@ -123,3 +123,17 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Register temp views for the SQL entry path (SURVEY.md §3.2.3)."""
     for t in TABLES:
         scan(spark, sf_dir, t).createOrReplaceTempView(t + suffix)
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of one curated table (file or directory) — the
+    trusted size input for partitioning.maybe_broadcast."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
