@@ -126,6 +126,9 @@ _PRIORITY = (
     "q_stratified_sample",
     "q_merge_upsert",
     "q_shipping_priority",
+    # r3 curation additions — brand-new operators, never driver-seen
+    "q_domain_cap",
+    "q_boilerplate_removal",
     # advanced SQL surface
     "q_pivot_event_day",
     "q_unpivot_status_metrics",
