@@ -424,3 +424,37 @@ def test_gopher_rules_is_single_scan_no_shuffle(spark):
     )
     plan = _formatted(df)
     assert "Exchange" not in plan
+
+
+def test_maybe_broadcast_is_size_aware(spark):
+    # The hint must appear only when on-disk bytes x decompression
+    # factor fit the session threshold — and must parse Spark's
+    # size-suffixed conf values ('10485760b', '10MB').
+    from hadoop_log_analysis_spark.operators.partitioning import (
+        _parse_bytes,
+        maybe_broadcast,
+    )
+    from hadoop_log_analysis_spark.sources.catalog import table_bytes
+
+    assert _parse_bytes("10485760b") == 10 << 20
+    assert _parse_bytes("10MB") == 10 << 20
+    assert _parse_bytes("-1") == -1
+
+    sup = scan(spark, SF001, "supplier")
+    li = scan(spark, SF001, "lineitem")
+    small = table_bytes(SF001, "supplier")
+    hinted = li.join(
+        maybe_broadcast(sup, small), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    assert "BroadcastHashJoin" in _formatted(hinted)
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = li.join(
+            maybe_broadcast(sup, small),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        assert "BroadcastHashJoin" not in _formatted(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
