@@ -15,9 +15,23 @@ window operator — the same merge-scan shape dedicated engines use.
 Scale note (100 TB): with ``by`` keys the window partitions by key and
 parallelizes fully (skewed keys: AQE handles the shuffle; the window
 itself is per-key sequential, as asof semantics require). Without
-``by`` the window is a single ordered partition — correct but serial;
-for a keyless asof at scale, range-partition on ts and carry the last
-right row across partition boundaries (documented future operator).
+``by`` keys the r1/r2 implementation ran one serial SinglePartition
+window; since r3 the keyless path is the two-phase range-bucket plan:
+
+1. bucket every unioned row by driver-computed ts quantile boundaries
+   (embedded as literals, so every plan branch sees the SAME split —
+   no repartitionByRange/partition-id nondeterminism to pin);
+2. carry last-non-null payload per bucket in parallel (window
+   partitioned by bucket);
+3. compute each bucket's final carried values (max_by over the
+   in-bucket row_number) — <= |buckets| rows — prefix-carry those in
+   one tiny window, and broadcast the result back as each bucket's
+   boundary seed, coalesced under the local carry.
+
+Exactness does not depend on the boundary choice (any split yields
+the same answer), so approxQuantile's approximation only balances
+load. Residual bound: a single ts value with massive multiplicity
+lands in one bucket (the usual tie-class caveat).
 """
 
 from __future__ import annotations
@@ -68,16 +82,19 @@ def asof_join(
     ordered_cols = l_side.columns
     unioned = l_side.unionByName(r_side.select(*ordered_cols))
 
-    # Right rows sort BEFORE left rows at equal ts (asof is <=).
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col(_SRC).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned
-    for p in payload:
-        carried = carried.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    carried = carried.withColumn(_MARK, F.last(_MARK, ignorenulls=True).over(w))
+    carry_cols = [*payload, _MARK]
+    if by:
+        # Right rows sort BEFORE left rows at equal ts (asof is <=).
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col(_SRC).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned
+        for p in carry_cols:
+            carried = carried.withColumn(p, F.last(p, ignorenulls=True).over(w))
+    else:
+        carried = _keyless_carry(unioned, ts_col, carry_cols)
 
     out = carried.filter(F.col(_SRC) == 1)
     if how == "inner":
@@ -85,3 +102,84 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return out.select(*left_cols, *payload)
+
+
+_BKT = "__asof_bkt"
+
+
+def _keyless_carry(
+    unioned: DataFrame,
+    ts_col: str,
+    carry_cols: Sequence[str],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Parallel last-non-null carry over a single global (ts, src)
+    order — module docstring's two-phase range-bucket plan."""
+    spark = unioned.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    tnum = F.col(ts_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # Driver-side boundary literals: exactness is split-invariant, so
+    # the quantile approximation only balances load — which is why a
+    # seeded 5% column-pruned sample suffices for the boundary job
+    # (the one extra action this plan runs). Dedupe (heavy ties
+    # collapse adjacent boundaries; constant ts degrades to 1 bucket =
+    # the old serial plan, which is then also the only correct one).
+    probed = (
+        unioned.select(tnum.alias("__asof_tnum"))
+        .sample(fraction=0.05, seed=7)
+    )
+    bounds = sorted(
+        set(probed.stat.approxQuantile("__asof_tnum", probs, 0.01))
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(tnum >= F.lit(b), F.lit(1)).otherwise(F.lit(0))
+    # Deliberately NOT checkpointed: the three consumers (carry window,
+    # boundary-seed aggregate, final join) replay a column-pruned
+    # two-scan union, which is cheaper than materializing the full
+    # union — locally (measured: checkpoint saves nothing, fixed stage
+    # overhead dominates) and at 100 TB (scan-twice beats write-once +
+    # read-twice for narrow projections).
+    bucketed = unioned.withColumn(_BKT, bucket.cast("int"))
+
+    order = (F.col(ts_col).asc(), F.col(_SRC).asc())
+    wl = (
+        Window.partitionBy(_BKT)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = bucketed
+    for p in carry_cols:
+        carried = carried.withColumn(p, F.last(p, ignorenulls=True).over(wl))
+    # Each bucket's final carried state computed from the RAW bucketed
+    # rows (max_by over non-null payloads — a partial-aggregating hash
+    # agg), NOT from `carried`: deriving it there would re-execute the
+    # whole sort+window subtree a second time (measured 2x). Then
+    # prefix-carry across the <= n_buckets summary rows and broadcast
+    # back as each bucket's boundary seed.
+    finals = bucketed.groupBy(_BKT).agg(
+        *[
+            F.max_by(
+                F.col(p),
+                F.when(
+                    F.col(p).isNotNull(), F.struct(F.col(ts_col), F.col(_SRC))
+                ),
+            ).alias(f"__fin_{p}")
+            for p in carry_cols
+        ]
+    )
+    wb = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    seeds = finals.select(
+        _BKT,
+        *[
+            F.last(F.col(f"__fin_{p}"), ignorenulls=True)
+            .over(wb)
+            .alias(f"__seed_{p}")
+            for p in carry_cols
+        ],
+    )
+    out = carried.join(F.broadcast(seeds), _BKT, "left")
+    for p in carry_cols:
+        out = out.withColumn(p, F.coalesce(F.col(p), F.col(f"__seed_{p}")))
+    return out.drop(_BKT, *[f"__seed_{p}" for p in carry_cols])

@@ -458,3 +458,12 @@ def test_maybe_broadcast_is_size_aware(spark):
         assert "BroadcastHashJoin" not in _formatted(unhinted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_keyless_asof_carry_window_is_bucket_partitioned(spark):
+    # The r3 keyless asof must run its carry window partitioned by the
+    # quantile bucket (parallel), not over one global SinglePartition
+    # ordering of |L|+|R| rows; only the <= n_buckets boundary-seed
+    # window may single-partition.
+    plan = _formatted(REGISTRY["q_asof_join"].fn(spark, SF001))
+    assert "windowspecdefinition(__asof_bkt" in plan

@@ -283,3 +283,53 @@ def test_boilerplate_removal_idempotent(spark):
         .count()
     )
     assert still_common == 0
+
+
+def test_keyless_asof_matches_serial_reference(spark):
+    # The r3 two-phase range-bucket carry must be row-identical to the
+    # serial single-window formulation it replaced, for both join modes.
+    from pyspark.sql import Window
+
+    from hadoop_log_analysis_spark.functions import ts_us
+    from hadoop_log_analysis_spark.operators.joins import _MARK, _SRC, asof_join
+
+    ev = scan(spark, SF001, "events").select(
+        "event_id", ts_us().alias("tus")
+    )
+    orders = scan(spark, SF001, "orders").select(
+        (
+            (F.col("o_orderkey") % 2592000 + 1704067200) * 1000000
+        ).alias("tus"),
+        "o_totalprice",
+    )
+    for how in ("inner", "left"):
+        got = (
+            asof_join(ev, orders, ts_col="tus", payload=["o_totalprice"], how=how)
+            .orderBy("event_id", "tus", "o_totalprice")
+            .collect()
+        )
+        # serial reference: one global ordered window
+        l = ev.withColumn(_SRC, F.lit(1)).withColumn(
+            _MARK, F.lit(None).cast("long")
+        ).withColumn("o_totalprice", F.lit(None).cast("double"))
+        r = orders.withColumn(_SRC, F.lit(0)).withColumn(
+            _MARK, F.col("tus").cast("long")
+        ).withColumn("event_id", F.lit(None).cast("long"))
+        u = l.unionByName(r.select(*l.columns))
+        w = (
+            Window.orderBy(F.col("tus").asc(), F.col(_SRC).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = (
+            u.withColumn("o_totalprice", F.last("o_totalprice", True).over(w))
+            .withColumn(_MARK, F.last(_MARK, True).over(w))
+            .filter(F.col(_SRC) == 1)
+        )
+        if how == "inner":
+            ref = ref.filter(F.col(_MARK).isNotNull())
+        want = (
+            ref.select("event_id", "tus", "o_totalprice")
+            .orderBy("event_id", "tus", "o_totalprice")
+            .collect()
+        )
+        assert got == want, f"how={how}: {len(got)} vs {len(want)} rows"
