@@ -129,6 +129,8 @@ _PRIORITY = (
     # r3 curation additions — brand-new operators, never driver-seen
     "q_domain_cap",
     "q_boilerplate_removal",
+    "q_token_budget_fill",
+    "q_index_lookup",
     # advanced SQL surface
     "q_pivot_event_day",
     "q_unpivot_status_metrics",

@@ -10,7 +10,7 @@ query docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
@@ -927,4 +927,123 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
         .orderBy("doc_id")
+    )
+
+
+# Budget-constrained corpus selection: fill a token budget with the
+# best-ranked documents (the "select 10B tokens for this training mix"
+# op). Budget = 25% of corpus tokens so the query is scale-invariant.
+TOKEN_BUDGET_FRAC = 0.25
+
+
+@query(
+    "q_token_budget_fill",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, n_chars, n_chars // 4 AS tok FROM documents),
+             t AS (SELECT sum(tok) AS total FROM d),
+             w AS (SELECT doc_id, n_chars, tok,
+                          sum(tok) OVER (ORDER BY n_chars DESC, doc_id)
+                            AS cum_tok
+                   FROM d)
+        SELECT doc_id, tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM w, t
+        WHERE cum_tok - tok < {TOKEN_BUDGET_FRAC} * total
+        ORDER BY n_chars DESC, doc_id
+    """,
+    tags=("L7", "W4", "curation"),
+)
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus fill: take documents in rank order (longest
+    first, doc_id tie-break) until 25% of the corpus's estimated
+    tokens (n_chars div 4) are consumed — the budgeted-selection step
+    that turns a ranked corpus into a fixed-size training mixture.
+
+    Scale shape: same exact two-phase decomposition as q_pareto_users
+    — the selected set is a PREFIX of the rank order, closed under the
+    n_chars class, so a per-n_chars histogram (|distinct lengths|
+    rows) pre-filters the running-sum window input to the selected
+    prefix plus one boundary class; the global window never sees the
+    full corpus.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr("n_chars div 4").alias("tok")
+    )
+    hist = d.groupBy("n_chars").agg(F.sum("tok").alias("ctok"))
+    histw = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = d.agg(F.sum("tok").alias("total"))
+    keep = (
+        hist.withColumn(
+            "before", F.coalesce(F.sum("ctok").over(histw), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("before") < TOKEN_BUDGET_FRAC * F.col("total"))
+        .select("n_chars")
+    )
+    kept = d.join(F.broadcast(keep), "n_chars")
+    win = Window.orderBy(F.desc("n_chars"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        kept.withColumn("cum_tok", F.sum("tok").over(win))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum_tok") - F.col("tok")
+            < TOKEN_BUDGET_FRAC * F.col("total")
+        )
+        .select("doc_id", "tok", "cum_tok")
+        .orderBy(F.desc("n_chars"), "doc_id")
+    )
+
+
+INDEX_QUERY_TERMS = ("join", "window")
+
+
+@query(
+    "q_index_lookup",
+    oracle=f"""
+        WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    WHERE tok IN ('join', 'window')
+                    GROUP BY doc_id, tok)
+        SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf
+        GROUP BY doc_id
+        HAVING count(*) = {len(INDEX_QUERY_TERMS)}
+        ORDER BY total_tf DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("L5", "index", "A8"),
+)
+def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) index probe: top-20 documents containing ALL
+    query terms, ranked by total term frequency — the lookup side of
+    q_inverted_index's build step.
+
+    Scale shape: the term predicate filters the exploded token stream
+    BEFORE any aggregation, so the shuffle carries only the query
+    terms' postings (|terms| * df rows, not the corpus); the final
+    top-20 is TakeOrderedAndProject. Against a PERSISTED index (the
+    q_inverted_index output written token-bucketed to parquet) the
+    same probe becomes a pushed-down tok-filter scan of two buckets.
+    """
+    toks = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*INDEX_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(INDEX_QUERY_TERMS))
+        .orderBy(F.desc("total_tf"), "doc_id")
+        .limit(20)
     )
