@@ -49,7 +49,9 @@ def maybe_broadcast(df: DataFrame, est_bytes: int) -> DataFrame:
     threshold = _parse_bytes(
         df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
-    if threshold > 0 and est_bytes * _DECOMPRESS_FACTOR < threshold:
+    # est_bytes < 0 means "size unknown" (object-store path, missing
+    # file — see catalog.table_bytes): never hint on unknown size.
+    if 0 <= est_bytes and threshold > 0 and est_bytes * _DECOMPRESS_FACTOR < threshold:
         return F.broadcast(df)
     return df
 

@@ -172,25 +172,15 @@ def q_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept prefix equals the global cum exactly (integer counts), so
     the result is hash-identical to the naive plan.
     """
+    from hadoop_log_analysis_spark.operators.prefix import prefix_weight_classes
+
     counts = (
         scan(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
-    hist = counts.groupBy("n").agg(F.count("*").alias("cu"))
-    histw = Window.orderBy(F.desc("n")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = counts.agg(F.sum("n").alias("tot"))
-    keep = (
-        hist.withColumn(
-            "before",
-            F.coalesce(F.sum(F.col("n") * F.col("cu")).over(histw), F.lit(0)),
-        )
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("before") < 0.5 * F.col("tot"))
-        .select("n")
-    )
+    keep = prefix_weight_classes(counts, "n", "n", 0.5)
     kept = counts.join(F.broadcast(keep), "n")
     win = Window.orderBy(F.desc("n"), "user_id").rowsBetween(
         Window.unboundedPreceding, 0

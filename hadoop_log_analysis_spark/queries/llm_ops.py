@@ -152,18 +152,19 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_near_dups",
     oracle="""
-        WITH corpus AS (
+        WITH m AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
+        corpus AS (
           SELECT vec_id AS id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000,
+          SELECT vec_id + off,
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
-          FROM embeddings WHERE vec_id < 40
+          FROM embeddings, m WHERE vec_id < 40
           UNION ALL
-          SELECT vec_id + 2000,
+          SELECT vec_id + 2 * off,
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.75)
-          FROM embeddings WHERE vec_id < 20),
+          FROM embeddings, m WHERE vec_id < 20),
         s AS (SELECT a.id AS a_id, b.id AS b_id,
                      list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
@@ -189,20 +190,24 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     As in q_semantic_dedup, duplicate structure is PLANTED identically
     on both sides: scalar-scaled copies (x1.5 for vec_id<40, x0.75 for
     vec_id<20) are exactly colinear with their base — cosine 1.0 and
-    identical sign bits, so LSH recall on them is deterministic.
-    Expected pairs: (i, i+1000) for i<40 plus (i, i+2000) and
-    (i+1000, i+2000) for i<20 -> 80 rows."""
+    identical sign bits, so LSH recall on them is deterministic. Copy
+    ids are offset by max(vec_id)+1 per tier (NOT a fixed constant —
+    a fixed +1000 collided with real ids once the fixture grew past
+    1000 rows, r3 review finding). Expected pairs: (i, i+off) for
+    i<40 plus (i, i+2*off) and (i+off, i+2*off) for i<20 -> 80 rows
+    at every fixture SF."""
     emb = scan(spark, sf_dir, "embeddings")
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     c1 = emb.filter(F.col("vec_id") < 40).select(
-        (F.col("vec_id") + 1000).alias("id"),
+        (F.col("vec_id") + F.lit(off)).alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5D)").alias("v"),
     )
     c2 = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 2000).alias("id"),
+        (F.col("vec_id") + F.lit(2 * off)).alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.75D)").alias("v"),
     )
     corpus = base.unionByName(c1).unionByName(c2)
@@ -992,18 +997,19 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_semantic_dedup",
     oracle="""
-        WITH RECURSIVE corpus AS (
+        WITH RECURSIVE m AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
+        corpus AS (
           SELECT vec_id AS id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000,
+          SELECT vec_id + off,
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
-          FROM embeddings WHERE vec_id < 40
+          FROM embeddings, m WHERE vec_id < 40
           UNION ALL
-          SELECT vec_id + 2000,
+          SELECT vec_id + 2 * off,
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.75)
-          FROM embeddings WHERE vec_id < 20),
+          FROM embeddings, m WHERE vec_id < 20),
         p AS (SELECT a.id AS a_id, b.id AS b_id
               FROM corpus a JOIN corpus b ON a.id < b.id
               WHERE list_dot_product(a.v, b.v)
@@ -1045,16 +1051,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_log_analysis_spark.operators.clustering import connected_components
 
     emb = scan(spark, sf_dir, "embeddings")
+    # Offset copy ids by max(vec_id)+1 per tier, not a fixed constant —
+    # +1000 collided with real ids once the fixture passed 1000 rows
+    # (r3 review finding; same fix as q_embedding_near_dups).
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     c1 = emb.filter(F.col("vec_id") < 40).select(
-        (F.col("vec_id") + 1000).alias("id"),
+        (F.col("vec_id") + F.lit(off)).alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5D)").alias("v"),
     )
     c2 = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 2000).alias("id"),
+        (F.col("vec_id") + F.lit(2 * off)).alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.75D)").alias("v"),
     )
     corpus = base.unionByName(c1).unionByName(c2)

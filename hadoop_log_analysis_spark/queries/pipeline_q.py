@@ -965,22 +965,13 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix plus one boundary class; the global window never sees the
     full corpus.
     """
+    from hadoop_log_analysis_spark.operators.prefix import prefix_weight_classes
+
     d = scan(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.expr("n_chars div 4").alias("tok")
     )
-    hist = d.groupBy("n_chars").agg(F.sum("tok").alias("ctok"))
-    histw = Window.orderBy(F.desc("n_chars")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = d.agg(F.sum("tok").alias("total"))
-    keep = (
-        hist.withColumn(
-            "before", F.coalesce(F.sum("ctok").over(histw), F.lit(0))
-        )
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("before") < TOKEN_BUDGET_FRAC * F.col("total"))
-        .select("n_chars")
-    )
+    keep = prefix_weight_classes(d, "n_chars", "tok", TOKEN_BUDGET_FRAC)
     kept = d.join(F.broadcast(keep), "n_chars")
     win = Window.orderBy(F.desc("n_chars"), "doc_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1006,7 +997,7 @@ INDEX_QUERY_TERMS = ("join", "window")
         WITH tf AS (SELECT doc_id, tok, count(*) AS tf
                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                           FROM documents)
-                    WHERE tok IN ('join', 'window')
+                    WHERE tok IN ({", ".join(f"'{t}'" for t in INDEX_QUERY_TERMS)})
                     GROUP BY doc_id, tok)
         SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
         FROM tf

@@ -127,13 +127,23 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
 
 def table_bytes(sf_dir: str, table: str) -> int:
     """On-disk bytes of one curated table (file or directory) — the
-    trusted size input for partitioning.maybe_broadcast."""
+    trusted size input for partitioning.maybe_broadcast.
+
+    Returns -1 ("size unknown — do NOT hint") for any path the local
+    os module cannot see: object-store URIs (s3://, hdfs://, ...) or a
+    missing path. Returning 0 there would make maybe_broadcast hint
+    unconditionally at exactly the scale the policy exists to prevent.
+    """
     import os
 
-    path = f"{sf_dir}/{table}.parquet"
+    if "://" in sf_dir and not sf_dir.startswith("file://"):
+        return -1
+    path = f"{sf_dir.removeprefix('file://')}/{table}.parquet"
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        return -1
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+    return total if total > 0 else -1
