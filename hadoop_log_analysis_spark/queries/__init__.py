@@ -132,6 +132,8 @@ _PRIORITY = (
     "q_boilerplate_removal",
     "q_token_budget_fill",
     "q_index_lookup",
+    "q_stream_static_join",
+    "q_stream_stream_left_join",
     # advanced SQL surface
     "q_pivot_event_day",
     "q_unpivot_status_metrics",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
 from hadoop_log_analysis_spark.streaming.events_stream import (
     TMP,
     derive_drop_dir,
@@ -397,4 +398,115 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+        WITH a AS (SELECT event_type, avg(value) AS av
+                   FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_above
+        FROM events e JOIN a USING (event_type)
+        WHERE e.value > a.av
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("T8", "J1", "S7"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (stream-static): live events enriched against a STATIC
+    batch-computed dimension (per-type global average value), counting
+    events above their type's average — the reference-data enrichment
+    pattern (stream joined to a slowly-changing dim table).
+
+    The static side is a tiny broadcast re-read each microbatch;
+    complete-mode aggregation holds the |event_types| running counts.
+    Stream-batch parity: the drained result must hash-match the batch
+    join+aggregate (full DuckDB oracle).
+    """
+    drop = derive_drop_dir(spark, sf_dir)
+    static_avg = (
+        scan(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("av"))
+    )
+    events = read_events_stream(spark, drop)
+    joined = events.join(F.broadcast(static_avg), "event_type").filter(
+        F.col("value") > F.col("av")
+    )
+    counts = joined.groupBy("event_type").agg(F.count("*").alias("n_above"))
+    out = run_to_table(counts, "t8_stream_static", "complete")
+    return out.orderBy("event_type")
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("T8", "J3", "J6", "S7"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (outer): stream-stream LEFT OUTER interval join — every click
+    paired with same-user purchases within 1 h, clicks with no such
+    purchase emitted with a null purchase_id.
+
+    The hard part of a streaming OUTER join is COMPLETENESS: unmatched
+    rows sit in state until the watermark passes their eviction time,
+    and a bounded replay ends with the watermark at max_ts - delay, so
+    the last rows would never flush. The drop directory therefore
+    carries final watermark-pusher sentinels (+30/+60 days, see
+    derive_drop_dir). Subtlety: Catalyst pushes a plain event_type
+    filter BELOW the EventTimeWatermark node, so a filtered-out
+    sentinel would never reach the watermark tracker — instead each
+    side's filter ADMITS the sentinel rows (user_id = -1 can never
+    match a real row). The sentinel strip (``click_id >= 0``) runs on
+    the DRAINED batch table, NOT inside the streaming plan: as a
+    left-side predicate of a left-outer join it would be pushed below
+    the join and through the clicks-side watermark node, hiding the
+    sentinel from exactly the tracker it exists to advance (observed:
+    global min-watermark pinned at max_real_ts - delay). The drained
+    stream then hash-matches the batch LEFT JOIN exactly (full DuckDB
+    oracle) — the stream-batch parity law applied to outer-join
+    semantics.
+    """
+    drop = derive_drop_dir(spark, sf_dir, with_sentinel=True)
+    clicks = (
+        read_events_stream(spark, drop, max_files_per_trigger=1)
+        .withWatermark("ts", "2 hours")
+        .filter(F.col("event_type").isin("click", "__sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, drop, max_files_per_trigger=1)
+        .withWatermark("ts", "2 hours")
+        .filter(F.col("event_type").isin("purchase", "__sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    out = run_to_table(joined, "t8_stream_left_join", "append")
+    return (
+        out.filter(F.col("click_id") >= 0)
+        .orderBy("click_id", "purchase_id")
     )

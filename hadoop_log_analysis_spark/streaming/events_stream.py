@@ -48,7 +48,11 @@ def _tag(sf_dir: str) -> str:
 
 
 def derive_drop_dir(
-    spark: SparkSession, sf_dir: str, n_files: int = 8, with_dups: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 8,
+    with_dups: bool = False,
+    with_sentinel: bool = False,
 ) -> str:
     """Write the events fixture as ``n_files`` time-ordered JSON files.
 
@@ -59,10 +63,22 @@ def derive_drop_dir(
 
     ``with_dups``: additionally duplicate one in every 20 events
     (deterministic ``event_id % 20 == 0`` rule) for T5 dedup.
+
+    ``with_sentinel``: append one FINAL file holding a single far-future
+    marker event (event_id=-1, event_type='__sentinel', ts = max + 30
+    days). Outer stream-stream joins hold unmatched rows in state until
+    the watermark passes their eviction time; at the end of a bounded
+    replay the watermark sits at max_ts - delay, so those rows would
+    never emit. The sentinel pushes the watermark past every eviction
+    time, flushing the full outer result — place ``withWatermark``
+    BEFORE any event_type filter so the marker advances it, and exclude
+    '__sentinel' rows from the join inputs.
     """
     from hadoop_log_analysis_spark.sources.catalog import scan
 
-    variant = "dups" if with_dups else "plain"
+    variant = ("dups" if with_dups else "plain") + (
+        "_sentinel" if with_sentinel else ""
+    )
     path = os.path.join(TMP, f"stream_drop_{variant}_{_tag(sf_dir)}")
     marker = os.path.join(path, "_READY")
     if os.path.exists(marker):
@@ -97,6 +113,33 @@ def derive_drop_dir(
     for i, f in enumerate(parts):
         full = os.path.join(path, f)
         os.utime(full, (base + 10 * i, base + 10 * i))
+    if with_sentinel:
+        import json as _json
+
+        max_us = events.agg(F.max("ts_us")).collect()[0][0]
+        # THREE sentinel files, each its own microbatch (consume with
+        # maxFilesPerTrigger=1): the watermark computed from batch N's
+        # data only takes effect in batch N+1, so a single final
+        # sentinel would advance the watermark without any later batch
+        # to evict/emit the flushed outer state — and with TWO sources
+        # over the same directory the sources can sit one file apart,
+        # costing one more batch (observed: 2 sentinels left the join's
+        # min-watermark at max_real_ts - delay). Three guarantee the
+        # last executed batch runs with watermark >= sentinel-1 - delay
+        # even under a one-file source offset.
+        for j in (1, 2, 3):
+            sentinel = {
+                "event_id": -j,
+                "ts_us": max_us + j * 30 * 86400 * 1_000_000,
+                "user_id": -1,
+                "event_type": "__sentinel",
+                "value": 0.0,
+            }
+            sfile = os.path.join(path, f"part-zz-sentinel-{j}.json")
+            with open(sfile, "w") as fh:
+                fh.write(_json.dumps(sentinel) + "\n")
+            t = base + 10 * (len(parts) + j)
+            os.utime(sfile, (t, t))
     open(marker, "w").close()
     return path
 
