@@ -68,8 +68,8 @@ _MODULES = (
 )
 
 # Fine-grained front-of-queue, round 3 (VERDICT.md r2 "Next round" #1):
-# the 62 queries with NO driver CORRECTNESS row in r1 or r2, plus the 4
-# operators ADDED in r3 (also never driver-seen), come first — 66 names
+# the 62 queries with NO driver CORRECTNESS row in r1 or r2, plus the 6
+# operators ADDED in r3 (also never driver-seen), come first — 68 names
 # — so every registry query has driver evidence across r1-r3. Order
 # within the tier: q_stream_checkpoint_recovery leads (VERDICT #6 — it
 # missed r2's cut at position 51), then the analytics report layer

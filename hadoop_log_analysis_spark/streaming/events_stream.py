@@ -64,15 +64,21 @@ def derive_drop_dir(
     ``with_dups``: additionally duplicate one in every 20 events
     (deterministic ``event_id % 20 == 0`` rule) for T5 dedup.
 
-    ``with_sentinel``: append one FINAL file holding a single far-future
-    marker event (event_id=-1, event_type='__sentinel', ts = max + 30
-    days). Outer stream-stream joins hold unmatched rows in state until
-    the watermark passes their eviction time; at the end of a bounded
-    replay the watermark sits at max_ts - delay, so those rows would
-    never emit. The sentinel pushes the watermark past every eviction
-    time, flushing the full outer result — place ``withWatermark``
-    BEFORE any event_type filter so the marker advances it, and exclude
-    '__sentinel' rows from the join inputs.
+    ``with_sentinel``: append THREE final one-event marker files
+    (event_id=-j, event_type='__sentinel', user_id=-1, ts = max +
+    j*30 days). Outer stream-stream joins hold unmatched rows in state
+    until the watermark passes their eviction time; at the end of a
+    bounded replay the watermark sits at max_ts - delay, so those rows
+    would never emit. The sentinels push the watermark past every
+    eviction time, flushing the full outer result. Consumer contract
+    (see q_stream_stream_left_join, the reference user): consume with
+    maxFilesPerTrigger=1; your side filters must ADMIT '__sentinel'
+    rows into the join inputs (Catalyst pushes both event_type filters
+    and left-side join predicates below the EventTimeWatermark node,
+    so any streaming-plan filter that drops sentinels also hides them
+    from the watermark tracker); user_id=-1 guarantees sentinels never
+    match real rows; strip sentinel output rows from the DRAINED batch
+    result, never inside the streaming plan.
     """
     from hadoop_log_analysis_spark.sources.catalog import scan
 
