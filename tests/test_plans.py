@@ -467,3 +467,35 @@ def test_keyless_asof_carry_window_is_bucket_partitioned(spark):
     # window may single-partition.
     plan = _formatted(REGISTRY["q_asof_join"].fn(spark, SF001))
     assert "windowspecdefinition(__asof_bkt" in plan
+
+
+def test_domain_cap_has_no_window(spark):
+    # Per-source cap must compile to the two-phase bounded aggregate,
+    # never a Window.partitionBy(source) sort of the corpus.
+    plan = _formatted(REGISTRY["q_domain_cap"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "slice(" in plan and "SPARK_PARTITION_ID" in plan
+
+
+def test_boilerplate_strip_is_anti_join(spark):
+    # The boilerplate strip must be a LEFT ANTI join against the
+    # frequency-filtered line set, with the reassembly as an object
+    # hash aggregate (no window, no cartesian).
+    plan = _formatted(REGISTRY["q_boilerplate_removal"].fn(spark, SF001))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_prefilter_broadcasts_kept_classes(spark):
+    # Same contract as q_pareto_users: the running-sum window input is
+    # pre-filtered via a broadcast of the tiny kept-class list.
+    plan = _formatted(REGISTRY["q_token_budget_fill"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_index_lookup_filters_before_aggregation(spark):
+    # The term predicate must cut the exploded token stream before any
+    # exchange, and the top-20 must be TakeOrderedAndProject.
+    plan = _formatted(REGISTRY["q_index_lookup"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
