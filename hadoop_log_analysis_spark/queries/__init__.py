@@ -67,78 +67,24 @@ _MODULES = (
     "windows_q",
 )
 
-# Fine-grained front-of-queue, round 3 (VERDICT.md r2 "Next round" #1):
-# the 62 queries with NO driver CORRECTNESS row in r1 or r2, plus the 6
-# operators ADDED in r3 (also never driver-seen), come first — 68 names
-# — so every registry query has driver evidence across r1-r3. Order
-# within the tier: q_stream_checkpoint_recovery leads (VERDICT #6 — it
-# missed r2's cut at position 51), then the analytics report layer
-# (highest user impact per VERDICT "What's missing" #1), llm_ops depth,
-# pipeline_q, advanced, scale_q; the tail holds the queries whose
-# operator family already has green rows via a sibling (setops
-# variants, q_hash_engine_specific) so a fixed 50-query budget
-# sacrifices the least evidence. The 100 already-green queries follow
-# in module order (their r1/r2 rows + tests/test_oracle_parity.py
-# stand as evidence).
+# Fine-grained front-of-queue, round 4 (VERDICT.md r3 "Next round"
+# #1-#2): position 1 is q_inverted_index — the registry's only red row
+# in r3 (array column broke the driver canonicalizer; now emitted as a
+# space-joined string on both sides). Positions 2-19 are the 18
+# queries sacrificed at r3 positions 51-68 (the 50-query budget ran
+# out) — after this round every one of the registry's queries has a
+# driver CORRECTNESS row across r1-r4. Positions 20+ backfill the
+# remaining ~31 budget slots with the most load-bearing greens for
+# re-confirmation: the r4-touched queries first (multimodal decode,
+# chunked index, boilerplate de-planting, asof tie-break — anything
+# this round's code changes could have perturbed), then the heaviest
+# LLM-pipeline machinery (semantic dedup / LSH / CC), then one
+# representative per big operator family.
 _PRIORITY = (
-    # T7 streaming restart-recovery — the one streaming query never
-    # checked; ~15 s, budgeted first deliberately.
-    "q_stream_checkpoint_recovery",
-    # analytics_q — the report layer (cohort retention, funnels,
-    # transitions, anomalies, Pareto, segments)
-    "q_cohort_retention",
-    "q_funnel_steps",
-    "q_event_transitions",
-    "q_hourly_anomaly",
-    "q_pareto_users",
-    "q_user_segments",
-    "q_rolling_active_users",
-    "q_week_over_week",
-    "q_argmax_users",
-    "q_dormant_users",
-    "q_late_orders_by_priority",
-    "q_large_orders",
-    "q_hierarchical_rollup",
-    "q_top_tokens_per_lang",
-    "q_orders_per_customer_dist",
-    "q_value_by_daypart",
-    "q_median_event_gap",
-    # llm_ops depth tier
-    "q_levenshtein_near_dups",
-    "q_dedup_exact_groups",
-    "q_tfidf",
-    "q_bigrams",
-    "q_token_stats",
-    "q_lang_id_scores",
-    "q_doc_fingerprint",
-    "q_cross_source_overlap",
-    "q_dup_cluster_sizes",
-    "q_embedding_norms",
-    "q_kmeans_ivf",
-    # pipeline_q — training-data pipeline depth
-    "q_doc_chunks",
-    "q_pack_sequences",
+    # r3's one red row, re-queued first (VERDICT r3 "Next round" #1)
     "q_inverted_index",
-    "q_embedding_quantize",
-    "q_subword_tokens",
-    "q_pii_redaction",
-    "q_source_mixture",
-    "q_temperature_mixture",
-    "q_stratified_sample",
-    "q_merge_upsert",
-    "q_shipping_priority",
-    # r3 curation additions — brand-new operators, never driver-seen
-    "q_domain_cap",
-    "q_boilerplate_removal",
-    "q_token_budget_fill",
-    "q_index_lookup",
-    "q_stream_static_join",
-    "q_stream_stream_left_join",
-    # advanced SQL surface
-    "q_pivot_event_day",
-    "q_unpivot_status_metrics",
-    "q_grouping_sets",
-    "q_scalar_subquery",
+    # the 18 never-driver-verified queries (VERDICT r3 #2), in the
+    # original family order
     "q_above_customer_avg",
     "q_gapfill_hours",
     "q_percentile_by_type",
@@ -147,21 +93,51 @@ _PRIORITY = (
     "q_doc_length_histogram",
     "q_time_range_window",
     "q_deterministic_sample",
-    # scale_q — skew/bucketing patterns
     "q_salted_agg",
     "q_salted_join",
     "q_bucketed_join",
     "q_skew_report",
     "q_observed_metrics",
-    # scalar tail
     "q_variant_extract",
-    # lowest-marginal-evidence tail: operator families already green
-    # via a sibling (O3 q_union_all, O4 q_intersect, O5
-    # q_distinct_pairs) or engine-specific rows-only
     "q_union_by_name",
     "q_except",
     "q_dedup_keep_latest",
     "q_hash_engine_specific",
+    # r4-touched queries — code changed this round, re-verify
+    "q_multimodal_frames",
+    "q_boilerplate_removal",
+    "q_asof_join",
+    "q_asof_by_user",
+    "q_embedding_near_dups",
+    "q_semantic_dedup",
+    "q_dedup_clusters",
+    "q_kmeans_ivf",
+    # heaviest load-bearing machinery, re-confirmation tier
+    "q_minhash_near_dups",
+    "q_ngram_jaccard_pairs",
+    "q_cosine_knn",
+    "q_label_centroids",
+    "q_index_lookup",
+    "q_domain_cap",
+    "q_token_budget_fill",
+    "q_tfidf",
+    "q_bm25",
+    "q_pack_sequences",
+    "q_doc_chunks",
+    "q_stream_checkpoint_recovery",
+    "q_stream_stream_left_join",
+    # one representative per big operator family
+    "q_hourly_errors",
+    "q_join5",
+    "q_sessionize",
+    "q_topk_users",
+    "q_grouping_sets",
+    "q_cohort_retention",
+    "q_funnel_steps",
+    "q_pareto_users",
+    "q_user_segments",
+    "q_gopher_rules",
+    "q_pii_redaction",
 )
 
 

@@ -237,7 +237,8 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_inverted_index",
     oracle="""
-        SELECT tok, count(*) AS df, list_sort(list(doc_id)) AS postings
+        SELECT tok, count(*) AS df,
+               array_to_string(list_sort(list(doc_id)), ' ') AS postings
         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
               FROM documents)
         GROUP BY tok
@@ -250,9 +251,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted posting list — the retrieval-index build step, as one
     explode + one hash aggregate.
 
+    The posting list is emitted as a space-joined string (not an
+    array column): the driver's canonicalizer hashes scalar cells and
+    cannot sort/hash numpy arrays (the r3 red row, VERDICT r3 item 1).
+    The string is a faithful serialization of the sorted list, so the
+    hash check still pins element order and content.
+
     At 100 TB the posting lists of frequent terms become the skew
-    hazard; the fix (not needed at fixture vocab size) is chunked
-    postings via (tok, doc_id // B) pre-aggregation.
+    hazard; the chunked build (q_inverted_index_chunked,
+    operators/text.py inverted_index_chunked) pre-aggregates on
+    (tok, doc_id // B) so no single reduce task materializes a whole
+    head-term posting list.
     """
     docs = scan(spark, sf_dir, "documents")
     return (
@@ -263,7 +272,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), " "
+            ).alias("postings"),
         )
         .orderBy("tok")
     )
