@@ -133,3 +133,69 @@ def fingerprint(text_col: str = "text") -> Column:
           0L, (acc, c) -> pmod(acc * 131 + c, {FP_MOD}))
         """
     )
+
+
+def inverted_index_chunked(
+    docs: "DataFrame",
+    *,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    chunk_size: int = 1024,
+) -> "DataFrame":
+    """Skew-proof inverted-index build: pre-aggregate postings on
+    ``(tok, doc_id // chunk_size)`` so no single reduce task ever
+    materializes (or sorts) a whole head-term posting list — the
+    100 TB hazard the plain one-shot build has (a term appearing in
+    90% of documents funnels ~n_docs ids into ONE collect_list task).
+
+    Returns one row per (tok, chunk): ``(tok, chunk, df_chunk,
+    chunk_postings)`` where ``chunk_postings`` is the space-joined
+    ascending doc-id list of that chunk (each group bounded by
+    chunk_size rows). This chunked shape IS the at-scale storage
+    contract: write it partitioned/bucketed by tok-hash and a
+    conjunctive probe reads only the probed terms' chunk rows.
+
+    ``merge_chunked_index`` reassembles the classic (tok, df,
+    postings) shape — chunk ids are monotone in doc_id, so
+    concatenating chunk strings in chunk order is the globally
+    sorted list without ever re-sorting ids.
+    """
+    toks = docs.select(
+        doc_id_col,
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    return (
+        toks.withColumn(
+            "chunk", F.floor(F.col(doc_id_col) / F.lit(chunk_size)).cast("long")
+        )
+        .groupBy("tok", "chunk")
+        .agg(
+            F.count("*").alias("df_chunk"),
+            F.array_join(
+                F.sort_array(F.collect_list(doc_id_col)), " "
+            ).alias("chunk_postings"),
+        )
+    )
+
+
+def merge_chunked_index(chunked: "DataFrame") -> "DataFrame":
+    """Merge a chunked index back to ``(tok, df, postings)``.
+
+    Per head term this still gathers all its chunk STRINGS into one
+    task (O(df) bytes — unavoidable if the caller insists on one row
+    per term), but the expensive parts — the shuffle of raw (tok,
+    doc_id) pairs and the per-term sort — already happened
+    distributed, bounded by chunk_size per group, with map-side
+    partial aggregation. At 100 TB, skip this merge and consume the
+    chunked contract directly.
+    """
+    return chunked.groupBy("tok").agg(
+        F.sum("df_chunk").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk", "chunk_postings"))),
+                lambda s: s["chunk_postings"],
+            ),
+            " ",
+        ).alias("postings"),
+    )

@@ -81,8 +81,10 @@ _MODULES = (
 # LLM-pipeline machinery (semantic dedup / LSH / CC), then one
 # representative per big operator family.
 _PRIORITY = (
-    # r3's one red row, re-queued first (VERDICT r3 "Next round" #1)
+    # r3's one red row, re-queued first (VERDICT r3 "Next round" #1),
+    # plus its new skew-proof chunked twin (r3 #3, never driver-seen)
     "q_inverted_index",
+    "q_inverted_index_chunked",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -281,6 +281,43 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_inverted_index_chunked",
+    oracle="""
+        SELECT tok, count(*) AS df,
+               array_to_string(list_sort(list(doc_id)), ' ') AS postings
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY tok
+    """,
+    tags=("L5", "index", "skew"),
+)
+def q_inverted_index_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof inverted-index build (VERDICT r3 "Next round" #3):
+    postings pre-aggregated per (tok, doc_id // B) so a head term's
+    posting list is built by ~df/B bounded tasks instead of one
+    collect_list funnel, then chunk strings concatenated in chunk
+    order (chunk id is monotone in doc_id — no re-sort). Same final
+    (tok, df, postings) contract and the same oracle as
+    q_inverted_index; the chunked (tok, chunk) rows are the actual
+    at-scale storage contract (operators/text.py
+    inverted_index_chunked docstring).
+
+    B=64 here so the sf0.01 fixture (~1.5k docs) genuinely exercises
+    multi-chunk merges; at 100 TB B~=1024-8192 balances task count
+    vs per-task memory.
+    """
+    from hadoop_log_analysis_spark.operators.text import (
+        inverted_index_chunked,
+        merge_chunked_index,
+    )
+
+    docs = scan(spark, sf_dir, "documents")
+    chunked = inverted_index_chunked(docs, chunk_size=64)
+    return merge_chunked_index(chunked).orderBy("tok")
+
+
+@query(
     "q_embedding_quantize",
     oracle="""
         WITH pe AS (SELECT vec_id,

@@ -175,3 +175,49 @@ def test_ivf_persisted_probe_matches_monolith(spark):
         for r in ann_ivf_topk(emb, query_id=0, k=10, n_probe=3).collect()
     ]
     assert probed == mono
+
+
+def test_chunked_inverted_index_equals_plain_and_bounds_groups(spark):
+    """Synthetic head-heavy vocab (VERDICT r3 'Next round' #3): one
+    'hot' token in ~90% of docs. The chunked build must (a) merge
+    back to exactly the plain one-shot build's (tok, df, postings)
+    rows and (b) never aggregate more than chunk_size postings in a
+    single (tok, chunk) group — the property that removes the
+    head-term collect_list funnel at scale."""
+    from hadoop_log_analysis_spark.operators.text import (
+        inverted_index_chunked,
+        merge_chunked_index,
+    )
+
+    n, B = 2000, 64
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 10 != 0, F.lit("hot ")).otherwise(F.lit("")),
+            F.lit("tail"),
+            (F.col("id") % 37).cast("string"),
+        ).alias("text"),
+    )
+
+    plain = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), " ").alias(
+                "postings"
+            ),
+        )
+    )
+    chunked = inverted_index_chunked(docs, chunk_size=B)
+    merged = merge_chunked_index(chunked)
+
+    assert merged.exceptAll(plain).count() == 0
+    assert plain.exceptAll(merged).count() == 0
+    # the hot token really spans many chunks, and every group is bounded
+    hot_chunks = chunked.filter(F.col("tok") == "hot")
+    assert hot_chunks.count() > n // B // 2
+    assert chunked.agg(F.max("df_chunk")).collect()[0][0] <= B
