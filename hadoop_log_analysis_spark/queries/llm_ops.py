@@ -460,9 +460,10 @@ def q_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_multimodal_features", oracle=None, tags=("L6",))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: multimodal pipeline — synthetic binary payload + typed
-    metadata -> Arrow-batched mapInPandas feature extraction (decode
-    stubbed; plumbing real) -> per-format aggregate."""
+    """L6: multimodal pipeline — synthetic binary payload with REAL
+    PNG/JPEG headers + typed metadata -> Arrow-batched mapInPandas
+    feature extraction (format and dimensions struct-parsed from the
+    header bytes, not the metadata) -> per-format aggregate."""
     from hadoop_log_analysis_spark.operators.multimodal import (
         attach_synthetic_binary,
         decode_features,
@@ -488,14 +489,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- octet_length(encode(text)) = utf-8 BYTE length, matching the
         -- Python len(payload) walk; length(text) counts CHARACTERS and
         -- would silently diverge on non-ASCII docs (ADVICE.md).
+        -- Header length: real PNG prefix (sig + IHDR) = 33 bytes for
+        -- even doc_ids, real JPEG prefix (SOI + SOF0) = 21 for odd.
         WITH m AS (SELECT doc_id,
-                          octet_length(encode(text)) AS text_bytes,
+                          CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+                            + octet_length(encode(text)) AS payload_bytes,
                           (doc_id % 16 + 1) * 64 AS w,
                           (doc_id % 9 + 1) * 64 AS h
                    FROM documents)
         SELECT doc_id,
-               (4 + text_bytes + 63) // 64 AS n_frames,
-               ((4 + text_bytes + 63) // 64 - 1) // 4 + 1 AS n_sampled,
+               (payload_bytes + 63) // 64 AS n_frames,
+               ((payload_bytes + 63) // 64 - 1) // 4 + 1 AS n_sampled,
                CASE WHEN greatest(w, h) <= 256 THEN w
                     ELSE w * 256 // greatest(w, h) END AS rw,
                CASE WHEN greatest(w, h) <= 256 THEN h
@@ -512,10 +516,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims are computed JVM-side from the metadata struct.
 
     Rare among multimodal ops, this IS hash-oracled: the payload is
-    deterministic (magic header + utf-8 text), so DuckDB can predict
-    frame counts in closed form from text length while Spark actually
-    walks the bytes in Python — the oracle verifies the real
-    mapInPandas plumbing, not a reimplementation of it.
+    deterministic (real PNG/JPEG header + utf-8 text), so DuckDB can
+    predict frame counts in closed form from the header length and
+    text byte length while Spark actually walks the bytes in Python —
+    the oracle verifies the real mapInPandas plumbing, not a
+    reimplementation of it.
     """
     from hadoop_log_analysis_spark.operators.multimodal import (
         attach_synthetic_binary,
