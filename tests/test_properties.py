@@ -44,6 +44,23 @@ def test_events_ts_repair_roundtrip(spark):
     assert bad == 0
 
 
+def test_events_ts_repair_rejects_unexpected_type(spark):
+    # VERDICT r3 "Next round" #5: a StringType ts must raise loudly —
+    # silently casting would null unparseables while still matching
+    # the expected schema, defeating scan()'s drift assertion.
+    import pytest
+
+    from hadoop_log_analysis_spark.sources.catalog import _repair_events
+
+    fake = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "error", 1.0, {"k": "v"})],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props map<string,string>",
+    )
+    with pytest.raises(RuntimeError, match="unsupported parquet type"):
+        _repair_events(fake)
+
+
 def test_pivot_row_sums_equal_daily_totals(spark):
     # Summing the pivoted per-type columns must reproduce the plain
     # per-day counts — pivot loses no rows.
