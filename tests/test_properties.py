@@ -350,3 +350,65 @@ def test_keyless_asof_matches_serial_reference(spark):
             .collect()
         )
         assert got == want, f"how={how}: {len(got)} vs {len(want)} rows"
+
+
+def test_salted_ops_match_unsalted_and_bound_partition_load(spark):
+    """Skew stress (VERDICT r3 'Next round' #7): on a 90%-one-key
+    dataset, salted_agg and salted_join must (a) return exactly the
+    unsalted answers and (b) demonstrably spread the hot key — the max
+    hash-partition row count under (key, salt) partitioning must be a
+    small fraction of the unsalted hot-partition load, observed via
+    spark_partition_id."""
+    from hadoop_log_analysis_spark.operators.skew import salt_col, salted_agg, salted_join
+
+    n, n_salts, parts = 20_000, 16, 32
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 10 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+            .alias("key"),
+            (F.col("id") % 7).cast("double").alias("val"),
+        )
+    )
+
+    # (a) salted_agg == plain groupBy
+    got = salted_agg(
+        df, ["key"], "id", n_salts=n_salts,
+        aggs={"n": "count:*", "s": "sum:val", "mx": "max:val"},
+    )
+    want = df.groupBy("key").agg(
+        F.count("*").alias("n"), F.sum("val").alias("s"), F.max("val").alias("mx")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # (a') salted_join == plain join
+    small = df.select("key").distinct().withColumn("payload", F.length("key"))
+    plain = df.join(small, "key").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    ).collect()[0]
+    salted = (
+        salted_join(df, small, "key", "key", "id", n_salts=n_salts)
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .collect()[0]
+    )
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+    # (b) partition-load bound via spark_partition_id
+    def max_load(frame, *cols):
+        return (
+            frame.repartition(parts, *[F.col(c) for c in cols])
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    unsalted_max = max_load(df, "key")                      # hot key -> one partition
+    salted_max = max_load(
+        df.withColumn("__salt", salt_col("id", n_salts)), "key", "__salt"
+    )
+    assert unsalted_max >= int(n * 0.9)  # the funnel really exists
+    assert salted_max <= unsalted_max // 3  # and salting breaks it
