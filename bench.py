@@ -4,9 +4,10 @@
 Runs the 12 BASELINE.md headline queries (each covering a distinct
 SURVEY.md §2 operator family) plus 4 LLM-pipeline heavyweights
 (MinHash-LSH, BM25, end-to-end pretraining pipeline, dedup clusters)
-and 2 round-3 additions (semantic dedup, cohort retention — VERDICT r2
-item 9) on local[$SPARK_GRAFT_CPUS], default /root/testdata/sf0.1,
-and prints ONE JSON line:
+2 round-3 additions (semantic dedup, cohort retention — VERDICT r2
+item 9), and 1 round-4 streaming addition (stream-stream left join —
+VERDICT r3 item 6) on local[$SPARK_GRAFT_CPUS], default
+/root/testdata/sf0.1, and prints ONE JSON line:
 
     {"metric": "...", "value": <total-sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
@@ -58,9 +59,21 @@ HEADLINE = (
     # report-layer representative, so those families regress too.
     "q_semantic_dedup",       # L2/L3 LSH pairs -> components -> keeper
     "q_cohort_retention",     # report layer: cohort windows + pivot
+    # r4 addition (VERDICT r3 item 6): the one family with zero bench
+    # coverage — stream-stream outer join incl. the watermark-sentinel
+    # machinery (drop-dir replay, maxFilesPerTrigger=1, state flush).
+    "q_stream_stream_left_join",  # T8 streaming outer interval join
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Streaming drains replay ~24 microbatches at ~1.3 s fixed overhead
+# each (~35 s per execution at sf0.1) — median-of-3 would triple the
+# suite's wall time to re-measure a number dominated by deterministic
+# per-batch fixed cost. One warm (also derives the drop dir) + one
+# timed run is a stable regression signal; spread is reported as a
+# single point so the JSON shape stays uniform.
+STREAMING_SINGLE_RUN = {"q_stream_stream_left_join"}
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -80,9 +93,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name].fn
         fn(spark, sf_dir).collect()  # warm: plan build + codegen + file listing
+        n_runs = 1 if name in STREAMING_SINGLE_RUN else N_RUNS
         fresh: list[float] = []
         reruns: list[float] = []
-        for _ in range(N_RUNS):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.collect()  # fresh plan: full execution incl. shuffle stages
