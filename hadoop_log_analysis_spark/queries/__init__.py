@@ -85,6 +85,10 @@ _PRIORITY = (
     # plus its new skew-proof chunked twin (r3 #3, never driver-seen)
     "q_inverted_index",
     "q_inverted_index_chunked",
+    # r4 additions — never driver-seen
+    "q_bigram_lm_score",
+    "q_knn_classify",
+    "q_longest_streak",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -863,3 +863,55 @@ def q_median_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap, 0.5)") / 1e6, 1).alias("median_gap_s"),
         F.count("*").alias("n_gaps"),
     )
+
+
+@query(
+    "q_longest_streak",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS d
+                   FROM events),
+             g AS (SELECT user_id, d,
+                          d - CAST(row_number() OVER (PARTITION BY user_id
+                                                      ORDER BY d) AS INTEGER)
+                            AS grp
+                   FROM a),
+             s AS (SELECT user_id, grp, count(*) AS streak
+                   FROM g GROUP BY user_id, grp)
+        SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak
+        FROM s
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("W1", "W4", "timeseries"),
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (engagement/retention reporting): on a
+    dense run of active days, ``day - row_number`` is constant, so
+    grouping by that difference isolates each island and its size is
+    the streak length.
+
+    Scale shape: input is the deduped (user, day) pair set (bounded by
+    users x days, far below raw event volume); the one window is
+    partitioned per user over at most |days| rows — parallel by key,
+    no global sort, then two bounded hash aggs. No part of the plan
+    sees raw-event cardinality after the initial distinct.
+    """
+    a = (
+        scan(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = a.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return (
+        s.groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+        .orderBy("user_id")
+    )

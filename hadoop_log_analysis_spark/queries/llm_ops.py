@@ -1109,3 +1109,148 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             bg AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+                           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS b
+                    FROM toks WHERE len(t) >= 2),
+             c_ab AS (SELECT a, b, count(*) AS nab FROM bg GROUP BY a, b),
+             c_a  AS (SELECT a, count(*) AS na FROM bg GROUP BY a)
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln(CAST(na AS DOUBLE) / nab)), 4) AS avg_nll
+        FROM bg JOIN c_ab USING (a, b) JOIN c_a USING (a)
+        GROUP BY bg.doc_id
+        ORDER BY bg.doc_id
+    """,
+    tags=("L7", "L5", "quality"),
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: train a bigram LM
+    on the corpus itself (count(a,b) / count(a-as-first)), then score
+    every document by its average negative log-likelihood — low scores
+    = repetitive/templated text, high = unusual token sequences; the
+    filter step ranks or thresholds on this column.
+
+    Scale shape: bigram extraction is map-side (one explode of
+    in-order pairs); the two count tables are vocab^2- and
+    vocab-bounded hash aggs with map-side combine; scoring re-joins
+    the exploded stream against both count tables on token keys (well
+    distributed — token frequency skew lands on the JOIN build side,
+    which AQE splits) and reduces per doc. Self-scoring means no
+    unseen-bigram smoothing is needed: every scored bigram has
+    nab >= 1 by construction.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS a,"
+                    "             element_at(t, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    c_ab = bg.groupBy("a", "b").agg(F.count("*").alias("nab"))
+    c_a = bg.groupBy("a").agg(F.count("*").alias("na"))
+    return (
+        bg.join(c_ab, ["a", "b"])
+        .join(c_a, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("na").cast("double") / F.col("nab"))), 4
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_knn_classify",
+    oracle="""
+        WITH probes AS (SELECT vec_id AS probe_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+                        FROM embeddings WHERE vec_id < 20),
+             refs AS (SELECT vec_id AS ref_id, label,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+                      FROM embeddings WHERE vec_id >= 20),
+             sims AS (SELECT probe_id, ref_id, label,
+                             round(list_dot_product(pv, rv)
+                                   / (sqrt(list_dot_product(pv, pv))
+                                      * sqrt(list_dot_product(rv, rv))), 6) AS sim
+                      FROM probes, refs),
+             top5 AS (SELECT * FROM (
+                        SELECT probe_id, ref_id, label, sim,
+                               row_number() OVER (PARTITION BY probe_id
+                                                  ORDER BY sim DESC, ref_id) AS rn
+                        FROM sims)
+                      WHERE rn <= 5),
+             votes AS (SELECT probe_id, label, count(*) AS n_votes
+                       FROM top5 GROUP BY probe_id, label)
+        SELECT probe_id, label AS pred_label, n_votes
+        FROM (SELECT probe_id, label, n_votes,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY n_votes DESC, label) AS rn
+              FROM votes)
+        WHERE rn = 1
+        ORDER BY probe_id
+    """,
+    tags=("L3", "L4", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification: each probe vector (vec_id < 20) takes
+    the majority label of its 5 nearest reference vectors by cosine —
+    the label-propagation step a semi-supervised curation pipeline
+    runs to spread a small human-labeled seed set over the corpus.
+
+    Ranking compares round(sim, 6), not raw doubles: both engines
+    collapse 1e-15 summation-order noise to the same 6-decimal key, so
+    the neighbor sets (and therefore the vote) are engine-invariant;
+    ref_id breaks exact ties.
+
+    Scale shape: the probe set broadcasts (a labeled seed set is small
+    by definition); sims are map-side per (probe, ref) with no
+    shuffle until the per-probe top-5, which is a bounded aggregate.
+    For probe sets too large to broadcast, the IVF path
+    (operators/similarity.ann_ivf_topk) replaces the brute-force sim
+    scan and the vote is unchanged.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    as_double = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.expr(as_double).alias("pv")
+    )
+    refs = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("ref_id"), "label", F.expr(as_double).alias("rv")
+    )
+    dot = "aggregate(zip_with(pv, rv, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    npv = "sqrt(aggregate(transform(pv, x -> x * x), 0D, (s, x) -> s + x))"
+    nrv = "sqrt(aggregate(transform(rv, x -> x * x), 0D, (s, x) -> s + x))"
+    sims = (
+        refs.crossJoin(F.broadcast(probes))
+        .withColumn("sim", F.round(F.expr(f"{dot} / ({npv} * {nrv})"), 6))
+        .select("probe_id", "ref_id", "label", "sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "ref_id")
+    top5 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("probe_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+        .orderBy("probe_id")
+    )
