@@ -89,6 +89,7 @@ _PRIORITY = (
     "q_bigram_lm_score",
     "q_knn_classify",
     "q_longest_streak",
+    "q_heavy_hitters",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

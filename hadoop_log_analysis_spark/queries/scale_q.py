@@ -208,3 +208,42 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_errors"], m["avg_value"])],
         "n_rows long, n_errors long, avg_value double",
     )
+
+
+HH_K = 64
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS item
+                   FROM documents),
+             tot AS (SELECT count(*) AS n_total FROM t)
+        SELECT item, count(*) AS n
+        FROM t, tot
+        GROUP BY item, tot.n_total
+        HAVING count(*) > tot.n_total // {HH_K + 1}
+        ORDER BY n DESC, item
+    """,
+    tags=("A1", "sketch", "skew"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens (frequency > corpus/(k+1)) via two-pass
+    Misra-Gries: bounded per-partition summaries -> guaranteed
+    candidate superset -> broadcast semi-join exact recount
+    (operators/sketch.py). The result is EXACT — the sketch only
+    prunes — so the oracle is the plain GROUP BY ... HAVING; what the
+    plan buys at 100 TB is pass 1 shuffling <= k rows per partition
+    instead of each partition's full distinct-value set.
+
+    The fixture vocabulary (~31 tokens) is below k=64, so the
+    summaries here never evict; the eviction/superset guarantee under
+    real skew is pinned by tests/test_llm_ops.py's synthetic
+    hot-key test with k << distinct items.
+    """
+    from hadoop_log_analysis_spark.operators.sketch import heavy_hitters
+
+    toks = scan(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("item")
+    )
+    return heavy_hitters(toks, "item", k=HH_K)

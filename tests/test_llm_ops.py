@@ -371,3 +371,43 @@ def test_remove_boilerplate_untouched_corpus_passes_through(spark):
     docs = scan(spark, SF001, "documents").select("doc_id", "text")
     out = remove_boilerplate(docs, min_docs=5)
     assert out.filter(F.col("n_kept") != F.col("n_lines")).count() == 0
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Misra-Gries with k far below the distinct-item count must still
+    return the EXACT heavy-hitter set: candidates are a superset by
+    the pigeonhole guarantee, the recount prunes precisely. Synthetic
+    hot-key stream: one item takes ~40% of 40k rows, two take ~10%
+    each, the rest spread over ~4000 distinct values."""
+    from hadoop_log_analysis_spark.operators.sketch import (
+        _mg_candidates,
+        heavy_hitters,
+    )
+
+    n, k = 40_000, 16
+    items = spark.range(n).select(
+        F.when(F.col("id") % 10 < 4, F.lit("hot"))
+        .when(F.col("id") % 10 == 4, F.lit("warm_a"))
+        .when(F.col("id") % 10 == 5, F.lit("warm_b"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 4000).cast("string")))
+        .alias("item")
+    )
+    got = {(r["item"], r["n"]) for r in heavy_hitters(items, "item", k=k).collect()}
+    want = {
+        (r["item"], r["n"])
+        for r in items.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > n // (k + 1))
+        .collect()
+    }
+    assert got == want and {"hot", "warm_a", "warm_b"} <= {i for i, _ in got}
+    # pass-1 output is bounded: <= k candidate rows per partition
+    per_part = (
+        _mg_candidates(items, "item", k)
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_part <= k
