@@ -90,6 +90,7 @@ _PRIORITY = (
     "q_knn_classify",
     "q_longest_streak",
     "q_heavy_hitters",
+    "q_incremental_rollup",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -915,3 +915,70 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("streak").alias("longest_streak"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_incremental_rollup",
+    oracle="""
+        SELECT date_trunc('day', ts) AS d, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY d, event_type
+        ORDER BY d, event_type
+    """,
+    tags=("A1", "rollup", "cdc", "timeseries"),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the daily rollup is maintained
+    by MERGING a late-arrivals delta into the previously materialized
+    aggregate — base rollup (events before the cutover day) full-outer
+    merged with the delta batch's rollup, counts and sums added with
+    null-as-zero — instead of rescanning history. Verified against the
+    direct aggregate of the full table: the merge must be exact.
+
+    Here the split is simulated by a 80/20 ts cutover on the fixture
+    (the last ~20% of days play the late-delta batch); in production
+    the delta is the CDC/new-files batch and the base is the stored
+    rollup. At 100 TB this is the difference between an O(delta)
+    refresh and an O(history) rescan; only touched (day, type) rows
+    shuffle, and the merge joins two aggregate-sized tables, never raw
+    events. Complements q_hierarchical_rollup (re-aggregation across
+    granularities) and q_merge_upsert (row-level CDC).
+    """
+    ev = scan(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # cutover literal computed driver-side (one bounded 1-row action):
+    # 80% of the fixture's time span.
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cutover = lo + (hi - lo) * 4 / 5
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+
+    base = rollup(ev.filter(F.col("ts") < F.lit(cutover)))
+    delta = rollup(ev.filter(F.col("ts") >= F.lit(cutover)))
+    merged = (
+        base.alias("b")
+        .join(
+            delta.alias("x"),
+            ["d", "event_type"],
+            "full_outer",
+        )
+        .select(
+            "d",
+            "event_type",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("x.n"), F.lit(0))
+            ).alias("n"),
+            F.round(
+                F.coalesce(F.col("b.s"), F.lit(0.0))
+                + F.coalesce(F.col("x.s"), F.lit(0.0)),
+                2,
+            ).alias("total"),
+        )
+    )
+    return merged.orderBy("d", "event_type")
