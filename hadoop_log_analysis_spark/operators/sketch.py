@@ -40,27 +40,30 @@ _CAND_SCHEMA = T.StructType(
 def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
     """Pass 1: per-partition Misra-Gries summaries of size <= k.
     Emits (item, lower_bound) candidate rows — at most k per
-    partition, regardless of partition cardinality."""
+    partition, regardless of partition cardinality.
+
+    Vectorized via the MERGEABLE-summaries formulation (Agarwal,
+    Cormode, Huang, Phillips, Wei, Yi, PODS'12): each Arrow batch's
+    exact ``value_counts`` is itself a (trivial) MG summary, and two
+    MG summaries merge by adding counts then subtracting the
+    (k+1)-largest count from everything and dropping non-positives —
+    the merged error stays <= n_p/(k+1), so the superset guarantee is
+    the classic one while the per-row work happens in C
+    (value_counts), not a Python loop — the difference between a
+    sketch that helps at 100 TB and one that IS the bottleneck."""
 
     def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item in pdf[item_col]:
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all: evict zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: v - sub for i, v in counters.items() if v > sub
+                }
         yield pd.DataFrame(
             {"item": list(counters), "lower_bound": list(counters.values())}
         )
