@@ -1063,3 +1063,60 @@ def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
     )
+
+
+WSAMPLE_K = 25
+# Knuth's multiplicative-hash constant and a prime modulus: the shared
+# integer-math pseudo-random, computable bit-identically in BOTH
+# engines (Spark's xxhash64 and DuckDB's hash are different functions,
+# so neither can appear in an oracle-checked sampler).
+WSAMPLE_MULT = 2654435761
+WSAMPLE_MOD = 1_000_003
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, n_chars,
+                          (CAST((doc_id * {WSAMPLE_MULT}) % {WSAMPLE_MOD} AS DOUBLE)
+                           + 1.0) / {WSAMPLE_MOD + 1}.0 AS unit
+                   FROM documents
+                   WHERE n_chars > 0)
+        SELECT doc_id, n_chars,
+               round(ln(unit) / n_chars, 8) AS wkey
+        FROM u
+        ORDER BY wkey DESC, doc_id
+        LIMIT {WSAMPLE_K}
+    """,
+    tags=("L7", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys): each doc draws key = ln(u)/w with u a
+    deterministic unit pseudo-random and w its weight (n_chars as the
+    quality proxy); the global top-k by key IS a weight-proportional
+    sample — the importance-sampling step a curation pipeline uses to
+    oversample high-quality documents.
+
+    Determinism discipline: u comes from integer multiplicative
+    hashing (doc_id * Knuth-constant mod prime), identical in both
+    engines, and the rank key is rounded to 8 decimals before
+    ordering so float ln() noise cannot flip ranks; doc_id breaks
+    ties. At 100 TB the plan is a map-side key computation +
+    TakeOrderedAndProject — no shuffle of the corpus, k rows per
+    partition merged on the driver-side reduce.
+    """
+    docs = scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    unit = (
+        ((F.col("doc_id") * WSAMPLE_MULT) % WSAMPLE_MOD).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(WSAMPLE_MOD + 1))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(unit) / F.col("n_chars"), 8).alias("wkey"),
+        )
+        .orderBy(F.desc("wkey"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
