@@ -499,3 +499,30 @@ def test_index_lookup_filters_before_aggregation(spark):
     plan = _formatted(REGISTRY["q_index_lookup"].fn(spark, SF001))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    # Weighted sampling is a map-side key + global top-k: the plan must
+    # show TakeOrderedAndProject (k per partition merged), never a full
+    # Sort + Limit of the corpus.
+    plan = _formatted(REGISTRY["q_weighted_sample"].fn(spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]" in plan
+
+
+def test_knn_classify_broadcasts_probe_set(spark):
+    # The labeled seed set must broadcast; both scans must push their
+    # vec_id range filters into parquet.
+    plan = _formatted(REGISTRY["q_knn_classify"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "GreaterThanOrEqual(vec_id,20)" in plan
+    assert "LessThan(vec_id,20)" in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    # Pass 2 semi-joins the bounded candidate set back onto the token
+    # stream — must be a broadcast, not a shuffled join of the corpus.
+    plan = _formatted(
+        REGISTRY["q_heavy_hitters"].fn(spark, SF001), execute=True
+    )
+    assert "LeftSemi" in plan and "Broadcast" in plan
