@@ -48,28 +48,18 @@ def connected_components(
     # cuts lineage so per-iteration plans stay flat. Edges ≪ corpus
     # (only near-dup pairs), so executor-local blocks hold them easily
     # at 100 TB.
+    from pyspark.sql import Observation
+
     fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     adj = fwd.unionByName(rev).localCheckpoint(eager=True)
-    labels = (
-        adj.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    # Convergence certificate: labels are mins over a set containing
-    # the previous label, so they are componentwise non-increasing and
-    # sum(component) strictly decreases until the fixed point. Tracking
-    # the sum replaces the former per-iteration join-against-old-labels
-    # comparison with a 1-row aggregate (decimal: sums of 10^9 ids of
-    # 10^9 overflow bigint).
     # ADVICE r3: non-numeric ids (e.g. string doc hashes) break the
     # sum certificate — NULL sums under legacy casting (loop exits
     # after ONE iteration, unconverged, silent) or an opaque ANSI cast
     # error mid-job. Reject up-front with an actionable message.
     from pyspark.sql import types as T
 
-    id_type = labels.schema["component"].dataType
+    id_type = adj.schema["src"].dataType
     if not isinstance(id_type, T.NumericType):
         raise TypeError(
             "connected_components requires numeric node ids for its "
@@ -77,9 +67,24 @@ def connected_components(
             "string ids to bigints (e.g. xxhash64 or a dense rank) "
             "before calling"
         )
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)"))
-    ).collect()[0][0]
+    # Convergence certificate: labels are mins over a set containing
+    # the previous label, so they are componentwise non-increasing and
+    # sum(component) strictly decreases until the fixed point (decimal:
+    # sums of 10^9 ids of 10^9 overflow bigint). The sum rides the
+    # checkpoint job itself as an OBSERVED metric (CollectMetrics
+    # accumulator), so each iteration runs ONE job, not a checkpoint
+    # job plus a separate 1-row aggregate action — at 100 TB that is
+    # one full pass over the label table saved per iteration.
+    sum_metric = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .observe(obs0, sum_metric)
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
     changed = 0
     for _ in range(max_iter):
         # Each node's candidate label: min over its own and neighbors'.
@@ -87,15 +92,15 @@ def connected_components(
             adj.join(labels, adj["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("component"))
         )
+        obs = Observation()
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .observe(obs, sum_metric)
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_sum = obs.get["s"]
         changed = int(new_sum != prev_sum)
         prev_sum = new_sum
         labels = new_labels
