@@ -511,3 +511,60 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey, price DESC, l.l_linenumber
         """
     )
+
+
+@query(
+    "q_winsorized_stats",
+    oracle="""
+        WITH b AS (SELECT event_type,
+                          quantile_cont(value, 0.05) AS lo,
+                          quantile_cont(value, 0.95) AS hi
+                   FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped,
+               round(avg(least(greatest(value, lo), hi)), 4) AS wins_avg,
+               round(avg(value), 4) AS raw_avg
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("A5", "quality", "curation"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: per-group values clipped to their exact
+    [p05, p95] band before averaging — the outlier-robust mean a
+    metrics/curation pipeline reports next to the raw mean, plus the
+    clipped-row count (how heavy the tails were).
+
+    Scale shape: the percentile bounds are one bounded-cardinality
+    aggregate (|groups| rows) broadcast back onto the stream; the clip
+    itself is least/greatest map arithmetic and the final stats get
+    map-side partial aggregation. Exact percentiles buffer per-group
+    values (fine at |groups| ~ 5); at huge groups swap
+    approx_percentile, same plan shape.
+    """
+    ev = scan(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("wins_avg"),
+            F.round(F.avg("value"), 4).alias("raw_avg"),
+        )
+        .orderBy("event_type")
+    )
