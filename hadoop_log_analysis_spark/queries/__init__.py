@@ -115,6 +115,7 @@ _PRIORITY = (
     "q_hash_engine_specific",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
+    "q_multimodal_features",
     "q_boilerplate_removal",
     "q_asof_join",
     "q_asof_by_user",
