@@ -93,6 +93,7 @@ _PRIORITY = (
     "q_incremental_rollup",
     "q_weighted_sample",
     "q_winsorized_stats",
+    "q_stream_heavy_hitters",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -510,3 +510,106 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("click_id") >= 0)
         .orderBy("click_id", "purchase_id")
     )
+
+
+MG_STREAM_K = 16
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+_MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType()),
+        T.StructField("lower_bound", T.LongType()),
+    ]
+)
+
+
+def _mg_state_fn(key, pdf_iter, state):
+    """Per-shard Misra-Gries summary carried across microbatches
+    (mergeable-summaries update: batch value_counts added, then the
+    (k+1)-largest count subtracted from all and non-positives
+    dropped). Emits the whole summary each batch — the union of
+    emissions contains the final summary, which contains every true
+    heavy hitter."""
+    import pandas as pd
+
+    if state.exists:
+        items, counts = state.get
+        counters = dict(zip(items, counts))
+    else:
+        counters = {}
+    for pdf in pdf_iter:
+        for item, c in pdf["item"].value_counts().items():
+            counters[item] = counters.get(item, 0) + int(c)
+        if len(counters) > MG_STREAM_K:
+            sub = sorted(counters.values(), reverse=True)[MG_STREAM_K]
+            counters = {i: v - sub for i, v in counters.items() if v > sub}
+    state.update(
+        (list(counters), [int(v) for v in counters.values()])
+    )
+    yield pd.DataFrame(
+        {"item": list(counters), "lower_bound": list(counters.values())}
+    )
+
+
+@query(
+    "q_stream_heavy_hitters",
+    oracle=f"""
+        WITH tot AS (SELECT count(*) AS n_total FROM events)
+        SELECT event_type AS item, count(*) AS n
+        FROM events, tot
+        GROUP BY item, tot.n_total
+        HAVING count(*) > tot.n_total // {MG_STREAM_K + 1}
+        ORDER BY n DESC, item
+    """,
+    tags=("T6", "sketch", "A1"),
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+: streaming heavy hitters — a per-shard Misra-Gries summary
+    lives in applyInPandasWithState state across microbatches (the
+    streaming twin of operators/sketch.heavy_hitters); after the
+    drain, the emitted candidate union is exactly recounted against
+    the batch table and thresholded at n/(k+1). Sharding is BY ITEM
+    HASH, so an item's whole stream hits one state row and the
+    per-shard guarantee implies the global superset; the recount makes
+    the final answer exact, hence the full SQL oracle.
+
+    At 100 TB this is the shape for "top values on an unbounded
+    stream": state is k counters per shard (KBs), each microbatch
+    does vectorized value_counts + an O(k log k) merge, and the exact
+    recount runs only when a report is cut.
+    """
+    drop = derive_drop_dir(spark, sf_dir)
+    ev = read_events_stream(spark, drop, max_files_per_trigger=1)
+    sharded = ev.select(
+        F.col("event_type").alias("item"),
+        F.pmod(F.xxhash64("event_type"), F.lit(8)).alias("shard"),
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = sharded.groupBy("shard").applyInPandasWithState(
+        _mg_state_fn,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    cands = (
+        run_to_table(updates, "t6_stream_hh", "update")
+        .select("item")
+        .distinct()
+    )
+    batch = scan(spark, sf_dir, "events")
+    total = batch.count()
+    return (
+        batch.select(F.col("event_type").alias("item"))
+        .join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > total // (MG_STREAM_K + 1))
+        .orderBy(F.desc("n"), "item")
+    )
