@@ -568,3 +568,41 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HIERARCHY_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT user_id, user_id AS ancestor, 0 AS depth
+        FROM (SELECT DISTINCT user_id FROM events) u
+        UNION ALL
+        SELECT user_id, CAST(floor(ancestor / 2) AS BIGINT) AS ancestor,
+               depth + 1
+        FROM chain WHERE ancestor > 1
+    )
+    SELECT depth, count(*) AS n_users
+    FROM (SELECT user_id, max(depth) AS depth FROM chain GROUP BY user_id) d
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+
+@query("q_recursive_hierarchy", oracle=_HIERARCHY_SQL, tags=("A6", "sql", "graph"))
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy traversal (Spark 4's WITH RECURSIVE):
+    each user climbs a synthetic management chain (parent = id / 2,
+    root = 1) and the report histograms users by depth-to-root — the
+    org-chart / BOM-explosion query class engines without recursion
+    cannot express declaratively. The IDENTICAL SQL text runs on both
+    engines (the oracle IS the query), the strongest possible parity.
+
+    Scale note: each recursion step is one self-join of the frontier
+    against nothing but itself (the frontier shrinks as chains hit the
+    root), so total work is sum over depths of |active users| —
+    bounded by |users| * max_depth, with max_depth = log2(max_id) for
+    this chain. CAST(floor(a / 2)) rather than integer `//`/`DIV`
+    because it parses identically in both dialects.
+    """
+    from hadoop_log_analysis_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HIERARCHY_SQL)
