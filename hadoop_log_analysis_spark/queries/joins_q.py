@@ -531,3 +531,47 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+        WITH a AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                               ELSE user_id % 7 END AS k,
+                          count(*) AS n_events
+                   FROM events GROUP BY k),
+             b AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                               ELSE c_custkey % 7 END AS k,
+                          count(*) AS n_custs
+                   FROM customer GROUP BY k)
+        SELECT a.k, n_events, n_custs
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.k NULLS FIRST
+    """,
+    tags=("J2", "P3", "nulls"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: NULL keys match each other (`<=>` /
+    IS NOT DISTINCT FROM) instead of silently dropping — the join
+    semantics a plain `=` gets wrong when the key domain contains
+    NULL-as-a-category (here: bucket 0 nulled on both sides, so the
+    null row must appear in the result exactly once).
+
+    Scale note: Spark plans `<=>` as a regular hash join (null keys
+    hash like any value under null-safe equality) — same shuffle
+    shape as `=`, no nested-loop degradation; all NULLs land in one
+    hash group, which is the usual single-hot-key story (salt if the
+    null class dominates).
+    """
+    ev = scan(spark, sf_dir, "events").groupBy(
+        F.nullif(F.pmod("user_id", F.lit(7)), F.lit(0)).alias("k")
+    ).agg(F.count("*").alias("n_events"))
+    cust = scan(spark, sf_dir, "customer").groupBy(
+        F.nullif(F.pmod("c_custkey", F.lit(7)), F.lit(0)).alias("k")
+    ).agg(F.count("*").alias("n_custs"))
+    return (
+        ev.alias("a")
+        .join(cust.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(F.col("a.k").alias("k"), "n_events", "n_custs")
+        .orderBy(F.asc_nulls_first("k"))
+    )
