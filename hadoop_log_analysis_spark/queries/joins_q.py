@@ -575,3 +575,40 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.k").alias("k"), "n_events", "n_custs")
         .orderBy(F.asc_nulls_first("k"))
     )
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+             o AS (SELECT (1704067200 + o_orderkey % 2592000) * 1000000
+                            AS tus,
+                          o_totalprice
+                   FROM orders)
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        FROM (SELECT e.event_id, o.o_totalprice
+              FROM e ASOF JOIN o ON e.tus <= o.tus)
+    """,
+    tags=("J7",),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (forward direction): each event matched to the EARLIEST
+    order at or after it — the "next quote/fill after the order"
+    direction. Implemented by running the backward as-of operator on
+    NEGATED timestamps (latest(-o <= -e) == earliest(o >= e)), so the
+    parallel range-bucket machinery, tie-breaks, and bounds memo are
+    reused unchanged; DuckDB's native forward ASOF (e.tus <= o.tus)
+    is the oracle.
+    """
+    ev = (
+        scan(spark, sf_dir, "events")
+        .select("event_id", ts_us().alias("tus"))
+        .withColumn("tus", -F.col("tus"))
+    )
+    ord_ts = _orders_with_synth_ts(spark, sf_dir).withColumn(
+        "tus", -F.col("tus")
+    )
+    joined = asof_join(ev, ord_ts, ts_col="tus", payload=["o_totalprice"])
+    return joined.agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
