@@ -97,6 +97,7 @@ _PRIORITY = (
     "q_recursive_hierarchy",
     "q_null_safe_join",
     "q_asof_forward",
+    "q_token_entropy",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

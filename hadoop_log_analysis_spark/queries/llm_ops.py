@@ -1279,3 +1279,51 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
         .orderBy("probe_id")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+             tf AS (SELECT doc_id, t, count(*) AS c FROM tok
+                    GROUP BY doc_id, t),
+             dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tf
+                    GROUP BY doc_id)
+        SELECT tf.doc_id,
+               CAST(dl.n AS BIGINT) AS n_tokens,
+               round(-sum((c / n) * ln(c / n)), 4) AS entropy
+        FROM tf JOIN dl USING (doc_id)
+        GROUP BY tf.doc_id, dl.n
+        ORDER BY tf.doc_id
+    """,
+    tags=("L5", "L7", "quality"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal (low entropy = repetitive/
+    templated text; pairs with the Gopher dup-token fraction, which
+    only sees the top-1 token).
+
+    Scale shape: explode -> (doc, token) hash agg with map-side
+    combine -> per-doc length join (aggregate-sized) -> one more
+    bounded agg. Shuffle is bounded by distinct (doc, token) pairs,
+    never corpus token volume; everything stays in codegen.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        .select(
+            "doc_id", F.col("n").cast("long").alias("n_tokens"), "entropy"
+        )
+        .orderBy("doc_id")
+    )
