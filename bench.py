@@ -63,6 +63,11 @@ HEADLINE = (
     # coverage — stream-stream outer join incl. the watermark-sentinel
     # machinery (drop-dir replay, maxFilesPerTrigger=1, state flush).
     "q_stream_stream_left_join",  # T8 streaming outer interval join
+    # r4 operator additions with nontrivial plans: the self-trained
+    # bigram LM (two count-table joins over the exploded pair stream)
+    # and the two-pass Misra-Gries sketch (mapInPandas + recount).
+    "q_bigram_lm_score",
+    "q_heavy_hitters",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
