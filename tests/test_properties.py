@@ -412,3 +412,40 @@ def test_salted_ops_match_unsalted_and_bound_partition_load(spark):
     )
     assert unsalted_max >= int(n * 0.9)  # the funnel really exists
     assert salted_max <= unsalted_max // 3  # and salting breaks it
+
+
+def test_bigram_lm_conserves_bigram_count(spark):
+    # Every scored doc contributes exactly len(toks)-1 bigrams: the
+    # per-doc n_bigrams must sum to the corpus bigram total.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    scored = load_registry()["q_bigram_lm_score"].fn(spark, SF001)
+    got = scored.agg(F.sum("n_bigrams")).collect()[0][0]
+    docs = scan(spark, SF001, "documents").select(
+        F.greatest(F.size(F.split("text", " ")) - 1, F.lit(0)).alias("nb")
+    )
+    assert got == docs.agg(F.sum("nb")).collect()[0][0]
+
+
+def test_token_entropy_within_information_bounds(spark):
+    # 0 <= H <= ln(n_tokens) for every document (uniform upper bound);
+    # rounding slack of 1e-4 on the upper comparison.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    ent = load_registry()["q_token_entropy"].fn(spark, SF001)
+    bad = ent.filter(
+        (F.col("entropy") < 0)
+        | (F.col("entropy") > F.log(F.col("n_tokens").cast("double")) + 1e-4)
+    ).count()
+    assert bad == 0
+
+
+def test_recursive_hierarchy_counts_all_users(spark):
+    # Every distinct user lands in exactly one depth bucket.
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    hist = load_registry()["q_recursive_hierarchy"].fn(spark, SF001)
+    n_users = (
+        scan(spark, SF001, "events").select("user_id").distinct().count()
+    )
+    assert hist.agg(F.sum("n_users")).collect()[0][0] == n_users
