@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: keeps a*h+b inside signed 64-bit.
@@ -253,4 +253,96 @@ def simhash_candidate_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering
+    (the PPJoin/AllPairs principle, Chaudhuri et al. / Xiao et al.):
+    under any fixed global token order, two sets with
+    J(a, b) >= t MUST share at least one token within each set's
+    first ``|x| - ceil(t * |x|) + 1`` tokens — so indexing only those
+    prefix tokens generates a candidate set that provably contains
+    every qualifying pair, and an exact intersect verify finishes the
+    job. Unlike MinHash-LSH this is deterministic and recall-1.0;
+    unlike full blocking it indexes O(1 - t) of each set's tokens.
+
+    Tokens are ordered rarest-first (ascending document frequency,
+    token string as tie-break): rare tokens appear in few prefixes,
+    so candidate lists stay near the true-pair count on Zipfian
+    vocabularies. Returns (a_id, b_id, jacc) with a_id < b_id,
+    jacc >= threshold, rounded to 4.
+
+    Scale accounting: df ranking is the word-count shape; prefix
+    explode emits sum(prefix lengths) ~= (1-t) * corpus tokens; the
+    candidate self-join keys on single tokens (df-bounded buckets —
+    cap or drop stop-token buckets the way LSH bucket caps work);
+    verify is per-candidate array intersection. NOTE: on this
+    fixture's tiny ~31-token vocabulary every token is common, so
+    prefix filtering degenerates toward all-pairs locally — the
+    operator's win appears exactly on the Zipfian vocabularies it is
+    built for.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    # Global rarest-first token ranking (df asc, token asc).
+    df_rank = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy("df", "tok"))
+            .alias("rank"),
+        )
+    )
+    ranked = (
+        toks.select("id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(df_rank), "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
+    )
+    # Prefix length |x| - ceil(t|x|) + 1; explode only the prefix.
+    pref = ranked.select(
+        "id",
+        "ranks",
+        F.explode(
+            F.slice(
+                "ranks",
+                1,
+                (
+                    F.size("ranks")
+                    - F.ceil(F.size("ranks") * F.lit(threshold))
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("ptok"),
+    )
+    a = pref.select(
+        F.col("id").alias("a_id"), F.col("ranks").alias("a_ranks"), "ptok"
+    )
+    b = pref.select(
+        F.col("id").alias("b_id"), F.col("ranks").alias("b_ranks"), "ptok"
+    )
+    cands = (
+        a.join(b, "ptok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_ranks", "b_ranks")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    jacc = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
+        "double"
+    ) / F.size(F.array_union("a_ranks", "b_ranks")).cast("double")
+    return (
+        cands.withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= threshold)
+        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
     )

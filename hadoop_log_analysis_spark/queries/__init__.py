@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_null_safe_join",
     "q_asof_forward",
     "q_token_entropy",
+    "q_set_similarity_join",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -1327,3 +1327,33 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_set_similarity_join",
+    oracle="""
+        WITH t AS (SELECT doc_id,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jacc
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= 0.5
+        ORDER BY a_id, b_id
+    """,
+    tags=("L2", "join"),
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact, recall-1.0): all-pairs token-set Jaccard >= 0.5 via
+    prefix filtering (operators/dedup.set_similarity_join) — the
+    deterministic set-similarity join that replaces both LSH (which
+    trades recall) and naive blocking (which trades completeness).
+    The oracle is the BRUTE-FORCE all-pairs join, so the hash match
+    proves the prefix filter lost no qualifying pair.
+    """
+    from hadoop_log_analysis_spark.operators.dedup import set_similarity_join
+
+    docs = scan(spark, sf_dir, "documents")
+    return set_similarity_join(docs, threshold=0.5).orderBy("a_id", "b_id")
