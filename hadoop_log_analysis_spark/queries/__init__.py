@@ -99,6 +99,7 @@ _PRIORITY = (
     "q_asof_forward",
     "q_token_entropy",
     "q_set_similarity_join",
+    "q_chunk_dedup",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -1120,3 +1120,62 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wkey"), "doc_id")
         .limit(WSAMPLE_K)
     )
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, toks,
+                          unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS st
+                   FROM t),
+             c AS (SELECT doc_id,
+                          array_to_string(list_slice(toks, st + 1, st + {CHUNK_LEN}), ' ')
+                            AS chunk_text
+                   FROM s)
+        SELECT chunk_text,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM c
+        GROUP BY chunk_text
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, chunk_text
+    """,
+    tags=("L1", "L5", "chunking", "curation"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup report: context-window chunks (q_doc_chunks
+    geometry) that recur across >= 2 distinct documents — the
+    chunk-granular dedup step run AFTER document-level dedup, because
+    distinct documents still share boilerplate passages, quotes, and
+    licenses that document hashing cannot see.
+
+    Scale shape: chunking is map-only; the report is a hash agg keyed
+    on chunk text (at 100 TB: on sha2(chunk) instead, shuffling
+    32-byte keys) with map-side combine. The drop step is the same
+    anti-join shape as q_boilerplate_removal's strip.
+    """
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    c = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("st"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(F.expr(f"slice(toks, st + 1, {CHUNK_LEN})"), " ").alias(
+            "chunk_text"
+        ),
+    )
+    return (
+        c.groupBy("chunk_text")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "chunk_text")
+    )
