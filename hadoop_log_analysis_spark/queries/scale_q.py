@@ -247,3 +247,92 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("item")
     )
     return heavy_hitters(toks, "item", k=HH_K)
+
+
+ZORDER_BITS = 6  # 64 cells per dimension
+
+
+def _interleave(xcol, ycol):
+    """Morton/Z-order interleave of two ZORDER_BITS-bit ints: bit b of
+    x lands at position 2b, bit b of y at 2b+1 — identical integer
+    arithmetic to the oracle's shift/mask expression."""
+    z = F.lit(0)
+    for b in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xcol, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(
+                F.shiftright(ycol, b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return z
+
+
+@query(
+    "q_zorder_layout",
+    oracle="""
+        WITH b AS (SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi
+                   FROM part),
+         q AS (SELECT p_partkey,
+                      least(63, greatest(0, p_size - 1)) AS xb,
+                      least(63, CAST(floor((p_retailprice - lo)
+                                           / ((hi - lo) / 64 + 1e-9))
+                                AS INT)) AS yb
+               FROM part, b)
+        SELECT p_partkey, xb, yb,
+               ((xb >> 0) & 1) * 1    + ((yb >> 0) & 1) * 2
+             + ((xb >> 1) & 1) * 4    + ((yb >> 1) & 1) * 8
+             + ((xb >> 2) & 1) * 16   + ((yb >> 2) & 1) * 32
+             + ((xb >> 3) & 1) * 64   + ((yb >> 3) & 1) * 128
+             + ((xb >> 4) & 1) * 256  + ((yb >> 4) & 1) * 512
+             + ((xb >> 5) & 1) * 1024 + ((yb >> 5) & 1) * 2048 AS zval
+        FROM q
+        ORDER BY zval, p_partkey
+        LIMIT 100
+    """,
+    tags=("layout", "zorder", "F3"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two pruning dimensions
+    (p_size, binned p_retailprice): interleaving the bits of the two
+    6-bit bin ids yields a 1-D sort key whose ordering keeps 2-D
+    neighborhoods contiguous — the data-layout primitive behind
+    multi-dimensional file skipping. At 100 TB the key feeds
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before the
+    parquet write, so min/max footer stats prune on BOTH dimensions;
+    this query verifies the key computation itself (exact integer
+    bit arithmetic, identical on both engines) and emits the first
+    100 rows of the layout order.
+
+    The y-dimension bin bounds come from a broadcast 1-row min/max
+    aggregate — no window, no collect of data rows.
+    """
+    part = scan(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    bounds = part.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    q = part.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        F.least(F.lit(63), F.greatest(F.lit(0), F.col("p_size") - 1)).alias(
+            "xb"
+        ),
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("p_retailprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 64 + 1e-9)
+            ).cast("int"),
+        ).alias("yb"),
+    )
+    return (
+        q.select(
+            "p_partkey",
+            "xb",
+            "yb",
+            _interleave(F.col("xb"), F.col("yb")).alias("zval"),
+        )
+        .orderBy("zval", "p_partkey")
+        .limit(100)
+    )

@@ -526,3 +526,46 @@ def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
         REGISTRY["q_heavy_hitters"].fn(spark, SF001), execute=True
     )
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_zorder_key_is_broadcast_bounds_plus_take_ordered(spark):
+    # The bin bounds ride a broadcast 1-row aggregate (never a window
+    # or a data-row collect); the LIMIT must be TakeOrderedAndProject.
+    plan = _formatted(REGISTRY["q_zorder_layout"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_ewma_is_window_free_band_join(spark):
+    # The closed-form EWMA must stay a band self-join over the daily
+    # aggregate — no sequential window anywhere in the plan.
+    plan = _formatted(REGISTRY["q_ewma_daily"].fn(spark, SF001))
+    assert "Window" not in plan
+
+
+def test_cusum_global_stats_broadcast_not_window(spark):
+    # mu/sd must come from a broadcast 1-row aggregate; the only
+    # windows are the two running aggs over the hourly series.
+    plan = _formatted(REGISTRY["q_cusum_shift"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window") <= 2 * plan.count("BroadcastNestedLoopJoin") + 2
+
+
+def test_mad_median_joins_broadcast(spark):
+    # Both per-type median tables (5 rows) join back via broadcast
+    # hash joins, never a shuffle of the event stream.
+    plan = _formatted(REGISTRY["q_mad_outliers"].fn(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_reuse_cached_adjacency(spark):
+    # The (src, dst, d) adjacency is cached once; all three iteration
+    # joins must read the InMemoryRelation, not re-derive the edge
+    # list from the corpus scan per step.
+    # (formatted explain repeats the cached relation's defining plan —
+    # including its parquet scan — inside every InMemoryTableScan
+    # block, so count cache READS, not raw scan strings.)
+    plan = _formatted(REGISTRY["q_pagerank_tokens"].fn(spark, SF001))
+    assert plan.count("InMemoryTableScan") >= 3  # one adj read per iteration
