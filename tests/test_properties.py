@@ -449,3 +449,103 @@ def test_recursive_hierarchy_counts_all_users(spark):
         scan(spark, SF001, "events").select("user_id").distinct().count()
     )
     assert hist.agg(F.sum("n_users")).collect()[0][0] == n_users
+
+
+def test_cusum_closed_form_matches_sequential_recursion(spark):
+    # q_cusum_shift computes S_t = max(0, S_{t-1} + x_t - mu - k*sd)
+    # via its running-sum/running-min closed form; replay the textbook
+    # recursion in Python over the same hourly series and demand
+    # agreement to the emitted rounding.
+    from hadoop_log_analysis_spark.queries.analytics_q import (
+        CUSUM_SLACK_SD,
+        q_cusum_shift,
+    )
+
+    rows = q_cusum_shift(spark, SF001).collect()
+    ns = [r.n for r in rows]
+    mu = sum(ns) / len(ns)
+    var = sum((x - mu) ** 2 for x in ns) / (len(ns) - 1)
+    sd = var**0.5
+    s = 0.0
+    for r in rows:
+        s = max(0.0, s + r.n - mu - CUSUM_SLACK_SD * sd)
+        # r.cusum is emitted rounded to 3 decimals
+        assert abs(s - r.cusum) < 6e-4, (r.hr, s, r.cusum)
+
+
+def test_ewma_closed_form_matches_reference_loop(spark):
+    # The band-join EWMA must equal the direct weighted mean over each
+    # trailing window, computed independently in Python.
+    from hadoop_log_analysis_spark.queries.analytics_q import (
+        EWMA_DECAY,
+        EWMA_SPAN_DAYS,
+        q_ewma_daily,
+    )
+
+    rows = q_ewma_daily(spark, SF001).collect()
+    series = {r.d: r.n for r in rows}
+    for r in rows:
+        num = den = 0.0
+        for d, n in series.items():
+            age = (r.d - d).days
+            if 0 <= age <= EWMA_SPAN_DAYS:
+                w = EWMA_DECAY**age
+                num += n * w
+                den += w
+        assert abs(num / den - r.ewma) < 1e-3, (r.d, num / den, r.ewma)
+
+
+def test_containment_prefix_filter_recall_on_zipfian_corpus(spark):
+    # The fixture vocabulary is tiny and uniform, where prefix
+    # filtering degenerates toward all-pairs; build a Zipfian corpus
+    # with planted excerpts (doc i+offset = a strict subset of doc i)
+    # and check (a) recall 1.0 vs brute force, (b) the prefix index is
+    # genuinely smaller than the full explode would be.
+    import itertools
+
+    from hadoop_log_analysis_spark.operators.dedup import containment_join
+
+    rng_tokens = [f"w{i}" for i in range(200)]
+
+    def doc_tokens(i: int) -> list[str]:
+        # Zipf-ish: token w_k appears in doc i if (i * (k + 3)) % (k + 3 + i % 7) == 0
+        # — deterministic, rare tokens for large k.
+        toks = [rng_tokens[k] for k in range(200) if (i * 7 + k * k) % (k + 11) < 3]
+        return toks or [rng_tokens[i % 200]]
+
+    docs_py = []
+    for i in range(60):
+        toks = doc_tokens(i)
+        docs_py.append((i, " ".join(toks)))
+        if len(toks) >= 10:
+            # planted excerpt: 90% prefix subset of doc i
+            docs_py.append((1000 + i, " ".join(toks[: int(len(toks) * 0.9)])))
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in containment_join(docs, threshold=0.9).collect()
+    }
+    # brute force reference
+    sets = {i: set(t.split(" ")) for i, t in docs_py}
+    want = {
+        (a, b)
+        for a, b in itertools.permutations(sets, 2)
+        if len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+    }
+    assert got == want
+    assert any(a > 1000 for a, _ in got)  # planted excerpts were found
+
+
+def test_pagerank_mass_bounds_and_order_stability(spark):
+    # Every rank lies in [0.15, 0.15 + 0.85 * sum of in-contributions]
+    # and total mass stays within [0.15*N, N] for a 3-step iteration
+    # seeded at 1.0 (dangling nodes leak mass, so <= N).
+    from hadoop_log_analysis_spark.queries.graph_q import q_pagerank_tokens
+
+    rows = q_pagerank_tokens(spark, SF001).collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert all(r.rank >= 0.15 - 1e-9 for r in rows)
+    # each rank carries up to 5e-7 of round(6) error
+    assert 0.15 * n - 1e-6 <= total <= n + 1e-6 * n
