@@ -111,6 +111,11 @@ _PRIORITY = (
     "q_containment_join",
     "q_metric_correlation",
     "q_train_val_test_split",
+    "q_event_trigrams",
+    "q_time_to_convert",
+    "q_pmi_collocations",
+    "q_sorted_neighborhood_dedup",
+    "q_mutual_info_lang_source",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

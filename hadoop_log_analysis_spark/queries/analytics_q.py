@@ -1289,3 +1289,112 @@ def q_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.corr("a.n", "b.n"), 4).alias("r"))
         .orderBy("m1", "m2")
     )
+
+
+@query(
+    "q_event_trigrams",
+    oracle="""
+        WITH s AS (SELECT user_id, event_type,
+                          lag(event_type, 1) OVER w AS p1,
+                          lag(event_type, 2) OVER w AS p2
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id))
+        SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        FROM s
+        WHERE p2 IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 15
+    """,
+    tags=("W3", "A1", "sequence"),
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 15 most common 3-step behavioral
+    paths (event-type trigrams within each user's timeline) — the
+    report behind "what do users do right before an error". Extends
+    q_event_transitions (order-2 Markov) to order-3 via a double lag.
+
+    Ordering discipline: both engines order by (NANOSECOND epoch,
+    event_id) — the fixture's native ts precision, carried as ts_ns on
+    the Spark side — so tie order is identical by construction.
+
+    Scale shape: one shuffle on user_id for the lag window (per-user
+    state = 2 trailing values), then a hash agg bounded by
+    |event_types|^3 paths.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = scan(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        s.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+        WITH c AS (SELECT user_id, min(epoch_ns(ts)) AS click_ns
+                   FROM events WHERE event_type = 'click' GROUP BY user_id),
+         p AS (SELECT e.user_id, min(epoch_ns(ts)) AS purchase_ns
+               FROM events e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND epoch_ns(ts) >= c.click_ns
+               GROUP BY e.user_id)
+        SELECT count(*) AS n_converted,
+               round(quantile_cont((purchase_ns - click_ns) / 6e10, 0.5), 2)
+                   AS p50_min,
+               round(quantile_cont((purchase_ns - click_ns) / 6e10, 0.9), 2)
+                   AS p90_min
+        FROM p JOIN c USING (user_id)
+    """,
+    tags=("A5", "J6", "funnel", "timeseries"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, minutes from their
+    FIRST click to their first purchase at-or-after it; reports the
+    converted-user count and exact p50/p90 — the latency view of the
+    funnel that q_funnel_steps counts.
+
+    Both engines compute deltas on integer NANOSECOND epochs (the
+    fixture's native ts precision, carried as ts_ns on the Spark side)
+    so the division to minutes is bit-identical.
+
+    Scale shape: two per-user min-aggregates (map-side combinable)
+    and a broadcast-sized join between them; the exact percentile runs
+    over |converted users| values — approx_percentile beyond ~1e7.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("click_ns"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts_ns") >= F.col("click_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("purchase_ns"))
+    )
+    delta_min = (F.col("purchase_ns") - F.col("click_ns")) / F.lit(6e10)
+    return (
+        purchases.join(clicks, "user_id")
+        .select(delta_min.alias("dm"))
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(dm, 0.5)"), 2).alias("p50_min"),
+            F.round(F.expr("percentile(dm, 0.9)"), 2).alias("p90_min"),
+        )
+    )

@@ -1393,3 +1393,216 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=CONTAINMENT_T).orderBy(
         "a_id", "b_id"
     )
+
+
+PMI_MIN_SUPPORT = 5
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         uni AS (SELECT unnest(t) AS tok FROM toks),
+         un AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+         nu AS (SELECT count(*) AS n_uni FROM uni),
+         bi AS (SELECT t[i] AS a, t[i + 1] AS b
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+         bn AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b),
+         nb AS (SELECT count(*) AS n_bi FROM bi)
+        SELECT a, b, n_ab,
+               round(ln((CAST(n_ab AS DOUBLE) / n_bi)
+                        / ((CAST(ua.n AS DOUBLE) / n_uni)
+                           * (CAST(ub.n AS DOUBLE) / n_uni))), 4) AS pmi
+        FROM bn
+        JOIN un ua ON ua.tok = a
+        JOIN un ub ON ub.tok = b, nu, nb
+        WHERE n_ab >= {PMI_MIN_SUPPORT}
+        ORDER BY pmi DESC, a, b
+        LIMIT 20
+    """,
+    tags=("L5", "A1", "collocation"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by pointwise
+    mutual information — ln of the bigram's observed-vs-independent
+    probability ratio, with unigram probabilities from the token
+    stream and bigram probabilities from the adjacent-pair stream;
+    min support 5 removes noise pairs. PMI is the classic phrase /
+    multi-word-expression detector a tokenizer-training pipeline runs
+    before choosing merges (complements q_bpe_merge_pairs, which
+    counts raw frequency without the independence normalizer).
+
+    Scale shape: both count tables are vocabulary-bounded hash aggs
+    with map-side combine; the two unigram joins broadcast (|vocab|
+    rows); totals ride broadcast 1-row aggregates. TakeOrdered top-20.
+    """
+    toks = scan(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("tok"))
+    un = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    nu = uni.agg(F.count("*").alias("n_uni"))
+    pairs = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+    )
+    bi = toks.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    bn = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    nb = bi.agg(F.count("*").alias("n_bi"))
+    ua = un.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = un.select(F.col("tok").alias("b"), F.col("n").alias("nb_"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("na").cast("double") / F.col("n_uni"))
+            * (F.col("nb_").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bn.filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("a", "b", "n_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )
+
+
+SNM_WINDOW = 3
+SNM_MAX_DIST = 10
+
+
+@query(
+    "q_sorted_neighborhood_dedup",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang, substring(text, 1, 60) AS head
+                   FROM documents),
+         w AS (SELECT lang, doc_id, head,
+                      lag(doc_id, 1) OVER win AS i1, lag(head, 1) OVER win AS h1,
+                      lag(doc_id, 2) OVER win AS i2, lag(head, 2) OVER win AS h2,
+                      lag(doc_id, 3) OVER win AS i3, lag(head, 3) OVER win AS h3
+               FROM d
+               WINDOW win AS (PARTITION BY lang ORDER BY head, doc_id)),
+         pairs AS (
+            SELECT i1 AS id_a, doc_id AS id_b, levenshtein(h1, head) AS dist
+            FROM w WHERE i1 IS NOT NULL
+            UNION ALL
+            SELECT i2, doc_id, levenshtein(h2, head) FROM w WHERE i2 IS NOT NULL
+            UNION ALL
+            SELECT i3, doc_id, levenshtein(h3, head) FROM w WHERE i3 IS NOT NULL)
+        SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, dist
+        FROM pairs
+        WHERE dist <= {SNM_MAX_DIST}
+        ORDER BY id_a, id_b
+    """,
+    tags=("L2", "W3", "dedup"),
+)
+def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (the classic entity-
+    resolution blocking method): docs sort by a fuzzy key (60-char
+    head) within each lang partition, and ONLY the 3 preceding
+    neighbors in sort order are compared by edit distance — O(n x w)
+    comparisons instead of O(n^2), and unlike equality blocking
+    (q_levenshtein_near_dups' (lang, band, prefix) key) it cannot
+    split a near-pair across block boundaries unless w neighbors
+    intervene.
+
+    Scale shape: one shuffle on the lang partition key, a per-
+    partition sort, and a w-deep lag window (state = 3 trailing rows);
+    at 100 TB the partition key gains a head-prefix component so no
+    single partition exceeds a task (the standard multi-pass SNM
+    sweep), at the usual multi-key recall cost.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 60).alias("head")
+    )
+    win = Window.partitionBy("lang").orderBy("head", "doc_id")
+    lags = d.select(
+        "doc_id",
+        "head",
+        *[
+            c
+            for k in range(1, SNM_WINDOW + 1)
+            for c in (
+                F.lag("doc_id", k).over(win).alias(f"i{k}"),
+                F.lag("head", k).over(win).alias(f"h{k}"),
+            )
+        ],
+    )
+    parts = [
+        lags.filter(F.col(f"i{k}").isNotNull()).select(
+            F.col(f"i{k}").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.levenshtein(F.col(f"h{k}"), F.col("head")).alias("dist"),
+        )
+        for k in range(1, SNM_WINDOW + 1)
+    ]
+    pairs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        pairs.filter(F.col("dist") <= SNM_MAX_DIST)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_mutual_info_lang_source",
+    oracle="""
+        WITH xy AS (SELECT lang, source, count(*) AS n_xy
+                    FROM documents GROUP BY lang, source),
+         x AS (SELECT lang, count(*) AS n_x FROM documents GROUP BY lang),
+         y AS (SELECT source, count(*) AS n_y FROM documents GROUP BY source),
+         t AS (SELECT count(*) AS n FROM documents)
+        SELECT xy.lang, xy.source, n_xy,
+               round(ln((CAST(n_xy AS DOUBLE) / n)
+                        / ((CAST(n_x AS DOUBLE) / n)
+                           * (CAST(n_y AS DOUBLE) / n))), 6) AS pmi,
+               round((CAST(n_xy AS DOUBLE) / n)
+                     * ln((CAST(n_xy AS DOUBLE) / n)
+                          / ((CAST(n_x AS DOUBLE) / n)
+                             * (CAST(n_y AS DOUBLE) / n))), 6) AS mi_term
+        FROM xy JOIN x USING (lang) JOIN y USING (source), t
+        ORDER BY xy.lang, xy.source
+    """,
+    tags=("A1", "diagnostic", "L7"),
+)
+def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence diagnostic: per-cell pointwise mutual
+    information and MI contribution between document language and
+    source — the drift check a corpus pipeline runs to verify its
+    source mix is language-balanced (total MI ~ 0 means lang ⊥ source;
+    a hot cell pinpoints which source skews which language).
+
+    Scale shape: three grouped counts (all map-side combinable,
+    output bounded by |langs| x |sources|) joined broadcast; total
+    rides a 1-row broadcast. Zero corpus-sized shuffles.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    xy = docs.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    x = docs.groupBy("lang").agg(F.count("*").alias("n_x"))
+    y = docs.groupBy("source").agg(F.count("*").alias("n_y"))
+    t = docs.agg(F.count("*").alias("n"))
+    p_xy = F.col("n_xy").cast("double") / F.col("n")
+    ratio = p_xy / (
+        (F.col("n_x").cast("double") / F.col("n"))
+        * (F.col("n_y").cast("double") / F.col("n"))
+    )
+    return (
+        xy.join(F.broadcast(x), "lang")
+        .join(F.broadcast(y), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(p_xy * F.log(ratio), 6).alias("mi_term"),
+        )
+        .orderBy("lang", "source")
+    )
