@@ -274,3 +274,133 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# --- audio (WAV/RIFF) plumbing: same contract as the image path ------
+
+WAV_HEADER_LEN = 44  # canonical PCM: RIFF(12) + fmt(24) + data hdr(8)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("data_bytes", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def _le_bytes(col: Column, width_bytes: int) -> Column:
+    """Fixed-width LITTLE-endian byte encoding of a non-negative
+    integer column (RIFF is little-endian, PNG/JPEG big-endian):
+    zero-padded hex, byte pairs concatenated in reverse order."""
+    hexed = F.lpad(F.hex(col), width_bytes * 2, "0")
+    pairs = [
+        F.substring(hexed, 2 * i + 1, 2) for i in range(width_bytes)
+    ]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
+    """Add a deterministic binary ``payload`` carrying a REAL 44-byte
+    PCM WAV header (RIFF/WAVE + fmt + data chunks, parseable by any
+    audio tool) followed by the document's utf-8 text bytes as the
+    stand-in sample body, plus a typed ``meta`` struct. Header
+    construction is pure JVM column arithmetic, mirroring
+    ``attach_synthetic_binary``'s image path."""
+    n_channels = (F.col("doc_id") % 2 + 1).cast("int")
+    sample_rate = ((F.col("doc_id") % 4 + 1) * 8000).cast("int")
+    bits = F.lit(16)
+    block_align = (n_channels * 2).cast("int")
+    byte_rate = (sample_rate * block_align).cast("int")
+    data_len = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        _le_bytes(data_len + 36, 4),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"),
+        _le_bytes(F.lit(16), 4),  # PCM fmt chunk size
+        _le_bytes(F.lit(1), 2),  # audio format = PCM
+        _le_bytes(n_channels, 2),
+        _le_bytes(sample_rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(bits, 2),
+        F.encode(F.lit("data"), "utf-8"),
+        _le_bytes(data_len, 4),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, F.encode(F.col("text"), "utf-8")).alias("payload"),
+        F.struct(
+            n_channels.alias("n_channels"),
+            sample_rate.alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Header-level WAV decode — no codec library needed. Walks the
+    RIFF chunk list and returns ``(n_channels, sample_rate, bits,
+    data_bytes)``. Raises ``NotImplementedError`` for non-RIFF
+    payloads and ``ValueError`` for RIFF without fmt/data chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("payload has no RIFF/WAVE header")
+    off, fmt, data_bytes = 12, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if cid == b"fmt ":
+            _, n_channels, sample_rate = struct.unpack(
+                "<HHI", payload[off + 8 : off + 16]
+            )
+            (bits,) = struct.unpack("<H", payload[off + 22 : off + 24])
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data_bytes = size
+            break  # sample body follows; stop walking
+        off += 8 + size
+    if fmt is None or data_bytes is None:
+        raise ValueError("RIFF header without fmt/data chunks")
+    return (*fmt, data_bytes)
+
+
+def decode_audio_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: channel count, sample
+    rate, bit depth, and body size are DECODED from the payload's own
+    RIFF header bytes; duration is derived from them. Malformed
+    headers are dropped (side-output at scale)."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    n_channels, sample_rate, bits, data_bytes = _decode_wav(
+                        data
+                    )
+                except (NotImplementedError, ValueError):
+                    continue
+                byte_rate = sample_rate * n_channels * bits // 8
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_channels": n_channels,
+                        "sample_rate": sample_rate,
+                        "bits": bits,
+                        "data_bytes": data_bytes,
+                        "duration_ms": data_bytes * 1000.0 / byte_rate,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        extract, AUDIO_SCHEMA
+    )

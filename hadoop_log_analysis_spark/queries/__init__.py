@@ -116,6 +116,8 @@ _PRIORITY = (
     "q_pmi_collocations",
     "q_sorted_neighborhood_dedup",
     "q_mutual_info_lang_source",
+    "q_audio_features",
+    "q_equidepth_histogram",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -1398,3 +1398,60 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(dm, 0.9)"), 2).alias("p90_min"),
         )
     )
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle="""
+        WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+                          quantile_cont(n_chars, 0.50) AS q2,
+                          quantile_cont(n_chars, 0.75) AS q3
+                   FROM documents)
+        SELECT CASE WHEN n_chars <= q1 THEN 0
+                    WHEN n_chars <= q2 THEN 1
+                    WHEN n_chars <= q3 THEN 2
+                    ELSE 3 END AS bin,
+               count(*) AS n,
+               CAST(min(n_chars) AS BIGINT) AS lo,
+               CAST(max(n_chars) AS BIGINT) AS hi
+        FROM documents, b
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    tags=("A5", "A1", "layout"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of document lengths: bin boundaries are
+    the exact quartiles (so bins hold ~equal row counts), vs
+    q_doc_length_histogram's fixed-width bins. The quantile-boundary +
+    bin-assignment shape is exactly what `repartitionByRange` computes
+    internally — this query exposes the boundaries a 100 TB layout
+    job would use to balance output files over a skewed column.
+
+    Scale shape: one exact-percentile aggregate (swap in
+    approx_percentile's t-digest beyond ~1e7 rows — same plan), bounds
+    broadcast back, map-side bin assignment, 4-group hash agg.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    binned = docs.crossJoin(F.broadcast(b)).select(
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("q1"), 0)
+        .when(F.col("n_chars") <= F.col("q2"), 1)
+        .when(F.col("n_chars") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -1606,3 +1606,55 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_audio_features",
+    oracle="""
+        -- Closed-form twin of the RIFF header decode
+        -- (attach_synthetic_audio): channels/rate are deterministic
+        -- functions of doc_id, the data chunk is the utf-8 text body,
+        -- duration = bytes / (rate * channels * 2). Spark builds and
+        -- struct-parses the actual 44-byte WAV header; DuckDB predicts
+        -- the result — verifying the real decode path.
+        WITH m AS (SELECT doc_id,
+                          CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+                          CAST((doc_id % 4 + 1) * 8000 AS INT) AS sample_rate,
+                          octet_length(encode(text)) AS data_bytes
+                   FROM documents)
+        SELECT n_channels, sample_rate, count(*) AS n,
+               CAST(sum(data_bytes) AS BIGINT) AS total_bytes,
+               round(sum(data_bytes * 1000.0
+                         / (sample_rate * n_channels * 2)), 3) AS total_ms
+        FROM m
+        GROUP BY n_channels, sample_rate
+        ORDER BY n_channels, sample_rate
+    """,
+    tags=("L6",),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (audio): synthetic payloads with REAL 44-byte PCM WAV
+    headers (RIFF/WAVE/fmt/data chunks built JVM-side, little-endian)
+    -> Arrow-batched mapInPandas decode (channels, sample rate, bit
+    depth, body size struct-parsed from the bytes) -> duration
+    accounting per (channels, rate) class. Extends the multimodal
+    surface beyond images with the same contract: the oracle predicts
+    the decode closed-form while Spark actually walks the RIFF chunk
+    list.
+    """
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        decode_audio_features,
+    )
+
+    docs = scan(spark, sf_dir, "documents")
+    feats = decode_audio_features(attach_synthetic_audio(docs))
+    return (
+        feats.groupBy("n_channels", "sample_rate")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("data_bytes").alias("total_bytes"),
+            F.round(F.sum(F.col("duration_ms")), 3).alias("total_ms"),
+        )
+        .orderBy("n_channels", "sample_rate")
+    )

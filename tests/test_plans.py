@@ -569,3 +569,27 @@ def test_pagerank_iterations_reuse_cached_adjacency(spark):
     # block, so count cache READS, not raw scan strings.)
     plan = _formatted(REGISTRY["q_pagerank_tokens"].fn(spark, SF001))
     assert plan.count("InMemoryTableScan") >= 3  # one adj read per iteration
+
+
+def test_dynamic_partition_pruning_through_dim_join(spark):
+    # Joining the event_type-partitioned sink against a selectively
+    # filtered dim must inject a dynamicpruning subquery into the
+    # fact scan's PartitionFilters — at 100 TB this is what turns a
+    # full-corpus scan into reading only the dim-selected partitions.
+    import os
+
+    from hadoop_log_analysis_spark.queries.sources_q import _derived_dir
+
+    REGISTRY["q_parquet_sink_partitioned"].fn(spark, SF001).collect()
+    fact = spark.read.parquet(_derived_dir(SF001, "parquet_part"))
+    dim_path = _derived_dir(SF001, "dpp_dim")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        spark.createDataFrame(
+            [(t, int(t == "error")) for t in
+             ("error", "click", "view", "purchase", "signup")],
+            "event_type string, is_alert int",
+        ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("is_alert") == 1)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = _formatted(j)
+    assert "dynamicpruningexpression" in plan

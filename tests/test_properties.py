@@ -549,3 +549,23 @@ def test_pagerank_mass_bounds_and_order_stability(spark):
     assert all(r.rank >= 0.15 - 1e-9 for r in rows)
     # each rank carries up to 5e-7 of round(6) error
     assert 0.15 * n - 1e-6 <= total <= n + 1e-6 * n
+
+
+def test_wav_header_roundtrip(spark):
+    # The JVM-built RIFF header must parse back (in Python) to exactly
+    # the parameters it encodes, for every (channels, rate) class.
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        WAV_HEADER_LEN,
+        _decode_wav,
+        attach_synthetic_audio,
+    )
+    from hadoop_log_analysis_spark.sources.catalog import scan
+
+    docs = scan(spark, SF001, "documents").limit(40)
+    for r in attach_synthetic_audio(docs).collect():
+        data = bytes(r.payload)
+        n_channels, sample_rate, bits, data_bytes = _decode_wav(data)
+        assert n_channels == r.doc_id % 2 + 1
+        assert sample_rate == (r.doc_id % 4 + 1) * 8000
+        assert bits == 16
+        assert data_bytes == len(data) - WAV_HEADER_LEN
