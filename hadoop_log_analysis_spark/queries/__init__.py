@@ -109,15 +109,14 @@ _PRIORITY = (
     "q_regression_trend",
     "q_zorder_layout",
     "q_containment_join",
-    "q_metric_correlation",
-    "q_train_val_test_split",
     "q_event_trigrams",
     "q_time_to_convert",
     "q_pmi_collocations",
     "q_sorted_neighborhood_dedup",
     "q_mutual_info_lang_source",
     "q_audio_features",
-    "q_equidepth_histogram",
+    "q_python_datasource",
+    "q_incremental_join_maintenance",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",
@@ -138,6 +137,11 @@ _PRIORITY = (
     "q_except",
     "q_dedup_keep_latest",
     "q_hash_engine_specific",
+    # r4 additions deferred past the 50-row budget boundary — locally
+    # hash-verified; driver rows expected r5 (positions 49+)
+    "q_equidepth_histogram",
+    "q_train_val_test_split",
+    "q_metric_correlation",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

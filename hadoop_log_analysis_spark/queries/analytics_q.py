@@ -1455,3 +1455,63 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_incremental_join_maintenance",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("J2", "A1", "incremental"),
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: with both sides split
+    into base + delta (orders by orderdate, lineitem by shipdate,
+    cutover = 1999-01-01), the maintained join is the IVM algebra
+        base_O ⋈ base_L  ∪  base_O ⋈ ΔL  ∪  ΔO ⋈ base_L  ∪  ΔO ⋈ ΔL
+    re-aggregated — and the oracle is the FULL recompute, so the hash
+    match proves the four-term delta decomposition loses and double-
+    counts nothing. Complements q_incremental_rollup (aggregate IVM)
+    and q_merge_upsert (row-level CDC) with the join case.
+
+    Scale shape: in steady state only the three delta terms run
+    (|Δ| x base via index/bucket joins, |Δ| x |Δ|); the base x base
+    term is the stored view. Here all four execute to make the
+    verification non-vacuous; each term is a plain equi-join the
+    planner shuffles or broadcasts by size.
+    """
+    cutover = "1999-01-01"
+    orders = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    o0 = orders.filter(F.col("o_orderdate") < cutover)
+    do = orders.filter(F.col("o_orderdate") >= cutover)
+    l0 = li.filter(F.col("l_shipdate") < cutover)
+    dl = li.filter(F.col("l_shipdate") >= cutover)
+
+    def term(o, l):
+        return l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+
+    maintained = (
+        term(o0, l0)
+        .unionByName(term(o0, dl))
+        .unionByName(term(do, l0))
+        .unionByName(term(do, dl))
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .orderBy("o_orderpriority")
+    )

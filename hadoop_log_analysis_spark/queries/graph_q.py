@@ -82,6 +82,16 @@ def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cached across iterations so the scan is not re-executed per
     step (the checkpoint discipline SCALE.md requires of iterative
     plans).
+
+    Plan-shape choices MEASURED at sf0.1 (3 fresh runs each):
+    chained lineage 2.02-2.10 s; per-iteration localCheckpoint
+    2.05-2.29 s (no win — 3 iterations is too shallow for lineage
+    cost to matter); explicit broadcast() of the rank table into
+    every iteration join 3.06-3.99 s (per-iteration broadcast
+    construction round-trips dominate at vocabulary scale). So the
+    joins stay hint-free: AQE converts them to broadcasts at runtime
+    when the rank side is actually small, without the driver-side
+    rebuild cost the explicit hint forces.
     """
     toks = scan(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("t")

@@ -407,3 +407,59 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("kind")
     )
+
+
+@query(
+    "q_python_datasource",
+    oracle="""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S2", "S3", "datasource"),
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 via the Spark 4 custom Python DataSource API
+    (sources/pydatasource.py): the app-log text files are read through
+    ``spark.read.format("applog")`` — a registered DataSource whose
+    reader plans one InputPartition per file driver-side and parses /
+    drops malformed lines executor-side — then aggregated per type
+    including a typed JSON field sum. The oracle computes the same
+    result from the original parquet, verifying the whole custom-
+    source roundtrip (write -> plan -> parallel Python read -> typed
+    parse -> agg). Demonstrates the extension point for formats Spark
+    lacks a native reader for; the native q_log_parse twin is the
+    faster path when one exists.
+    """
+    from hadoop_log_analysis_spark.sources.pydatasource import AppLogDataSource
+
+    path = _derived_dir(sf_dir, "textlog")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = scan(spark, sf_dir, "events")
+        lines = format_events_as_log_lines(events)
+        garbage = spark.createDataFrame(
+            [("this is not a log line",), ("evt|malformed",), ("",)],
+            ["value"],
+        )
+        lines.unionByName(garbage).coalesce(4).write.mode("overwrite").text(
+            path
+        )
+    try:
+        spark.dataSource.register(AppLogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    logs = spark.read.format("applog").option("path", path).load()
+    return (
+        logs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
