@@ -416,6 +416,15 @@ def containment_join(
         F.col("ranks").alias("b_ranks"),
         F.explode("ranks").alias("tok_rank"),
     )
+    # EXACT B-side prune: only tokens that occur in SOME a-prefix can
+    # generate a candidate, so the full-explode index semi-joins down
+    # to the distinct prefix-token set before the candidate join. The
+    # prefix side is rarest-first, so this drops precisely the high-df
+    # stop tokens whose index rows dominate the explode at scale — the
+    # safe form of the "cap stop-token buckets" mitigation (no recall
+    # loss; exactness still pinned by the brute-force-oracle tests).
+    pref_toks = a_pref.select("tok_rank").distinct()
+    b_full = b_full.join(pref_toks, "tok_rank", "left_semi")
     cands = (
         a_pref.join(b_full, "tok_rank")
         .filter(F.col("a_id") != F.col("b_id"))

@@ -116,6 +116,7 @@ _PRIORITY = (
     "q_mutual_info_lang_source",
     "q_audio_features",
     "q_python_datasource",
+    "q_stream_python_datasource",
     "q_incremental_join_maintenance",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order

@@ -613,3 +613,64 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > total // (MG_STREAM_K + 1))
         .orderBy(F.desc("n"), "item")
     )
+
+
+@query(
+    "q_stream_python_datasource",
+    oracle="""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S7", "T1", "datasource"),
+)
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 via the Spark 4 custom Python STREAMING DataSource API
+    (sources/pydatasource.AppLogStreamDataSource): the app-log text
+    files stream in through ``spark.readStream.format("applog_stream")``
+    — checkpointable file-index offsets, per-file partitions, typed
+    parse + malformed drop executor-side — drained under AvailableNow
+    into a complete-mode aggregate. The oracle is the batch answer
+    from the original parquet: the stream-batch parity law applied to
+    a source Spark has no native reader for. Batch twin:
+    q_python_datasource.
+    """
+    from hadoop_log_analysis_spark.queries.sources_q import _derived_dir
+    from hadoop_log_analysis_spark.sources.logs import (
+        format_events_as_log_lines,
+    )
+    from hadoop_log_analysis_spark.sources.pydatasource import (
+        AppLogStreamDataSource,
+    )
+    from hadoop_log_analysis_spark.streaming.events_stream import run_to_table
+
+    path = _derived_dir(sf_dir, "textlog")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = scan(spark, sf_dir, "events")
+        lines = format_events_as_log_lines(events)
+        garbage = spark.createDataFrame(
+            [("this is not a log line",), ("evt|malformed",), ("",)],
+            ["value"],
+        )
+        lines.unionByName(garbage).coalesce(4).write.mode("overwrite").text(
+            path
+        )
+    try:
+        spark.dataSource.register(AppLogStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("applog_stream").option("path", path).load()
+    # exact count(DISTINCT) is unsupported inside a streaming agg;
+    # drain the typed rows append-mode and aggregate exactly on the
+    # drained batch — the streaming-transport / batch-finishing split
+    # the foreachBatch sink queries also use.
+    typed = run_to_table(stream, "t_stream_pysrc", "append")
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
