@@ -118,6 +118,7 @@ _PRIORITY = (
     "q_python_datasource",
     "q_stream_python_datasource",
     "q_incremental_join_maintenance",
+    "q_sql_script_threshold",
     # the 18 never-driver-verified queries (VERDICT r3 #2), in the
     # original family order
     "q_above_customer_avg",

@@ -606,3 +606,82 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_HIERARCHY_SQL)
+
+
+# Target: smallest integer threshold T such that documents with
+# n_chars >= T hold at most 1/4 of total corpus characters — the
+# "keep only the longest docs up to a char budget" cutoff, stated as
+# integer math (f(T) * 4 <= total) so both engines compare exactly.
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE lo BIGINT DEFAULT 0;
+  DECLARE hi BIGINT;
+  DECLARE mid BIGINT;
+  DECLARE f BIGINT;
+  DECLARE total BIGINT;
+  SET total = (SELECT sum(n_chars) FROM documents);
+  SET hi = (SELECT max(n_chars) + 1 FROM documents);
+  WHILE lo < hi DO
+    SET mid = (lo + hi) DIV 2;
+    SET f = (SELECT coalesce(sum(n_chars), 0) FROM documents
+             WHERE n_chars >= mid);
+    IF f * 4 <= total THEN
+      SET hi = mid;
+    ELSE
+      SET lo = mid + 1;
+    END IF;
+  END WHILE;
+  SELECT CAST(lo AS INT) AS threshold,
+         (SELECT count(*) FROM documents WHERE n_chars >= lo) AS kept_docs,
+         (SELECT coalesce(sum(n_chars), 0) FROM documents
+          WHERE n_chars >= lo) AS kept_chars;
+END
+"""
+
+
+@query(
+    "q_sql_script_threshold",
+    oracle="""
+        WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
+                   FROM documents),
+         v AS (SELECT DISTINCT n_chars AS v FROM documents),
+         s AS (SELECT v, (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                          FROM documents d WHERE d.n_chars >= v.v) AS f
+               FROM v),
+         k AS (SELECT CAST(coalesce(max(CASE WHEN f * 4 > total THEN v END),
+                                    -1) + 1 AS INT) AS threshold
+               FROM s, t)
+        SELECT threshold,
+               (SELECT count(*) FROM documents WHERE n_chars >= threshold)
+                   AS kept_docs,
+               (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+                FROM documents WHERE n_chars >= threshold) AS kept_chars
+        FROM k
+    """,
+    tags=("scripting", "A2", "curation"),
+)
+def q_sql_script_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/IF): a binary search
+    over the integer cutoff T finds the smallest threshold at which
+    "documents with n_chars >= T" hold <= 1/4 of total corpus
+    characters — the iterative parameter-search pattern (each loop
+    step is one aggregate over the data) that procedural pipelines
+    run around their engines; scripting runs it INSIDE the engine.
+    The oracle finds the same threshold by a completely different,
+    closed-form method (suffix sums over the distinct-value domain:
+    threshold = 1 + the largest value still over budget) — so the
+    hash match validates the loop's fixed point, not a transcription.
+
+    Scale shape: ~log2(max_n_chars) iterations, each one a pushed-down
+    filter + sum aggregate (map-side combinable); driver holds only
+    the scalar loop state.
+    """
+    from hadoop_log_analysis_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(_SCRIPT_SQL)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)
