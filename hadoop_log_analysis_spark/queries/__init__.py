@@ -51,6 +51,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sources/relational/joins/aggregates/windows entries come last (their
 # r1 rows + tests/test_oracle_parity.py stand as evidence).
 _MODULES = (
+    "modern_sql_q",
     "scalar_fns",
     "graph_q",
     "llm_ops",
@@ -148,6 +149,10 @@ _PRIORITY = (
     "q_equidepth_histogram",
     "q_train_val_test_split",
     "q_metric_correlation",
+    "q_sql_pipe_syntax",
+    "q_sql_udf_quality",
+    "q_sql_table_function",
+    "q_collated_filter",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",
