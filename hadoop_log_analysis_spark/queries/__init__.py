@@ -153,6 +153,7 @@ _PRIORITY = (
     "q_sql_udf_quality",
     "q_sql_table_function",
     "q_collated_filter",
+    "q_bloom_prefilter_join",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

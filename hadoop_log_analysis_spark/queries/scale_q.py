@@ -336,3 +336,58 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "q_bloom_prefilter_join",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'ECONOMY')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("J4", "bloom", "skew"),
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi-join (operators/bloom.py): revenue
+    of lineitems whose part is ECONOMY-typed.
+
+    Plan shape under the hood: (1) one bounded aggregate folds the
+    ECONOMY part keys into a 2^16-bit Bloom bitmap (driver holds 1 Ki
+    longs, independent of data size); (2) the bitmap rides into the
+    lineitem scan as an array<long> literal and the xxhash64 triple
+    probe drops non-candidate rows MAP-SIDE, inside whole-stage
+    codegen, before any exchange; (3) the surviving candidates go
+    through a normal exact left-semi join, which removes Bloom false
+    positives — so the result equals the oracle's plain IN-subquery
+    exactly, while at 100 TB only ~selectivity + fpp of the fact bytes
+    reach the verify join's shuffle.
+
+    This is the explicit, plan-assertable twin of Spark's runtime
+    row-level Bloom injection (spark.sql.optimizer.runtime.
+    bloomFilter.enabled); building it by hand also makes the bitmap
+    reusable across queries in a session.
+    """
+    from hadoop_log_analysis_spark.operators.bloom import bloom_semi_join
+
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    econ = scan(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    kept = bloom_semi_join(
+        li, econ, fact_key="l_partkey", keys_key="p_partkey", m_bits=1 << 16
+    )
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -569,3 +569,53 @@ def test_wav_header_roundtrip(spark):
         assert sample_rate == (r.doc_id % 4 + 1) * 8000
         assert bits == 16
         assert data_bytes == len(data) - WAV_HEADER_LEN
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    """operators/bloom.py invariants on real keys: (1) every true key
+    passes the probe (Bloom admits no false negatives, so the exact
+    verify join can only REMOVE rows, never need to add any back);
+    (2) the probe really prunes (candidate set is a small superset of
+    the true match set, not a pass-through); (3) the full composition
+    equals the plain semi-join row-for-row."""
+    from hadoop_log_analysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    m_bits = 1 << 16
+    li = scan(spark, SF001, "lineitem").select("l_partkey")
+    econ = (
+        scan(spark, SF001, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    words = bloom_build(econ, "p_partkey", m_bits)
+
+    # (1) no false negatives: every ECONOMY key itself passes.
+    n_true = econ.count()
+    assert (
+        econ.where(bloom_might_contain(F.col("p_partkey"), words, m_bits)).count()
+        == n_true
+    )
+
+    # (2) the probe prunes the fact side: candidates <= exact + fpp slack.
+    exact = li.join(
+        econ.withColumnRenamed("p_partkey", "l_partkey").distinct(),
+        "l_partkey",
+        "left_semi",
+    ).count()
+    candidates = li.where(
+        bloom_might_contain(F.col("l_partkey"), words, m_bits)
+    ).count()
+    total = li.count()
+    assert exact <= candidates < total  # supersets exact, beats pass-through
+    # fpp at n=311 keys, m=2^16, k=3 is ~1e-5 -> essentially no slack.
+    assert candidates <= exact + max(10, total // 100)
+
+    # (3) composition is exact.
+    composed = bloom_semi_join(
+        li, econ, fact_key="l_partkey", keys_key="p_partkey", m_bits=m_bits
+    ).count()
+    assert composed == exact
