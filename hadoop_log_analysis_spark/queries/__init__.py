@@ -154,6 +154,9 @@ _PRIORITY = (
     "q_sql_table_function",
     "q_collated_filter",
     "q_bloom_prefilter_join",
+    "q_acf_daily",
+    "q_max_concurrency_daily",
+    "q_skyline_parts",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

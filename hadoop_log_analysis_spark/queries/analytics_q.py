@@ -1515,3 +1515,172 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_acf_daily",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+          FROM events GROUP BY 1),
+        l AS (SELECT unnest(generate_series(1, 7)) AS lag)
+        SELECT l.lag,
+               count(*) AS n_pairs,
+               round(corr(a.n, b.n), 6) AS acf
+        FROM l
+        CROSS JOIN c a
+        JOIN c b ON b.d = a.d - CAST(l.lag AS INTEGER)
+        GROUP BY l.lag
+        ORDER BY l.lag
+    """,
+    tags=("A5", "W3", "timeseries"),
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily traffic at lags 1-7 days —
+    the seasonality diagnostic (a weekly cycle shows as a lag-7 peak)
+    run before fitting any forecast model.
+
+    Gap-safe by construction: pairs are formed by a JOIN on calendar
+    arithmetic (day = day - lag), not by row-offset lag(), so missing
+    days pair with nothing instead of silently pairing with the wrong
+    offset. Scale shape: the heavy part is one day-grain aggregate of
+    the fact table (map-side combinable); the pair-join runs on the
+    tiny day-grain series (365 rows/year regardless of fact bytes), so
+    the 7-way lag explosion is broadcast-trivial.
+    """
+    ev = scan(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    probe = c.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_sub(F.col("d"), F.col("lag")).alias("d_prev"),
+        F.col("n").alias("n_now"),
+    )
+    prev = c.select(F.col("d").alias("d_prev"), F.col("n").alias("n_prev"))
+    return (
+        probe.join(prev, "d_prev")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("n_now", "n_prev"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "q_max_concurrency_daily",
+    oracle="""
+        WITH pts AS (
+          SELECT date_trunc('day', ts) AS day, ts AS t,
+                 1 AS delta
+          FROM events
+          UNION ALL
+          SELECT date_trunc('day', ts) AS day,
+                 least(ts + INTERVAL 5 MINUTE,
+                       date_trunc('day', ts) + INTERVAL 1 DAY) AS t,
+                 -1 AS delta
+          FROM events),
+        r AS (
+          SELECT day,
+                 sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM pts)
+        SELECT day, CAST(max(run) AS BIGINT) AS max_concurrency
+        FROM r GROUP BY day ORDER BY day
+    """,
+    tags=("W4", "J6", "timeseries"),
+)
+def q_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the classic interval sweep: each
+    event holds a resource for 5 minutes (clipped at midnight, so days
+    are independent); +1/-1 boundary points, ordered (time, delta) so
+    an end releases before a coincident start (end-exclusive
+    intervals), running sum, max per day.
+
+    The sweep is O(n log n) against the O(n^2) interval-overlap
+    self-join a naive formulation runs. Partitioned by day, each day's
+    prefix sum is one in-partition scan; if one day is itself too big
+    for a task, the same two-phase prefix trick as operators/prefix.py
+    applies (hour-grain partials + carried offsets) without changing
+    this query's contract. Ties among coincident identical deltas
+    cannot change the prefix maximum (equal elements commute), so the
+    result is deterministic without a full tie-break.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), F.col("ts")
+    )
+    starts = ev.select("day", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "day",
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+            F.col("day") + F.expr("INTERVAL 1 DAY"),
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("run", F.sum("delta").over(w))
+    return (
+        run.groupBy("day")
+        .agg(F.max("run").alias("max_concurrency"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_skyline_parts",
+    oracle="""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size > a.p_size))
+        ORDER BY p_retailprice, p_size, p_partkey
+    """,
+    tags=("W4", "O1", "skyline"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (cheapest-price / largest-size frontier):
+    parts not dominated by any part that is at least as cheap AND at
+    least as large (strictly better on one axis).
+
+    The oracle proves the semantics with the textbook NOT EXISTS
+    (quadratic all-pairs); this side computes the identical set with
+    the sort-scan algorithm: collapse to price classes (max size per
+    distinct price), running max over strictly-cheaper classes, then a
+    part survives iff it is its class's max AND beats every cheaper
+    class's max. Cost: one agg keyed by price + a window over DISTINCT
+    PRICE CLASSES (not rows) + one broadcastable join back — no
+    all-pairs anywhere. The class-ordered window is a prefix scan; at
+    a scale where even the class list overflows one task, the
+    range-bucketed two-phase prefix of operators/prefix.py applies.
+    Duplicate (price, size) rows tie and are all kept, matching the
+    NOT EXISTS definition exactly.
+    """
+    part = scan(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    cls = part.groupBy("p_retailprice").agg(F.max("p_size").alias("cmax"))
+    wc = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cls = cls.withColumn("m1", F.max("cmax").over(wc))
+    return (
+        part.join(F.broadcast(cls), "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("cmax"))
+            & (F.col("m1").isNull() | (F.col("p_size") > F.col("m1")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
