@@ -157,6 +157,11 @@ _PRIORITY = (
     "q_acf_daily",
     "q_max_concurrency_daily",
     "q_skyline_parts",
+    "q_triangle_count",
+    "q_bfs_hops",
+    "q_basket_lift",
+    "q_seasonal_naive_error",
+    "q_data_quality_report",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

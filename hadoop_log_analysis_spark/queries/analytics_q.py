@@ -1684,3 +1684,139 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        item AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+        pair AS (
+          SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS n_both
+          FROM b a JOIN b c
+            ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)
+        SELECT pa, pb, n_both,
+               round(n_both * 1.0 / ia.cnt, 6) AS confidence,
+               round(n_both * 1.0 * n.n_orders / (ia.cnt * ib.cnt), 6) AS lift
+        FROM pair
+        JOIN item ia ON ia.l_partkey = pair.pa
+        JOIN item ib ON ib.l_partkey = pair.pb
+        CROSS JOIN n
+        ORDER BY lift DESC, pa, pb
+    """,
+    tags=("A1", "J8", "basket"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts:
+    support / confidence / lift for every part pair appearing together
+    in >= 3 orders — the recommendation-mining classic.
+
+    Scale shape: baskets are distinct (order, part) rows; the pair
+    build is a per-order self-join, so its cost is sum over orders of
+    C(items, 2) — bounded by basket width (single-digit here), never
+    |parts|^2. The per-item counts table is dimension-sized and
+    broadcast onto the pair support aggregate; the support >= 3 floor
+    prunes the long tail BEFORE the lift math, which at 100 TB is the
+    difference between ranking ~10^5 rules and materializing every
+    cosmetic 1-co-occurrence pair. A giant pathological basket (one
+    order with 10^5 items) would need a width cap before the
+    self-join — the same guard as the LSH bucket cap
+    (operators/dedup.py).
+    """
+    li = scan(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pair = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("c.l_partkey").alias("pb")
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "n_both",
+            F.round(F.col("n_both") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+    )
+
+
+@query(
+    "q_seasonal_naive_error",
+    oracle="""
+        WITH c AS (
+          SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type,
+               count(*) AS n_days,
+               round(avg(abs(a.n - b.n)), 4) AS mae,
+               round(avg(abs(a.n - b.n) * 2.0 / (a.n + b.n)), 6) AS smape
+        FROM c a
+        JOIN c b ON b.event_type = a.event_type
+               AND b.d = a.d - INTERVAL 7 DAY
+        GROUP BY a.event_type
+        ORDER BY a.event_type
+    """,
+    tags=("A5", "W3", "timeseries", "forecast"),
+)
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict today = same
+    weekday last week) on daily per-type traffic: MAE and sMAPE per
+    event_type — the baseline every forecasting model must beat, and
+    the cheapest drift alarm when the error jumps.
+
+    Like q_acf_daily, forecast pairs come from calendar-join (d - 7
+    days), so gaps never misalign the comparison; the fact-table cost
+    is one day-grain aggregate and everything after runs on the tiny
+    (type, day) series. sMAPE's symmetric denominator keeps the metric
+    defined when either side is near zero (counts here are >= 1 by
+    construction of GROUP BY existence).
+    """
+    ev = scan(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    fc = c.select(
+        "event_type",
+        (F.col("d") + F.expr("INTERVAL 7 DAYS")).alias("d"),
+        F.col("n").alias("n_pred"),
+    )
+    return (
+        c.join(fc, ["event_type", "d"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("n_pred"))), 4).alias("mae"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("n") - F.col("n_pred"))
+                    * 2.0
+                    / (F.col("n") + F.col("n_pred"))
+                ),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )

@@ -252,3 +252,88 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("tok")
     )
+
+
+@query(
+    "q_bfs_hops",
+    oracle="""
+        WITH RECURSIVE tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM documents),
+        eh AS (
+          SELECT a.tok AS u, b.tok AS v
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+          HAVING count(*) * 5 >= (SELECT n FROM tot)),
+        e AS (SELECT u, v FROM eh UNION ALL SELECT v, u FROM eh),
+        walk(tok, d) AS (
+          SELECT 'spark' AS tok, 0 AS d
+          UNION
+          SELECT e.v, walk.d + 1
+          FROM walk JOIN e ON e.u = walk.tok
+          WHERE walk.d < 10)
+        SELECT tok, CAST(min(d) AS INT) AS hops
+        FROM walk GROUP BY tok ORDER BY hops, tok
+    """,
+    tags=("graph", "J2", "iterative"),
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the token co-occurrence graph (same >=
+    20 %-support edges as q_triangle_count): minimum hop distance from
+    the seed token 'spark' to every reachable token.
+
+    The oracle walks the graph with a recursive CTE (set-semantics
+    UNION bounds the state to (node, depth) pairs); this side runs the
+    distributed frontier-expansion loop: each iteration joins the
+    current frontier against the edge list, anti-joins out already-
+    visited nodes, and stops when the frontier drains — O(diameter)
+    bounded shuffles, the same iterate-until-fixpoint machinery as
+    connected components (operators/clustering.py), with a
+    localCheckpoint per level so the plan lineage stays flat. Per-
+    iteration driver state is one boolean (frontier empty?); the
+    distance table lives distributed.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    half = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(F.col("a.tok").alias("u"), F.col("b.tok").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("support") * 5 >= F.col("n_docs"))
+        .select("u", "v")
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    seed = spark.createDataFrame([("spark", 0)], "tok string, hops int")
+    dist = seed.localCheckpoint(eager=True)
+    frontier = dist
+    for depth in range(1, 11):
+        nxt = (
+            frontier.join(edges, frontier["tok"] == edges["u"])
+            .select(F.col("v").alias("tok"))
+            .distinct()
+            .join(dist, "tok", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.orderBy("hops", "tok")

@@ -1252,3 +1252,109 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+        SELECT 'events.event_id unique' AS check_name,
+               count(*) AS n_checked,
+               count(*) - count(DISTINCT event_id) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events.user_id not null', count(*),
+               count(*) - count(user_id)
+        FROM events
+        UNION ALL
+        SELECT 'events.value non-negative', count(*),
+               count(*) FILTER (WHERE value < 0)
+        FROM events
+        UNION ALL
+        SELECT 'orders.o_custkey fk customer', count(*),
+               count(*) FILTER (WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer))
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_orderkey fk orders', count(*),
+               count(*) FILTER (WHERE l_orderkey NOT IN
+                 (SELECT o_orderkey FROM orders))
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents.text non-empty', count(*),
+               count(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+        FROM documents
+        ORDER BY check_name
+    """,
+    tags=("A2", "J4", "dq", "curation"),
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the assertion battery a pipeline runs before
+    promoting a batch — uniqueness, not-null, value-domain, and
+    referential-integrity checks, one row per check with checked and
+    violating counts (promote iff every n_violations is 0).
+
+    Each check is a single-pass aggregate; the two FK checks count
+    probe rows whose key misses the dimension — expressed as
+    dimension-count joins so the dimension side is hashed once
+    (broadcast when it fits; shuffled hash join at 100 TB) instead of
+    a per-row subquery. All six checks share no state, so Spark runs
+    the unioned plan's scans concurrently; the output is
+    check-count-bounded (6 rows) regardless of data size.
+    """
+    ev = scan(spark, sf_dir, "events")
+    orders = scan(spark, sf_dir, "orders")
+    li = scan(spark, sf_dir, "lineitem")
+    docs = scan(spark, sf_dir, "documents")
+    cust = scan(spark, sf_dir, "customer")
+
+    def check(name, df, violated):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_checked"),
+            F.count(F.when(violated, 1)).alias("n_violations"),
+        ).select("check_name", "n_checked", "n_violations")
+
+    uniq = ev.agg(
+        F.lit("events.event_id unique").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_violations"),
+    ).select("check_name", "n_checked", "n_violations")
+    notnull = check(
+        "events.user_id not null", ev, F.col("user_id").isNull()
+    )
+    domain = check("events.value non-negative", ev, F.col("value") < 0)
+    fk_orders = check(
+        "orders.o_custkey fk customer",
+        orders.join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+                .withColumn("dim_hit", F.lit(1))
+            ),
+            "o_custkey",
+            "left",
+        ),
+        F.col("dim_hit").isNull(),
+    )
+    fk_line = check(
+        "lineitem.l_orderkey fk orders",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+            .withColumn("dim_hit", F.lit(1)),
+            "l_orderkey",
+            "left",
+        ),
+        F.col("dim_hit").isNull(),
+    )
+    empty = check(
+        "documents.text non-empty",
+        docs,
+        F.col("text").isNull() | (F.length("text") == 0),
+    )
+    return (
+        uniq.unionByName(notnull)
+        .unionByName(domain)
+        .unionByName(fk_orders)
+        .unionByName(fk_line)
+        .unionByName(empty)
+        .orderBy("check_name")
+    )
