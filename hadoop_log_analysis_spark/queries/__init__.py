@@ -162,6 +162,9 @@ _PRIORITY = (
     "q_basket_lift",
     "q_seasonal_naive_error",
     "q_data_quality_report",
+    "q_parameterized_sql",
+    "q_approx_top_k",
+    "q_scd2_build",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

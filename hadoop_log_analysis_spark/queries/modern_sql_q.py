@@ -215,3 +215,87 @@ def q_collated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_brand
         """
     )
+
+
+@query(
+    "q_parameterized_sql",
+    oracle="""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE n_chars >= 100
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    tags=("dialect", "A1", "api"),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 parameterized SQL: named-parameter binding
+    (spark.sql(..., args={...})) for the value, IDENTIFIER(:tbl) for
+    the *table name*, and GROUP BY ALL / ORDER BY ALL dialect sugar.
+
+    This is the injection-safe templating surface a multi-tenant
+    pipeline needs — the table name and threshold arrive as bound
+    parameters, never string-spliced, and IDENTIFIER() keeps the name
+    in identifier position so a value can't smuggle syntax. The
+    analyzer substitutes both before optimization, so the plan is the
+    SAME pushed-down scan as the literal query (threshold lands in
+    PushedFilters); GROUP BY ALL resolves to the non-aggregate
+    select-list columns at analysis time — sugar, not semantics.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM IDENTIFIER(:tbl)
+        WHERE n_chars >= :min_chars
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"tbl": "documents", "min_chars": 100},
+    )
+
+
+@query(
+    "q_approx_top_k",
+    oracle="""
+        SELECT tok, count(*) AS est_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY est_count DESC, tok
+    """,
+    tags=("A4", "sketch", "L5"),
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 approx_top_k: heavy-hitter estimation as ONE sketch
+    aggregate (mergeable across partitions, map-side combinable)
+    instead of the full groupBy + sort.
+
+    Honest exactness bound, which is why this can carry a full hash
+    oracle: the sketch tracks up to maxItemsTracked items and its
+    counts are EXACT whenever the number of distinct items stays under
+    that capacity — here k and the capacity (10000) both exceed the
+    corpus vocabulary, so the estimates provably equal the true counts
+    the oracle computes. On a 100 TB corpus with an open vocabulary
+    the same call returns approximations with one-sided error
+    (overestimates only) — this is the regime where the two-pass exact
+    Misra-Gries (q_heavy_hitters, operators/sketch.py) is the right
+    tool and approx_top_k is the cheap first pass. Output re-sorted
+    (count desc, token) so ranking is deterministic, not
+    sketch-internal order.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.item AS tok, t.count AS est_count
+        FROM (
+          SELECT explode(approx_top_k(tok, 1000)) AS t
+          FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        )
+        ORDER BY est_count DESC, tok
+        """
+    )

@@ -1358,3 +1358,87 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(empty)
         .orderBy("check_name")
     )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+                 CASE WHEN event_type = lag(event_type)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      THEN 0 ELSE 1 END AS chg
+          FROM events),
+        g AS (
+          SELECT user_id, event_type, t_us,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY t_us
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM o),
+        runs AS (
+          SELECT user_id, event_type, grp,
+                 min(t_us) AS valid_from_us
+          FROM g GROUP BY user_id, event_type, grp)
+        SELECT user_id, event_type,
+               valid_from_us,
+               lead(valid_from_us)
+                 OVER (PARTITION BY user_id ORDER BY valid_from_us)
+                 AS valid_to_us,
+               (lead(valid_from_us)
+                 OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL)
+                 AS is_current
+        FROM runs
+        ORDER BY user_id, valid_from_us
+    """,
+    tags=("W3", "W6", "cdc", "scd2"),
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: each
+    user's consecutive run of the same event_type becomes one
+    versioned dimension row with [valid_from, valid_to) validity and
+    an is_current flag on the open tail — the CDC-to-warehouse
+    pattern that turns append-only logs into point-in-time joinable
+    dimensions (the as-of join J7 is its natural consumer).
+
+    Classic gaps-and-islands: change flags via lag, run ids via
+    running sum, one aggregate per run, then lead() stitches each
+    run's end to the next run's start so validity intervals tile each
+    user's timeline with no gaps or overlaps by construction. All
+    windows partition by user_id — fully parallel across users, state
+    bounded by one user's history (the same partitioning contract as
+    sessionization W6). Validity bounds cross the engine boundary as
+    epoch-microsecond bigints (ts_ns // 1000), the repo's cross-engine
+    time discipline.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(wo), 0
+        ).otherwise(1).alias("chg"),
+    )
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("grp", F.sum("chg").over(wg))
+    runs = g.groupBy("user_id", "event_type", "grp").agg(
+        F.min("t_us").alias("valid_from_us")
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from_us")
+    out = runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wl).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wl).isNull().alias("is_current"),
+    )
+    return out.orderBy("user_id", "valid_from_us")
