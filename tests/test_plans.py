@@ -593,3 +593,44 @@ def test_dynamic_partition_pruning_through_dim_join(spark):
     j = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = _formatted(j)
     assert "dynamicpruningexpression" in plan
+
+
+def test_bloom_prefilter_probe_is_jvm_filter_plus_semi_join(spark):
+    # q_bloom_prefilter_join: the Bloom probe must be an in-plan
+    # xxhash64 expression filter (codegen'd, no Python boundary) and
+    # the exactness backstop a LeftSemi hash join — never a cartesian.
+    plan = _formatted(REGISTRY["q_bloom_prefilter_join"].fn(spark, SF001))
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_class_join_back_broadcasts(spark):
+    # q_skyline_parts: the price-class table (distinct prices + prefix
+    # max) must come back to the part rows as a broadcast join; the
+    # window must run over classes, not raw rows (no rows-scale sort
+    # before the aggregate).
+    plan = _formatted(REGISTRY["q_skyline_parts"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_lift_dimension_joins_broadcast(spark):
+    # q_basket_lift: per-item count table and the 1-row order count
+    # must both broadcast onto the pair-support aggregate.
+    plan = _formatted(REGISTRY["q_basket_lift"].fn(spark, SF001))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_enumeration_all_hash_joins(spark):
+    # q_triangle_count: wedge build and closure are equi hash joins on
+    # (src) and (d1, d2) — a cartesian or nested-loop node here means
+    # the orientation trick got lost in a refactor.
+    plan = _formatted(REGISTRY["q_triangle_count"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    # The only nested-loop nodes allowed are the deliberate Cross
+    # broadcasts of the 1-row doc-count aggregate (threshold math);
+    # any Inner BNLJ would mean an equi-join degenerated.
+    assert "BroadcastNestedLoopJoin Inner" not in plan
+    assert "Join Inner" in plan  # wedge build + closure are equi joins
