@@ -5,8 +5,10 @@ Runs the 12 BASELINE.md headline queries (each covering a distinct
 SURVEY.md §2 operator family) plus 4 LLM-pipeline heavyweights
 (MinHash-LSH, BM25, end-to-end pretraining pipeline, dedup clusters)
 2 round-3 additions (semantic dedup, cohort retention — VERDICT r2
-item 9), and 1 round-4 streaming addition (stream-stream left join —
-VERDICT r3 item 6) on local[$SPARK_GRAFT_CPUS], default
+item 9), and 6 round-4 additions (stream-stream left join — VERDICT
+r3 item 6 — plus bigram LM, Misra-Gries heavy hitters, pagerank,
+Bloom-prefilter semi-join, triangle counting) on
+local[$SPARK_GRAFT_CPUS], default
 /root/testdata/sf0.1, and prints ONE JSON line:
 
     {"metric": "...", "value": <total-sec>, "unit": "sec",
@@ -71,6 +73,12 @@ HEADLINE = (
     # r4 second wave: the numeric-iterative graph family (driver-looped
     # bounded joins over a cached adjacency) gets a regression number.
     "q_pagerank_tokens",
+    # r4 third wave: the Bloom-prefiltered semi-join (bitmap build +
+    # map-side probe + exact verify — the scan-reduction pattern) and
+    # degree-ordered triangle enumeration (edge build dominates; the
+    # wedge/closure joins are the regression target).
+    "q_bloom_prefilter_join",
+    "q_triangle_count",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
