@@ -243,14 +243,19 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
+            # Ingest paths without a metadata sidecar (e.g. the raw
+            # binaryFile source) decode from header bytes only; the
+            # fake-decode fallback then has nothing to consult and
+            # headerless payloads are dropped as malformed.
+            metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
             for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["meta"]
+                pdf["doc_id"], pdf["payload"], metas
             ):
                 data = bytes(payload)
                 try:
                     fmt, width, height, hdr_len = _decode_real(data)
                 except NotImplementedError:
-                    if not data.startswith(MAGIC):
+                    if meta is None or not data.startswith(MAGIC):
                         continue  # malformed payload -> dropped
                     # deterministic fake decode: dims from metadata
                     fmt = meta["fmt"]

@@ -165,6 +165,9 @@ _PRIORITY = (
     "q_parameterized_sql",
     "q_approx_top_k",
     "q_scd2_build",
+    "q_binaryfile_ingest",
+    "q_bitmap_distinct_daily",
+    "q_bitmap_rollup_monthly",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

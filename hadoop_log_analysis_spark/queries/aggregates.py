@@ -433,3 +433,79 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_hours", "exact_users", "est_users", "est_direct")
         .orderBy("day")
     )
+
+
+@query(
+    "q_bitmap_distinct_daily",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
+    tags=("A3", "bitmap"),
+)
+def q_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at scale: EXACT daily distinct users via Spark 4 bitmap
+    aggregates instead of count(DISTINCT ...).
+
+    Why it matters at 100 TB: count(DISTINCT) must shuffle every
+    distinct (day, user) pair to one reducer per day; the bitmap plan
+    shuffles at most one 4 KB bitmap per (day, 32768-id bucket) —
+    partial bitmaps OR-merge map-side like any agg, so the network
+    cost is bounded by (days x id-range/32768), independent of row
+    count, and the result is exact (each user is one bit, not a hash
+    estimate). The same bitmaps are incrementally mergeable across
+    refreshes (q_bitmap_rollup_monthly proves it).
+    """
+    ev = scan(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b"))
+    return (
+        per_bucket.groupBy("day")
+        .agg(F.expr("CAST(sum(bitmap_count(b)) AS BIGINT)").alias("users"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_bitmap_rollup_monthly",
+    oracle="""
+        SELECT date_trunc('month', ts) AS month,
+               count(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY month
+        ORDER BY month
+    """,
+    tags=("A3", "A4", "bitmap", "rollup"),
+)
+def q_bitmap_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 rollup mergeability, EXACT variant: monthly distinct
+    users computed by OR-merging the stored DAILY bucket bitmaps —
+    never re-touching the fact rows — and hash-matching the direct
+    count(DISTINCT) per month.
+
+    This is the lossless twin of q_hll_rollup's sketch merge: a
+    materialized (day, bucket, bitmap) layer supports any coarser
+    distinct rollup (week/month/quarter) at cost O(#days x #buckets),
+    which is how incremental pipelines serve exact distinct counts
+    over 100 TB without a nightly full recompute. bitmap_or_agg is
+    associative and duplicate-safe, so late-arriving day re-builds
+    just overwrite that day's bitmaps and the rollup stays exact.
+    """
+    ev = scan(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "day").alias("month"), F.col("bk")
+    ).agg(F.expr("bitmap_or_agg(b)").alias("b"))
+    return (
+        monthly.groupBy("month")
+        .agg(F.expr("CAST(sum(bitmap_count(b)) AS BIGINT)").alias("users"))
+        .orderBy("month")
+    )

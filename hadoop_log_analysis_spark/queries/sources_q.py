@@ -463,3 +463,99 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_binaryfile_ingest",
+    oracle="""
+        -- Closed-form twin of the real ingest: files are written from
+        -- attach_synthetic_binary payloads (REAL PNG/JPEG headers +
+        -- utf-8 text body), re-read via Spark's binaryFile source, and
+        -- header-decoded; DuckDB predicts every field from doc_id.
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
+               count(*) AS n_files,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS body_bytes,
+               round(avg((doc_id % 16 + 1) * 64), 2) AS avg_w,
+               round(avg((doc_id % 9 + 1) * 64), 2) AS avg_h
+        FROM documents
+        WHERE doc_id < 200
+        GROUP BY fmt
+        ORDER BY fmt
+    """,
+    tags=("S1", "L6", "binaryfile"),
+)
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+: ``binaryFile`` source — the ingest path for raw media
+    assets sitting in an object store as one file per item (the shape
+    every multimodal corpus starts in, before anyone parquet-packs
+    it). First 200 payloads are materialized as real .png/.jpg files
+    (written EXECUTOR-side via mapInPandas — the distributed write a
+    real exporter uses, no driver collect), re-read with
+    ``spark.read.format("binaryFile")``, and the (path, content) rows
+    are header-decoded with the same struct parser as
+    q_multimodal_features.
+
+    Scale notes: binaryFile scans parallelize per-file and prune the
+    ``content`` column when untouched; the pathGlobFilter pushdown
+    selects by extension without opening files. The one-file-per-item
+    layout is exactly what S6's compaction exists to fix downstream —
+    this query is the FIRST hop of that pipeline, not the steady
+    state.
+    """
+    import glob as _glob
+
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        attach_synthetic_binary,
+        decode_features,
+    )
+
+    out_dir = _derived_dir(sf_dir, "binaryfiles")
+    os.makedirs(out_dir, exist_ok=True)
+    docs = scan(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payloads = attach_synthetic_binary(docs).select(
+        "doc_id",
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpg").alias("ext"),
+    )
+
+    def _write_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                path = os.path.join(
+                    out_dir, f"doc_{int(row['doc_id']):06d}.{row['ext']}"
+                )
+                with open(path, "wb") as fh:
+                    fh.write(bytes(row["payload"]))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # Idempotent re-derive: clear stale files, then distributed write.
+    for stale in _glob.glob(os.path.join(out_dir, "doc_*")):
+        os.remove(stale)
+    payloads.repartition(8).mapInPandas(_write_files, "n long").agg(
+        F.sum("n")
+    ).collect()
+
+    binfiles = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*")
+        .load(out_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    feats = decode_features(binfiles)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_bytes").alias("body_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_w"),
+            F.round(F.avg("height"), 2).alias("avg_h"),
+        )
+        .orderBy("fmt")
+    )
