@@ -168,6 +168,9 @@ _PRIORITY = (
     "q_binaryfile_ingest",
     "q_bitmap_distinct_daily",
     "q_bitmap_rollup_monthly",
+    "q_udtf_polymorphic",
+    "q_map_in_arrow",
+    "q_stream_cdc_apply",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -674,3 +674,115 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+        SELECT user_id, event_type AS last_type,
+               round(value, 4) AS last_value,
+               epoch_ns(ts) // 1000 AS last_us
+        FROM (
+          SELECT user_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("T7", "cdc", "O5"),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+CDC: a streaming UPSERT-apply — foreachBatch maintains a
+    keyed latest-state table (one row per user: last event_type /
+    value / timestamp) across microbatches, the streaming
+    materialized-view pattern behind every CDC mirror.
+
+    Each microbatch: reduce the batch to per-key maxima (max_by over
+    (ts, event_id)), read the previous state VERSION, merge with
+    greatest-timestamp-wins, and write state version batch_id — a
+    versioned copy-on-write commit, so an at-least-once replay of
+    batch N simply rewrites version N from the same inputs
+    (idempotent), and readers never see a half-written state (they
+    read the last COMPLETE version). The final state must equal the
+    batch per-user argmax — the full SQL oracle — which pins both the
+    merge logic and the replay safety. At scale the state table is
+    key-partitioned parquet and the merge is a per-partition
+    anti-join+union (same shape as q_merge_upsert); versions are
+    pruned by retention.
+    """
+    import glob as _glob
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    state_root = os.path.join(TMP, f"stream_cdc_state_{tag}")
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+    ckpt = os.path.join(TMP, f"stream_ckpt_cdc_apply_{tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+
+    def _latest_versions() -> list[str]:
+        vs = _glob.glob(os.path.join(state_root, "v=*"))
+        return sorted(vs, key=lambda p: int(p.rsplit("=", 1)[1]))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts_us", "event_id"),
+                F.struct("ts_us", "event_id"),
+            ).alias("s")
+        ).select("user_id", "s.event_type", "s.value", "s.ts_us", "s.event_id")
+        spark_l = batch_df.sparkSession
+        prev = _latest_versions()
+        # Replay safety: rebuilding batch N must merge onto N-1's
+        # state, not N's own partial output.
+        prev = [p for p in prev if int(p.rsplit("=", 1)[1]) < batch_id]
+        if prev:
+            state = spark_l.read.parquet(prev[-1])
+            merged = (
+                state.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("event_type", "value", "ts_us", "event_id"),
+                        F.struct("ts_us", "event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id", "s.event_type", "s.value", "s.ts_us", "s.event_id"
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v={batch_id}")
+        )
+
+    stream = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        _us(F.col("ts")).alias("ts_us"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("cdc apply stream did not drain in 300s")
+
+    final = spark.read.parquet(_latest_versions()[-1])
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("ts_us").alias("last_us"),
+    ).orderBy("user_id")

@@ -157,3 +157,131 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.tok FROM __udtf_docs, LATERAL hla_tokenize(text) AS t"
     )
     return toks.groupBy("tok").agg(F.count("*").alias("n")).orderBy("tok")
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+        SELECT 'o_totalprice' AS col_name,
+               round(avg(o_totalprice), 4) AS mean_val,
+               round(min(o_totalprice), 4) AS min_val,
+               round(max(o_totalprice), 4) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'p_retailprice', round(avg(p_retailprice), 4),
+               round(min(p_retailprice), 4), round(max(p_retailprice), 4)
+        FROM part
+        UNION ALL
+        SELECT 'p_size', round(avg(p_size), 4),
+               round(min(p_size), 4), round(max(p_size), 4)
+        FROM part
+        ORDER BY col_name
+    """,
+    tags=("U5", "dialect"),
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+: POLYMORPHIC Python UDTF — the output schema is computed at
+    analysis time by the static ``analyze`` hook from whatever struct
+    the caller passes, not declared up front. ``hla_melt`` unpivots
+    any all-numeric struct into (col_name, val) rows, so one UDTF
+    serves every table: here it melts one struct from `part` (two
+    numeric columns) and one from `orders`, and the per-column profile
+    (mean/min/max) is aggregated downstream in plain JVM aggregates.
+
+    analyze() runs ONCE on the driver per call site (schema decision),
+    eval() streams Arrow batches on executors — so polymorphism costs
+    nothing per row. The profile shape mirrors what a stats collector
+    runs over wide tables without writing one query per column.
+    """
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Melt:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            st = T.StructType()
+            st = st.add("col_name", T.StringType()).add("val", T.DoubleType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, row):
+            for name, value in row.asDict().items():
+                if value is not None:
+                    yield name, float(value)
+
+    spark.udtf.register("hla_melt", udtf(Melt))
+    scan(spark, sf_dir, "part").createOrReplaceTempView("__melt_part")
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("__melt_orders")
+    melted = spark.sql(
+        """
+        SELECT m.col_name, m.val
+        FROM __melt_part, LATERAL hla_melt(struct(p_retailprice, p_size)) m
+        UNION ALL
+        SELECT m.col_name, m.val
+        FROM __melt_orders, LATERAL hla_melt(struct(o_totalprice)) m
+        """
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 4)
+                   AS l2
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 100
+    """,
+    tags=("U2", "arrow", "L3"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+: ``mapInArrow`` — the lowest-overhead Python boundary:
+    whole Arrow RecordBatches cross into Python with ZERO pandas
+    conversion, and the vector math runs on numpy views of the Arrow
+    buffers (list offsets + flat float32 values), so per-row Python
+    cost is literally zero.
+
+    Same L2-norm contract as the all-JVM q_embedding_norms (cast
+    components to double FIRST, then square-sum — the shared
+    cross-engine precision discipline), which makes the two queries a
+    measured comparison point between a codegen'd higher-order
+    expression and an Arrow-vectorized Python stage. Use mapInArrow
+    over mapInPandas when the payload is arrays/binary: pandas would
+    box each list element into a Python object; Arrow keeps the flat
+    buffer."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.values, dtype=np.float64)
+            offsets = np.asarray(emb.offsets)
+            sq = flat * flat
+            # Segmented sums via reduceat: sequential WITHIN each row,
+            # no cross-row accumulation — a whole-batch cumsum would
+            # smear O(batch_len * eps) error into every row's norm.
+            l2 = np.sqrt(np.add.reduceat(sq, offsets[:-1]))
+            l2[offsets[:-1] == offsets[1:]] = 0.0  # empty lists
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(np.round(l2, 4), type=pa.float64())],
+                names=["vec_id", "l2"],
+            )
+
+    emb = scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        emb.mapInArrow(norms, "vec_id long, l2 double")
+        .orderBy("vec_id")
+        .limit(100)
+    )
