@@ -619,3 +619,32 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
         li, econ, fact_key="l_partkey", keys_key="p_partkey", m_bits=m_bits
     ).count()
     assert composed == exact
+
+
+def test_new_algorithms_partition_invariant(spark):
+    """Split-invariance for the r4 wave-3 algorithmic queries: the
+    sort-scan skyline, the interval-sweep concurrency, the oriented
+    triangle count, and the Bloom-prefiltered join must return
+    IDENTICAL rows whether the shuffle fans out over 32 partitions or
+    squeezes through 5 — any dependence on partition boundaries
+    (a per-partition prefix leaking, a wedge built twice) shows up as
+    a diff here long before it shows up at 1000 executors."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_skyline_parts",
+        "q_max_concurrency_daily",
+        "q_triangle_count",
+        "q_bloom_prefilter_join",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
