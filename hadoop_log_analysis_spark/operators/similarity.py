@@ -288,17 +288,27 @@ def ivf_build(
     partition directories, so a probe's bucket filter becomes partition
     pruning and only n_probe/|buckets| of the data is ever read.
     """
-    ivf_centroids(embeddings, bucket_col, vec_col).withColumnRenamed(
+    cents = ivf_centroids(embeddings, bucket_col, vec_col).withColumnRenamed(
         bucket_col, "bucket"
-    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/assignments")
     )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    asg = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
+    )
+    asg.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/assignments"
+    )
+    # Schema manifest: an index built from an EMPTY vector set writes
+    # no partition dirs, and a schemaless read of it cannot infer —
+    # the manifest makes "empty index" a valid index state.
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "_schemas.json"), "w") as fh:
+        _json.dump(
+            {"centroids": cents.schema.json(), "assignments": asg.schema.json()},
+            fh,
+        )
 
 
 def ivf_probe(
@@ -320,7 +330,27 @@ def ivf_probe(
     partition pruning, so the probe reads n_probe partitions — no
     posexplode, no full-table pass (plan-tested in tests/test_plans.py).
     """
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    import json as _json
+    import os as _os
+
+    manifest = _os.path.join(index_dir, "_schemas.json")
+    schemas = {}
+    if _os.path.exists(manifest):
+        from pyspark.sql import types as _T
+
+        with open(manifest) as fh:
+            schemas = {
+                k: _T.StructType.fromJson(_json.loads(v))
+                for k, v in _json.load(fh).items()
+            }
+
+    def _read(sub: str) -> DataFrame:
+        reader = spark.read
+        if sub in schemas:
+            reader = reader.schema(schemas[sub])
+        return reader.parquet(f"{index_dir}/{sub}")
+
+    cents = _read("centroids")
     probe = (
         cents.crossJoin(F.broadcast(query))
         .select(
@@ -330,7 +360,7 @@ def ivf_probe(
         .limit(n_probe)
         .select("bucket")
     )
-    asg = spark.read.parquet(f"{index_dir}/assignments")
+    asg = _read("assignments")
     scored = asg.join(F.broadcast(probe), "bucket")
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)

@@ -951,6 +951,10 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).collect()[0]
+    if lo is None:  # empty input: no cutover, merge of two empty rollups
+        import datetime as _dt
+
+        lo = hi = _dt.datetime(1970, 1, 1)
     cutover = lo + (hi - lo) * 4 / 5
 
     def rollup(df):

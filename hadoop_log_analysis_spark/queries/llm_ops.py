@@ -257,7 +257,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = scan(spark, sf_dir, "embeddings")
     index_dir = _ivf_index_dir(sf_dir)
-    if not os.path.exists(f"{index_dir}/assignments/_SUCCESS"):
+    # an index is complete only with its schema manifest (written last;
+    # pre-manifest or interrupted builds are rebuilt)
+    if not (
+        os.path.exists(f"{index_dir}/assignments/_SUCCESS")
+        and os.path.exists(f"{index_dir}/_schemas.json")
+    ):
         ivf_build(spark, emb, index_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__qvec")

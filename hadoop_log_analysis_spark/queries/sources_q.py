@@ -156,7 +156,9 @@ def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     write_partitioned(events, path, ["event_type"])
-    back = read_back(spark, path)
+    # schema passed so an all-empty write (no partition dirs) reads
+    # back as a normal empty table instead of failing inference
+    back = read_back(spark, path, schema=events.schema)
     return (
         back.filter(F.col("event_type") == "error")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
@@ -238,7 +240,7 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    back = spark.read.parquet(path)
+    back = spark.read.schema(orders.schema).parquet(path)
     return (
         back.groupBy("o_orderstatus")
         .agg(

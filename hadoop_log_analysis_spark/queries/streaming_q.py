@@ -260,7 +260,13 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = derive_drop_dir(spark, sf_dir)
     events = read_events_stream(spark, drop)
     run_foreach_batch_to_parquet(events, f"t7_sink_{tag}", out_dir)
-    back = spark.read.parquet(out_dir)
+    # explicit schema (stream schema + the batch_id partition dir):
+    # a drained stream with zero batches reads back as empty, not as
+    # an inference failure — quiet days are normal at scale.
+    sink_schema = T.StructType(
+        events.schema.fields + [T.StructField("batch_id", T.LongType())]
+    )
+    back = spark.read.schema(sink_schema).parquet(out_dir)
     return (
         back.groupBy("event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))

@@ -115,14 +115,22 @@ def derive_drop_dir(
     parts = sorted(
         f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
     )
-    base = os.path.getmtime(os.path.join(path, parts[0]))
+    base = (
+        os.path.getmtime(os.path.join(path, parts[0]))
+        if parts
+        else os.path.getmtime(path)
+    )
     for i, f in enumerate(parts):
         full = os.path.join(path, f)
         os.utime(full, (base + 10 * i, base + 10 * i))
     if with_sentinel:
         import json as _json
 
-        max_us = events.agg(F.max("ts_us")).collect()[0][0]
+        # coalesce to epoch 0 on an empty feed: the sentinels still
+        # advance the watermark and flush (empty) outer-join state.
+        max_us = events.agg(
+            F.coalesce(F.max("ts_us"), F.lit(0))
+        ).collect()[0][0]
         # THREE sentinel files, each its own microbatch (consume with
         # maxFilesPerTrigger=1): the watermark computed from batch N's
         # data only takes effect in batch N+1, so a single final

@@ -648,3 +648,50 @@ def test_new_algorithms_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_queries_survive_empty_input(spark, tmp_path):
+    """Quiet-day robustness: a pipeline must return EMPTY results, not
+    crash, when a batch has zero rows (the bug class of ADVICE r3:
+    `max(...).collect()[0][0] + 1` -> None + 1). Runs a representative
+    query per machinery family against zero-row fixtures with the
+    original schemas (including the ns-timestamp quirk). The full
+    225-query sweep ran clean on 2026-08-14; this subset pins every
+    site that needed a fix plus each driver-side-scalar pattern."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    empty = str(tmp_path / "empty_sf")
+    os.makedirs(empty, exist_ok=True)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), os.path.join(empty, f"{t}.parquet"))
+
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        # the six that crashed before the r4 hardening:
+        "q_incremental_rollup", "q_ann_ivf", "q_parquet_sink_partitioned",
+        "q_incremental_overwrite",
+        # one per driver-side-scalar / iterative machinery family:
+        "q_embedding_near_dups",   # planted-offset max collect
+        "q_semantic_dedup",        # LSH + connected components loop
+        "q_asof_join",             # quantile-bucket bounds probe
+        "q_kmeans_ivf",            # Lloyd convergence loop
+        "q_bfs_hops",              # frontier loop isEmpty
+        "q_sql_script_threshold",  # SQL-scripting binary search
+        "q_heavy_hitters",         # two-pass Misra-Gries
+        "q_skyline_parts", "q_max_concurrency_daily", "q_triangle_count",
+        "q_bloom_prefilter_join", "q_basket_lift", "q_scd2_build",
+        "q_bitmap_rollup_monthly", "q_data_quality_report",
+        "q_binaryfile_ingest", "q_map_in_arrow",
+    )
+    for name in names:
+        rows = reg[name].fn(spark, empty).collect()  # must not raise
+        if name != "q_data_quality_report":  # its report is check-bounded
+            assert rows == [] or all(r is not None for r in rows)
