@@ -1442,3 +1442,143 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(wl).isNull().alias("is_current"),
     )
     return out.orderBy("user_id", "valid_from_us")
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+             tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d
+                    WHERE tok IN ('join', 'window', 'merge')
+                    GROUP BY doc_id, dl, tok),
+             dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+             s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+             lex AS (
+               SELECT doc_id,
+                      round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                                * (tf * ({BM25_K1} + 1))
+                                / (tf + {BM25_K1} * (1 - {BM25_B}
+                                   + {BM25_B} * dl / avgdl))), 4) AS bm25
+               FROM tf JOIN dfreq USING (tok), s
+               GROUP BY doc_id
+               ORDER BY bm25 DESC, doc_id
+               LIMIT 50),
+             lexr AS (
+               SELECT doc_id,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+               FROM lex),
+             q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+             vec AS (
+               SELECT vec_id AS doc_id,
+                      round(list_cosine_similarity(
+                              CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+               FROM embeddings, q
+               ORDER BY cos DESC, doc_id
+               LIMIT 50),
+             vecr AS (
+               SELECT doc_id,
+                      row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+               FROM vec),
+             fused AS (
+               SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                      l.lex_rank, v.vec_rank,
+                      round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                            + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+               FROM lexr l FULL OUTER JOIN vecr v USING (doc_id))
+        SELECT doc_id,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("L3", "L5", "ranking", "fusion"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    top-50 and the embedding-cosine top-50 (query = doc 0's vector,
+    docs <-> vectors 1:1 by id in this corpus) are fused with
+    RRF(k=60) = sum 1/(60 + rank), the standard score-free list fusion
+    every hybrid search stack ships.
+
+    Scale contract: ranks are assigned INSIDE each retriever's top-50
+    candidate list, never over the corpus — each list arrives via a
+    bounded TakeOrdered, the rank windows run over 50 rows, and the
+    fusion is a full-outer join of two 50-row lists. The corpus-scale
+    work is exactly one BM25 pass (term-filtered, broadcast stats) and
+    one cosine scan (or its IVF-probed variant at 100 TB: swap
+    cosine_topk for ivf_probe, the fusion is unchanged). Scores are
+    rounded BEFORE ranking on both engines so rank ties cannot diverge
+    on 1e-15 float noise.
+    """
+    from pyspark.sql import Window
+    from hadoop_log_analysis_spark.operators.similarity import cosine
+
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        t.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("ts_", term_score)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ts_"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")  # 50-row list
+    lexr = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = scan(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(50)
+    )
+    w_vec = Window.orderBy(F.desc("cos"), "doc_id")  # 50-row list
+    vecr = vec.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
