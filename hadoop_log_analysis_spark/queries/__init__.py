@@ -172,6 +172,7 @@ _PRIORITY = (
     "q_map_in_arrow",
     "q_stream_cdc_apply",
     "q_rrf_fusion",
+    "q_ndcg_eval",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -1582,3 +1582,116 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+@query(
+    "q_ndcg_eval",
+    oracle=f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+                   FROM embeddings WHERE vec_id = 0),
+             rel AS (SELECT vec_id AS doc_id,
+                            CASE WHEN label = (SELECT qlabel FROM q)
+                                 THEN 1 ELSE 0 END AS rel
+                     FROM embeddings WHERE vec_id <> 0),
+             n_rel AS (SELECT CAST(sum(rel) AS BIGINT) AS r FROM rel),
+             vec AS (
+               SELECT vec_id AS doc_id,
+                      round(list_cosine_similarity(
+                              CAST(embedding AS DOUBLE[]), qv), 6) AS score
+               FROM embeddings, q WHERE vec_id <> 0
+               ORDER BY score DESC, doc_id LIMIT 10),
+             ranked AS (
+               SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+               FROM vec),
+             dcg AS (
+               SELECT sum(rel / log2(rnk + 1.0)) AS dcg,
+                      CAST(sum(rel) AS BIGINT) AS hits
+               FROM ranked JOIN rel USING (doc_id)),
+             idcg AS (
+               SELECT sum(1.0 / log2(i + 1.0)) AS idcg
+               FROM n_rel, unnest(generate_series(1, CAST(least(r, 10) AS INTEGER))) t(i))
+        SELECT 'cosine' AS retriever,
+               hits AS hits_at_10,
+               round(hits * 1.0 / 10, 4) AS precision_at_10,
+               round(hits * 1.0 / r, 4) AS recall_at_10,
+               round(dcg / idcg, 6) AS ndcg_at_10
+        FROM dcg, idcg, n_rel
+    """,
+    tags=("L3", "ranking", "eval"),
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 / precision@10 /
+    recall@10 of the cosine retriever against label ground truth (a
+    result is relevant iff it carries the query vector's label; the
+    query doc itself is excluded) — the offline eval loop every
+    embedding model ships with.
+
+    Scale contract mirrors q_rrf_fusion: the corpus-scale work is ONE
+    scored scan reduced by TakeOrdered(10); ranks, the relevance join
+    and the DCG sum all run on the 10-row candidate list; the ideal
+    DCG needs only the scalar relevant-count. Scores are rounded
+    before ranking so cross-engine rank ties cannot diverge.
+    """
+    from pyspark.sql import Window
+    from hadoop_log_analysis_spark.operators.similarity import cosine
+
+    emb = scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec"), F.col("label").alias("qlabel")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("qlabel")))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    n_rel = rel.agg(F.sum("rel").cast("long").alias("r"))
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("__qvec")))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+    ranked = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rnk"),
+    )
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .agg(
+            F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+            F.sum("rel").cast("long").alias("hits"),
+        )
+    )
+    idcg = (
+        n_rel.select(
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("r"), F.lit(10)).cast("int"))
+            ).alias("i")
+        )
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.lit("cosine").alias("retriever"),
+            F.col("hits").alias("hits_at_10"),
+            F.round(F.col("hits") / 10, 4).alias("precision_at_10"),
+            F.round(F.col("hits") / F.col("r"), 4).alias("recall_at_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
+    )
