@@ -173,6 +173,8 @@ _PRIORITY = (
     "q_stream_cdc_apply",
     "q_rrf_fusion",
     "q_ndcg_eval",
+    "q_last_touch_attribution",
+    "q_stl_decompose",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

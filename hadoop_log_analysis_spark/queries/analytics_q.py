@@ -1824,3 +1824,165 @@ def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_last_touch_attribution",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id, value
+          FROM events WHERE event_type = 'purchase'),
+        tch AS (
+          SELECT user_id, t_us,
+                 max(touch_id) AS touch_id,
+                 max(touch_type) AS touch_type
+          FROM (SELECT user_id, epoch_ns(ts) // 1000 AS t_us,
+                       event_id AS touch_id, event_type AS touch_type
+                FROM events WHERE event_type IN ('click', 'view'))
+          GROUP BY user_id, t_us),
+        m AS (
+          SELECT p.event_id, p.value,
+                 (SELECT t.touch_type FROM tch t
+                  WHERE t.user_id = p.user_id AND t.t_us <= p.t_us
+                  ORDER BY t.t_us DESC LIMIT 1) AS touch_type
+          FROM p)
+        SELECT coalesce(touch_type, 'none') AS touch_type,
+               count(*) AS n_purchases,
+               round(sum(value), 2) AS revenue
+        FROM m
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("J7", "attribution", "funnel"),
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent prior click-or-view, and revenue is rolled
+    up by the attributed touch type — the classic consumer of the
+    as-of join (operators/joins.py J7), here in its KEYED per-user
+    form.
+
+    The touch side is pre-collapsed to one row per (user, instant)
+    with a max tie-break, making the carried payload deterministic
+    when several touches share a timestamp (the operator's documented
+    tie caveat); the oracle resolves the same way via its own
+    correlated argmax. 'none' rows are purchases with no prior touch
+    (how='left'). Cost: one per-user ordered carry — the same
+    parallel-by-key shape as sessionization, no self-join over the
+    event history.
+    """
+    from hadoop_log_analysis_spark.operators.joins import asof_join
+
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.col("event_id"),
+        "value",
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.expr("ts_ns div 1000").alias("t_us"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .groupBy("user_id", "t_us")
+        .agg(
+            F.max("touch_id").alias("touch_id"),
+            F.max("touch_type").alias("touch_type"),
+        )
+    )
+    attributed = asof_join(
+        p,
+        touches,
+        ts_col="t_us",
+        by=["user_id"],
+        payload=["touch_type"],
+        how="left",
+    )
+    return (
+        attributed.select(
+            F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@query(
+    "q_stl_decompose",
+    oracle="""
+        WITH c AS (
+          SELECT date_trunc('day', ts) AS d, dayofweek(ts) AS dow,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        tr AS (
+          SELECT d, dow, n,
+                 avg(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS trend,
+                 count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS w
+          FROM c),
+        full_tr AS (SELECT * FROM tr WHERE w = 7),
+        seas AS (
+          SELECT dow, avg(n - trend) AS seasonal
+          FROM full_tr GROUP BY dow)
+        SELECT f.d AS day, f.n,
+               round(f.trend, 4) AS trend,
+               round(s.seasonal, 4) AS seasonal,
+               round(f.n - f.trend - s.seasonal, 4) AS remainder
+        FROM full_tr f JOIN seas s USING (dow)
+        ORDER BY day
+    """,
+    tags=("A5", "W4", "timeseries", "decompose"),
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily traffic:
+    trend = centered 7-day moving average (only days with a full
+    window, so the estimate is unbiased at the edges), seasonal = mean
+    detrended value per day-of-week, remainder = observed - trend -
+    seasonal — the decomposition behind capacity planning and
+    anomaly baselines.
+
+    The fact-scale work is one day-grain aggregate; every window and
+    join after that runs on the day-grain series (rows = #days), so
+    the global ORDER BY window is bounded by the calendar, not the
+    data (same posture as q_acf_daily). The day-of-week seasonal
+    profile is a 7-row broadcast join back.
+    """
+    ev = scan(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)  # day-grain series
+    tr = c.select(
+        "d",
+        "dow",
+        "n",
+        F.avg("n").over(w7).alias("trend"),
+        F.count("*").over(w7).alias("w"),
+    ).where(F.col("w") == 7)
+    seas = tr.groupBy("dow").agg(
+        F.avg(F.col("n") - F.col("trend")).alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").alias("day"),
+            "n",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("n") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
