@@ -175,6 +175,7 @@ _PRIORITY = (
     "q_ndcg_eval",
     "q_last_touch_attribution",
     "q_stl_decompose",
+    "q_bpe_train",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

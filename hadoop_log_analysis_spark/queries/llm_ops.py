@@ -1663,3 +1663,130 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_channels", "sample_rate")
     )
+
+
+@query(
+    "q_bpe_train",
+    oracle="""
+        WITH w AS (
+          SELECT tok AS word, count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        s0 AS (SELECT word, freq,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+               FROM w),
+        p1 AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(
+                   generate_series(1, len(string_split(seq, ' ')) - 1),
+                   j -> string_split(seq, ' ')[j] || ' '
+                        || string_split(seq, ' ')[j + 1])) AS pr
+                 FROM s0) GROUP BY pr),
+        b1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
+        s1 AS (SELECT word, freq,
+                      trim(replace(' ' || seq || ' ',
+                                   ' ' || (SELECT pr FROM b1) || ' ',
+                                   ' ' || replace((SELECT pr FROM b1), ' ', '+')
+                                   || ' ')) AS seq
+               FROM s0),
+        p2 AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(
+                   generate_series(1, len(string_split(seq, ' ')) - 1),
+                   j -> string_split(seq, ' ')[j] || ' '
+                        || string_split(seq, ' ')[j + 1])) AS pr
+                 FROM s1) GROUP BY pr),
+        b2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1),
+        s2 AS (SELECT word, freq,
+                      trim(replace(' ' || seq || ' ',
+                                   ' ' || (SELECT pr FROM b2) || ' ',
+                                   ' ' || replace((SELECT pr FROM b2), ' ', '+')
+                                   || ' ')) AS seq
+               FROM s1),
+        p3 AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq, unnest(list_transform(
+                   generate_series(1, len(string_split(seq, ' ')) - 1),
+                   j -> string_split(seq, ' ')[j] || ' '
+                        || string_split(seq, ' ')[j + 1])) AS pr
+                 FROM s2) GROUP BY pr),
+        b3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1)
+        SELECT step, split_part(pr, ' ', 1) AS left_sym,
+               split_part(pr, ' ', 2) AS right_sym, cnt AS pair_count
+        FROM (SELECT 1 AS step, pr, cnt FROM b1
+              UNION ALL SELECT 2, pr, cnt FROM b2
+              UNION ALL SELECT 3, pr, cnt FROM b3)
+        ORDER BY step
+    """,
+    tags=("L5", "tokenization", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine: three merge iterations over
+    the word-frequency table — each round counts adjacent symbol
+    pairs (frequency-weighted), picks the argmax pair (ties broken
+    lexicographically), and rewrites every word's symbol sequence with
+    the merged symbol. Output: the learned merge rules, the artifact a
+    tokenizer build actually ships.
+
+    Merge semantics, stated precisely: the rewrite is a delimiter-
+    bounded left-to-right non-overlapping string replace — identical
+    in Spark and DuckDB — which differs from classic greedy BPE only
+    on runs sharing a delimiter (e.g. `a b a b`, where the second
+    occurrence's leading separator was consumed; it merges next
+    round). The oracle runs the SAME three rounds fully unrolled in
+    SQL, so the hash match pins pair counting, argmax tie-breaks, and
+    the rewrite across all iterations.
+
+    Scale shape: classic BPE trains on the word-FREQUENCY table, not
+    the corpus — after one corpus-scale word count (map-side
+    combinable), every iteration touches |vocab| rows: pair explode
+    bounded by word length, one tiny argmax (the only driver-side
+    scalar per round), one map-side rewrite. localCheckpoint per round
+    keeps the lineage flat over many merges.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = words.select(
+        "word",
+        "freq",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    rules = []
+    for step in (1, 2, 3):
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    # CASE guard: sequence(1, 0) DESCENDS in Spark, so a
+                    # 1-symbol word must yield an empty pair list explicitly
+                    "CASE WHEN size(split(seq, ' ')) < 2"
+                    " THEN array()"
+                    " ELSE transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " j -> concat(element_at(split(seq, ' '), j), ' ',"
+                    "             element_at(split(seq, ' '), j + 1))) END"
+                )
+            ).alias("pr"),
+        )
+        counts = pairs.groupBy("pr").agg(F.sum("freq").alias("cnt"))
+        best = counts.orderBy(F.desc("cnt"), "pr").limit(1).collect()
+        if not best:
+            break
+        pr, cnt = best[0]["pr"], int(best[0]["cnt"])
+        rules.append((step, pr.split(" ")[0], pr.split(" ")[1], cnt))
+        merged = pr.replace(" ", "+")
+        state = state.select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(  # literal replace: merged symbols contain '+'
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(" " + pr + " "),
+                    F.lit(" " + merged + " "),
+                )
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "step int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("step")
