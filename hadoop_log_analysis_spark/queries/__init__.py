@@ -51,6 +51,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sources/relational/joins/aggregates/windows entries come last (their
 # r1 rows + tests/test_oracle_parity.py stand as evidence).
 _MODULES = (
+    "governance_q",
     "modern_sql_q",
     "scalar_fns",
     "graph_q",
@@ -176,6 +177,14 @@ _PRIORITY = (
     "q_last_touch_attribution",
     "q_stl_decompose",
     "q_bpe_train",
+    # r4 wave-6 governance additions — locally hash-verified, driver
+    # rows expected r5 (positions 51+)
+    "q_js_divergence",
+    "q_ks_drift",
+    "q_psi_drift",
+    "q_k_anonymity",
+    "q_hard_negatives",
+    "q_bpe_encode",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

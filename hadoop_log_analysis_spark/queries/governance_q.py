@@ -1,0 +1,473 @@
+"""Training-data governance queries (round 4, wave 6).
+
+The operations a 100 TB pretraining-corpus owner runs BETWEEN
+pipeline stages: distribution-drift detection (Jensen-Shannon
+divergence over token distributions, two-sample Kolmogorov-Smirnov,
+population stability index), privacy auditing (k-anonymity
+equivalence classes with a generalization ladder), and contrastive
+training-pair mining (hard-negative mining over the embedding table).
+
+Every query here is fully SQL-oracled: the DuckDB twin runs the same
+closed-form arithmetic, so the driver hash pins not just row sets but
+the exact divergence/statistic values to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_log_analysis_spark.operators.similarity import cosine
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+
+@query(
+    "q_js_divergence",
+    oracle="""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+        gc AS (SELECT tok, sum(c) AS g FROM sc GROUP BY 1),
+        gt AS (SELECT sum(c) AS gtot FROM sc),
+        j AS (SELECT sc.source,
+                     sc.c * 1.0 / st.tot AS p,
+                     gc.g * 1.0 / gt.gtot AS q
+              FROM sc JOIN st USING (source) JOIN gc USING (tok) CROSS JOIN gt),
+        a AS (SELECT source,
+                     CAST(count(*) AS BIGINT) AS vocab,
+                     sum(0.5 * p * ln(2 * p / (p + q))
+                         + 0.5 * q * ln(2 * q / (p + q))) AS t,
+                     sum(q) AS qsum
+              FROM j GROUP BY source)
+        SELECT a.source, st.tot AS n_tokens, a.vocab,
+               round((t + 0.5 * ln(2) * (1 - qsum)) / ln(2), 6) AS jsd_bits
+        FROM a JOIN st USING (source)
+        ORDER BY source
+    """,
+    tags=("L7", "drift", "diagnostic"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: Jensen-Shannon divergence
+    (in bits) between each source's unigram distribution P_s and the
+    corpus distribution M. The standard "is this crawl snapshot /
+    source shard distributionally off?" gate before mixing.
+
+    Zero-frequency handling without a source x vocab cross join: for
+    tokens the source HAS, both halves of the symmetric KL are summed
+    directly; the tail of corpus tokens the source LACKS contributes
+    exactly 0.5*ln(2)*(1 - sum_{t in source} M(t)) (each missing
+    token's term is 0.5*q*ln(2q/(0+q))), folded in as a closed form.
+    So the plan is: explode -> (source, tok) hash agg -> two bounded
+    re-aggs (per-source totals, per-token corpus counts) -> one join
+    keyed by token -> per-source sum. Shuffles are bounded by
+    |sources x vocab-per-source|, never corpus size; the corpus-total
+    scalar is a broadcast 1-row aggregate.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = sc.agg(F.sum("c").alias("gtot"))
+    p = F.col("c") / F.col("tot")
+    q = F.col("g") / F.col("gtot")
+    half = F.lit(0.5)
+    j = (
+        sc.join(st, "source")
+        .join(gc, "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "tot",
+            (
+                half * p * F.log(F.lit(2) * p / (p + q))
+                + half * q * F.log(F.lit(2) * q / (p + q))
+            ).alias("term"),
+            q.alias("q"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("tot").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum("term").alias("t"),
+            F.sum("q").alias("qsum"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                (F.col("t") + half * ln2 * (F.lit(1.0) - F.col("qsum"))) / ln2, 6
+            ).alias("jsd_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+        WITH vt AS (SELECT value, event_type, count(*) AS c_t
+                    FROM events GROUP BY 1, 2),
+        va AS (SELECT value, count(*) AS c_all FROM events GROUP BY 1),
+        ty AS (SELECT event_type, count(*) AS n_t,
+                      CAST(sum(count(*)) OVER () AS BIGINT) AS n_all
+               FROM events GROUP BY 1),
+        grid AS (SELECT va.value, ty.event_type, ty.n_t, ty.n_all, va.c_all,
+                        coalesce(vt.c_t, 0) AS c_t
+                 FROM va CROSS JOIN ty
+                 LEFT JOIN vt ON vt.value = va.value
+                             AND vt.event_type = ty.event_type),
+        cum AS (SELECT event_type, n_t, n_all,
+                       sum(c_t) OVER w AS cum_t,
+                       sum(c_all) OVER w AS cum_all
+                FROM grid
+                WINDOW w AS (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, CAST(n_t AS BIGINT) AS n,
+               round(max(abs(cum_t * 1.0 / n_t
+                             - (cum_all - cum_t) * 1.0 / (n_all - n_t))), 6)
+                 AS ks_stat
+        FROM cum
+        GROUP BY event_type, n_t
+        ORDER BY event_type
+    """,
+    tags=("A5", "drift", "diagnostic", "timeseries"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event type: the KS
+    statistic between each type's `value` distribution and the
+    distribution of all OTHER events, i.e. max over x of
+    |F_type(x) - F_rest(x)| evaluated at every observed value (the
+    ECDF only changes there, so this is the exact sup).
+
+    Plan: one hash agg to (value, type) counts, one to per-value
+    totals, a |values| x |types| grid (types is a tiny broadcast), and
+    a cumulative-sum window PARTITIONED BY type — |types| parallel
+    sorted scans over distinct values, never over raw events. At
+    100 TB the distinct-value set is what matters; for unbounded
+    continuous domains, quantize `value` into fixed-width bins first
+    (the PSI query shows that banding) — KS on the binned ECDF bounds
+    the true statistic within one bin's mass.
+    """
+    ev = scan(spark, sf_dir, "events")
+    vt = ev.groupBy("value", "event_type").agg(F.count("*").alias("c_t"))
+    va = ev.groupBy("value").agg(F.count("*").alias("c_all"))
+    ty = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_t"))
+        .withColumn("n_all", F.sum("n_t").over(Window.partitionBy()))
+    )
+    grid = (
+        va.crossJoin(F.broadcast(ty))
+        .join(vt, ["value", "event_type"], "left")
+        .withColumn("c_t", F.coalesce("c_t", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "n_t",
+        "n_all",
+        F.sum("c_t").over(w).alias("cum_t"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    f_t = F.col("cum_t") * F.lit(1.0) / F.col("n_t")
+    f_rest = (F.col("cum_all") - F.col("cum_t")) * F.lit(1.0) / (
+        F.col("n_all") - F.col("n_t")
+    )
+    return (
+        cum.groupBy("event_type", "n_t")
+        .agg(F.round(F.max(F.abs(f_t - f_rest)), 6).alias("ks_stat"))
+        .select("event_type", F.col("n_t").alias("n"), "ks_stat")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+        WITH ref AS (SELECT event_type, value FROM events
+                     WHERE ts < TIMESTAMP '2024-01-16'),
+        cur AS (SELECT event_type, value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16'),
+        b AS (SELECT event_type,
+                     CAST(min(value) AS DOUBLE) AS lo,
+                     CAST(max(value) AS DOUBLE) AS hi,
+                     count(*) AS n_ref
+              FROM ref GROUP BY 1),
+        nc AS (SELECT event_type, count(*) AS n_cur FROM cur GROUP BY 1),
+        rb AS (SELECT r.event_type,
+                      CASE WHEN b.hi > b.lo
+                           THEN CAST(least(9, greatest(0, floor(
+                                (CAST(r.value AS DOUBLE) - b.lo) * 10.0
+                                / (b.hi - b.lo)))) AS INT)
+                           ELSE 0 END AS bin,
+                      count(*) AS c
+               FROM ref r JOIN b USING (event_type) GROUP BY 1, 2),
+        cb AS (SELECT c.event_type,
+                      CASE WHEN b.hi > b.lo
+                           THEN CAST(least(9, greatest(0, floor(
+                                (CAST(c.value AS DOUBLE) - b.lo) * 10.0
+                                / (b.hi - b.lo)))) AS INT)
+                           ELSE 0 END AS bin,
+                      count(*) AS c
+               FROM cur c JOIN b USING (event_type) GROUP BY 1, 2),
+        grid AS (SELECT b.event_type, b.n_ref, nc.n_cur, g.bin,
+                        coalesce(rb.c, 0) AS cr, coalesce(cb.c, 0) AS cc
+                 FROM b JOIN nc USING (event_type)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+                 LEFT JOIN rb ON rb.event_type = b.event_type AND rb.bin = g.bin
+                 LEFT JOIN cb ON cb.event_type = b.event_type AND cb.bin = g.bin),
+        terms AS (SELECT event_type, n_ref, n_cur,
+                         (cc + 0.5) / (n_cur + 5.0) AS pc,
+                         (cr + 0.5) / (n_ref + 5.0) AS pr
+                  FROM grid)
+        SELECT event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        FROM terms
+        GROUP BY event_type, n_ref, n_cur
+        ORDER BY event_type
+    """,
+    tags=("A5", "drift", "diagnostic", "timeseries"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between a reference
+    period (first half of January) and the current period (the rest):
+    band the reference min-max range into 10 equal-width bins, clamp
+    current values into them, Laplace-smooth ((c+0.5)/(n+5)) so empty
+    bins stay finite, PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref).
+    The standard "has this feature shifted since the snapshot we
+    trained on?" monitor.
+
+    Equal-width banding (not quantiles) keeps the two engines exactly
+    comparable — the bin of a value is a closed-form floor(), no
+    interpolation semantics to align. Plan: two filtered scans (the
+    date predicate pushes into the parquet scan), per-type bounds as a
+    tiny broadcast, bin hash-aggs bounded by |types| x 10, and the
+    10-bin grid materialized from `sequence` so zero-count bins still
+    contribute their smoothed mass.
+    """
+    ev = scan(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
+    b = ref.groupBy("event_type").agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+        F.count("*").alias("n_ref"),
+    )
+    nc = cur.groupBy("event_type").agg(F.count("*").alias("n_cur"))
+
+    def binned(side: DataFrame) -> DataFrame:
+        v = F.col("value").cast("double")
+        bin_expr = F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+                ),
+            ),
+        ).otherwise(0)
+        return (
+            side.join(F.broadcast(b.select("event_type", "lo", "hi")), "event_type")
+            .select("event_type", bin_expr.cast("int").alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("c"))
+        )
+
+    rb = binned(ref)
+    cb = binned(cur)
+    bins = F.broadcast(
+        b.sparkSession.range(1).select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+        )
+    )
+    grid = (
+        b.select("event_type", "n_ref")
+        .join(nc, "event_type")
+        .crossJoin(bins)
+        .join(rb.withColumnRenamed("c", "cr"), ["event_type", "bin"], "left")
+        .join(cb.withColumnRenamed("c", "cc"), ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    pc = (F.col("cc") + 0.5) / (F.col("n_cur") + 5.0)
+    pr = (F.col("cr") + 0.5) / (F.col("n_ref") + 5.0)
+    return (
+        grid.groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+        WITH cls AS (SELECT lang, source,
+                            CAST(floor(n_chars / 100) AS INT) AS len_band,
+                            count(*) AS class_size
+                     FROM documents GROUP BY 1, 2, 3)
+        SELECT lang, source, len_band,
+               CAST(class_size AS BIGINT) AS class_size,
+               class_size < 5 AS at_risk,
+               CAST(sum(class_size) OVER (PARTITION BY lang, len_band)
+                    AS BIGINT) AS relaxed_size,
+               sum(class_size) OVER (PARTITION BY lang, len_band) >= 5
+                 AS relaxed_ok
+        FROM cls
+        ORDER BY lang, source, len_band
+    """,
+    tags=("L7", "compliance", "diagnostic"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    length band): the size of every equivalence class, whether it
+    breaks k=5, and the first rung of the generalization ladder —
+    the class size after suppressing `source` — so a release decision
+    can see which at-risk classes generalization would rescue.
+
+    Plan: one hash agg to class sizes (map-side combinable — the only
+    corpus-scale shuffle, keyed by the quasi-identifier), then a
+    window over the CLASS table (|classes| rows, not |docs|) for the
+    relaxed sizes. The per-class output is itself release-candidate
+    metadata, report-sized.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_band"),
+    ).agg(F.count("*").alias("class_size"))
+    w = Window.partitionBy("lang", "len_band")
+    return cls.select(
+        "lang",
+        "source",
+        "len_band",
+        "class_size",
+        (F.col("class_size") < 5).alias("at_risk"),
+        F.sum("class_size").over(w).alias("relaxed_size"),
+        (F.sum("class_size").over(w) >= 5).alias("relaxed_ok"),
+    ).orderBy("lang", "source", "len_band")
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        p AS (SELECT q.qid, q.qlab, e.vec_id, e.label,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                           i -> CAST(q.qv[i] AS DOUBLE)
+                                * CAST(q.qv[i] AS DOUBLE)))))
+                       AS sim
+              FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+        neg AS (SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM p WHERE label <> qlab),
+        pos AS (SELECT qid, max(sim) AS pos_sim
+                FROM p WHERE label = qlab GROUP BY qid)
+        SELECT qid, vec_id AS hard_neg_id,
+               round(sim, 6) AS hard_neg_sim,
+               round(pos_sim, 6) AS best_pos_sim,
+               round(pos_sim - sim, 6) AS margin
+        FROM neg JOIN pos USING (qid)
+        WHERE rn = 1
+        ORDER BY qid
+    """,
+    tags=("L3", "mining", "classify"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (every 50th embedding), the single highest-cosine vector
+    with a DIFFERENT label (the hard negative) alongside the best
+    same-label cosine, and the margin between them. Queries with a
+    negative margin are the ones whose hardest negative outranks every
+    positive — exactly the pairs a contrastive fine-tune wants.
+
+    Plan: the query set is a broadcast (it is a sampled sliver of the
+    table); the corpus side streams once through a codegen'd
+    zip_with/aggregate cosine — |corpus| x |queries| map work with NO
+    shuffle of the corpus. The per-query argmax is an AGGREGATION on
+    max(struct(sim, -id)) — map-side partial, no sort — not a window,
+    so no per-query sort of the candidate stream. At real scale the
+    query fan-out is batched and the corpus side is pre-pruned by the
+    IVF index (operators/similarity.ivf_probe) before the exact
+    rerank; tie-break is (sim desc, id asc) on both engines.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("label") != F.col("qlab"))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("s"), (-F.col("vec_id")).alias("nid")
+                )
+            ).alias("m")
+        )
+        .select(
+            "qid",
+            (-F.col("m.nid")).alias("hard_neg_id"),
+            F.col("m.s").alias("neg_sim"),
+        )
+    )
+    pos = (
+        pairs.filter(F.col("label") == F.col("qlab"))
+        .groupBy("qid")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    return (
+        neg.join(pos, "qid")
+        .select(
+            "qid",
+            "hard_neg_id",
+            F.round("neg_sim", 6).alias("hard_neg_sim"),
+            F.round("pos_sim", 6).alias("best_pos_sim"),
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("qid")
+    )

@@ -1665,9 +1665,12 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bpe_train",
-    oracle="""
+# Shared by q_bpe_train / q_bpe_encode: the fully-unrolled three-round
+# BPE merge loop in DuckDB SQL — word-frequency table, symbol-sequence
+# init, and per-round (pair count -> argmax -> rewrite) CTEs s0..s2 /
+# b1..b3. Both oracles append their own final SELECT (train: the merge
+# rules; encode: the post-merge subword vocabulary).
+_BPE_MERGES_CTE = """
         WITH w AS (
           SELECT tok AS word, count(*) AS freq
           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1708,6 +1711,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         || string_split(seq, ' ')[j + 1])) AS pr
                  FROM s2) GROUP BY pr),
         b3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1)
+"""
+
+
+@query(
+    "q_bpe_train",
+    oracle=_BPE_MERGES_CTE
+    + """
         SELECT step, split_part(pr, ' ', 1) AS left_sym,
                split_part(pr, ' ', 2) AS right_sym, cnt AS pair_count
         FROM (SELECT 1 AS step, pr, cnt FROM b1
@@ -1741,6 +1751,19 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar per round), one map-side rewrite. localCheckpoint per round
     keeps the lineage flat over many merges.
     """
+    _, rules = _bpe_trained_state(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "step int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("step")
+
+
+def _bpe_trained_state(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3
+) -> tuple[DataFrame, list]:
+    """Run the BPE merge loop (see q_bpe_train docstring) and return
+    both artifacts: the post-merge word state (word, freq, seq — seq
+    is the space-separated symbol sequence, merged symbols joined with
+    '+') and the learned merge rules."""
     docs = scan(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1754,7 +1777,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     rules = []
-    for step in (1, 2, 3):
+    for step in range(1, n_merges + 1):
         pairs = state.select(
             "freq",
             F.explode(
@@ -1787,6 +1810,62 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seq"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rules, "step int, left_sym string, right_sym string, pair_count long"
-    ).orderBy("step")
+    return state, rules
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_BPE_MERGES_CTE
+    + """
+        , s3 AS (SELECT word, freq,
+                        trim(replace(' ' || seq || ' ',
+                                     ' ' || (SELECT pr FROM b3) || ' ',
+                                     ' ' || replace((SELECT pr FROM b3), ' ', '+')
+                                     || ' ')) AS seq
+                 FROM s2)
+        SELECT replace(sym, '+', '') AS subword,
+               CAST(sum(freq) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM (SELECT word, freq, unnest(string_split(seq, ' ')) AS sym FROM s3)
+        GROUP BY replace(sym, '+', '')
+        ORDER BY n_occurrences DESC, subword
+        LIMIT 20
+    """,
+    tags=("L5", "tokenization", "iterative"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode the corpus with the merges
+    learned by q_bpe_train and report the resulting top-20 subword
+    vocabulary — each subword's corpus occurrence count
+    (frequency-weighted over the word table) and the number of
+    distinct words it appears in. This is the consumer side of the
+    tokenizer artifact: the segmentation a trained BPE vocabulary
+    actually produces on its training corpus.
+
+    Encoding is O(|vocab|) not O(|corpus|): the corpus collapses to
+    the word-frequency table once (map-side combinable word count),
+    merges rewrite symbol sequences per DISTINCT word, and the final
+    subword histogram weights by word frequency — the corpus text is
+    never touched again after the first pass. The oracle unrolls the
+    identical three merge rounds in SQL (shared CTE with q_bpe_train)
+    plus the final rewrite, so the hash pins training AND encoding.
+    Distinct internal symbols that render to the same subword string
+    (e.g. 'ab+c' and 'a+bc' after different merge paths) are grouped
+    by display form on both engines.
+    """
+    state, _ = _bpe_trained_state(spark, sf_dir)
+    return (
+        state.select(
+            "word", "freq", F.explode(F.split("seq", " ")).alias("sym")
+        )
+        .select(
+            "word", "freq", F.replace(F.col("sym"), F.lit("+"), F.lit("")).alias("subword")
+        )
+        .groupBy("subword")
+        .agg(
+            F.sum("freq").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), "subword")
+        .limit(20)
+    )

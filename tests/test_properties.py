@@ -695,3 +695,101 @@ def test_queries_survive_empty_input(spark, tmp_path):
         rows = reg[name].fn(spark, empty).collect()  # must not raise
         if name != "q_data_quality_report":  # its report is check-bounded
             assert rows == [] or all(r is not None for r in rows)
+
+
+def test_governance_statistics_within_theoretical_bounds(spark):
+    """r4 wave 6: JSD is bounded by [0, 1] bit, the KS statistic by
+    [0, 1], PSI is non-negative (it is a sum of (a-b)ln(a/b) terms,
+    each >= 0), and every query emits one row per group present."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    jsd = reg["q_js_divergence"].fn(spark, SF001).collect()
+    assert jsd and all(0.0 <= r["jsd_bits"] <= 1.0 for r in jsd)
+    ks = reg["q_ks_drift"].fn(spark, SF001).collect()
+    assert ks and all(0.0 <= r["ks_stat"] <= 1.0 for r in ks)
+    psi = reg["q_psi_drift"].fn(spark, SF001).collect()
+    assert psi and all(r["psi"] >= 0.0 for r in psi)
+
+
+def test_k_anonymity_generalization_ladder_consistent(spark):
+    """Relaxed (source-suppressed) class sizes must equal the sum of
+    the member class sizes and dominate every member; class sizes sum
+    to the corpus size."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_k_anonymity"].fn(spark, SF001).collect()
+    n_docs = scan(spark, SF001, "documents").count()
+    assert sum(r["class_size"] for r in rows) == n_docs
+    from collections import defaultdict
+
+    by_relaxed = defaultdict(int)
+    for r in rows:
+        by_relaxed[(r["lang"], r["len_band"])] += r["class_size"]
+    for r in rows:
+        assert r["relaxed_size"] == by_relaxed[(r["lang"], r["len_band"])]
+        assert r["relaxed_size"] >= r["class_size"]
+        assert r["at_risk"] == (r["class_size"] < 5)
+
+
+def test_hard_negatives_match_bruteforce(spark):
+    """The aggregation-argmax hard negative equals the numpy
+    brute-force argmax (sim desc, id asc) for every query vector, and
+    the reported positive is the true best same-label cosine."""
+    import numpy as np
+
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {r["qid"]: r for r in reg["q_hard_negatives"].fn(spark, SF001).collect()}
+    emb = scan(spark, SF001, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    labs = np.array([r["label"] for r in emb])
+    vecs = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    assert got, "no query vectors sampled"
+    for qid, row in got.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = vecs @ vecs[qi]
+        neg_mask = (labs != labs[qi]) & (ids != qid)
+        pos_mask = (labs == labs[qi]) & (ids != qid)
+        # argmax by (sim desc, id asc): sort once, take the head
+        order = sorted(
+            np.flatnonzero(neg_mask), key=lambda i: (-sims[i], ids[i])
+        )
+        assert ids[order[0]] == row["hard_neg_id"]
+        assert abs(sims[order[0]] - row["hard_neg_sim"]) < 1e-5
+        assert abs(sims[pos_mask].max() - row["best_pos_sim"]) < 1e-5
+
+
+def test_bpe_encode_conserves_corpus_token_mass(spark):
+    """Subword occurrences weighted over the FULL (un-truncated)
+    subword histogram must sum to the corpus character count with
+    spaces removed — merges never create or destroy characters."""
+    from hadoop_log_analysis_spark.queries.llm_ops import _bpe_trained_state
+
+    state, rules = _bpe_trained_state(spark, SF001)
+    assert len(rules) == 3
+    total_subword_chars = (
+        state.select(
+            F.explode(F.split("seq", " ")).alias("sym"), F.col("freq")
+        )
+        .select(
+            (
+                F.length(F.replace(F.col("sym"), F.lit("+"), F.lit("")))
+                * F.col("freq")
+            ).alias("chars")
+        )
+        .agg(F.sum("chars"))
+        .collect()[0][0]
+    )
+    corpus_chars = (
+        scan(spark, SF001, "documents")
+        .select(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert total_subword_chars == corpus_chars
