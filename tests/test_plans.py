@@ -634,3 +634,40 @@ def test_triangle_enumeration_all_hash_joins(spark):
     # any Inner BNLJ would mean an equi-join degenerated.
     assert "BroadcastNestedLoopJoin Inner" not in plan
     assert "Join Inner" in plan  # wedge build + closure are equi joins
+
+
+def test_js_divergence_corpus_total_is_broadcast_scalar(spark):
+    """The corpus-total normalizer must be a 1-row broadcast, and no
+    cartesian product may appear (the closed-form tail replaces the
+    source x vocab cross join)."""
+    plan = _formatted(REGISTRY["q_js_divergence"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_grid_types_side_is_broadcast(spark):
+    """The |types| grid dimension must broadcast against the distinct
+    values; the cumulative window must partition by event_type (never
+    a single global partition)."""
+    plan = _formatted(REGISTRY["q_ks_drift"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "partitionBy=[event_type]" in plan.replace(" ", "").replace(
+        "PartitionBy", "partitionBy"
+    ) or "hashpartitioning(event_type" in plan
+
+
+def test_psi_reference_bounds_broadcast(spark):
+    """Per-type reference bounds and the 10-bin spine must broadcast;
+    the event scans keep the time predicate pushed down."""
+    plan = _formatted(REGISTRY["q_psi_drift"].fn(spark, SF001))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_hard_negatives_query_side_broadcast_no_corpus_sort(spark):
+    """The sampled query set broadcasts against the corpus and the
+    per-query argmax is an aggregation — no Window/Sort over the
+    |corpus| x |queries| candidate stream."""
+    plan = _formatted(REGISTRY["q_hard_negatives"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
