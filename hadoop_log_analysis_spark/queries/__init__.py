@@ -185,6 +185,9 @@ _PRIORITY = (
     "q_k_anonymity",
     "q_hard_negatives",
     "q_bpe_encode",
+    "q_stream_psi_monitor",
+    "q_source_diversity",
+    "q_bpe_fertility",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

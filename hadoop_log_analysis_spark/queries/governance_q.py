@@ -195,9 +195,9 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_psi_drift",
-    oracle="""
+# Shared by q_psi_drift (batch) and q_stream_psi_monitor (streaming
+# twin): identical SQL — the stream must land on the batch answer.
+_PSI_ORACLE = """
         WITH ref AS (SELECT event_type, value FROM events
                      WHERE ts < TIMESTAMP '2024-01-16'),
         cur AS (SELECT event_type, value FROM events
@@ -241,60 +241,60 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms
         GROUP BY event_type, n_ref, n_cur
         ORDER BY event_type
-    """,
-    tags=("A5", "drift", "diagnostic", "timeseries"),
-)
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per event type between a reference
-    period (first half of January) and the current period (the rest):
-    band the reference min-max range into 10 equal-width bins, clamp
-    current values into them, Laplace-smooth ((c+0.5)/(n+5)) so empty
-    bins stay finite, PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref).
-    The standard "has this feature shifted since the snapshot we
-    trained on?" monitor.
+"""
 
-    Equal-width banding (not quantiles) keeps the two engines exactly
-    comparable — the bin of a value is a closed-form floor(), no
-    interpolation semantics to align. Plan: two filtered scans (the
-    date predicate pushes into the parquet scan), per-type bounds as a
-    tiny broadcast, bin hash-aggs bounded by |types| x 10, and the
-    10-bin grid materialized from `sequence` so zero-count bins still
-    contribute their smoothed mass.
-    """
-    ev = scan(spark, sf_dir, "events")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
-    cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
-    b = ref.groupBy("event_type").agg(
-        F.min(F.col("value").cast("double")).alias("lo"),
-        F.max(F.col("value").cast("double")).alias("hi"),
-        F.count("*").alias("n_ref"),
-    )
-    nc = cur.groupBy("event_type").agg(F.count("*").alias("n_cur"))
+_PSI_CUT = "2024-01-16"
 
-    def binned(side: DataFrame) -> DataFrame:
-        v = F.col("value").cast("double")
-        bin_expr = F.when(
-            F.col("hi") > F.col("lo"),
-            F.least(
-                F.lit(9),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((v - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
-                ),
-            ),
-        ).otherwise(0)
-        return (
-            side.join(F.broadcast(b.select("event_type", "lo", "hi")), "event_type")
-            .select("event_type", bin_expr.cast("int").alias("bin"))
-            .groupBy("event_type", "bin")
-            .agg(F.count("*").alias("c"))
+
+def _psi_reference(ev: DataFrame) -> DataFrame:
+    """Per-type reference bounds + count from the period before the
+    cut — the broadcast-sized snapshot both PSI variants band against."""
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    return (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+            F.count("*").alias("n_ref"),
         )
+    )
 
-    rb = binned(ref)
-    cb = binned(cur)
+
+def _psi_binned(side: DataFrame, b: DataFrame) -> DataFrame:
+    """Band a (event_type, value) stream into the reference's 10
+    equal-width bins -> (event_type, bin, c) counts. Works unchanged
+    on a STREAMING side (broadcast stream-static join + bounded-state
+    aggregation)."""
+    v = F.col("value").cast("double")
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+            ),
+        ),
+    ).otherwise(0)
+    return (
+        side.join(F.broadcast(b.select("event_type", "lo", "hi")), "event_type")
+        .select("event_type", bin_expr.cast("int").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _psi_assemble(b: DataFrame, rb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Fold reference bounds + reference/current bin counts into the
+    PSI report. n_cur is derived from the current bin counts (every
+    current row lands in exactly one bin), so the assembly needs only
+    the three bounded tables — which is what lets the streaming twin
+    hand over its drained state table unchanged."""
+    spark = b.sparkSession
+    nc = cb.groupBy("event_type").agg(F.sum("c").alias("n_cur"))
     bins = F.broadcast(
-        b.sparkSession.range(1).select(
+        spark.range(1).select(
             F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
         )
     )
@@ -319,6 +319,36 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_psi_drift",
+    oracle=_PSI_ORACLE,
+    tags=("A5", "drift", "diagnostic", "timeseries"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between a reference
+    period (first half of January) and the current period (the rest):
+    band the reference min-max range into 10 equal-width bins, clamp
+    current values into them, Laplace-smooth ((c+0.5)/(n+5)) so empty
+    bins stay finite, PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref).
+    The standard "has this feature shifted since the snapshot we
+    trained on?" monitor.
+
+    Equal-width banding (not quantiles) keeps the two engines exactly
+    comparable — the bin of a value is a closed-form floor(), no
+    interpolation semantics to align. Plan: two filtered scans (the
+    date predicate pushes into the parquet scan), per-type bounds as a
+    tiny broadcast, bin hash-aggs bounded by |types| x 10, and the
+    10-bin grid materialized from `sequence` so zero-count bins still
+    contribute their smoothed mass.
+    """
+    ev = scan(spark, sf_dir, "events")
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
+    b = _psi_reference(ev)
+    return _psi_assemble(b, _psi_binned(ref, b), _psi_binned(cur, b))
 
 
 @query(
@@ -470,4 +500,64 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
         )
         .orderBy("qid")
+    )
+
+
+@query(
+    "q_source_diversity",
+    oracle="""
+        WITH c AS (SELECT lang, source, count(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n_sources,
+                     CAST(max(n) AS BIGINT) AS top_n
+              FROM c GROUP BY lang),
+        e AS (SELECT c.lang,
+                     -sum((n * 1.0 / tot) * ln(n * 1.0 / tot)) AS ent
+              FROM c JOIN t USING (lang) GROUP BY c.lang)
+        SELECT lang, tot AS n_docs, n_sources,
+               round(ent, 6) AS entropy_nats,
+               round(exp(ent), 6) AS effective_sources,
+               round(top_n * 1.0 / tot, 6) AS top_source_share
+        FROM e JOIN t USING (lang)
+        ORDER BY lang
+    """,
+    tags=("L7", "mixture", "diagnostic"),
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diversity per language: Shannon entropy of
+    the source mix, its exponential (the "effective number of
+    sources" — the diversity index mixture designers target), and the
+    top source's share (the concentration risk a single bad crawl
+    poses). Complements q_source_mixture (which reports the mix) with
+    the scalar indices a mixing policy thresholds on.
+
+    Plan: one corpus-scale hash agg to (lang, source) counts, then
+    everything else is arithmetic over the |langs| x |sources| count
+    table — two bounded re-aggs and a join keyed by lang.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.max("n").alias("top_n"),
+    )
+    p = F.col("n") / F.col("n_docs")
+    e = (
+        c.join(t, "lang")
+        .groupBy("lang")
+        .agg((-F.sum(p * F.log(p))).alias("ent"))
+    )
+    return (
+        e.join(t, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            F.round("ent", 6).alias("entropy_nats"),
+            F.round(F.exp("ent"), 6).alias("effective_sources"),
+            F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_source_share"),
+        )
+        .orderBy("lang")
     )

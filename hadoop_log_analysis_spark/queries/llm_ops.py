@@ -1869,3 +1869,72 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "subword")
         .limit(20)
     )
+
+
+@query(
+    "q_bpe_fertility",
+    oracle=_BPE_MERGES_CTE
+    + """
+        , s3 AS (SELECT word, freq,
+                        trim(replace(' ' || seq || ' ',
+                                     ' ' || (SELECT pr FROM b3) || ' ',
+                                     ' ' || replace((SELECT pr FROM b3), ' ', '+')
+                                     || ' ')) AS seq
+                 FROM s2),
+        lw AS (SELECT lang, tok AS word, count(*) AS nlw
+               FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY 1, 2)
+        SELECT lw.lang,
+               CAST(sum(lw.nlw) AS BIGINT) AS n_tokens,
+               round(sum(lw.nlw * len(string_split(s3.seq, ' ')) * 1.0)
+                     / sum(lw.nlw), 6) AS fertility,
+               round(sum(lw.nlw * len(s3.word) * 1.0)
+                     / sum(lw.nlw * len(string_split(s3.seq, ' '))), 6)
+                 AS avg_subword_chars
+        FROM lw JOIN s3 USING (word)
+        GROUP BY lw.lang
+        ORDER BY lw.lang
+    """,
+    tags=("L5", "L7", "tokenization"),
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility evaluation per language: after applying the
+    learned BPE merges, the average number of subwords a whitespace
+    token splits into (fertility — the per-language cost metric
+    tokenizer audits track, since high-fertility languages pay more
+    sequence length per word) and the average subword length in
+    characters. A vocabulary trained on a language mix is judged
+    exactly this way before a pretraining run commits to it.
+
+    Plan: the corpus collapses once to (lang, word) counts (map-side
+    combinable), the trained word state is |vocab|-sized, and the join
+    is keyed by word — all shuffles bounded by vocabulary, the weights
+    carry the corpus mass. Shares the merge machinery (and the
+    unrolled-SQL oracle CTEs) with q_bpe_train / q_bpe_encode.
+    """
+    state, _ = _bpe_trained_state(spark, sf_dir)
+    docs = scan(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("nlw"))
+    )
+    n_syms = F.size(F.split("seq", " "))
+    j = lw.join(state.select("word", "seq"), "word").select(
+        "lang",
+        "nlw",
+        (F.col("nlw") * n_syms).cast("double").alias("w_syms"),
+        (F.col("nlw") * F.length("word")).cast("double").alias("w_chars"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("nlw").alias("n_tokens"),
+            F.round(F.sum("w_syms") / F.sum("nlw"), 6).alias("fertility"),
+            F.round(F.sum("w_chars") / F.sum("w_syms"), 6).alias(
+                "avg_subword_chars"
+            ),
+        )
+        .orderBy("lang")
+    )

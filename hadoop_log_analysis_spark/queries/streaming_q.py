@@ -792,3 +792,52 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("last_value"),
         F.col("ts_us").alias("last_us"),
     ).orderBy("user_id")
+
+
+# Stream-batch parity law: the streaming monitor answers to the SAME
+# oracle SQL as its batch twin q_psi_drift.
+from hadoop_log_analysis_spark.queries.governance_q import (  # noqa: E402
+    _PSI_ORACLE as _PSI_SQL,
+)
+
+
+@query(
+    "q_stream_psi_monitor",
+    oracle=_PSI_SQL,
+    tags=("T1", "T7", "S7", "drift", "diagnostic"),
+)
+def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the current period arrives as a STREAM
+    while the reference snapshot is a static table — the deployment
+    shape of a production PSI monitor (reference = the training
+    snapshot, stream = live traffic).
+
+    The replayed event stream is filtered to the current period,
+    stream-static-joined against the broadcast per-type reference
+    bounds, banded with the identical closed-form bin expression, and
+    count-aggregated in complete mode — state is bounded by
+    |types| x 10 bins regardless of stream length. The drained state
+    table then feeds the same PSI assembly as the batch query, and the
+    final report must hash-match q_psi_drift's DuckDB oracle exactly:
+    stream-batch parity for the whole monitor, not just the counts.
+    """
+    from hadoop_log_analysis_spark.queries.governance_q import (
+        _PSI_CUT,
+        _psi_assemble,
+        _psi_binned,
+        _psi_reference,
+    )
+
+    drop = derive_drop_dir(spark, sf_dir)
+    ev = scan(spark, sf_dir, "events")
+    b = _psi_reference(ev).localCheckpoint(eager=True)  # snapshot once
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    stream = read_events_stream(spark, drop).filter(F.col("ts") >= cut).select(
+        "event_type", "value"
+    )
+    cb = run_to_table(_psi_binned(stream, b), "psi_monitor", "complete")
+    cut_ref = F.lit(_PSI_CUT).cast("timestamp")
+    rb = _psi_binned(
+        ev.filter(F.col("ts") < cut_ref).select("event_type", "value"), b
+    )
+    return _psi_assemble(b, rb, cb)
