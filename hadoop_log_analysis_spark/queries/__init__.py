@@ -188,6 +188,8 @@ _PRIORITY = (
     "q_stream_psi_monitor",
     "q_source_diversity",
     "q_bpe_fertility",
+    "q_rocchio_feedback",
+    "q_mmr_rerank",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.operators import similarity as SIM
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
@@ -1695,3 +1696,253 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
         )
     )
+
+
+@query(
+    "q_rocchio_feedback",
+    oracle="""
+        WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+        fb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings, q0
+               WHERE vec_id <> 0
+               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+                          DESC, vec_id
+               LIMIT 10),
+        dims AS (SELECT u.i, avg(fb.v[u.i]) AS m
+                 FROM fb, (SELECT unnest(range(1, len(qv) + 1)) AS i
+                           FROM q0) u
+                 GROUP BY u.i),
+        cent AS (SELECT list(m ORDER BY i) AS cv FROM dims),
+        q1 AS (SELECT list_transform(range(1, len(qv) + 1),
+                                     i -> qv[i] + 0.75 * cv[i]) AS q1v
+               FROM q0, cent),
+        scored AS (SELECT e.vec_id,
+                          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 q1v) AS s
+                   FROM embeddings e, q1 WHERE e.vec_id <> 0)
+        SELECT vec_id, round(s, 6) AS sim_new,
+               vec_id IN (SELECT vec_id FROM fb) AS was_feedback
+        FROM scored
+        ORDER BY s DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("L3", "ranking"),
+)
+def q_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): retrieve the cosine top-10
+    for query vector 0, move the query toward their centroid
+    (q1 = q0 + 0.75 * mean(feedback vectors)), and re-retrieve with
+    the expanded query — the classic one-round query-expansion loop,
+    with a flag showing which of the final top-10 were already in the
+    feedback set.
+
+    Fully declarative — no driver iteration: feedback set via
+    TakeOrdered (bounded k), per-dimension centroid via posexplode of
+    the 10-row feedback set, the expanded query assembled with an
+    order-pinned collect_list(struct(pos, m)) and zip_with, then one
+    more broadcast scan-and-score pass. The corpus is scanned exactly
+    twice and never shuffled; everything between the two scans is
+    k x dims sized.
+    """
+    emb = scan(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored0 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            "v",
+            "qv",
+            (
+                SIM.dot(F.col("v"), F.col("qv"))
+                / (SIM.norm(F.col("v")) * SIM.norm(F.col("qv")))
+            ).alias("s0"),
+        )
+    )
+    fb = scored0.orderBy(F.desc("s0"), "vec_id").limit(10)
+    cent = (
+        fb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    )
+    q1 = (
+        q0.crossJoin(F.broadcast(cent))
+        .select(F.zip_with("qv", "cv", lambda a, b: a + 0.75 * b).alias("q1v"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q1))
+        .select(
+            "vec_id",
+            (
+                SIM.dot(F.col("v"), F.col("q1v"))
+                / (SIM.norm(F.col("v")) * SIM.norm(F.col("q1v")))
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .join(
+            F.broadcast(fb.select("vec_id", F.lit(True).alias("fb_hit"))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.round("s", 6).alias("sim_new"),
+            F.coalesce("fb_hit", F.lit(False)).alias("was_feedback"),
+        )
+        .orderBy(F.desc("sim_new"), "vec_id")
+    )
+
+
+@query(
+    "q_mmr_rerank",
+    oracle="""
+        WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+        cands AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                         round(list_cosine_similarity(
+                                 CAST(embedding AS DOUBLE[]), qv), 6) AS rel
+                  FROM embeddings, q0
+                  WHERE vec_id <> 0
+                  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                  qv) DESC, vec_id
+                  LIMIT 10),
+        pw AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                      round(list_cosine_similarity(a.v, b.v), 6) AS s
+               FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, rel, rel AS score FROM cands
+               ORDER BY rel DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1),
+        s2 AS (SELECT c.vec_id, c.rel,
+                      0.7 * c.rel - 0.3 * max(p.s) AS score
+               FROM cands c JOIN pw p ON p.ai = c.vec_id
+                                     AND p.bi IN (SELECT vec_id FROM sel1)
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+               GROUP BY c.vec_id, c.rel
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+        s3 AS (SELECT c.vec_id, c.rel,
+                      0.7 * c.rel - 0.3 * max(p.s) AS score
+               FROM cands c JOIN pw p ON p.ai = c.vec_id
+                                     AND p.bi IN (SELECT vec_id FROM sel2)
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+               GROUP BY c.vec_id, c.rel
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        s4 AS (SELECT c.vec_id, c.rel,
+                      0.7 * c.rel - 0.3 * max(p.s) AS score
+               FROM cands c JOIN pw p ON p.ai = c.vec_id
+                                     AND p.bi IN (SELECT vec_id FROM sel3)
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+               GROUP BY c.vec_id, c.rel
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        s5 AS (SELECT c.vec_id, c.rel,
+                      0.7 * c.rel - 0.3 * max(p.s) AS score
+               FROM cands c JOIN pw p ON p.ai = c.vec_id
+                                     AND p.bi IN (SELECT vec_id FROM sel4)
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+               GROUP BY c.vec_id, c.rel
+               ORDER BY score DESC, c.vec_id LIMIT 1)
+        SELECT rank, vec_id, rel AS relevance, round(score, 6) AS mmr_score
+        FROM (SELECT 1 AS rank, vec_id, rel, score FROM s1
+              UNION ALL SELECT 2, vec_id, rel, score FROM s2
+              UNION ALL SELECT 3, vec_id, rel, score FROM s3
+              UNION ALL SELECT 4, vec_id, rel, score FROM s4
+              UNION ALL SELECT 5, vec_id, rel, score FROM s5)
+        ORDER BY rank
+    """,
+    tags=("L3", "ranking"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank: from the cosine
+    top-10 candidates for query vector 0, greedily select 5 results
+    maximizing ``0.7 * relevance - 0.3 * max-sim-to-already-selected``
+    — the standard redundancy-penalized re-rank between retrieval and
+    consumption (step 1 is pure relevance; ties break on id).
+
+    The greedy recurrence is sequential BY DEFINITION, so the engine
+    bounds it instead of distributing it: candidates arrive via ONE
+    corpus-scale TakeOrdered (k rows), the pairwise-similarity table
+    is k x k, and each of the 5 selection steps is an argmax over
+    <= k rows (driver-side scalar per step, like the BPE trainer's
+    per-round argmax — k-bounded, never corpus-bounded). Relevance
+    and pairwise sims are rounded to 6 dp BEFORE the greedy
+    arithmetic on both engines, so the cross-engine argmax is exact,
+    not FP-luck. The oracle unrolls all five steps in SQL.
+    """
+    emb = scan(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            "v",
+            (
+                SIM.dot(F.col("v"), F.col("qv"))
+                / (SIM.norm(F.col("v")) * SIM.norm(F.col("qv")))
+            ).alias("s_raw"),
+        )
+        .orderBy(F.desc("s_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", "v", F.round("s_raw", 6).alias("rel"))
+        .localCheckpoint(eager=True)  # k rows; cut the TakeOrdered lineage
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pw = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ai"),
+            F.col("b.vec_id").alias("bi"),
+            F.round(
+                SIM.dot(F.col("a.v"), F.col("b.v"))
+                / (SIM.norm(F.col("a.v")) * SIM.norm(F.col("b.v"))),
+                6,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)  # k*(k-1) rows
+    )
+    picks: list[tuple[int, int, float, float]] = []
+    selected: list[int] = []
+    for rank in range(1, 6):
+        if not selected:
+            head = cands.orderBy(F.desc("rel"), "vec_id").limit(1).collect()
+            r0 = head[0]
+            picks.append((rank, r0["vec_id"], float(r0["rel"]), float(r0["rel"])))
+        else:
+            scored = (
+                cands.filter(~F.col("vec_id").isin(selected))
+                .join(
+                    pw.filter(F.col("bi").isin(selected)),
+                    F.col("vec_id") == F.col("ai"),
+                )
+                .groupBy("vec_id", "rel")
+                .agg((0.7 * F.col("rel") - 0.3 * F.max("s")).alias("score"))
+                .orderBy(F.desc("score"), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            r0 = scored[0]
+            picks.append(
+                (rank, r0["vec_id"], float(r0["rel"]), float(r0["score"]))
+            )
+        selected.append(picks[-1][1])
+    out = spark.createDataFrame(
+        picks, "rank int, vec_id bigint, relevance double, mmr_score double"
+    )
+    return out.select(
+        "rank", "vec_id", "relevance", F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("rank")
