@@ -190,6 +190,8 @@ _PRIORITY = (
     "q_bpe_fertility",
     "q_rocchio_feedback",
     "q_mmr_rerank",
+    "q_bootstrap_ci",
+    "q_distinctive_terms",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -561,3 +561,234 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Poisson(1) CDF literals for the bootstrap weights: identical doubles
+# on both engines, so the inverse-CDF draw w = #{thresholds < u} is
+# bit-deterministic. 9 thresholds cap w at 9 (P(w > 9) < 2e-6).
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+)
+_BOOT_B = 24  # bootstrap replicates
+_BOOT_MULT = 2654435761  # Knuth multiplicative constant (pipeline_q)
+_BOOT_STEP = 97003  # replicate offset prime
+_BOOT_MOD = 1_000_003
+
+_BOOT_ORACLE = f"""
+        WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS r),
+        u AS (SELECT e.event_type, e.value, reps.r,
+                     (CAST((e.event_id * {_BOOT_MULT} + reps.r * {_BOOT_STEP})
+                           % {_BOOT_MOD} AS DOUBLE) + 1.0)
+                       / {_BOOT_MOD + 1}.0 AS unit
+              FROM events e CROSS JOIN reps),
+        w AS (SELECT event_type, value, r,
+                     {" + ".join(f"(CASE WHEN unit > {t} THEN 1 ELSE 0 END)" for t in _POIS1_CDF)}
+                       AS wt
+              FROM u),
+        means AS (SELECT event_type, r,
+                         sum(wt * value) / sum(wt) AS m
+                  FROM w GROUP BY event_type, r
+                  HAVING sum(wt) > 0),
+        pt AS (SELECT event_type, avg(value) AS point_mean
+               FROM events GROUP BY event_type)
+        SELECT pt.event_type,
+               round(pt.point_mean, 4) AS point_mean,
+               round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               round(quantile_cont(m, 0.975), 4) AS ci_hi,
+               round(stddev_samp(m), 4) AS boot_se,
+               CAST(count(*) AS BIGINT) AS b
+        FROM means JOIN pt USING (event_type)
+        GROUP BY pt.event_type, pt.point_mean
+        ORDER BY pt.event_type
+"""
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=_BOOT_ORACLE,
+    tags=("A5", "diagnostic", "sampling"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the per-type mean
+    event value: each row's multiplicity in replicate r is a
+    Poisson(1) draw, so a resample needs NO global coordination —
+    the reason the Poisson bootstrap (not n-out-of-n resampling) is
+    the distributed-systems standard for uncertainty at scale. 24
+    replicates, percentile CI (2.5/97.5) plus the bootstrap SE.
+
+    Determinism discipline: the unit random is the shared Knuth
+    multiplicative hash of (event_id, replicate) — integer math,
+    identical in both engines — and the Poisson inverse CDF compares
+    against shared double literals, so every weight matrix entry is
+    bit-equal cross-engine. Plan shape: the corpus is scanned once;
+    the replicate fan-out is a map-side explode (B x rows, map-only),
+    the per-(type, replicate) means are one hash agg (map-side
+    combinable), and everything after operates on |types| x B rows.
+    At 100 TB you trade B x map volume for zero shuffles beyond the
+    one bounded aggregation — or push the weight sum into the same
+    pass as the base aggregate.
+    """
+    ev = scan(spark, sf_dir, "events")
+    reps = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("r")
+    u = ev.select("event_id", "event_type", "value", reps).select(
+        "event_type",
+        "value",
+        "r",
+        (
+            (
+                ((F.col("event_id") * _BOOT_MULT + F.col("r") * _BOOT_STEP))
+                % _BOOT_MOD
+            ).cast("double")
+            + F.lit(1.0)
+        ).alias("scaled"),
+    ).select(
+        "event_type",
+        "value",
+        "r",
+        (F.col("scaled") / F.lit(float(_BOOT_MOD + 1))).alias("unit"),
+    )
+    wt = sum(
+        F.when(F.col("unit") > float(t), 1).otherwise(0) for t in _POIS1_CDF
+    )
+    means = (
+        u.select("event_type", "value", "r", wt.alias("wt"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("wt") * F.col("value")).alias("sw"),
+            F.sum("wt").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .select("event_type", "r", (F.col("sw") / F.col("w")).alias("m"))
+    )
+    pt = ev.groupBy("event_type").agg(F.avg("value").alias("point_mean"))
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+            F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+            F.count("*").alias("b"),
+        )
+        .join(pt, "event_type")
+        .select(
+            "event_type",
+            F.round("point_mean", 4).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            "boot_se",
+            "b",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_distinctive_terms",
+    oracle="""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
+        gc AS (SELECT tok, sum(c) AS g FROM sc GROUP BY 1),
+        tot AS (SELECT CAST(sum(g) AS DOUBLE) AS n,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM gc),
+        m AS (SELECT sc.source, sc.tok, sc.c,
+                     ln((sc.c + 0.01) / (st.ns + 0.01 * tot.v - sc.c - 0.01))
+                     - ln((gc.g - sc.c + 0.01)
+                          / (tot.n - st.ns + 0.01 * tot.v - (gc.g - sc.c) - 0.01))
+                       AS delta,
+                     1.0 / (sc.c + 0.01) + 1.0 / (gc.g - sc.c + 0.01) AS var
+              FROM sc JOIN st USING (source) JOIN gc USING (tok)
+              CROSS JOIN tot),
+        z AS (SELECT source, tok, c, delta,
+                     round(delta / sqrt(var), 6) AS zscore
+              FROM m),
+        r AS (SELECT source, tok, c, delta, zscore,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY zscore DESC, tok) AS rn
+              FROM z)
+        SELECT source, tok, CAST(c AS BIGINT) AS n_in_source,
+               round(delta, 6) AS log_odds, zscore
+        FROM r WHERE rn <= 3
+        ORDER BY source, zscore DESC, tok
+    """,
+    tags=("L5", "L7", "diagnostic"),
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What vocabulary makes each source DIFFERENT: weighted log-odds
+    with an informative Dirichlet prior (Monroe/Colaresi/Quinn
+    "Fightin' Words") of each source's token usage vs the rest of the
+    corpus, z-scored by the delta's variance, top-3 terms per source.
+    The standard corpus-forensics tool for spotting a source whose
+    content drifted (spam injection, template leakage, language mix).
+
+    Plan: the same (source, token) / per-source / per-token count
+    tables as q_js_divergence (shuffles bounded by per-source vocab),
+    the prior scalars as one broadcast 1-row aggregate, and the
+    per-source top-3 via the windowless bounded top-k operator
+    (operators/topk.py) — no per-source sort funnel; the z-score is
+    rounded to 6 dp before ranking so the cross-engine order is
+    exact.
+    """
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
+
+    docs = scan(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    tot = gc.agg(
+        F.sum("g").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+    j = sc.join(st, "source").join(gc, "tok").crossJoin(F.broadcast(tot))
+    delta = F.log(
+        (F.col("c") + 0.01) / (F.col("ns") + 0.01 * F.col("v") - F.col("c") - 0.01)
+    ) - F.log(
+        (F.col("g") - F.col("c") + 0.01)
+        / (
+            F.col("n")
+            - F.col("ns")
+            + 0.01 * F.col("v")
+            - (F.col("g") - F.col("c"))
+            - 0.01
+        )
+    )
+    var = 1.0 / (F.col("c") + 0.01) + 1.0 / (F.col("g") - F.col("c") + 0.01)
+    z = j.select(
+        "source",
+        "tok",
+        "c",
+        delta.alias("delta"),
+        F.round(delta / F.sqrt(var), 6).alias("zscore"),
+    )
+    top = grouped_bottom_k(
+        z,
+        ["source"],
+        F.struct(
+            (-F.col("zscore")).alias("nz"),
+            F.col("tok").alias("tok"),
+            F.col("c").alias("c"),
+            F.col("delta").alias("delta"),
+        ),
+        k=3,
+    )
+    return top.select(
+        "source",
+        F.col("item.tok").alias("tok"),
+        F.col("item.c").alias("n_in_source"),
+        F.round("item.delta", 6).alias("log_odds"),
+        (-F.col("item.nz")).alias("zscore"),
+    ).orderBy("source", F.desc("zscore"), "tok")
