@@ -192,6 +192,8 @@ _PRIORITY = (
     "q_mmr_rerank",
     "q_bootstrap_ci",
     "q_distinctive_terms",
+    "q_embedding_covariance",
+    "q_pca_components",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

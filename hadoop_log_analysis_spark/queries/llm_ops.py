@@ -1938,3 +1938,160 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_embedding_covariance",
+    oracle="""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT count(*) AS c FROM e),
+        dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+        idx AS (SELECT unnest(range(1, d + 1)) AS i FROM dim),
+        g AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i),
+        m AS (SELECT g.i, g.j, sum(v[g.i] * v[g.j]) AS svv
+              FROM e, g GROUP BY g.i, g.j),
+        mu AS (SELECT idx.i, sum(v[idx.i]) AS sv FROM e, idx GROUP BY idx.i)
+        SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
+               round(m.svv / n.c - (a.sv / n.c) * (b.sv / n.c), 6) AS cov
+        FROM m JOIN mu a ON a.i = m.i JOIN mu b ON b.i = m.j CROSS JOIN n
+        ORDER BY i, j
+    """,
+    tags=("L3", "L4", "arrow", "diagnostic"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space covariance matrix (upper triangle), the input
+    to whitening / PCA / anisotropy diagnostics an embedding pipeline
+    runs before indexing. Computed the way a 100 TB vector table
+    demands: ``mapInArrow`` partials — each Arrow batch contributes
+    ONE d x d Gram update (BLAS ``X'X`` on a numpy view of the flat
+    float buffer, zero per-row Python) plus the component sums, so the
+    shuffle moves only |batches| x d(d+1)/2 partial rows, never the
+    vectors. Final assembly (Gram/n - outer(mean)) is a d^2-bounded
+    join. The oracle recomputes the same closed form by exploding in
+    SQL — correct at fixture scale, exactly the plan this operator
+    exists to avoid at real scale.
+    """
+    import pyarrow as pa
+
+    def partials(batches):
+        import numpy as np
+
+        acc_vv = None
+        acc_v = None
+        n = 0
+        for batch in batches:
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.values, dtype=np.float64)
+            offs = np.asarray(emb.offsets)
+            if len(offs) < 2:
+                continue
+            widths = np.diff(offs)
+            d = int(widths[0])
+            if not (widths == d).all():
+                raise ValueError("ragged embedding widths in batch")
+            x = flat.reshape(-1, d)
+            if acc_vv is None:
+                acc_vv = x.T @ x
+                acc_v = x.sum(axis=0)
+            else:
+                acc_vv += x.T @ x
+                acc_v += x.sum(axis=0)
+            n += x.shape[0]
+        if not n:
+            return
+        d = acc_vv.shape[0]
+        iu, ju = np.triu_indices(d)
+        # three row kinds, tagged by j: (i+1, j+1, gram), (i+1, 0, sum_i),
+        # (0, 0, n) — one narrow stream, regrouped JVM-side.
+        i_out = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+        j_out = np.concatenate([ju + 1, np.zeros(d, dtype=np.int64), [0]])
+        v_out = np.concatenate([acc_vv[iu, ju], acc_v, [float(n)]])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i_out, type=pa.int32()),
+                pa.array(j_out, type=pa.int32()),
+                pa.array(v_out, type=pa.float64()),
+            ],
+            names=["i", "j", "x"],
+        )
+
+    emb = scan(spark, sf_dir, "embeddings").select("embedding")
+    parts = (
+        emb.mapInArrow(partials, "i int, j int, x double")
+        .groupBy("i", "j")
+        .agg(F.sum("x").alias("x"))
+    )
+    n = parts.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("x").alias("n")
+    )
+    mu = parts.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("mi"), F.col("x").alias("sv")
+    )
+    gram = parts.filter(F.col("j") > 0)
+    return (
+        gram.crossJoin(F.broadcast(n))
+        .join(F.broadcast(mu).withColumnRenamed("mi", "i_a"), F.col("i") == F.col("i_a"))
+        .withColumnRenamed("sv", "sv_i")
+        .join(
+            F.broadcast(mu.withColumnRenamed("mi", "j_b").withColumnRenamed("sv", "sv_j")),
+            F.col("j") == F.col("j_b"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("x") / F.col("n")
+                - (F.col("sv_i") / F.col("n")) * (F.col("sv_j") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "q_pca_components",
+    oracle=None,  # rows-only: no eigensolver in SQL; invariants pinned
+    # in tests/test_llm_ops.py (residual, orthonormality, ordering)
+    tags=("L3", "L4", "diagnostic", "iterative"),
+)
+def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding space — the
+    whitening/anisotropy-reduction step embedding pipelines run before
+    indexing (dominant directions carry corpus-frequency artifacts).
+
+    Architecture mirrors Spark MLlib's PCA: the DATA-scale work is the
+    distributed covariance reduction (q_embedding_covariance's
+    mapInArrow Gram partials); the eigensolve then happens on a d x d
+    matrix whose size is bounded by the embedding DIMENSION, not the
+    corpus — collecting it is a dimension-bounded transfer (4096
+    doubles here), same class as broadcasting a quantization codebook,
+    and numpy's symmetric eigensolver is deterministic on identical
+    input (the covariance is rounded to 6 dp upstream, so the input IS
+    identical across runs/partitionings). Sign convention: each
+    component's largest-|loading| position is made positive. Output:
+    top-8 loadings per component — plain scalar rows, no arrays.
+    """
+    import numpy as np
+
+    cov_rows = q_embedding_covariance(spark, sf_dir).collect()
+    d = max(r["j"] for r in cov_rows)
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+        c[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    out = []
+    for comp in (1, 2):
+        lam = float(vals[-comp])
+        vec = vecs[:, -comp]
+        top = np.argsort(-np.abs(vec), kind="stable")[:8]
+        if vec[top[0]] < 0:
+            vec = -vec
+        for pos in sorted(top):
+            out.append(
+                (comp, int(pos) + 1, round(float(vec[pos]), 4), round(lam, 4))
+            )
+    return spark.createDataFrame(
+        out, "component int, pos int, loading double, eigval double"
+    ).orderBy("component", "pos")

@@ -411,3 +411,38 @@ def test_heavy_hitters_exact_under_eviction(spark):
         .collect()[0][0]
     )
     assert per_part <= k
+
+
+def test_pca_components_spectral_invariants(spark):
+    """r4: the PCA output must satisfy the spectral facts implied by
+    the covariance it was solved from — eigval ordering, Rayleigh
+    bounds (max diagonal <= lambda_1 <= trace), unit-bounded loadings,
+    and the positive-max-|loading| sign convention."""
+    import numpy as np
+
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    cov_rows = reg["q_embedding_covariance"].fn(spark, SF001).collect()
+    d = max(r["j"] for r in cov_rows)
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+        c[r["j"] - 1, r["i"] - 1] = r["cov"]
+    trace = float(np.trace(c))
+    max_diag = float(np.diag(c).max())
+
+    rows = reg["q_pca_components"].fn(spark, SF001).collect()
+    assert len(rows) == 16
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    lam1 = by_comp[1][0]["eigval"]
+    lam2 = by_comp[2][0]["eigval"]
+    assert lam1 >= lam2 > 0
+    assert max_diag - 1e-3 <= lam1 <= trace + 1e-3
+    for comp_rows in by_comp.values():
+        loadings = [r["loading"] for r in comp_rows]
+        assert all(abs(x) <= 1.0 for x in loadings)
+        assert max(loadings, key=abs) > 0  # sign convention
+        assert len({r["eigval"] for r in comp_rows}) == 1
