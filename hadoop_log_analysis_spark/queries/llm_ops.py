@@ -2074,7 +2074,10 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    schema = "component int, pos int, loading double, eigval double"
     cov_rows = q_embedding_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus -> empty (schema-stable) result
+        return spark.createDataFrame([], schema)
     d = max(r["j"] for r in cov_rows)
     c = np.zeros((d, d))
     for r in cov_rows:
@@ -2092,6 +2095,4 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(
                 (comp, int(pos) + 1, round(float(vec[pos]), 4), round(lam, 4))
             )
-    return spark.createDataFrame(
-        out, "component int, pos int, loading double, eigval double"
-    ).orderBy("component", "pos")
+    return spark.createDataFrame(out, schema).orderBy("component", "pos")

@@ -1920,6 +1920,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rank in range(1, 6):
         if not selected:
             head = cands.orderBy(F.desc("rel"), "vec_id").limit(1).collect()
+            if not head:  # empty corpus -> empty (schema-stable) result
+                break
             r0 = head[0]
             picks.append((rank, r0["vec_id"], float(r0["rel"]), float(r0["rel"])))
         else:
@@ -1935,6 +1937,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .collect()
             )
+            if not scored:  # fewer candidates than the target k
+                break
             r0 = scored[0]
             picks.append(
                 (rank, r0["vec_id"], float(r0["rel"]), float(r0["score"]))

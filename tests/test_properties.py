@@ -690,6 +690,17 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_bloom_prefilter_join", "q_basket_lift", "q_scd2_build",
         "q_bitmap_rollup_monthly", "q_data_quality_report",
         "q_binaryfile_ingest", "q_map_in_arrow",
+        # r4 waves 6-8: the driver-side-scalar / iterative additions
+        "q_mmr_rerank",        # greedy argmax collect loop
+        "q_pca_components",    # covariance collect + local eigensolve
+        "q_rocchio_feedback",  # two-pass broadcast retrieval
+        "q_hard_negatives",
+        "q_bootstrap_ci",
+        "q_bpe_encode",        # merge-loop argmax collects
+        "q_bpe_fertility",
+        "q_js_divergence", "q_ks_drift", "q_psi_drift",
+        "q_k_anonymity", "q_source_diversity", "q_distinctive_terms",
+        "q_embedding_covariance",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
