@@ -79,6 +79,11 @@ HEADLINE = (
     # wedge/closure joins are the regression target).
     "q_bloom_prefilter_join",
     "q_triangle_count",
+    # r4 wave 6/8: the governance layer's two corpus-scale members —
+    # token-distribution JSD (explode + vocab-bounded joins) and the
+    # Poisson bootstrap (B x map fan-out + bounded hash agg).
+    "q_js_divergence",
+    "q_bootstrap_ci",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
