@@ -194,6 +194,9 @@ _PRIORITY = (
     "q_distinctive_terms",
     "q_embedding_covariance",
     "q_pca_components",
+    "q_quality_gate_gains",
+    "q_golden_record",
+    "q_token_zipf_fit",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -792,3 +792,156 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("item.delta", 6).alias("log_odds"),
         (-F.col("item.nz")).alias("zscore"),
     ).orderBy("source", F.desc("zscore"), "tok")
+
+
+@query(
+    "q_quality_gate_gains",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+               GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tf GROUP BY 1),
+        ent AS (SELECT tf.doc_id,
+                       round(-sum((c / n) * ln(c / n)), 6) AS e
+                FROM tf JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+        lbl AS (SELECT t.doc_id,
+                       (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))
+                         <= 0.4 AS pass
+                FROM t),
+        m AS (SELECT ent.doc_id, ent.e, lbl.pass
+              FROM ent JOIN lbl USING (doc_id)),
+        b AS (SELECT min(e) AS lo, max(e) AS hi FROM m),
+        binned AS (SELECT CASE WHEN b.hi > b.lo
+                               THEN 9 - CAST(least(9, greatest(0, floor(
+                                    (m.e - b.lo) * 10.0 / (b.hi - b.lo))))
+                                    AS INT)
+                               ELSE 0 END AS bin,
+                          m.e, m.pass
+                   FROM m CROSS JOIN b),
+        agg AS (SELECT bin, count(*) AS n_docs,
+                       avg(e) AS avg_e,
+                       sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
+                FROM binned GROUP BY bin),
+        spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        g AS (SELECT spine.bin,
+                     coalesce(agg.n_docs, 0) AS n_docs,
+                     agg.avg_e,
+                     coalesce(agg.n_pass, 0) AS n_pass
+              FROM spine LEFT JOIN agg USING (bin))
+        SELECT bin,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(avg_e, 4) AS avg_entropy,
+               CASE WHEN n_docs > 0
+                    THEN round(n_pass * 1.0 / n_docs, 4) END AS pass_rate,
+               CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+               round(sum(n_pass) OVER w * 1.0
+                     / greatest(sum(n_docs) OVER w, 1), 4) AS cum_pass_rate
+        FROM g
+        WINDOW w AS (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY bin
+    """,
+    tags=("L7", "curation", "diagnostic"),
+)
+def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity gains table for a quality gate: rank
+    documents by token-entropy (the information-density signal,
+    rounded to 6 dp before banding so both engines band identically),
+    band into 10 equal-width tiers with tier 0 = HIGHEST entropy, and
+    report per tier and cumulatively how the repetition gate
+    (dup-token fraction <= 0.4) agrees — the curve a curator reads to
+    pick "keep the top N tiers" cutoffs and see what pass-rate each
+    cutoff buys.
+
+    Plan: the per-doc signal is the same vocabulary-bounded explode +
+    hash agg as q_token_entropy; banding is a closed-form floor off a
+    broadcast 1-row min/max; everything after the per-doc table is
+    10-row arithmetic (the cumulative window runs over the bin spine,
+    not documents).
+    """
+    docs = scan(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("e"))
+    )
+    toks = F.split("text", " ")
+    lbl = docs.select(
+        "doc_id",
+        (
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+            )
+            <= 0.4
+        ).alias("pass"),
+    )
+    m = ent.join(lbl, "doc_id")
+    b = m.agg(F.min("e").alias("lo"), F.max("e").alias("hi"))
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.lit(9)
+        - F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("e") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))
+                ),
+            ),
+        ).cast("int"),
+    ).otherwise(0)
+    agg = (
+        m.crossJoin(F.broadcast(b))
+        .select(bin_expr.alias("bin"), "e", "pass")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("e").alias("avg_e"),
+            F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    g = (
+        spine.join(agg, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            "avg_e",
+            F.coalesce("n_pass", F.lit(0)).alias("n_pass"),
+        )
+    )
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.select(
+            "bin",
+            "n_docs",
+            F.round("avg_e", 4).alias("avg_entropy"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_pass") * F.lit(1.0) / F.col("n_docs"), 4),
+            ).alias("pass_rate"),
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.round(
+                F.sum("n_pass").over(w)
+                * F.lit(1.0)
+                / F.greatest(F.sum("n_docs").over(w), F.lit(1)),
+                4,
+            ).alias("cum_pass_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -2096,3 +2096,173 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (comp, int(pos) + 1, round(float(vec[pos]), 4), round(lam, 4))
             )
     return spark.createDataFrame(out, schema).orderBy("component", "pos")
+
+
+@query(
+    "q_golden_record",
+    oracle="""
+        WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + off, text, 'zz', source
+          FROM documents, m WHERE doc_id < 30
+          UNION ALL
+          SELECT doc_id + 2 * off, text, lang, 'mirror'
+          FROM documents, m WHERE doc_id < 15),
+        cl AS (SELECT text, min(doc_id) AS cluster_id,
+                      count(*) AS n_members
+               FROM corpus GROUP BY text
+               HAVING count(*) >= 2),
+        lv AS (SELECT d.text, d.lang, count(*) AS c
+               FROM corpus d JOIN cl USING (text) GROUP BY 1, 2),
+        lpick AS (SELECT text, lang,
+                         row_number() OVER (PARTITION BY text
+                                            ORDER BY c DESC, lang DESC) AS rn
+                  FROM lv),
+        sv AS (SELECT d.text, d.source, count(*) AS c
+               FROM corpus d JOIN cl USING (text) GROUP BY 1, 2),
+        spick AS (SELECT text, source,
+                         row_number() OVER (PARTITION BY text
+                                            ORDER BY c DESC, source DESC) AS rn
+                  FROM sv)
+        SELECT cl.cluster_id, CAST(cl.n_members AS BIGINT) AS n_members,
+               l.lang AS lang_modal, s.source AS source_modal
+        FROM cl JOIN lpick l ON l.text = cl.text AND l.rn = 1
+                JOIN spick s ON s.text = cl.text AND s.rn = 1
+        ORDER BY cluster_id
+    """,
+    tags=("L1", "dedup", "diagnostic"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record synthesis over exact-duplicate
+    clusters: for every group of documents sharing identical text,
+    emit one canonical record — min doc_id as the cluster key, member
+    count, and field-level survivorship for the attributes that DO
+    disagree across copies (modal lang and modal source, ties broken
+    toward the lexicographically larger value). This is the entity-
+    resolution step AFTER dedup decides what is duplicated: deciding
+    what the surviving row should say.
+
+    The raw fixtures carry no exact text duplicates (verified: 0
+    repeated texts at every SF), so duplicate structure is PLANTED
+    identically on both engines, following the q_embedding_near_dups
+    precedent: re-tagged copies (lang='zz' for doc_id<30,
+    source='mirror' for doc_id<15) with collision-free max(doc_id)+1
+    id offsets. Clusters of 3 exercise true modal wins (orig lang
+    outvotes 'zz' 2:1); clusters of 2 exercise the tie-break ('zz'
+    wins as the larger value) — the survivorship logic is verified in
+    both regimes, non-vacuously.
+
+    The modal picks are aggregation-argmaxes — per-(cluster, value)
+    counts then max(struct(count, value)) — so no per-cluster sort;
+    all shuffles key on the content hash (here the text itself; a
+    production run groups on sha2(text) exactly like operators/
+    dedup.py). The cluster table is bounded by duplicate volume, not
+    corpus size.
+    """
+    base = scan(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    off_row = base.agg(
+        (F.coalesce(F.max("doc_id"), F.lit(0)) + 1).alias("off")
+    ).collect()[0]
+    off = int(off_row["off"])
+    c1 = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        "text",
+        F.lit("zz").alias("lang"),
+        "source",
+    )
+    c2 = base.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 2 * off).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror").alias("source"),
+    )
+    docs = base.unionByName(c1).unionByName(c2)
+    cl = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count("*").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+    def modal(col: str, out: str) -> DataFrame:
+        return (
+            docs.join(cl.select("text"), "text")
+            .groupBy("text", col)
+            .agg(F.count("*").alias("c"))
+            .groupBy("text")
+            .agg(F.max(F.struct(F.col("c"), F.col(col).alias("v"))).alias("m"))
+            .select("text", F.col("m.v").alias(out))
+        )
+
+    return (
+        cl.join(modal("lang", "lang_modal"), "text")
+        .join(modal("source", "source_modal"), "text")
+        .select("cluster_id", "n_members", "lang_modal", "source_modal")
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "q_token_zipf_fit",
+    oracle="""
+        WITH c AS (SELECT lang, tok, count(*) AS freq
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   GROUP BY 1, 2),
+        r AS (SELECT lang, freq,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY freq DESC, tok) AS rank
+              FROM c)
+        SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+               round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+               round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                             ln(CAST(rank AS DOUBLE))), 4) AS r2
+        FROM r
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("L5", "diagnostic"),
+)
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnostics per language: fit the Zipf exponent by
+    least squares on the log-log rank-frequency curve (slope ~ -1 for
+    natural language; a flat slope flags synthetic/templated text, a
+    steep one flags vocabulary collapse) with the fit's R^2. A
+    tokenizer/corpus sanity check run before committing a vocabulary.
+
+    Plan: vocabulary-bounded (lang, token) hash agg, per-lang rank
+    window over the VOCAB table (never the corpus; at extreme vocab
+    sizes the two-phase histogram-rank decomposition used by
+    q_user_segments applies), then the constant-state regression
+    aggregates — map-side combinable, one row per language.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "tok")
+    r = c.select(
+        "lang",
+        F.col("freq").cast("double").alias("freq"),
+        F.row_number().over(w).cast("double").alias("rank"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias(
+                "zipf_slope"
+            ),
+            F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
+        )
+        .orderBy("lang")
+    )
