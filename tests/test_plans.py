@@ -671,3 +671,28 @@ def test_hard_negatives_query_side_broadcast_no_corpus_sort(spark):
     plan = _formatted(REGISTRY["q_hard_negatives"].fn(spark, SF001))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_covariance_gram_reduction_is_arrow_then_agg(spark):
+    """The Gram partials must cross into Python as whole Arrow batches
+    (MapInArrow / ArrowEvalPython), with the only corpus-scale shuffle
+    being the (i, j)-keyed partial aggregation AFTER the map."""
+    plan = _formatted(REGISTRY["q_embedding_covariance"].fn(spark, SF001))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_golden_record_modal_pick_is_aggregation_not_window(spark):
+    """Survivorship's modal picks are aggregation argmaxes; a window
+    over per-cluster candidates would reintroduce the per-group sort
+    funnel the max(struct) formulation avoids."""
+    plan = _formatted(REGISTRY["q_golden_record"].fn(spark, SF001))
+    assert "Window" not in plan
+
+
+def test_zipf_rank_window_partitions_by_lang(spark):
+    """The rank window must run per language — a global rank would
+    serialize the vocabulary through one partition."""
+    plan = _formatted(REGISTRY["q_token_zipf_fit"].fn(spark, SF001))
+    squeezed = plan.replace(" ", "")
+    assert "partitionBy=[lang" in squeezed or "hashpartitioning(lang" in squeezed
