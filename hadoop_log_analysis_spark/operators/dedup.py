@@ -256,6 +256,40 @@ def simhash_candidate_pairs(
     )
 
 
+def _ranked_token_sets(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared prefix-filter preprocessing for set_similarity_join and
+    containment_join: distinct token sets re-encoded as sorted arrays
+    of GLOBAL rarest-first token ranks (df asc, token asc). The global
+    order is the correctness keystone of both prefix filters — one
+    definition, so a change (e.g. a df cap for stop tokens) cannot
+    desynchronize the two operators (r4 review finding).
+
+    Returns (id, ranks) with ranks ascending; the rank table is
+    vocabulary-sized and broadcast into the re-encode join.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    df_rank = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "tok",
+            F.row_number().over(Window.orderBy("df", "tok")).alias("rank"),
+        )
+    )
+    return (
+        toks.select("id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(df_rank), "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
+    )
+
+
 def set_similarity_join(
     docs: DataFrame,
     threshold: float,
@@ -288,28 +322,7 @@ def set_similarity_join(
     operator's win appears exactly on the Zipfian vocabularies it is
     built for.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
-    )
-    # Global rarest-first token ranking (df asc, token asc).
-    df_rank = (
-        toks.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .select(
-            "tok",
-            F.row_number()
-            .over(Window.orderBy("df", "tok"))
-            .alias("rank"),
-        )
-    )
-    ranked = (
-        toks.select("id", F.explode("toks").alias("tok"))
-        .join(F.broadcast(df_rank), "tok")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
-    )
+    ranked = _ranked_token_sets(docs, text_col, id_col)
     # Prefix length |x| - ceil(t|x|) + 1; explode only the prefix.
     pref = ranked.select(
         "id",
@@ -377,25 +390,7 @@ def containment_join(
     tokens with df above a bound (they cannot discriminate at high t)
     exactly as LSH bucket caps do.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
-    )
-    df_rank = (
-        toks.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .select(
-            "tok",
-            F.row_number().over(Window.orderBy("df", "tok")).alias("rank"),
-        )
-    )
-    ranked = (
-        toks.select("id", F.explode("toks").alias("tok"))
-        .join(F.broadcast(df_rank), "tok")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
-    )
+    ranked = _ranked_token_sets(docs, text_col, id_col)
     a_pref = ranked.select(
         F.col("id").alias("a_id"),
         F.col("ranks").alias("a_ranks"),

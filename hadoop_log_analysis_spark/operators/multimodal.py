@@ -261,7 +261,10 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
                     fmt = meta["fmt"]
                     width, height = int(meta["width"]), int(meta["height"])
                     hdr_len = len(MAGIC)
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error subclasses Exception directly, NOT
+                    # ValueError — a header truncated mid-field would
+                    # otherwise crash the task (r4 review finding)
                     continue  # truncated/corrupt header -> dropped
                 body = data[hdr_len:]
                 rows.append(
@@ -389,8 +392,8 @@ def decode_audio_features(binary_df: DataFrame) -> DataFrame:
                     n_channels, sample_rate, bits, data_bytes = _decode_wav(
                         data
                     )
-                except (NotImplementedError, ValueError):
-                    continue
+                except (NotImplementedError, ValueError, struct.error):
+                    continue  # struct.error: header cut mid-field
                 byte_rate = sample_rate * n_channels * bits // 8
                 rows.append(
                     {

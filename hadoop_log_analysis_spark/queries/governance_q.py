@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
 from hadoop_log_analysis_spark.operators.similarity import cosine
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -578,9 +579,9 @@ _POIS1_CDF = (
     "0.999998874797402",
 )
 _BOOT_B = 24  # bootstrap replicates
-_BOOT_MULT = 2654435761  # Knuth multiplicative constant (pipeline_q)
+_BOOT_MULT = HASH_MULT  # shared cross-engine constant (functions/)
 _BOOT_STEP = 97003  # replicate offset prime
-_BOOT_MOD = 1_000_003
+_BOOT_MOD = HASH_MOD
 
 _BOOT_ORACLE = f"""
         WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS r),

@@ -31,6 +31,36 @@ from hadoop_log_analysis_spark.sources.catalog import scan
 PR_DAMPING = 0.85
 PR_ITERS = 3
 
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-occurrence edges (u < v) with >= 20 % document
+    support — THE graph q_triangle_count and q_bfs_hops both analyze.
+    One definition so the two queries (whose docstrings promise "the
+    same edges") cannot drift apart (r4 review finding). The pair
+    build is bounded by per-document distinct-token width; the support
+    floor is a broadcast 1-row total.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(F.col("a.tok").alias("u"), F.col("b.tok").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("support") * 5 >= F.col("n_docs"))
+        .select("u", "v")
+    )
+
 # One iteration of the unrolled oracle: rank(v) <- 0.15 + 0.85 *
 # sum over in-edges (u, v) of prev(u) / out_degree(u); nodes with no
 # in-edges keep the teleport mass 0.15 (LEFT JOIN + coalesce). Dangling
@@ -111,6 +141,7 @@ def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("tok"))
         .union(edges.select(F.col("dst").alias("tok")))
         .distinct()
+        .cache()  # re-read every iteration for the dangling-mass join
     )
     # (src, dst, d) is iteration-invariant: cache it once.
     adj = edges.join(deg, "src").cache()
@@ -131,9 +162,18 @@ def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("r"),
         )
-    return ranks.select("tok", F.round("r", 6).alias("rank")).orderBy(
-        F.col("rank").desc(), "tok"
+    # Materialize the final ranks, then release the iteration caches —
+    # without this every invocation pinned edges/adj InMemoryRelations
+    # for the life of the session (r4 review finding).
+    out = (
+        ranks.select("tok", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "tok")
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    nodes.unpersist()
+    adj.unpersist()
+    return out
 
 
 @query(
@@ -182,28 +222,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     apex and the closure on the (dst, dst) pair, both well-spread
     under the rank orientation.
     """
-    docs = scan(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    )
-    tot = docs.agg(F.count("*").alias("n_docs"))
-    pairs = (
-        toks.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.tok") < F.col("b.tok")),
-        )
-        .select(F.col("a.tok").alias("u"), F.col("b.tok").alias("v"))
-    )
-    e = (
-        pairs.groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-        .crossJoin(F.broadcast(tot))
-        .where(F.col("support") * 5 >= F.col("n_docs"))
-        .select("u", "v")
-    )
+    e = _support_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("tok"))
         .unionByName(e.select(F.col("v").alias("tok")))
@@ -296,26 +315,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration driver state is one boolean (frontier empty?); the
     distance table lives distributed.
     """
-    docs = scan(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    )
-    tot = docs.agg(F.count("*").alias("n_docs"))
-    half = (
-        toks.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.tok") < F.col("b.tok")),
-        )
-        .select(F.col("a.tok").alias("u"), F.col("b.tok").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-        .crossJoin(F.broadcast(tot))
-        .where(F.col("support") * 5 >= F.col("n_docs"))
-        .select("u", "v")
-    )
+    half = _support_edges(spark, sf_dir)
     edges = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)

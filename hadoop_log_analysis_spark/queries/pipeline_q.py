@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
 from hadoop_log_analysis_spark.operators import similarity as SIM
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
@@ -1067,12 +1068,10 @@ def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WSAMPLE_K = 25
-# Knuth's multiplicative-hash constant and a prime modulus: the shared
-# integer-math pseudo-random, computable bit-identically in BOTH
-# engines (Spark's xxhash64 and DuckDB's hash are different functions,
-# so neither can appear in an oracle-checked sampler).
-WSAMPLE_MULT = 2654435761
-WSAMPLE_MOD = 1_000_003
+# The shared cross-engine integer pseudo-random — single definition in
+# functions/__init__.py (r4 review: three divergent copies).
+WSAMPLE_MULT = HASH_MULT
+WSAMPLE_MOD = HASH_MOD
 
 
 @query(
@@ -1182,11 +1181,11 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic split: the same Knuth multiplicative hash as
-# q_weighted_sample (cross-engine integer math; neither engine's
+# Deterministic split: the shared Knuth multiplicative hash
+# (functions/__init__.py — cross-engine integer math; neither engine's
 # built-in hash appears in an oracle-checked path).
-SPLIT_MULT = 2654435761
-SPLIT_MOD = 1_000_003
+SPLIT_MULT = HASH_MULT
+SPLIT_MOD = HASH_MOD
 SPLIT_VAL_FRAC = 0.1
 SPLIT_TEST_FRAC = 0.1
 
@@ -1365,14 +1364,17 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_build",
     oracle="""
         WITH o AS (
-          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS t_us,
                  CASE WHEN event_type = lag(event_type)
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts) // 1000, event_id)
                       THEN 0 ELSE 1 END AS chg
           FROM events),
         g AS (
           SELECT user_id, event_type, t_us,
-                 sum(chg) OVER (PARTITION BY user_id ORDER BY t_us
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS grp
           FROM o),
         runs AS (
@@ -1416,10 +1418,14 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("ts_ns div 1000").alias("t_us"),
     )
+    # Every window that can see same-µs ties carries event_id as the
+    # tie-break, on BOTH engines — determinism by contract, not by the
+    # fixture's ns spacing (r4 review finding).
     wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     o = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         "t_us",
         F.when(
             F.col("event_type") == F.lag("event_type").over(wo), 0
@@ -1427,7 +1433,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = (
         Window.partitionBy("user_id")
-        .orderBy("t_us")
+        .orderBy("t_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = o.withColumn("grp", F.sum("chg").over(wg))

@@ -689,9 +689,13 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(value, 4) AS last_value,
                epoch_ns(ts) // 1000 AS last_us
         FROM (
+          -- rank by MICROSECOND ts, the precision the stream transport
+          -- carries: ranking by raw ns would pick a different winner
+          -- than the engine whenever two events share a µs (r4 review)
           SELECT user_id, event_type, value, ts,
                  row_number() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, event_id DESC) AS rn
+                                    ORDER BY epoch_ns(ts) // 1000 DESC,
+                                             event_id DESC) AS rn
           FROM events)
         WHERE rn = 1
         ORDER BY user_id
@@ -785,7 +789,12 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("cdc apply stream did not drain in 300s")
 
-    final = spark.read.parquet(_latest_versions()[-1])
+    versions = _latest_versions()
+    if not versions:  # zero-batch drain (empty fixture) -> empty result
+        return spark.createDataFrame(
+            [], "user_id long, last_type string, last_value double, last_us long"
+        )
+    final = spark.read.parquet(versions[-1])
     return final.select(
         "user_id",
         F.col("event_type").alias("last_type"),

@@ -701,6 +701,8 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_js_divergence", "q_ks_drift", "q_psi_drift",
         "q_k_anonymity", "q_source_diversity", "q_distinctive_terms",
         "q_embedding_covariance",
+        # r4 review finding: zero-batch drain left no state version
+        "q_stream_cdc_apply",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
