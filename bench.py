@@ -84,6 +84,11 @@ HEADLINE = (
     # Poisson bootstrap (B x map fan-out + bounded hash agg).
     "q_js_divergence",
     "q_bootstrap_ci",
+    # r4 wave 7: the streaming drift monitor — a SECOND streaming
+    # regression row with a much smaller fixed-cost drain (~4
+    # microbatches vs the left join's ~24), so streaming overhead and
+    # streaming logic regress separately.
+    "q_stream_psi_monitor",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -94,7 +99,7 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # per-batch fixed cost. One warm (also derives the drop dir) + one
 # timed run is a stable regression signal; spread is reported as a
 # single point so the JSON shape stays uniform.
-STREAMING_SINGLE_RUN = {"q_stream_stream_left_join"}
+STREAMING_SINGLE_RUN = {"q_stream_stream_left_join", "q_stream_psi_monitor"}
 
 
 def _sf_of(sf_dir: str) -> float:

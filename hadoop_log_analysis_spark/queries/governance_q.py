@@ -1,15 +1,23 @@
-"""Training-data governance queries (round 4, wave 6).
+"""Training-data governance queries (round 4, waves 6-9).
 
 The operations a 100 TB pretraining-corpus owner runs BETWEEN
 pipeline stages: distribution-drift detection (Jensen-Shannon
 divergence over token distributions, two-sample Kolmogorov-Smirnov,
-population stability index), privacy auditing (k-anonymity
-equivalence classes with a generalization ladder), and contrastive
-training-pair mining (hard-negative mining over the embedding table).
+population stability index — with a streaming twin in streaming_q),
+privacy auditing (k-anonymity equivalence classes with a
+generalization ladder), contrastive training-pair mining
+(hard-negative mining over the embedding table), statistical
+uncertainty (Poisson-bootstrap confidence intervals), corpus
+forensics (weighted log-odds distinctive terms), source-diversity
+indices, and the quality-gate gains table.
 
 Every query here is fully SQL-oracled: the DuckDB twin runs the same
 closed-form arithmetic, so the driver hash pins not just row sets but
-the exact divergence/statistic values to 6 decimals.
+the exact divergence/statistic values to 6 decimals. Operators whose
+output depends on comparing computed floats derive the compared
+quantity from shared integer hashes (functions.HASH_MULT/HASH_MOD)
+and/or round to fixed precision BEFORE comparing — cross-engine
+determinism by contract, not FP luck.
 """
 
 from __future__ import annotations
