@@ -197,6 +197,7 @@ _PRIORITY = (
     "q_quality_gate_gains",
     "q_golden_record",
     "q_token_zipf_fit",
+    "q_lexical_richness",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

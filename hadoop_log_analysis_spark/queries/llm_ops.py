@@ -2280,3 +2280,66 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_lexical_richness",
+    oracle="""
+        WITH c AS (SELECT source, tok, count(*) AS c
+                   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               round(count(*) * 1.0 / sum(c), 6) AS ttr,
+               round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS hapax_frac,
+               round(sum(c * (c - 1.0)) / (sum(c) * (sum(c) - 1.0)), 6)
+                 AS simpson_repeat
+        FROM c
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("L5", "L7", "diagnostic"),
+)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio, hapax
+    fraction (share of vocabulary occurring exactly once), and
+    Simpson's repeat probability (chance two sampled tokens are
+    equal). Together with the Zipf fit these separate natural prose
+    (high hapax tail, low repeat) from templated/generated text (the
+    fingerprint is a collapsed hapax tail with an inflated repeat
+    probability) — a corpus-intake triage signal.
+
+    Plan: one vocabulary-bounded (source, token) hash agg, then a
+    single per-source aggregation over the count table — every
+    statistic is a sum over the vocab rows, map-side combinable, no
+    windows, no joins.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    v = F.count("*")
+    return (
+        c.groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            v.alias("vocab"),
+            F.round(v * F.lit(1.0) / n, 6).alias("ttr"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) * F.lit(1.0) / v,
+                6,
+            ).alias("hapax_frac"),
+            F.round(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1.0)))
+                / (n * (n - F.lit(1.0))),
+                6,
+            ).alias("simpson_repeat"),
+        )
+        .orderBy("source")
+    )
