@@ -198,6 +198,7 @@ _PRIORITY = (
     "q_golden_record",
     "q_token_zipf_fit",
     "q_lexical_richness",
+    "q_ab_test_report",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -954,3 +954,109 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_ab_test_report",
+    oracle=f"""
+        WITH u AS (SELECT user_id,
+                          (user_id * {HASH_MULT}) % {HASH_MOD} % 2 AS arm,
+                          max(CASE WHEN event_type = 'purchase'
+                                        AND value > 300
+                                   THEN 1 ELSE 0 END) AS converted
+                   FROM events
+                   GROUP BY user_id),
+        a AS (SELECT arm, count(*) AS n,
+                     CAST(sum(converted) AS BIGINT) AS conv
+              FROM u GROUP BY arm),
+        w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                     max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                     max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                     max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+              FROM a),
+        s AS (SELECT n_a, conv_a, n_b, conv_b,
+                     conv_a * 1.0 / n_a AS p_a,
+                     conv_b * 1.0 / n_b AS p_b,
+                     (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p
+              FROM w)
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               conv_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               conv_b,
+               round(p_a, 6) AS rate_a,
+               round(p_b, 6) AS rate_b,
+               round((p_b - p_a) / nullif(p_a, 0), 6) AS rel_lift,
+               round((p_b - p_a)
+                     / nullif(sqrt(p * (1 - p)
+                                   * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z,
+               abs((p_b - p_a)
+                   / nullif(sqrt(p * (1 - p)
+                                 * (1.0 / n_a + 1.0 / n_b)), 0)) > 1.96
+                 AS significant
+        FROM s
+    """,
+    tags=("A5", "diagnostic", "sampling"),
+)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to two arms by the
+    shared deterministic hash (the same assignment every engine, every
+    run — the property a real experiment framework needs for
+    reproducible analysis), conversion is "ever made a purchase over
+    300" (a selective metric: plain "ever purchased" saturates to
+    p = 1 on this fixture, where the pooled-variance term is zero and
+    the z-statistic is undefined — the nullif guards keep that
+    degenerate case NULL instead of an ANSI divide error), and the
+    report is the standard two-proportion pooled z-test with relative
+    lift and the |z| > 1.96 significance verdict.
+
+    Plan: one corpus-scale per-user aggregation (map-side combinable
+    max), one |arms|-row aggregation, then closed-form scalar
+    arithmetic — the entire statistical readout costs one shuffle
+    keyed by user. The hash assignment doubles as the same machinery
+    as q_train_val_test_split's bands.
+    """
+    ev = scan(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        ((F.col("user_id") * HASH_MULT) % HASH_MOD % 2).alias("arm"),
+        "converted",
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") * F.lit(1.0) / F.col("n_a")
+    p_b = F.col("conv_b") * F.lit(1.0) / F.col("n_b")
+    p = (F.col("conv_a") + F.col("conv_b")) * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.nullif(
+        F.sqrt(
+            p
+            * (1 - p)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    z = (p_b - p_a) / se
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_b - p_a) / F.nullif(p_a, F.lit(0.0)), 6).alias("rel_lift"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
