@@ -199,6 +199,10 @@ _PRIORITY = (
     "q_token_zipf_fit",
     "q_lexical_richness",
     "q_ab_test_report",
+    "q_except_all",
+    "q_intersect_all",
+    "q_asof_tolerance",
+    "q_tokenizer_coverage",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -612,3 +612,70 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS tus
+                   FROM events),
+        p AS (SELECT user_id, epoch_us(ts) AS ptus, value FROM events
+              WHERE event_type = 'purchase'),
+        m AS (SELECT e.event_type, e.tus, p.ptus, p.value
+              FROM e ASOF JOIN p
+                ON e.user_id = p.user_id AND e.tus >= p.ptus)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_prior,
+               CAST(sum(CASE WHEN tus - ptus <= 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1h,
+               round(sum(CASE WHEN tus - ptus <= 3600000000
+                              THEN value ELSE 0 END), 2) AS s_within_1h
+        FROM m
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("J7",),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join with a TOLERANCE — the pandas
+    ``merge_asof(tolerance=...)`` semantics: the latest prior purchase
+    counts only if it happened within the last hour; staler matches
+    are treated as no-match. Per event type: rows with any prior
+    purchase, rows whose match is within tolerance, and the matched
+    value mass.
+
+    Tolerance composes on TOP of the as-of operator rather than
+    changing it: the keyed as-of carries the matched right timestamp
+    as payload, and the tolerance is a plain post-filter predicate —
+    so the bucketed-carry machinery (operators/joins.py) is reused
+    unchanged and the filter stays codegen'd. The oracle composes
+    DuckDB's native ASOF JOIN with the same predicate.
+    """
+    ev = scan(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "event_type", ts_us().alias("tus"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us().alias("tus"),
+        ts_us().alias("ptus"),  # the matched ts, carried as payload
+        F.col("value").alias("pvalue"),
+    )
+    joined = asof_join(
+        left,
+        purchases,
+        ts_col="tus",
+        by=["user_id"],
+        payload=["ptus", "pvalue"],
+    )
+    within = F.col("tus") - F.col("ptus") <= 3_600_000_000
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_prior"),
+            F.sum(F.when(within, 1).otherwise(0)).alias("n_within_1h"),
+            F.round(F.sum(F.when(within, F.col("pvalue")).otherwise(0.0)), 2).alias(
+                "s_within_1h"
+            ),
+        )
+        .orderBy("event_type")
+    )

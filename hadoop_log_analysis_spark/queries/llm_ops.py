@@ -2343,3 +2343,107 @@ def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_tokenizer_coverage",
+    oracle=_BPE_MERGES_CTE
+    + """
+        , s3 AS (SELECT word, freq,
+                        trim(replace(' ' || seq || ' ',
+                                     ' ' || (SELECT pr FROM b3) || ' ',
+                                     ' ' || replace((SELECT pr FROM b3), ' ', '+')
+                                     || ' ')) AS seq
+                 FROM s2),
+        vocab AS (SELECT replace(sym, '+', '') AS subword
+                  FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym
+                        FROM s3)
+                  GROUP BY replace(sym, '+', '')
+                  ORDER BY CAST(sum(freq) AS BIGINT) DESC, subword
+                  LIMIT 20),
+        wordsym AS (SELECT word, replace(sym, '+', '') AS subword
+                    FROM (SELECT word, unnest(string_split(seq, ' ')) AS sym
+                          FROM s3)),
+        flag AS (SELECT ws.word,
+                        min(CASE WHEN v.subword IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS covered
+                 FROM wordsym ws LEFT JOIN vocab v USING (subword)
+                 GROUP BY ws.word),
+        lw AS (SELECT lang, tok AS word, count(*) AS nlw
+               FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY 1, 2)
+        SELECT lw.lang,
+               CAST(sum(lw.nlw) AS BIGINT) AS n_tokens,
+               round(sum(lw.nlw * flag.covered) * 1.0 / sum(lw.nlw), 6)
+                 AS covered_frac,
+               CAST(count(DISTINCT CASE WHEN flag.covered = 0
+                                        THEN lw.word END) AS BIGINT)
+                 AS n_oov_types
+        FROM lw JOIN flag USING (word)
+        GROUP BY lw.lang
+        ORDER BY lw.lang
+    """,
+    tags=("L5", "L7", "tokenization"),
+)
+def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage / OOV audit per language: freeze the
+    vocabulary at the top-20 learned subwords (q_bpe_encode's output)
+    and measure what fraction of each language's token occurrences
+    segment ENTIRELY into in-vocabulary subwords — the word-level OOV
+    rate a capped-vocabulary tokenizer imposes, the number a
+    vocabulary-size decision is actually made on (completes the
+    tokenizer-eval trio: merges -> fertility -> coverage).
+
+    Everything is vocabulary-bounded after the one corpus pass shared
+    (memoized) with the other BPE queries: the vocab is a 20-row
+    aggregate, word coverage is a per-word min over its symbols
+    against the broadcast vocab, and the per-language weighting joins
+    the (lang, word) count table on word.
+    """
+    state, _ = _bpe_trained_state(spark, sf_dir)
+    syms = state.select(
+        "word",
+        "freq",
+        F.explode(F.split("seq", " ")).alias("sym"),
+    ).select(
+        "word",
+        "freq",
+        F.replace(F.col("sym"), F.lit("+"), F.lit("")).alias("subword"),
+    )
+    vocab = (
+        syms.groupBy("subword")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "subword")
+        .limit(20)
+        .select("subword")
+    )
+    flag = (
+        syms.join(
+            F.broadcast(vocab.withColumn("hit", F.lit(1))), "subword", "left"
+        )
+        .groupBy("word")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("covered"))
+    )
+    docs = scan(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("nlw"))
+    )
+    return (
+        lw.join(flag, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("nlw").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nlw") * F.col("covered")) * F.lit(1.0)
+                / F.sum("nlw"),
+                6,
+            ).alias("covered_frac"),
+            F.countDistinct(
+                F.when(F.col("covered") == 0, F.col("word"))
+            ).alias("n_oov_types"),
+        )
+        .orderBy("lang")
+    )

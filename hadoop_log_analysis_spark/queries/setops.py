@@ -189,3 +189,70 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id")
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q_except_all",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT ALL
+          SELECT user_id FROM events WHERE event_type = 'error')
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("O4",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: EXCEPT ALL — the multiplicity-preserving subtraction
+    (each user keeps max(purchases - errors, 0) rows, not a boolean
+    membership test like EXCEPT DISTINCT). The bag semantics matter
+    whenever the row count IS the payload — e.g. "how many purchases
+    exceed this user's error count". Output is re-aggregated to
+    (user_id, surviving multiplicity) so the hash comparison is
+    order-insensitive over a deterministic shape.
+
+    Plan: Spark compiles exceptAll to a generate/aggregate
+    (sum-of-signed-counts) — one hash agg keyed by the row value, no
+    sort, same scale shape as any grouped count.
+    """
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        p.exceptAll(e)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT ALL
+          SELECT user_id FROM events WHERE event_type = 'error')
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("O4",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: INTERSECT ALL — multiplicity-preserving intersection (each
+    user survives min(purchases, errors) times). Completes the O4
+    family's bag-semantics half alongside q_except_all; re-aggregated
+    to (user_id, multiplicity) for deterministic comparison.
+    """
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        p.intersectAll(e)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id")
+    )
