@@ -806,3 +806,40 @@ def test_bpe_encode_conserves_corpus_token_mass(spark):
         .collect()[0][0]
     )
     assert total_subword_chars == corpus_chars
+
+
+def test_bag_set_ops_match_multiplicity_arithmetic(spark):
+    """EXCEPT ALL keeps max(n_left - n_right, 0) copies per key and
+    INTERSECT ALL keeps min(n_left, n_right) — verified against
+    independently computed per-user purchase/error counts."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    ev = scan(spark, SF001, "events")
+    counts = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    users = {u for (u, _) in counts}
+    expect_exc = {}
+    expect_int = {}
+    for u in users:
+        p = counts.get((u, "purchase"), 0)
+        e = counts.get((u, "error"), 0)
+        if p - e > 0:
+            expect_exc[u] = p - e
+        if min(p, e) > 0:
+            expect_int[u] = min(p, e)
+    got_exc = {
+        r["user_id"]: r["n"]
+        for r in reg["q_except_all"].fn(spark, SF001).collect()
+    }
+    got_int = {
+        r["user_id"]: r["n"]
+        for r in reg["q_intersect_all"].fn(spark, SF001).collect()
+    }
+    assert got_exc == expect_exc
+    assert got_int == expect_int
