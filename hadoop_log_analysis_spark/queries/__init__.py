@@ -203,6 +203,8 @@ _PRIORITY = (
     "q_intersect_all",
     "q_asof_tolerance",
     "q_tokenizer_coverage",
+    "q_source_vocab_jaccard",
+    "q_corpus_datasheet",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

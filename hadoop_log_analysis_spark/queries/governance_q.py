@@ -1060,3 +1060,147 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "q_source_vocab_jaccard",
+    oracle="""
+        WITH sv AS (SELECT DISTINCT source, tok
+                    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                          FROM documents)),
+        vs AS (SELECT source, count(*) AS v FROM sv GROUP BY source),
+        common AS (SELECT a.source AS s_a, b.source AS s_b,
+                          count(*) AS n_common
+                   FROM sv a JOIN sv b
+                     ON a.tok = b.tok AND a.source < b.source
+                   GROUP BY 1, 2)
+        SELECT s_a, s_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(n_common * 1.0 / (va.v + vb.v - n_common), 6) AS jaccard
+        FROM common
+        JOIN vs va ON va.source = s_a
+        JOIN vs vb ON vb.source = s_b
+        ORDER BY jaccard DESC, s_a, s_b
+        LIMIT 20
+    """,
+    tags=("L7", "drift", "diagnostic"),
+)
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard similarity
+    of the distinct-token sets for every source pair, top-20 most
+    similar — the "are these two crawls actually the same feed?"
+    signal that catches re-labeled duplicates of a source before
+    mixing weights are assigned (complements q_cross_source_overlap's
+    document-level prefix collisions with a distribution-level view).
+
+    Plan: the pair build joins the (source, token) DISTINCT table to
+    itself ON TOKEN — shuffle keyed by token, work proportional to
+    sum over tokens of (sources containing it)^2, bounded by
+    |sources|^2 x vocab, never corpus size. Per-source vocab sizes
+    are a broadcast-scale table; a TakeOrdered caps the output.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    sv = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    vs = sv.groupBy("source").agg(F.count("*").alias("v"))
+    a, b = sv.alias("a"), sv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s_a"), F.col("b.source").alias("s_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    va = F.broadcast(vs.select(F.col("source").alias("s_a"), F.col("v").alias("v_a")))
+    vb = F.broadcast(vs.select(F.col("source").alias("s_b"), F.col("v").alias("v_b")))
+    return (
+        common.join(va, "s_a")
+        .join(vb, "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s_a", "s_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_corpus_datasheet",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT unnest(toks) AS tok FROM t),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                        round(avg(len(toks)), 4) AS mean_doc_tokens,
+                        round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                        round(avg(CASE WHEN 1.0 - len(list_distinct(toks))
+                                            * 1.0 / len(toks) <= 0.4
+                                       THEN 1.0 ELSE 0.0 END), 4)
+                          AS repetition_pass_rate
+                 FROM t),
+        tk AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+               FROM tok),
+        dup AS (SELECT round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6)
+                  AS exact_dup_rate
+                FROM documents)
+        SELECT base.*, tk.*, dup.*
+        FROM base CROSS JOIN tk CROSS JOIN dup
+    """,
+    tags=("L7", "diagnostic", "dq"),
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the "datasheet for datasets" summary
+    a release ships with: document/token/vocabulary counts, language
+    and source cardinalities, central tendency of document size
+    (mean tokens, exact median chars), the repetition-gate pass rate,
+    and the exact-duplicate rate. Every number is independently
+    verifiable from the governance queries it summarizes.
+
+    Plan: one scan feeds three aggregate branches (per-doc shape stats
+    with within-row array expressions, the exploded token counts, the
+    duplicate rate) joined as broadcast 1-row frames — three bounded
+    aggregations, no windows.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rep_pass = (
+        F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    ) <= 0.4
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(F.size(toks)), 4).alias("mean_doc_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+        F.round(
+            F.avg(F.when(rep_pass, F.lit(1.0)).otherwise(0.0)), 4
+        ).alias("repetition_pass_rate"),
+    )
+    tk = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    dup = docs.agg(
+        F.round(
+            F.lit(1.0) - F.countDistinct("text") * F.lit(1.0) / F.count("*"), 6
+        ).alias("exact_dup_rate")
+    )
+    return base.crossJoin(F.broadcast(tk)).crossJoin(F.broadcast(dup))
