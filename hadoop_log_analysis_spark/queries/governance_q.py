@@ -1158,7 +1158,8 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
                       CAST(count(DISTINCT tok) AS BIGINT) AS vocab
                FROM tok),
-        dup AS (SELECT round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6)
+        dup AS (SELECT round(1.0 - count(DISTINCT text) * 1.0
+                              / nullif(count(*), 0), 6)
                   AS exact_dup_rate
                 FROM documents)
         SELECT base.*, tk.*, dup.*
@@ -1200,7 +1201,11 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = docs.agg(
         F.round(
-            F.lit(1.0) - F.countDistinct("text") * F.lit(1.0) / F.count("*"), 6
+            F.lit(1.0)
+            - F.countDistinct("text")
+            * F.lit(1.0)
+            / F.nullif(F.count("*"), F.lit(0)),  # empty corpus -> NULL rate
+            6,
         ).alias("exact_dup_rate")
     )
     return base.crossJoin(F.broadcast(tk)).crossJoin(F.broadcast(dup))

@@ -703,6 +703,11 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_embedding_covariance",
         # r4 review finding: zero-batch drain left no state version
         "q_stream_cdc_apply",
+        # r4 waves 10-11
+        "q_except_all", "q_intersect_all", "q_asof_tolerance",
+        "q_tokenizer_coverage", "q_ab_test_report", "q_lexical_richness",
+        "q_quality_gate_gains", "q_golden_record", "q_token_zipf_fit",
+        "q_source_vocab_jaccard", "q_corpus_datasheet",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
