@@ -205,6 +205,7 @@ _PRIORITY = (
     "q_tokenizer_coverage",
     "q_source_vocab_jaccard",
     "q_corpus_datasheet",
+    "q_locf_fill",
     # r4-touched queries — code changed this round, re-verify
     "q_multimodal_frames",
     "q_multimodal_features",

@@ -269,3 +269,62 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "start_us")
     )
+
+
+@query(
+    "q_locf_fill",
+    oracle="""
+        WITH o AS (
+          SELECT event_type,
+                 last_value(CASE WHEN event_type = 'purchase'
+                                 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS carried
+          FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(carried) AS BIGINT) AS n_carried,
+               round(sum(carried), 2) AS s_carried
+        FROM o
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("W5", "W4", "timeseries"),
+)
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 IGNORE NULLS navigation — LOCF (last observation carried
+    forward): every event carries the user's most recent purchase
+    value via ``last_value(sparse) IGNORE NULLS`` over an ordered
+    per-user frame, the canonical ragged-series fill idiom (sensor
+    gaps, sparse prices, intermittent metrics). Report aggregates per
+    event type: rows, rows with a carried value, carried mass.
+
+    This is the WINDOW-NAVIGATION expression of the same semantics
+    the as-of join (q_asof_by_user) computes by join — the two
+    surfaces must and do agree. Plan: one window partitioned by user
+    (parallel across users, state = one scalar per frame) + a hash
+    agg; the (ts, event_id) ordering makes the carry deterministic
+    under same-microsecond ties, per the repo's tie-break contract.
+    """
+    ev = scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.select(
+            "event_type",
+            F.last(sparse, ignorenulls=True).over(w).alias("carried"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("carried").alias("n_carried"),
+            F.round(F.sum("carried"), 2).alias("s_carried"),
+        )
+        .orderBy("event_type")
+    )
