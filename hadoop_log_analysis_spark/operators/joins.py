@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 _MARK = "__asof_right_ts"
 _SRC = "__asof_is_left"
+_RTIE = "__asof_right_tie"
 
 
 def asof_join(
@@ -66,14 +67,27 @@ def asof_join(
     payload = list(payload)
     left_cols = list(left.columns)
 
-    l_side = left.withColumn(_SRC, F.lit(1)).withColumn(
-        _MARK, F.lit(None).cast("long")
+    l_side = (
+        left.withColumn(_SRC, F.lit(1))
+        .withColumn(_MARK, F.lit(None).cast("long"))
+        .withColumn(_RTIE, F.lit(None).cast("long"))
     )
     for p in payload:
         l_side = l_side.withColumn(p, F.lit(None).cast(right.schema[p].dataType))
 
-    r_side = right.select(*by, ts_col, *payload).withColumn(_SRC, F.lit(0)).withColumn(
-        _MARK, F.col(ts_col).cast("long")
+    # Deterministic tie-break for right rows sharing (by, ts): a stable
+    # content hash, so which tied payload gets carried is arbitrary-
+    # but-REPRODUCIBLE across runs and partitionings (r4 review; the
+    # keyless path's _keyless_carry has the analogous tie discipline).
+    # Cross-engine, a tie remains oracle-undefined — DuckDB's ASOF JOIN
+    # picks its own arbitrary row — so oracle-compared queries must not
+    # rely on tied right timestamps (the fixtures' ns resolution makes
+    # them unobserved there).
+    r_side = (
+        right.select(*by, ts_col, *payload)
+        .withColumn(_SRC, F.lit(0))
+        .withColumn(_MARK, F.col(ts_col).cast("long"))
+        .withColumn(_RTIE, F.xxhash64(ts_col, *payload))
     )
     for c in left_cols:
         if c not in {*by, ts_col}:
@@ -87,7 +101,7 @@ def asof_join(
         # Right rows sort BEFORE left rows at equal ts (asof is <=).
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(ts_col).asc(), F.col(_SRC).asc())
+            .orderBy(F.col(ts_col).asc(), F.col(_SRC).asc(), F.col(_RTIE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = unioned

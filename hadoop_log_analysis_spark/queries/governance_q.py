@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
+from hadoop_log_analysis_spark.operators import text as TXT
 from hadoop_log_analysis_spark.operators.similarity import cosine
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -883,17 +884,10 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("e"))
     )
-    toks = F.split("text", " ")
-    lbl = docs.select(
-        "doc_id",
-        (
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
-            )
-            <= 0.4
-        ).alias("pass"),
-    )
+    # the same Gopher repetition gate q_gopher_rules thresholds —
+    # ONE definition (operators/text.dup_token_frac), not an inline
+    # copy (r4 review: divergent-copies hazard)
+    lbl = docs.select("doc_id", (TXT.dup_token_frac() <= 0.4).alias("pass"))
     m = ent.join(lbl, "doc_id")
     b = m.agg(F.min("e").alias("lo"), F.max("e").alias("hi"))
     bin_expr = F.when(
@@ -1182,9 +1176,7 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scan(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    rep_pass = (
-        F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
-    ) <= 0.4
+    rep_pass = TXT.dup_token_frac() <= 0.4  # shared Gopher gate
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),

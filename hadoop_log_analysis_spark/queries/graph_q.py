@@ -146,33 +146,38 @@ def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src, dst, d) is iteration-invariant: cache it once.
     adj = edges.join(deg, "src").cache()
 
-    ranks = nodes.select("tok", F.lit(1.0).alias("r"))
-    for _ in range(PR_ITERS):
-        contribs = (
-            adj.join(ranks.withColumnRenamed("tok", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+    # try/finally: a failed iteration or checkpoint must still release
+    # the caches, or the leak this cleanup exists to fix reappears on
+    # the error path (r4 review).
+    try:
+        ranks = nodes.select("tok", F.lit(1.0).alias("r"))
+        for _ in range(PR_ITERS):
+            contribs = (
+                adj.join(ranks.withColumnRenamed("tok", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+            )
+            ranks = nodes.join(
+                contribs, nodes["tok"] == contribs["dst"], "left"
+            ).select(
+                "tok",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        # Materialize the final ranks, then release the iteration
+        # caches — without this every invocation pinned edges/adj
+        # InMemoryRelations for the life of the session (r4 review).
+        out = (
+            ranks.select("tok", F.round("r", 6).alias("rank"))
+            .orderBy(F.col("rank").desc(), "tok")
+            .localCheckpoint(eager=True)
         )
-        ranks = nodes.join(
-            contribs, nodes["tok"] == contribs["dst"], "left"
-        ).select(
-            "tok",
-            (
-                F.lit(1 - PR_DAMPING)
-                + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("r"),
-        )
-    # Materialize the final ranks, then release the iteration caches —
-    # without this every invocation pinned edges/adj InMemoryRelations
-    # for the life of the session (r4 review finding).
-    out = (
-        ranks.select("tok", F.round("r", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "tok")
-        .localCheckpoint(eager=True)
-    )
-    edges.unpersist()
-    nodes.unpersist()
-    adj.unpersist()
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+        adj.unpersist()
     return out
 
 

@@ -566,6 +566,12 @@ def test_pagerank_materializes_and_releases_iteration_caches(spark):
     # re-derivation from the corpus) and unpersists the edges/nodes/
     # adj caches it pinned during the loop — a long registry sweep
     # must not accumulate InMemoryRelations.
+    # Dropped invariant, consciously: the old InMemoryTableScan>=3
+    # assertion (iterations reuse the cached adjacency) is no longer
+    # observable from the checkpointed plan; removing adj.cache()
+    # would now show up as a q_pagerank_tokens BENCH regression (the
+    # corpus-scale edge build re-running per iteration), which is the
+    # guard that remains.
     spark.catalog.clearCache()  # isolate from other tests' caches
     df = REGISTRY["q_pagerank_tokens"].fn(spark, SF001)
     plan = _formatted(df)
