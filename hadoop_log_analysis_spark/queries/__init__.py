@@ -70,6 +70,15 @@ _MODULES = (
     "windows_q",
 )
 
+# ROUND-5 ROTATION NOTE (for the next session): the driver verifies
+# the FIRST 50 names below per round. Round 4's top-50 (inverted index
+# + wave-4 additions + the 18 promoted stragglers) receives its rows
+# when round 4 closes; round 5 should move the never-driver-seen tier
+# (the ~90 wave-4.3-through-11 names currently at positions 51+,
+# starting at q_event_trigrams) into the top 50 across r5/r6 — they
+# are all locally hash-verified by tests/test_oracle_parity.py, so
+# the rotation is evidence promotion, not risk.
+#
 # Fine-grained front-of-queue, round 4 (VERDICT.md r3 "Next round"
 # #1-#2): position 1 is q_inverted_index — the registry's only red row
 # in r3 (array column broke the driver canonicalizer; now emitted as a
