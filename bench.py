@@ -89,6 +89,12 @@ HEADLINE = (
     # microbatches vs the left join's ~24), so streaming overhead and
     # streaming logic regress separately.
     "q_stream_psi_monitor",
+    # r5 additions (VERDICT r4 item 6): complete the driver-loop
+    # iterative tier — pagerank and CC already regress above; BFS
+    # (frontier-expansion joins) and BPE training (per-iteration
+    # argmax + merge rewrite) close the family.
+    "q_bfs_hops",
+    "q_bpe_train",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -108,6 +114,13 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def main() -> None:
+    # The stream-stream join's cost is microbatch COUNT x fixed ~1.3 s
+    # scheduling, not data volume (VERDICT r4 item 7): replay 2 larger
+    # drop files instead of 8 so the bench row measures the join, not
+    # 24 scheduler round-trips. The parity tests keep the default 8 —
+    # the drained result is identical either way (stream-batch parity
+    # law), which tests/test_streaming.py continues to pin.
+    os.environ.setdefault("HLA_STREAM_JOIN_DROP_FILES", "2")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_registry()
     spark = get_spark(app_name="hla-bench")
@@ -142,22 +155,32 @@ def main() -> None:
     batch_only = round(
         sum(t for n, t in timings.items() if n not in STREAMING_SINGLE_RUN), 4
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_total",
-                "value": total,
-                "value_batch_only": batch_only,
-                "unit": "sec",
-                "queries": timings,
-                "queries_rerun_baseline_methodology": rerun,
-                "queries_spread": spread,
-                "n_runs": N_RUNS,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_warm_total",
+            "value": total,
+            "value_batch_only": batch_only,
+            "unit": "sec",
+            "queries": timings,
+            "queries_rerun_baseline_methodology": rerun,
+            "queries_spread": spread,
+            "n_runs": N_RUNS,
+            "sf": _sf_of(sf_dir),
+        }
     )
+    # r4's driver bench JSON failed to parse because Spark progress-bar
+    # frames (\r-terminated, written to stdout) interleaved with the
+    # JSON line (BENCH_r04.json "parsed": null). Three-layer fix:
+    # spark.ui.showConsoleProgress=false in the session factory; the
+    # JSON printed only AFTER spark.stop() so no executor/streaming
+    # output can trail it; and a durable copy on disk so the number
+    # survives even if some future wrapper corrupts stdout again.
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -125,12 +125,14 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ks_drift",
     oracle="""
-        WITH vt AS (SELECT value, event_type, count(*) AS c_t
-                    FROM events GROUP BY 1, 2),
-        va AS (SELECT value, count(*) AS c_all FROM events GROUP BY 1),
+        WITH e AS (SELECT event_type, value FROM events
+                   WHERE value IS NOT NULL),
+        vt AS (SELECT value, event_type, count(*) AS c_t
+                    FROM e GROUP BY 1, 2),
+        va AS (SELECT value, count(*) AS c_all FROM e GROUP BY 1),
         ty AS (SELECT event_type, count(*) AS n_t,
                       CAST(sum(count(*)) OVER () AS BIGINT) AS n_all
-               FROM events GROUP BY 1),
+               FROM e GROUP BY 1),
         grid AS (SELECT va.value, ty.event_type, ty.n_t, ty.n_all, va.c_all,
                         coalesce(vt.c_t, 0) AS c_t
                  FROM va CROSS JOIN ty
@@ -144,7 +146,8 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         SELECT event_type, CAST(n_t AS BIGINT) AS n,
                round(max(abs(cum_t * 1.0 / n_t
-                             - (cum_all - cum_t) * 1.0 / (n_all - n_t))), 6)
+                             - (cum_all - cum_t) * 1.0
+                               / nullif(n_all - n_t, 0))), 6)
                  AS ks_stat
         FROM cum
         GROUP BY event_type, n_t
@@ -167,8 +170,15 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous domains, quantize `value` into fixed-width bins first
     (the PSI query shows that banding) — KS on the binned ECDF bounds
     the true statistic within one bin's mass.
+
+    NULL values are excluded up-front in BOTH engines (ADVICE r4): the
+    ECDF window orders by value, and Spark's NULLS FIRST vs DuckDB's
+    NULLS LAST default would park a NULL grid row at opposite ends of
+    the cumulative scan, shifting every prefix on one engine only. The
+    f_rest denominator is nullif-guarded so a single-type corpus
+    yields NULL on both engines instead of Spark-NULL-vs-DuckDB-inf.
     """
-    ev = scan(spark, sf_dir, "events")
+    ev = scan(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vt = ev.groupBy("value", "event_type").agg(F.count("*").alias("c_t"))
     va = ev.groupBy("value").agg(F.count("*").alias("c_all"))
     ty = (
@@ -194,8 +204,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_all").over(w).alias("cum_all"),
     )
     f_t = F.col("cum_t") * F.lit(1.0) / F.col("n_t")
-    f_rest = (F.col("cum_all") - F.col("cum_t")) * F.lit(1.0) / (
-        F.col("n_all") - F.col("n_t")
+    f_rest = (F.col("cum_all") - F.col("cum_t")) * F.lit(1.0) / F.nullif(
+        F.col("n_all") - F.col("n_t"), F.lit(0)
     )
     return (
         cum.groupBy("event_type", "n_t")
@@ -417,6 +427,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
                    FROM embeddings WHERE vec_id % 50 = 0),
         p AS (SELECT q.qid, q.qlab, e.vec_id, e.label,
+                     round(
                      list_sum(list_transform(range(1, len(e.embedding) + 1),
                          i -> CAST(e.embedding[i] AS DOUBLE)
                               * CAST(q.qv[i] AS DOUBLE)))
@@ -425,7 +436,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * CAST(e.embedding[i] AS DOUBLE))))
                         * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
                            i -> CAST(q.qv[i] AS DOUBLE)
-                                * CAST(q.qv[i] AS DOUBLE)))))
+                                * CAST(q.qv[i] AS DOUBLE))))), 6)
                        AS sim
               FROM embeddings e JOIN q ON e.vec_id <> q.qid),
         neg AS (SELECT qid, vec_id, sim,
@@ -461,6 +472,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     query fan-out is batched and the corpus side is pre-pruned by the
     IVF index (operators/similarity.ivf_probe) before the exact
     rerank; tie-break is (sim desc, id asc) on both engines.
+
+    Cosines are rounded to 6 dp BEFORE the per-query argmax and the
+    pos-max in BOTH engines (ADVICE r4, matching the q_mmr_rerank
+    discipline): the two engines compute the cosine through different
+    codepaths (fold-based dot/norm vs DuckDB list arithmetic), so
+    near-equal candidates could otherwise select different hard
+    negatives despite the id tie-break.
     """
     emb = scan(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -476,7 +494,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlab",
             "vec_id",
             "label",
-            cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
         )
     )
     neg = (

@@ -620,8 +620,11 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT event_id, user_id, event_type,
                           epoch_us(ts) AS tus
                    FROM events),
-        p AS (SELECT user_id, epoch_us(ts) AS ptus, value FROM events
-              WHERE event_type = 'purchase'),
+        p AS (SELECT user_id, epoch_us(ts) AS ptus,
+                     arg_max(value, event_id) AS value
+              FROM events
+              WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)),
         m AS (SELECT e.event_type, e.tus, p.ptus, p.value
               FROM e ASOF JOIN p
                 ON e.user_id = p.user_id AND e.tus >= p.ptus)
@@ -651,14 +654,33 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the bucketed-carry machinery (operators/joins.py) is reused
     unchanged and the filter stays codegen'd. The oracle composes
     DuckDB's native ASOF JOIN with the same predicate.
+
+    Determinism under same-µs ties (ADVICE r4): truncating ns
+    timestamps to µs can collapse two purchases of one user onto one
+    as-of key, and the two engines would then pick different rows
+    (xxhash64 tie-break here vs DuckDB's arbitrary ASOF pick). Both
+    engines therefore deduplicate purchases per (user_id, µs) with an
+    arg_max-by-event_id BEFORE the as-of join — the right side is
+    key-unique by construction, so no tie-break can ever fire. This is
+    also the production posture: an as-of dimension should be
+    key-unique per timestamp (cf. q_scd2_build's tiled validity).
     """
     ev = scan(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "event_type", ts_us().alias("tus"))
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        ts_us().alias("tus"),
-        ts_us().alias("ptus"),  # the matched ts, carried as payload
-        F.col("value").alias("pvalue"),
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ts_us().alias("tus"))
+        .agg(
+            F.max(
+                F.struct(F.col("event_id").alias("i"), F.col("value").alias("v"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            "tus",
+            F.col("tus").alias("ptus"),  # the matched ts, carried as payload
+            F.col("m.v").alias("pvalue"),
+        )
     )
     joined = asof_join(
         left,

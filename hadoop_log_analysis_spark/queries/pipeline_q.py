@@ -1712,7 +1712,8 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings, q0
                WHERE vec_id <> 0
-               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+               ORDER BY round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), qv), 6)
                           DESC, vec_id
                LIMIT 10),
         dims AS (SELECT u.i, avg(fb.v[u.i]) AS m
@@ -1724,13 +1725,14 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      i -> qv[i] + 0.75 * cv[i]) AS q1v
                FROM q0, cent),
         scored AS (SELECT e.vec_id,
-                          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                 q1v) AS s
+                          round(list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q1v),
+                                6) AS sim_new
                    FROM embeddings e, q1 WHERE e.vec_id <> 0)
-        SELECT vec_id, round(s, 6) AS sim_new,
+        SELECT vec_id, sim_new,
                vec_id IN (SELECT vec_id FROM fb) AS was_feedback
         FROM scored
-        ORDER BY s DESC, vec_id
+        ORDER BY sim_new DESC, vec_id
         LIMIT 10
     """,
     tags=("L3", "ranking"),
@@ -1762,9 +1764,10 @@ def q_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             "qv",
-            (
+            F.round(
                 SIM.dot(F.col("v"), F.col("qv"))
-                / (SIM.norm(F.col("v")) * SIM.norm(F.col("qv")))
+                / (SIM.norm(F.col("v")) * SIM.norm(F.col("qv"))),
+                6,
             ).alias("s0"),
         )
     )
@@ -1784,17 +1787,23 @@ def q_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         q0.crossJoin(F.broadcast(cent))
         .select(F.zip_with("qv", "cv", lambda a, b: a + 0.75 * b).alias("q1v"))
     )
+    # Both the top-10 selection and the output order run on the 6-dp
+    # ROUNDED similarity (with the vec_id tie-break) in BOTH engines —
+    # ranking on the unrounded value would let two candidates whose
+    # sims differ only past 6 dp order differently per engine
+    # (fold-based dot/norm here vs DuckDB list arithmetic; ADVICE r4).
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q1))
         .select(
             "vec_id",
-            (
+            F.round(
                 SIM.dot(F.col("v"), F.col("q1v"))
-                / (SIM.norm(F.col("v")) * SIM.norm(F.col("q1v")))
-            ).alias("s"),
+                / (SIM.norm(F.col("v")) * SIM.norm(F.col("q1v"))),
+                6,
+            ).alias("sim_new"),
         )
-        .orderBy(F.desc("s"), "vec_id")
+        .orderBy(F.desc("sim_new"), "vec_id")
         .limit(10)
         .join(
             F.broadcast(fb.select("vec_id", F.lit(True).alias("fb_hit"))),
@@ -1803,7 +1812,7 @@ def q_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.round("s", 6).alias("sim_new"),
+            "sim_new",
             F.coalesce("fb_hit", F.lit(False)).alias("was_feedback"),
         )
         .orderBy(F.desc("sim_new"), "vec_id")

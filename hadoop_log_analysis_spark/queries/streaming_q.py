@@ -482,8 +482,21 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream then hash-matches the batch LEFT JOIN exactly (full DuckDB
     oracle) — the stream-batch parity law applied to outer-join
     semantics.
+
+    Wall-time is ~N_microbatches x ~1.3 s FIXED scheduling cost, not
+    data volume (VERDICT r4 plan audit) — the same overhead amortizes
+    over multi-GB batches on a cluster. HLA_STREAM_JOIN_DROP_FILES
+    (default 8) sets the replay granularity: the bench uses 2 larger
+    files to cut the local drain from ~24 to ~7 microbatches, the
+    parity tests keep 8 so batch boundaries stay exercised. The
+    drained result is identical either way (it must hash-match the
+    batch join regardless of how the feed is sliced — that IS the
+    parity law). maxFilesPerTrigger stays 1: the 3-sentinel watermark
+    cadence (derive_drop_dir) relies on each sentinel landing in its
+    own batch.
     """
-    drop = derive_drop_dir(spark, sf_dir, with_sentinel=True)
+    n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files, with_sentinel=True)
     clicks = (
         read_events_stream(spark, drop, max_files_per_trigger=1)
         .withWatermark("ts", "2 hours")

@@ -69,6 +69,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.ui.enabled", "false")
+        # Progress bars write \r-terminated frames to stdout; they merged
+        # into bench.py's JSON line in r4 (BENCH_r04.json parsed: null).
+        # Machine-read stdout must stay clean (VERDICT r4 "weak" #2).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("HLA_DRIVER_MEM", "8g"))
         # Local-scale parallelism (measured, BASELINE.md methodology):
