@@ -51,6 +51,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sources/relational/joins/aggregates/windows entries come last (their
 # r1 rows + tests/test_oracle_parity.py stand as evidence).
 _MODULES = (
+    "curation_q",
     "governance_q",
     "modern_sql_q",
     "scalar_fns",
@@ -86,10 +87,12 @@ _MODULES = (
 #   q_source_vocab_jaccard (jaccard machinery green via q_ngram_jaccard_pairs)
 #   q_corpus_datasheet     (composition of individually-green aggregates)
 #   q_seasonal_naive_error (lag-window shape; q_ewma_daily/q_cusum_shift green r4)
-# Everything after position 58 already has green driver rows (latest
-# status r1-r4); their order is re-confirmation priority only. ROUND 6:
-# promote the 8 deferred names into the top 50 and this note is done —
-# every registry query will then carry a driver CORRECTNESS row.
+# Positions 59-64 are the round-5 curation_q additions (never
+# driver-seen, locally hash-verified). Everything after position 64
+# already has green driver rows (latest status r1-r4); their order is
+# re-confirmation priority only. ROUND 6: promote positions 51-64 (the
+# 8 deferred + 6 new) into the top 50 and this note is done — every
+# registry query will then carry a driver CORRECTNESS row.
 _PRIORITY = (
     "q_event_trigrams",
     "q_equidepth_histogram",
@@ -149,6 +152,14 @@ _PRIORITY = (
     "q_source_vocab_jaccard",
     "q_corpus_datasheet",
     "q_seasonal_naive_error",
+    # round-5 curation_q additions (positions 59-64): corpus-curation
+    # + sketch tier — promote with the 8 above in round 6
+    "q_cms_frequency",
+    "q_dpo_pairs",
+    "q_curriculum_phases",
+    "q_canonical_dedup",
+    "q_crossdoc_ngram_coverage",
+    "q_quantile_sketch_merge",
     "q_inverted_index",
     "q_inverted_index_chunked",
     "q_bigram_lm_score",

