@@ -706,3 +706,29 @@ def test_zipf_rank_window_partitions_by_lang(spark):
     plan = _formatted(REGISTRY["q_token_zipf_fit"].fn(spark, SF001))
     squeezed = plan.replace(" ", "")
     assert "partitionBy=[lang" in squeezed or "hashpartitioning(lang" in squeezed
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The CMS probe must join the key table against the BROADCAST
+    96-row sketch — a shuffled join here would defeat the sketch's
+    reason to exist (summary-sized state, corpus-sized stream)."""
+    plan = _formatted(REGISTRY["q_cms_frequency"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_dedup_uses_arrow_udf(spark):
+    """The canonicalizer must run as an Arrow-batched pandas UDF
+    (ArrowEvalPython), never a row-at-a-time BatchEvalPython — the
+    10-100x rule for the one justified Python step."""
+    plan = _formatted(REGISTRY["q_canonical_dedup"].fn(spark, SF001))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crossdoc_coverage_no_cartesian(spark):
+    """The n-gram coverage join must stay keyed on the shingle string
+    (word-count shape): no cartesian/nested-loop fallback."""
+    plan = _formatted(REGISTRY["q_crossdoc_ngram_coverage"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
