@@ -997,3 +997,30 @@ def test_dpo_pairs_injective_and_gap_ordered(spark):
     assert (pdf.gap >= DPO_MIN_GAP).all()
     # a doc must never be chosen in one pair and rejected in another
     assert not set(pdf.chosen_id) & set(pdf.rejected_id)
+
+
+def test_curation_wave_partition_invariant(spark):
+    """Split-invariance for the r5 curation queries — including the
+    quantile sketch, whose shards are HASH-derived precisely so the
+    summary does not depend on physical partition boundaries (the
+    classic mergeable-sketch trap this battery exists to catch)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_cms_frequency",
+        "q_dpo_pairs",
+        "q_canonical_dedup",
+        "q_crossdoc_ngram_coverage",
+        "q_quantile_sketch_merge",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
