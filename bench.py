@@ -171,16 +171,20 @@ def main() -> None:
     # r4's driver bench JSON failed to parse because Spark progress-bar
     # frames (\r-terminated, written to stdout) interleaved with the
     # JSON line (BENCH_r04.json "parsed": null). Three-layer fix:
-    # spark.ui.showConsoleProgress=false in the session factory; the
-    # JSON printed only AFTER spark.stop() so no executor/streaming
-    # output can trail it; and a durable copy on disk so the number
-    # survives even if some future wrapper corrupts stdout again.
-    spark.stop()
+    # spark.ui.showConsoleProgress=false in the session factory; a
+    # durable copy on disk written BEFORE spark.stop() (a wedged
+    # executor must not lose the finished run); the stdout JSON printed
+    # only AFTER spark.stop(), prefixed by a newline so any \r residue
+    # a pre-existing context's progress bar left on the current line
+    # cannot prefix the JSON for a line-based parser.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         f.write(line + "\n")
-    sys.stdout.flush()
-    print(line, flush=True)
+    try:
+        spark.stop()
+    finally:
+        sys.stdout.flush()
+        print("\n" + line, flush=True)
 
 
 if __name__ == "__main__":

@@ -410,17 +410,11 @@ def q_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct agg (no row explosion); at 100 TB hash the shingle
     to a 64-bit key first to shrink shuffle bytes.
     """
-    t = scan(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    sh = t.select(
+    from hadoop_log_analysis_spark.operators.dedup import shingles
+
+    sh = scan(spark, sf_dir, "documents").select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {NGRAM_K} + 1, 1)),"
-                f" i -> array_join(slice(toks, i, {NGRAM_K}), ' '))"
-            )
-        ).alias("g"),
+        F.explode(shingles("text", NGRAM_K)).alias("g"),
     )
     df_counts = sh.groupBy("g").agg(
         F.countDistinct("doc_id").alias("n_docs")

@@ -72,6 +72,10 @@ def get_spark(
         # Progress bars write \r-terminated frames to stdout; they merged
         # into bench.py's JSON line in r4 (BENCH_r04.json parsed: null).
         # Machine-read stdout must stay clean (VERDICT r4 "weak" #2).
+        # STATIC conf: only effective when this builder creates the
+        # context — a pre-existing SparkContext keeps its progress bar
+        # (it cannot be disabled post-creation), which is why bench.py
+        # additionally prints its JSON on a fresh line after stop().
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("HLA_DRIVER_MEM", "8g"))
