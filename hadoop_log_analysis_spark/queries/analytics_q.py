@@ -1986,3 +1986,70 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_event_sequence_match",
+    oracle="""
+        WITH seqs AS (
+          SELECT user_id,
+                 count(*) AS n_events,
+                 string_agg(substring(event_type, 1, 1), ''
+                            ORDER BY epoch_ns(ts), event_id) AS seq
+          FROM events
+          GROUP BY user_id)
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'c[sv]*p')) AS BIGINT)
+                 AS n_matches
+        FROM seqs
+        ORDER BY user_id
+    """,
+    tags=("W6", "A7", "cep"),
+)
+def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing-style SEQUENCE PATTERN matching (the
+    MATCH_RECOGNIZE idiom, which Spark SQL lacks): per user, encode the
+    time-ordered event stream as a string of type initials (c=click,
+    v=view, s=signup, p=purchase, e=error) and count non-overlapping
+    matches of the funnel pattern click -> (signup|view)* -> purchase —
+    an error anywhere inside breaks the run, which is exactly the
+    abandoned-funnel semantics q_funnel_steps's step-count formulation
+    cannot express.
+
+    The regex scan is left-to-right greedy non-overlapping in BOTH
+    engines (Java regex here, RE2 in DuckDB — identical semantics for
+    this alternation-free pattern). Event order is pinned by
+    (ts, event_id) on both sides.
+
+    Scale shape: one hash-agg to per-user ordered strings (state = one
+    user's history, the sessionization contract) and a map-side regex —
+    no joins, no windows. At 100 TB a user whose history exceeds
+    memory would chunk by session first (q_sessionize) and match per
+    session.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts_ns").alias("tns"),
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tns", "event_id", "ini"))
+                ),
+                lambda s: s.ini,
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all("seq", F.lit("c[sv]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_matches"),
+    ).orderBy("user_id")

@@ -529,3 +529,80 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "event_type", "p", F.round("est", 6).alias("est")
     ).orderBy("event_type", "p")
+
+
+# --- ROUGE-N overlap evaluation ----------------------------------------
+
+
+@query(
+    "q_rouge2_eval",
+    oracle="""
+        WITH g AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                            i -> array_to_string(list_slice(
+                                   string_split(text, ' '), i, i + 1), ' ')))
+                            AS bg
+                   FROM documents),
+        p AS (SELECT r.doc_id AS ref_id,
+                     len(r.bg) AS n_ref,
+                     len(c.bg) AS n_cand,
+                     len(list_intersect(r.bg, c.bg)) AS n_overlap
+              FROM g r JOIN g c ON c.doc_id = r.doc_id + 1
+              WHERE r.doc_id % 2 = 0)
+        SELECT ref_id,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_overlap AS BIGINT) AS n_overlap,
+               round(n_overlap * 1.0 / n_cand, 6) AS rouge2_p,
+               round(n_overlap * 1.0 / n_ref, 6) AS rouge2_r,
+               CASE WHEN n_overlap = 0 THEN 0.0
+                    ELSE round(2.0 * n_overlap / (n_ref + n_cand), 6)
+               END AS rouge2_f1
+        FROM p
+        ORDER BY ref_id
+    """,
+    tags=("L5", "eval"),
+)
+def q_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap) between deterministic
+    reference/candidate pairs (doc 2i as reference, doc 2i+1 as
+    candidate) — the n-gram evaluation metric summarization and
+    dedup-QA pipelines score with. Precision = overlap/|cand bigrams|,
+    recall = overlap/|ref bigrams|, F1 = 2*overlap/(|ref|+|cand|)
+    (the harmonic identity on set overlaps; 0 when disjoint, in both
+    engines).
+
+    Reuses the shared shingle machinery (operators/dedup.shingles at
+    k=2, distinct), so the metric cannot drift from the dedup tier's
+    bigram definition. Scale shape: map-only bigram build + an id+1
+    equi-join — pairing is an arbitrary join key in production
+    (candidate generation), never a cross join.
+    """
+    from hadoop_log_analysis_spark.operators.dedup import shingles
+
+    g = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 2)).alias("bg")
+    )
+    r = g.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id"), F.col("bg").alias("rbg")
+    )
+    c = g.select((F.col("doc_id") - 1).alias("ref_id"), F.col("bg").alias("cbg"))
+    n_ref = F.size("rbg")
+    n_cand = F.size("cbg")
+    n_overlap = F.size(F.array_intersect("rbg", "cbg"))
+    return (
+        r.join(c, "ref_id")
+        .select(
+            "ref_id",
+            n_ref.cast("long").alias("n_ref"),
+            n_cand.cast("long").alias("n_cand"),
+            n_overlap.cast("long").alias("n_overlap"),
+            F.round(n_overlap / n_cand, 6).alias("rouge2_p"),
+            F.round(n_overlap / n_ref, 6).alias("rouge2_r"),
+            F.when(n_overlap == 0, F.lit(0.0))
+            .otherwise(F.round(2.0 * n_overlap / (n_ref + n_cand), 6))
+            .alias("rouge2_f1"),
+        )
+        .orderBy("ref_id")
+    )

@@ -22,7 +22,7 @@ observed-metrics certificate from operators/clustering.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
@@ -342,3 +342,89 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.orderBy("hops", "tok")
+
+
+LP_ITERS = 3
+
+# One synchronous label-propagation step, unrolled for the oracle:
+# each node adopts the most frequent label among its neighbors,
+# breaking count ties toward the smallest label — fully deterministic,
+# so 3 fixed iterations hash-match across engines.
+_LP_STEP = """
+{out} AS (SELECT v AS tok, lab AS community
+          FROM (SELECT nb.v, l.community AS lab, count(*) AS c,
+                       row_number() OVER (PARTITION BY nb.v
+                                          ORDER BY count(*) DESC,
+                                                   l.community ASC) AS rn
+                FROM nb JOIN {prev} l ON l.tok = nb.u
+                GROUP BY nb.v, l.community)
+          WHERE rn = 1)"""
+
+
+@query(
+    "q_label_propagation",
+    oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT a.tok AS u, b.tok AS v
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+          HAVING count(*) * 5 >= (SELECT n FROM tot)),
+        nb AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u AS tok, u AS community FROM nb),
+        {_LP_STEP.format(out="l1", prev="l0")},
+        {_LP_STEP.format(out="l2", prev="l1")},
+        {_LP_STEP.format(out="l3", prev="l2")}
+        SELECT tok, community FROM l3
+        ORDER BY tok
+    """,
+    tags=("graph", "iterative", "W1"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 fixed
+    iterations) over the SAME >=20%-support co-occurrence graph
+    q_triangle_count and q_bfs_hops analyze (_support_edges — one
+    definition, shared). Each step every node adopts its neighbors'
+    modal label, count ties broken toward the smallest label — the
+    deterministic variant of Raghavan et al.'s LPA (random tie-breaks
+    would be un-oracle-able; fixed iterations instead of convergence
+    keeps the recurrence SQL-unrollable, the q_pagerank_tokens
+    discipline).
+
+    Scale shape: each iteration is one join of the (cached) neighbor
+    list against the current vocabulary-sized label frame plus a
+    windowed modal pick partitioned by node — shuffle O(|edges|) per
+    step, never corpus-sized; the corpus is read once to build edges.
+    """
+    edges = _support_edges(spark, sf_dir).cache()
+    nb = (
+        edges.select(F.col("u"), F.col("v"))
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .cache()
+    )
+    try:
+        labels = nb.select(F.col("u").alias("tok")).distinct().select(
+            "tok", F.col("tok").alias("community")
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("community"))
+        for _ in range(LP_ITERS):
+            counts = (
+                nb.join(labels.withColumnRenamed("tok", "u"), "u")
+                .groupBy("v", "community")
+                .agg(F.count("*").alias("c"))
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("v").alias("tok"), "community")
+            )
+        out = labels.orderBy("tok").localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        nb.unpersist()
+    return out

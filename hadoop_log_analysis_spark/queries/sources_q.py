@@ -561,3 +561,76 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+               round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END), 2) AS value_sum
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S1", "S6", "evolution"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+/S6+: schema evolution on a parquet lake — an early batch was
+    written WITHOUT the ``value`` column, a later batch WITH it; a
+    ``mergeSchema`` read unions the file schemas (the missing column
+    nulls out for old files) and downstream aggregation works
+    unchanged. This is the ingest reality of any long-lived log lake:
+    producers add columns mid-stream and the engine must read the
+    union without rewriting history.
+
+    The batches are derived deterministically from the events fixture
+    (split at 2024-01-16, the PSI cut) into ``batch=1``/``batch=2``
+    partition dirs, so the oracle can replicate the same accounting
+    straight off the events table: rows from the pre-cut batch have no
+    value (count 0 / sum 0), post-cut rows carry theirs.
+
+    Scale note: mergeSchema=true footer-merges EVERY file's schema at
+    planning time — fine per-directory here; at 100 TB pin the merged
+    schema in a table catalog (or read with an explicit schema) and
+    keep mergeSchema for the backfill jobs that actually need it.
+    """
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out_dir = _derived_dir(sf_dir, "schema_evo")
+    marker = os.path.join(out_dir, "_READY")
+    if not os.path.exists(marker):
+        ev = scan(spark, sf_dir, "events")
+        (
+            ev.filter(F.col("ts") < cut)
+            .select("event_id", "event_type")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "batch=1"))
+        )
+        (
+            ev.filter(F.col("ts") >= cut)
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "batch=2"))
+        )
+        open(marker, "w").close()
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out_dir)
+        .parquet(
+            os.path.join(out_dir, "batch=1"), os.path.join(out_dir, "batch=2")
+        )
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count("value").cast("long").alias("n_with_value"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "value_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1013,6 +1013,10 @@ def test_curation_wave_partition_invariant(spark):
         "q_canonical_dedup",
         "q_crossdoc_ngram_coverage",
         "q_quantile_sketch_merge",
+        # wave-3: the modal-label window and the ordered-string agg are
+        # the two shapes a partition squeeze would perturb first
+        "q_label_propagation",
+        "q_event_sequence_match",
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
