@@ -167,6 +167,7 @@ _PRIORITY = (
     "q_event_sequence_match",
     "q_label_propagation",
     "q_schema_evolution_read",
+    "q_stream_sequence_match",
     "q_inverted_index",
     "q_inverted_index_chunked",
     "q_bigram_lm_score",

@@ -863,3 +863,95 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") < cut_ref).select("event_type", "value"), b
     )
     return _psi_assemble(b, rb, cb)
+
+
+_SEQ_STATE_SCHEMA = T.StructType([T.StructField("seq", T.StringType())])
+_SEQ_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+    ]
+)
+
+
+def _seq_state_fn(key, pdf_iter, state):
+    """Per-user event-initial string carried across microbatches;
+    emits the running pattern-match count each batch. Within-batch
+    rows are appended in (ts, event_id) order; cross-batch order is
+    the drop directory's time order (maxFilesPerTrigger=1 over
+    range-partitioned files — equal-µs rows never straddle files)."""
+    import re
+
+    import pandas as pd
+
+    seq = state.get[0] if state.exists else ""
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        seq += "".join(pdf["event_type"].str[0])
+    state.update((seq,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(seq)],
+            "n_matches": [len(re.findall("c[sv]*p", seq))],
+        }
+    )
+
+
+@query(
+    "q_stream_sequence_match",
+    oracle="""
+        WITH seqs AS (
+          SELECT user_id,
+                 count(*) AS n_events,
+                 string_agg(substring(event_type, 1, 1), ''
+                            ORDER BY epoch_us(ts), event_id) AS seq
+          FROM events
+          GROUP BY user_id)
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'c[sv]*p')) AS BIGINT)
+                 AS n_matches
+        FROM seqs
+        ORDER BY user_id
+    """,
+    tags=("T6", "cep", "W6"),
+)
+def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+: STREAMING sequence-pattern matching — the CEP twin of the
+    batch q_event_sequence_match. Each user's event-initial string
+    lives in applyInPandasWithState state across microbatches; every
+    batch emits the running count of click->(signup|view)*->purchase
+    matches, and the drained answer per user is the LAST emission =
+    the max (the count is monotone under appended suffixes: a match
+    ends at its terminating 'p', so a finalized match can never be
+    re-consumed by later text, and new text can only complete or add
+    matches — the property that makes max-of-emissions sound, same
+    argument as q_stream_stateful_counts's running counts).
+
+    Hash-matches the batch oracle over (epoch-µs, event_id) order —
+    the stream-batch parity law applied to pattern matching. At scale
+    the state is one user's initial string; production would cap it by
+    closing sessions (q_sessionize) and matching per session.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    drop = derive_drop_dir(spark, sf_dir)
+    ev = read_events_stream(spark, drop, max_files_per_trigger=1)
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        _seq_state_fn,
+        outputStructType=_SEQ_OUT_SCHEMA,
+        stateStructType=_SEQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(updates, "t6_stream_seq", "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_matches").alias("n_matches"),
+        )
+        .orderBy("user_id")
+    )
