@@ -87,13 +87,13 @@ _MODULES = (
 #   q_source_vocab_jaccard (jaccard machinery green via q_ngram_jaccard_pairs)
 #   q_corpus_datasheet     (composition of individually-green aggregates)
 #   q_seasonal_naive_error (lag-window shape; q_ewma_daily/q_cusum_shift green r4)
-# Positions 59-68 are the round-5 additions (never driver-seen,
-# locally hash-verified): curation_q (59-64) plus the wave-3 quartet
-# (65-68). Everything after position 68 already has green driver rows
-# (latest status r1-r4); their order is re-confirmation priority only.
-# ROUND 6: promote positions 51-68 (8 deferred + 10 new) into the top
-# 50 and this note is done — every registry query will then carry a
-# driver CORRECTNESS row.
+# Positions 59-69 are the round-5 additions (never driver-seen,
+# locally hash-verified): curation_q (59-64), the wave-3 quartet
+# (65-68), and the streaming CEP twin (69). Everything after position
+# 69 already has green driver rows (latest status r1-r4); their order
+# is re-confirmation priority only. ROUND 6: promote positions 51-69
+# (8 deferred + 11 new) into the top 50 and this note is done — every
+# registry query will then carry a driver CORRECTNESS row.
 _PRIORITY = (
     "q_event_trigrams",
     "q_equidepth_histogram",
@@ -161,7 +161,7 @@ _PRIORITY = (
     "q_canonical_dedup",
     "q_crossdoc_ngram_coverage",
     "q_quantile_sketch_merge",
-    # round-5 wave-3 additions (positions 65-68): promote with the
+    # round-5 wave-3 additions (positions 65-69): promote with the
     # rest in round 6
     "q_rouge2_eval",
     "q_event_sequence_match",

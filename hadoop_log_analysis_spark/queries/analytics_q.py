@@ -1995,7 +1995,7 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT user_id,
                  count(*) AS n_events,
                  string_agg(substring(event_type, 1, 1), ''
-                            ORDER BY epoch_ns(ts), event_id) AS seq
+                            ORDER BY epoch_us(ts), event_id) AS seq
           FROM events
           GROUP BY user_id)
         SELECT user_id,
@@ -2020,7 +2020,10 @@ def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     The regex scan is left-to-right greedy non-overlapping in BOTH
     engines (Java regex here, RE2 in DuckDB — identical semantics for
     this alternation-free pattern). Event order is pinned by
-    (ts, event_id) on both sides.
+    (epoch-µs, event_id) on both sides — µs, not ns, so the STREAMING
+    twin (q_stream_sequence_match, whose JSON transport truncates to
+    µs) orders events identically and the two twins' answers agree by
+    construction, not by fixture luck (r5 review).
 
     Scale shape: one hash-agg to per-user ordered strings (state = one
     user's history, the sessionization contract) and a map-side regex —
@@ -2031,7 +2034,7 @@ def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = scan(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.col("ts_ns").alias("tns"),
+        F.expr("ts_ns div 1000").alias("tus"),
         F.substring("event_type", 1, 1).alias("ini"),
     )
     seqs = ev.groupBy("user_id").agg(
@@ -2039,7 +2042,7 @@ def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("tns", "event_id", "ini"))
+                    F.collect_list(F.struct("tus", "event_id", "ini"))
                 ),
                 lambda s: s.ini,
             ),

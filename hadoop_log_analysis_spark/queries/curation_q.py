@@ -587,7 +587,9 @@ def q_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = g.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("ref_id"), F.col("bg").alias("rbg")
     )
-    c = g.select((F.col("doc_id") - 1).alias("ref_id"), F.col("bg").alias("cbg"))
+    c = g.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("ref_id"), F.col("bg").alias("cbg")
+    )
     n_ref = F.size("rbg")
     n_cand = F.size("cbg")
     n_overlap = F.size(F.array_intersect("rbg", "cbg"))

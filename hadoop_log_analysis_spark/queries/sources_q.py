@@ -569,6 +569,7 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_total,
                CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              AND value IS NOT NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
                round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                               THEN value ELSE 0 END), 2) AS value_sum
@@ -600,22 +601,23 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cut = F.lit("2024-01-16").cast("timestamp")
     out_dir = _derived_dir(sf_dir, "schema_evo")
-    marker = os.path.join(out_dir, "_READY")
-    if not os.path.exists(marker):
-        ev = scan(spark, sf_dir, "events")
-        (
-            ev.filter(F.col("ts") < cut)
-            .select("event_id", "event_type")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "batch=1"))
-        )
-        (
-            ev.filter(F.col("ts") >= cut)
-            .select("event_id", "event_type", "value")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "batch=2"))
-        )
-        open(marker, "w").close()
+    # Re-derived on every call, like every sibling derived-dir query —
+    # a persistence marker would silently serve stale batches after a
+    # fixture regeneration while the oracle reads the fresh table
+    # (r5 review).
+    ev = scan(spark, sf_dir, "events")
+    (
+        ev.filter(F.col("ts") < cut)
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "batch=1"))
+    )
+    (
+        ev.filter(F.col("ts") >= cut)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "batch=2"))
+    )
     merged = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", out_dir)

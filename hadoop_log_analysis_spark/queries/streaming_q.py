@@ -877,17 +877,22 @@ _SEQ_OUT_SCHEMA = T.StructType(
 
 def _seq_state_fn(key, pdf_iter, state):
     """Per-user event-initial string carried across microbatches;
-    emits the running pattern-match count each batch. Within-batch
-    rows are appended in (ts, event_id) order; cross-batch order is
-    the drop directory's time order (maxFilesPerTrigger=1 over
-    range-partitioned files — equal-µs rows never straddle files)."""
+    emits the running pattern-match count each batch. The batch's rows
+    are CONCATENATED ACROSS Arrow chunks before the single sort — a
+    group spanning multiple chunks (arrow maxRecordsPerBatch, split
+    files) arrives as several frames in no global order, so sorting
+    each chunk independently would interleave wrongly (r5 review).
+    Cross-batch order is the drop directory's time order
+    (maxFilesPerTrigger=1 over range-partitioned files — equal-µs rows
+    never straddle files)."""
     import re
 
     import pandas as pd
 
     seq = state.get[0] if state.exists else ""
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         seq += "".join(pdf["event_type"].str[0])
     state.update((seq,))
     yield pd.DataFrame(
