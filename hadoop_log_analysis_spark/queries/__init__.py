@@ -87,13 +87,14 @@ _MODULES = (
 #   q_source_vocab_jaccard (jaccard machinery green via q_ngram_jaccard_pairs)
 #   q_corpus_datasheet     (composition of individually-green aggregates)
 #   q_seasonal_naive_error (lag-window shape; q_ewma_daily/q_cusum_shift green r4)
-# Positions 59-69 are the round-5 additions (never driver-seen,
+# Positions 59-70 are the round-5 additions (never driver-seen,
 # locally hash-verified): curation_q (59-64), the wave-3 quartet
-# (65-68), and the streaming CEP twin (69). Everything after position
-# 69 already has green driver rows (latest status r1-r4); their order
-# is re-confirmation priority only. ROUND 6: promote positions 51-69
-# (8 deferred + 11 new) into the top 50 and this note is done — every
-# registry query will then carry a driver CORRECTNESS row.
+# (65-68), the streaming CEP twin (69), and the SCD2 point-in-time
+# consumer (70). Everything after position 70 already has green driver
+# rows (latest status r1-r4); their order is re-confirmation priority
+# only. ROUND 6: promote positions 51-70 (8 deferred + 12 new) into
+# the top 50 and this note is done — every registry query will then
+# carry a driver CORRECTNESS row.
 _PRIORITY = (
     "q_event_trigrams",
     "q_equidepth_histogram",
@@ -168,6 +169,7 @@ _PRIORITY = (
     "q_label_propagation",
     "q_schema_evolution_read",
     "q_stream_sequence_match",
+    "q_scd2_point_in_time",
     "q_inverted_index",
     "q_inverted_index_chunked",
     "q_bigram_lm_score",

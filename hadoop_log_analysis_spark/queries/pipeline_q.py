@@ -1412,6 +1412,19 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-microsecond bigints (ts_ns // 1000), the repo's cross-engine
     time discipline.
     """
+    out = _scd2_dimension(spark, sf_dir).withColumn(
+        "is_current", F.col("valid_to_us").isNull()
+    )
+    return out.orderBy("user_id", "valid_from_us")
+
+
+def _scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 run-builder: (user_id, event_type, valid_from_us,
+    valid_to_us-nullable) versioned rows tiling each user's timeline.
+    One definition feeding both q_scd2_build (the build) and
+    q_scd2_point_in_time (the consumer) so the validity semantics
+    cannot drift between producer and consumer (the _support_edges
+    discipline)."""
     ev = scan(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1441,14 +1454,12 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t_us").alias("valid_from_us")
     )
     wl = Window.partitionBy("user_id").orderBy("valid_from_us")
-    out = runs.select(
+    return runs.select(
         "user_id",
         "event_type",
         "valid_from_us",
         F.lead("valid_from_us").over(wl).alias("valid_to_us"),
-        F.lead("valid_from_us").over(wl).isNull().alias("is_current"),
     )
-    return out.orderBy("user_id", "valid_from_us")
 
 
 @query(
@@ -1965,3 +1976,89 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "vec_id", "relevance", F.round("mmr_score", 6).alias("mmr_score")
     ).orderBy("rank")
+
+
+@query(
+    "q_scd2_point_in_time",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS t_us,
+                 CASE WHEN event_type = lag(event_type)
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts) // 1000, event_id)
+                      THEN 0 ELSE 1 END AS chg
+          FROM events),
+        g AS (
+          SELECT user_id, event_type, t_us,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM o),
+        runs AS (
+          SELECT user_id, event_type, grp,
+                 min(t_us) AS valid_from_us
+          FROM g GROUP BY user_id, event_type, grp),
+        dim AS (
+          SELECT user_id, event_type, valid_from_us,
+                 lead(valid_from_us)
+                   OVER (PARTITION BY user_id ORDER BY valid_from_us)
+                   AS valid_to_us
+          FROM runs),
+        p AS (SELECT user_id,
+                     epoch_ns(ts) // 1000 + 1800000000 AS t
+              FROM events)
+        SELECT d.event_type AS state_type,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM p JOIN dim d
+          ON d.user_id = p.user_id
+         AND d.valid_from_us <= p.t
+         AND (p.t < d.valid_to_us OR d.valid_to_us IS NULL)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("J6", "W3", "scd2", "cdc"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — the consumer
+    side of q_scd2_build (same shared run-builder, _scd2_dimension):
+    for every probe instant "30 minutes after each event", find the
+    dimension row VALID at that instant (valid_from <= t < valid_to,
+    open tail matches everything after) and count probes per state.
+    Because the SCD2 rows tile each user's timeline with no gaps or
+    overlaps by construction, every probe matches exactly ONE row —
+    sum(n_probes) == |events|, the tiling invariant made observable.
+
+    This is the warehouse pattern behind "what plan/state was the
+    account on when X happened": an interval join keyed by the entity
+    id. Spark plans it as an equi-join on user_id with the validity
+    range as a post-join filter — per-user dimension rows are few, so
+    the filter scans a bounded run list per probe; at 100 TB broadcast
+    the dimension if it fits, else both sides shuffle on the SAME
+    user_id key the SCD2 build already partitioned by (co-located,
+    AQE-coalesced).
+    """
+    dim = _scd2_dimension(spark, sf_dir)
+    probes = scan(spark, sf_dir, "events").select(
+        "user_id",
+        (F.expr("ts_ns div 1000") + F.lit(1_800_000_000)).alias("t"),
+    )
+    d, p = dim.alias("d"), probes.alias("p")
+    return (
+        p.join(
+            d,
+            (F.col("d.user_id") == F.col("p.user_id"))
+            & (F.col("d.valid_from_us") <= F.col("p.t"))
+            & (
+                (F.col("p.t") < F.col("d.valid_to_us"))
+                | F.col("d.valid_to_us").isNull()
+            ),
+        )
+        .groupBy(F.col("d.event_type").alias("state_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.countDistinct("d.user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("state_type")
+    )

@@ -1028,3 +1028,16 @@ def test_curation_wave_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_scd2_point_in_time_tiling_invariant(spark):
+    """The SCD2 dimension tiles each user's timeline with no gaps or
+    overlaps, so EVERY probe (one per event, +30 min) matches exactly
+    one versioned row: sum(n_probes) == |events|. A gap or overlap in
+    the validity intervals breaks this equality immediately."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    pdf = reg["q_scd2_point_in_time"].fn(spark, SF001).toPandas()
+    n_events = scan(spark, SF001, "events").count()
+    assert int(pdf.n_probes.sum()) == n_events
