@@ -87,14 +87,16 @@ _MODULES = (
 #   q_source_vocab_jaccard (jaccard machinery green via q_ngram_jaccard_pairs)
 #   q_corpus_datasheet     (composition of individually-green aggregates)
 #   q_seasonal_naive_error (lag-window shape; q_ewma_daily/q_cusum_shift green r4)
-# Positions 59-70 are the round-5 additions (never driver-seen,
+# Positions 59-72 are the round-5 additions (never driver-seen,
 # locally hash-verified): curation_q (59-64), the wave-3 quartet
-# (65-68), the streaming CEP twin (69), and the SCD2 point-in-time
-# consumer (70). Everything after position 70 already has green driver
-# rows (latest status r1-r4); their order is re-confirmation priority
-# only. ROUND 6: promote positions 51-70 (8 deferred + 12 new) into
-# the top 50 and this note is done — every registry query will then
-# carry a driver CORRECTNESS row.
+# (65-68), the streaming CEP twin (69), the SCD2 point-in-time
+# consumer (70), and the interval-union + log2-histogram pair (71-72).
+# Everything after position 72 already has green driver rows (latest
+# status r1-r4); their order is re-confirmation priority only.
+# ROUND 6: promote positions 51-72 (8 deferred + 14 new) into the top
+# 50 and this note is done — every registry query will then carry a
+# driver CORRECTNESS row (the remaining ~36 budget slots backfill
+# re-confirmation greens as before).
 _PRIORITY = (
     "q_event_trigrams",
     "q_equidepth_histogram",
@@ -170,6 +172,8 @@ _PRIORITY = (
     "q_schema_evolution_read",
     "q_stream_sequence_match",
     "q_scd2_point_in_time",
+    "q_interval_union_time",
+    "q_value_histogram_log2",
     "q_inverted_index",
     "q_inverted_index_chunked",
     "q_bigram_lm_score",

@@ -2056,3 +2056,160 @@ def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_matches"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_interval_union_time",
+    oracle="""
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 epoch_ns(ts) // 1000 AS s,
+                 epoch_ns(ts) // 1000 + 1800000000 AS e
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+          FROM iv),
+        g AS (
+          SELECT user_id, s, e,
+                 sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM m),
+        isl AS (
+          SELECT user_id, island,
+                 min(s) AS st, max(e) AS en
+          FROM g GROUP BY user_id, island)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(en - st) AS BIGINT) AS busy_us
+        FROM isl
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("W4", "W6", "timeseries"),
+)
+def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage time — the billing/SLA staple: each
+    event opens a 30-minute activity interval; overlapping intervals
+    per user are COALESCED (classic interval merge via the
+    running-max-end gaps-and-islands trick) and the total covered
+    time is the sum of merged island lengths, never double-counting
+    overlap. Differs from sessionization (W6) in what it measures:
+    sessions count bursts separated by a gap; this measures the union
+    LENGTH of fixed-width windows — the quantity invoices and SLA
+    uptime clocks are written against.
+
+    The island-open test compares against max(end) over all PRIOR
+    intervals (not just the previous one): an earlier long interval
+    can swallow several later short ones, which lag(e) would
+    mis-split. All arithmetic is integer µs — no float boundaries.
+
+    Scale: both windows partition by user (state = one user's
+    intervals), then one hash-agg per island and per user — the
+    sessionize contract exactly.
+    """
+    iv = scan(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("s"),
+        (F.expr("ts_ns div 1000") + F.lit(1_800_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.max("e").over(w_prev).alias("prev_max"),
+    )
+    # Same (s, event_id) tie-break as prev_max: ordering the cumsum by
+    # a different key would let equal-µs rows take island ids in a
+    # different order per engine.
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("island"),
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum(F.col("en") - F.col("st")).cast("long").alias("busy_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Power-of-two histogram boundaries: bucket k covers [2^(k-1), 2^k)
+# with bucket 0 = values below 1. Explicit integer-valued boundaries
+# compared exactly — floor(log2(x)) via FP logarithms would disagree
+# between engines by 1 ulp at the boundaries.
+_POW2_BOUNDS = [float(2**k) for k in range(0, 10)]  # 1, 2, ..., 512
+
+
+@query(
+    "q_value_histogram_log2",
+    oracle=f"""
+        WITH b AS (
+          SELECT event_type,
+                 len(list_filter({_POW2_BOUNDS},
+                                 x -> x <= value)) AS bucket
+          FROM events)
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket
+    """,
+    tags=("A1", "histogram", "diagnostic"),
+)
+def q_value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-style) histogram of event values per type —
+    the latency-engineering bucket scheme: bucket k holds values in
+    [2^(k-1), 2^k), so relative resolution is constant across five
+    orders of magnitude with ~10 buckets. Buckets are computed by
+    COUNTING EXPLICIT integer-valued boundaries <= value (exact
+    double comparisons, identical in both engines) rather than
+    floor(log2(x)), whose FP logarithm can land a boundary value in
+    different buckets per engine at 1 ulp.
+
+    Scale: one map-side bounded array scan per row + a hash-agg into
+    |types| x 11 groups — the mergeable-histogram shape; partial
+    aggregation collapses each task to the group count.
+    """
+    bounds = F.array(*[F.lit(x) for x in _POW2_BOUNDS])
+    ev = scan(spark, sf_dir, "events").select(
+        "event_type",
+        F.size(F.filter(bounds, lambda x: x <= F.col("value"))).alias(
+            "bucket"
+        ),
+    )
+    return (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )

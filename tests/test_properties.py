@@ -1041,3 +1041,33 @@ def test_scd2_point_in_time_tiling_invariant(spark):
     pdf = reg["q_scd2_point_in_time"].fn(spark, SF001).toPandas()
     n_events = scan(spark, SF001, "events").count()
     assert int(pdf.n_probes.sum()) == n_events
+
+
+def test_interval_union_bounds_and_histogram_conservation(spark):
+    """Interval-union sanity: per user, the merged busy time is
+    sandwiched between one window's width (any activity opens at
+    least one 30-min interval) and n_events * width (no merge at
+    all), and islands never exceed events. The log2 histogram must
+    conserve rows: bucket counts per type sum to that type's event
+    count."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    ev = scan(spark, SF001, "events")
+    per_user = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    width = 1_800_000_000
+    for r in reg["q_interval_union_time"].fn(spark, SF001).collect():
+        n = per_user[r.user_id]
+        assert width <= r.busy_us <= n * width
+        assert 1 <= r.n_islands <= n
+
+    hist = reg["q_value_histogram_log2"].fn(spark, SF001).toPandas()
+    per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = hist.groupby("event_type").n.sum().to_dict()
+    assert got == per_type
