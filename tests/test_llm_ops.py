@@ -539,3 +539,38 @@ def test_ann_ivf_query_recall_vs_cosine_knn_query(spark):
     assert len(exact) == 10 and len(approx) == 10
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.3, f"IVF top-10 recall {recall:.2f} below coverage"
+
+
+def test_simhash_recall_vs_bruteforce_hamming_truth(spark):
+    """Quantify the SimHash band scheme against the brute-force
+    Hamming ground truth (the same exact-twin discipline MinHash and
+    IVF carry). Two tiers: pairs at Hamming <= 3 are GUARANTEED found
+    (pigeonhole over 4 x 16-bit chunks — a theorem, so recall must be
+    exactly 1.0: 17/17 on the fixture), pairs at the verify bound
+    <= 8 are probabilistic (measured recall 0.398, floored at 0.3),
+    and precision is exact (every emitted pair passes the Hamming
+    verify — zero outside the bound)."""
+    from hadoop_log_analysis_spark.operators.dedup import simhash
+
+    docs = scan(spark, SF001, "documents")
+    fp = docs.select("doc_id", simhash("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("h", F.expr("bit_count(a_fp ^ b_fp)"))
+    )
+    t3 = {(r.a_id, r.b_id) for r in truth.filter(F.col("h") <= 3).collect()}
+    t8 = {(r.a_id, r.b_id) for r in truth.filter(F.col("h") <= 8).collect()}
+    found = {
+        (r.a_id, r.b_id) for r in simhash_candidate_pairs(docs).collect()
+    }
+    assert t3, "fixture should contain Hamming<=3 near-dup pairs"
+    missed_guaranteed = t3 - found
+    assert not missed_guaranteed, (
+        f"pigeonhole-guaranteed pairs missed: {sorted(missed_guaranteed)[:5]}"
+    )
+    assert not found - t8, "emitted pair fails the Hamming<=8 verify"
+    recall8 = len(found & t8) / len(t8)
+    assert recall8 >= 0.3, f"Hamming<=8 recall {recall8:.2f}"
