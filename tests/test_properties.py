@@ -708,6 +708,16 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_tokenizer_coverage", "q_ab_test_report", "q_lexical_richness",
         "q_quality_gate_gains", "q_golden_record", "q_token_zipf_fit",
         "q_source_vocab_jaccard", "q_corpus_datasheet",
+        # r5 additions (all 13 batch queries verified clean on the
+        # zero-row fixtures on 2026-08-14; the driver-loop and
+        # applyInPandas members are the regression-prone ones)
+        "q_cms_frequency", "q_dpo_pairs", "q_curriculum_phases",
+        "q_canonical_dedup", "q_crossdoc_ngram_coverage",
+        "q_quantile_sketch_merge",   # applyInPandas empty-group path
+        "q_rouge2_eval", "q_event_sequence_match",
+        "q_label_propagation",       # empty-edge iteration loop
+        "q_schema_evolution_read", "q_scd2_point_in_time",
+        "q_interval_union_time", "q_value_histogram_log2",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
