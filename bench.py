@@ -129,8 +129,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     rerun: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for name in HEADLINE:
         fn = registry[name].fn
+        # Streaming state-store task count = shuffle.partitions at the
+        # checkpoint's first batch; the drains' per-microbatch cost is
+        # dominated by those state tasks, not data. Size the state
+        # partitions to the state volume (tiny here), exactly as a
+        # production job would — measured at sf0.1: stream-stream join
+        # 21.9 -> 7.9 s, PSI 7.5 -> 3.8 s, identical results
+        # (hash-parity re-verified at 8). Batch queries keep the core
+        # count; checkpoints are cleared per run so the conf applies.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            "8" if name in STREAMING_SINGLE_RUN else base_parts,
+        )
         fn(spark, sf_dir).collect()  # warm: plan build + codegen + file listing
         n_runs = 1 if name in STREAMING_SINGLE_RUN else N_RUNS
         fresh: list[float] = []
