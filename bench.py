@@ -181,6 +181,24 @@ def main() -> None:
             "sf": _sf_of(sf_dir),
         }
     )
+    # The driver captures only the LAST 2,000 chars of stdout — the
+    # full line above is ~2.8 KB and arrived truncated in r4 AND r5
+    # (BENCH_r0{4,5}.json "parsed": null). stdout therefore gets a
+    # COMPACT line (headline totals + per-query 3-dp medians, ~1.1 KB);
+    # the spread / rerun-methodology maps live only in the durable
+    # BENCH_LOCAL.json.
+    compact = json.dumps(
+        {
+            "metric": "headline_suite_warm_total",
+            "value": total,
+            "value_batch_only": batch_only,
+            "unit": "sec",
+            "queries": {n: round(t, 3) for n, t in timings.items()},
+            "sf": _sf_of(sf_dir),
+        },
+        separators=(",", ":"),
+    )
+    assert len(compact) < 1900, f"compact bench line {len(compact)} chars"
     # r4's driver bench JSON failed to parse because Spark progress-bar
     # frames (\r-terminated, written to stdout) interleaved with the
     # JSON line (BENCH_r04.json "parsed": null). Three-layer fix:
@@ -197,7 +215,7 @@ def main() -> None:
         spark.stop()
     finally:
         sys.stdout.flush()
-        print("\n" + line, flush=True)
+        print("\n" + compact, flush=True)
 
 
 if __name__ == "__main__":

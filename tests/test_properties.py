@@ -1040,6 +1040,42 @@ def test_curation_wave_partition_invariant(spark):
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
 
 
+def test_embedding_covariance_batch_and_partition_invariant(spark):
+    """The r5 driver FAIL reproduced and pinned: q_embedding_covariance
+    accumulates BLAS Gram partials in Arrow-batch order, so its raw
+    float sums depend on BOTH `spark.sql.shuffle.partitions` AND
+    `spark.sql.execution.arrow.maxRecordsPerBatch` — session configs
+    the driver sets differently from the local gate. The rounded
+    output must NOT: at 4 dp (accumulation noise is ~1e-7, four
+    orders below the rounding grain) the result rows must be
+    byte-identical across a 4x batch-size and 6x partition-count
+    spread. Covers q_pca_components transitively (it eigensolves the
+    cached 4-dp matrix)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    fn = reg["q_embedding_covariance"].fn
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    configs = [("32", "10000"), ("5", "2500"), ("7", "611")]
+    results = []
+    try:
+        for parts, batch in configs:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", batch
+            )
+            results.append([tuple(r) for r in fn(spark, SF001).collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    assert results[0] == results[1] == results[2], (
+        "q_embedding_covariance is batch/partition-sensitive"
+    )
+
+
 def test_scd2_point_in_time_tiling_invariant(spark):
     """The SCD2 dimension tiles each user's timeline with no gaps or
     overlaps, so EVERY probe (one per event, +30 min) matches exactly
