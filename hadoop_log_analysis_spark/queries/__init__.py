@@ -110,6 +110,17 @@ _PRIORITY = (
     "q_interval_union_time",
     "q_value_histogram_log2",
     "q_embedding_covariance",
+    "q_top_supplier_revenue",
+    "q_important_parts_share",
+    "q_rich_inactive_segments",
+    "q_dynamic_partition_pruning",
+    "q_char_entropy_filter",
+    "q_vocab_growth_heaps",
+    "q_mrr_eval",
+    "q_l_diversity",
+    "q_dedup_rate_by_source",
+    "q_wap_audit_publish",
+    "q_rfm_segmentation",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -509,3 +509,126 @@ def q_bitmap_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(sum(bitmap_count(b)) AS BIGINT)").alias("users"))
         .orderBy("month")
     )
+
+
+@query(
+    "q_top_supplier_revenue",
+    oracle="""
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    tags=("A1", "A2", "J1", "tpch"),
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top supplier(s) by shipped
+    revenue — a scalar MAX over an aggregate, joined back against the
+    same aggregate (the "revenue view" reused twice).
+
+    Scale shape: the revenue aggregate is computed ONCE per branch off
+    a date-pruned scan (partial agg collapses each scan partition to
+    ~|suppliers| rows before the shuffle); the max side reduces to ONE
+    row that is broadcast into the equality filter, so the "subquery"
+    costs one extra reduction, never a re-scan of lineitem rows per
+    supplier. Revenue is rounded to 2 dp BEFORE the max/equality on
+    both engines — comparing raw order-sensitive double sums for
+    equality would be partition-dependent.
+    """
+    rev = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("mx"))
+    sup = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(
+            maybe_broadcast(sup, table_bytes(sf_dir, "supplier")),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_important_parts_share",
+    oracle="""
+        WITH pv AS (
+          SELECT l_partkey AS partkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS val
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
+        SELECT p.p_partkey, p.p_name,
+               round(pv.val, 2) AS part_value,
+               round(100.0 * pv.val / tot.t, 4) AS pct_of_total
+        FROM pv JOIN part p ON p.p_partkey = pv.partkey
+        CROSS JOIN tot
+        WHERE pv.val > 1.5 * tot.t / tot.np
+        ORDER BY part_value DESC, p.p_partkey
+    """,
+    tags=("A1", "A2", "A8", "J1", "tpch"),
+)
+def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts carrying an outsized share of total
+    revenue — a grouped aggregate HAVING-filtered against a fraction
+    of the global total (the "important stock" report). The threshold
+    is SCALE-FREE: a part qualifies when its revenue exceeds 1.5x the
+    MEAN per-part revenue (a fixed fraction, Q11's literal form,
+    silently selects everything at small SF and nothing at large SF —
+    per-part share scales as 1/|parts|).
+
+    Scale shape: one grouped aggregate off the fact scan feeds both
+    the per-part values and (via a second reduction over the ~|parts|
+    aggregate, not the fact rows) the global total + part count; that
+    is ONE broadcast row, so the threshold is a codegen'd filter, not
+    a correlated subquery. The threshold compares RAW sums on both
+    engines — the nearest part sits >2.7e-4 in share-ratio units from
+    the 1.5x boundary at every fixture SF (measured), ~9 orders above
+    double-accumulation noise; only the OUTPUT columns are rounded.
+    """
+    pv = (
+        scan(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+    )
+    tot = pv.agg(F.sum("val").alias("t"), F.count("*").alias("np"))
+    part = scan(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 1.5 * F.col("t") / F.col("np"))
+        .join(
+            maybe_broadcast(part, table_bytes(sf_dir, "part")),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("val"), 2).alias("part_value"),
+            F.round(100.0 * F.col("val") / F.col("t"), 4).alias("pct_of_total"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )

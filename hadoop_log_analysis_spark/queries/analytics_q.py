@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import ts_us
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
@@ -2212,4 +2213,96 @@ def q_value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+        WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        u AS (SELECT user_id,
+                     CAST(floor((mx.m - max(epoch_us(ts))) / 3600000000)
+                          AS BIGINT) AS rec_h,
+                     count(*) AS freq,
+                     round(sum(CASE WHEN event_type = 'purchase'
+                                    THEN value ELSE 0 END), 2) AS mon
+              FROM events CROSS JOIN mx
+              GROUP BY user_id, mx.m),
+        s AS (SELECT user_id, mon,
+                     CASE WHEN rec_h <= 4 THEN 3
+                          WHEN rec_h <= 10 THEN 2 ELSE 1 END AS r,
+                     CASE WHEN freq >= 70 THEN 3
+                          WHEN freq >= 64 THEN 2 ELSE 1 END AS f,
+                     CASE WHEN mon >= 700 THEN 3
+                          WHEN mon >= 550 THEN 2 ELSE 1 END AS m
+              FROM u)
+        SELECT r || '-' || f || '-' || m AS segment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(mon), 2) AS total_spend
+        FROM s
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("A1", "F4", "segmentation"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM cube: each user scored 1-3
+    on Recency (hours since last event vs the corpus watermark),
+    Frequency (event count) and Monetary (purchase spend), rolled up
+    to user counts + spend per R-F-M cell. Band edges are fixed
+    business thresholds (4h/10h, 64/70 events, 550/700 spend —
+    straddling the fixture terciles so all bands populate), NOT
+    rank-derived: banding is a pure row-wise expression after the
+    per-user aggregate, so the whole query is two map-side-combinable
+    hash aggs and zero windows — the shape that survives 1000
+    executors untouched. (Exact rank-derived quartiles exist in the
+    repo as q_user_segments' two-phase rank; RFM composes three
+    dimensions, where fixed bands are both the industry norm and the
+    scale-correct choice.)
+
+    Determinism: recency is floored integer hours off microsecond
+    timestamps (DuckDB's date_diff counts calendar-boundary
+    crossings, not elapsed time — both engines compute
+    floor(Δµs/3.6e9) explicitly instead); spend is rounded to 2 dp
+    (currency) BEFORE the 550/700 comparisons on both engines.
+    """
+    ev = scan(spark, sf_dir, "events")
+    mx = ev.agg(F.max(ts_us()).alias("m"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "m")
+        .agg(
+            F.floor((F.col("m") - F.max(ts_us())) / 3_600_000_000)
+            .cast("long")
+            .alias("rec_h"),
+            F.count("*").alias("freq"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("mon"),
+        )
+    )
+    r = (
+        F.when(F.col("rec_h") <= 4, 3).when(F.col("rec_h") <= 10, 2).otherwise(1)
+    )
+    f_ = F.when(F.col("freq") >= 70, 3).when(F.col("freq") >= 64, 2).otherwise(1)
+    m_ = F.when(F.col("mon") >= 700, 3).when(F.col("mon") >= 550, 2).otherwise(1)
+    s = u.select(
+        "user_id",
+        "mon",
+        F.concat_ws("-", r.cast("string"), f_.cast("string"), m_.cast("string")).alias(
+            "segment"
+        ),
+    )
+    return (
+        s.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("mon"), 2).alias("total_spend"),
+        )
+        .orderBy("segment")
     )

@@ -651,3 +651,233 @@ def q_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ref_id")
     )
+
+
+# --- Character-entropy quality filter ----------------------------------
+
+
+@query(
+    "q_char_entropy_filter",
+    oracle="""
+        WITH ch AS (
+          SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+          FROM documents),
+        cf AS (SELECT doc_id, lang, c, count(*) AS n
+               FROM ch GROUP BY doc_id, lang, c),
+        dl AS (SELECT doc_id, lang, sum(n) AS tot FROM cf
+               GROUP BY doc_id, lang),
+        ent AS (
+          SELECT cf.doc_id, cf.lang,
+                 round(-sum((cf.n * 1.0 / dl.tot)
+                            * log2(cf.n * 1.0 / dl.tot)), 4) AS h
+          FROM cf JOIN dl ON cf.doc_id = dl.doc_id
+          GROUP BY cf.doc_id, cf.lang)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN h >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               round(avg(h), 4) AS avg_entropy,
+               round(min(h), 4) AS min_entropy
+        FROM ent
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("L5", "L7", "quality"),
+)
+def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy quality gate: natural-language
+    text sits around 4-4.5 bits/char; repeated-character padding,
+    base64 blobs misread as text, and template boilerplate fall
+    lower — the cheap single-signal gibberish detector that runs BEFORE
+    any model-based quality scorer in a pretraining pipeline
+    (complementing the token-level Gopher rules, which miss
+    within-token character pathologies). Per language: corpus size,
+    docs passing the 4.0-bit gate, mean and worst entropy. (4.0 keeps
+    the gate NON-vacuous on these fixtures: 449/500 pass at sf0.001,
+    4439/5000 at sf0.1 — a 3.5 gate passes everything below sf0.1.)
+
+    Scale shape: explode-to-chars looks expensive but shuffles only
+    (doc_id, char) COUNTS — the per-doc alphabet is ≤|charset| rows
+    (~100 for text), so the shuffle is |docs| x alphabet, not
+    |corpus chars|; the entropy sum then reduces alphabet rows per
+    doc, and the report is ~|langs| rows. Entropy is rounded to 4 dp
+    BEFORE the 4.0 threshold on both engines so the gate decision is
+    accumulation-order-proof: the engines compare IDENTICAL rounded
+    values, and the pre-round accumulation noise (~1e-14 on log2 sums
+    of ~100 terms) is 10 orders below the rounding grain.
+    """
+    ch = (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", "")).alias("c"))
+    )
+    cf = ch.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("n"))
+    dl = cf.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    ent = (
+        cf.join(dl, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("h"))
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("h") >= 4.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Vocabulary growth (Heaps' law) ------------------------------------
+
+
+@query(
+    "q_vocab_growth_heaps",
+    oracle="""
+        WITH mx AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        b AS (
+          SELECT CAST(floor(doc_id * 10.0 / nd) AS INT) AS bucket, tok
+          FROM tok, mx),
+        toks_per_bucket AS (
+          SELECT bucket, count(*) AS n_tok FROM b GROUP BY bucket),
+        first_seen AS (
+          SELECT tok, min(bucket) AS fb FROM b GROUP BY tok),
+        new_per_bucket AS (
+          SELECT fb AS bucket, count(*) AS n_new FROM first_seen
+          GROUP BY fb)
+        SELECT t.bucket,
+               CAST(sum(t2.n_tok) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(n2.n_new, 0)) AS BIGINT) AS cum_vocab
+        FROM toks_per_bucket t
+        JOIN toks_per_bucket t2 ON t2.bucket <= t.bucket
+        LEFT JOIN new_per_bucket n2 ON n2.bucket = t2.bucket
+        GROUP BY t.bucket
+        ORDER BY t.bucket
+    """,
+    tags=("L5", "A1", "diagnostic"),
+)
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law V(n) ≈ K·n^β): cumulative
+    distinct-token count vs cumulative token count at 10 corpus
+    milestones, in doc_id ingestion order — the diagnostic that sizes
+    tokenizer vocabularies and detects corpus exhaustion (β falling
+    toward 0 means new data stops contributing new vocabulary).
+
+    Scale shape — the naive formulation (cumulative DISTINCT over a
+    doc-ordered window) is a corpus-scale single-partition window;
+    this one never materializes a cumulative anything at corpus
+    grain: each token occurrence is tagged with its decile bucket
+    (one width computation off a broadcast max), then (a) per-bucket
+    token totals and (b) each distinct token's FIRST bucket
+    (min-aggregate over the vocab, shuffle bounded by |vocab|) are
+    aggregated; the cumulative curve is a 10x10 triangular self-join
+    on the TEN-row bucket table. Exact, and every shuffle is bounded
+    by vocab or bucket count.
+    """
+    mx = (
+        scan(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).alias("nd"))
+    )
+    tok = (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    b = tok.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.col("doc_id") * 10.0 / F.col("nd")).cast("int").alias("bucket"),
+        "tok",
+    )
+    toks_per_bucket = b.groupBy("bucket").agg(F.count("*").alias("n_tok"))
+    new_per_bucket = (
+        b.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    t = toks_per_bucket.alias("t")
+    t2 = toks_per_bucket.alias("t2")
+    n2 = new_per_bucket.alias("n2")
+    return (
+        t.join(F.broadcast(t2), F.col("t2.bucket") <= F.col("t.bucket"))
+        .join(
+            F.broadcast(n2),
+            F.col("n2.bucket") == F.col("t2.bucket"),
+            "left",
+        )
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(
+            F.sum("t2.n_tok").cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n2.n_new"), F.lit(0)))
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- Dedup accounting report -------------------------------------------
+
+
+@query(
+    "q_dedup_rate_by_source",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + {_PLANT_OFFSET}, text, source
+          FROM documents WHERE doc_id % 4 = 0),
+        u AS (SELECT source, text, count(*) AS copies
+              FROM corpus GROUP BY source, text)
+        SELECT source,
+               CAST(sum(copies) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(copies) - count(*) AS BIGINT) AS n_removed,
+               round((sum(copies) - count(*)) * 1.0 / sum(copies), 4)
+                 AS dup_rate
+        FROM u
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("L1", "dedup", "diagnostic"),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate accounting per source — the per-provider report a
+    curation pipeline publishes after exact dedup (which crawl/feed
+    is mostly mirrors, which is fresh). The raw fixtures carry no
+    exact duplicates (0 repeated texts at every SF), so duplicate
+    structure is PLANTED identically on both engines (q_canonical_
+    dedup precedent): every doc_id % 4 == 0 doc re-ingested once
+    under a collision-free id offset, keeping its source. Per source:
+    ingested docs, surviving uniques, removed copies, dup rate.
+
+    Scale shape: group on the text (in production: sha2(text) — same
+    groups, 32-byte shuffle keys; q_dedup's accounting twin) within
+    source, then reduce the ~|uniques| group table to ~|sources|
+    report rows. Both shuffles are map-side combinable; nothing
+    corpus-scale crosses unreduced.
+    """
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text", "source"
+        )
+    )
+    u = corpus.groupBy("source", "text").agg(F.count("*").alias("copies"))
+    return (
+        u.groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("copies") - F.count("*")).cast("long").alias("n_removed"),
+            F.round(
+                (F.sum("copies") - F.count("*")) / F.sum("copies"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1219,3 +1219,67 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate")
     )
     return base.crossJoin(F.broadcast(tk)).crossJoin(F.broadcast(dup))
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+        WITH cls AS (SELECT lang,
+                            CAST(floor(n_chars / 100) AS INT) AS len_band,
+                            source, count(*) AS n
+                     FROM documents GROUP BY 1, 2, 3),
+        agg AS (SELECT lang, len_band,
+                       CAST(sum(n) AS BIGINT) AS class_size,
+                       CAST(count(*) AS BIGINT) AS l_distinct,
+                       CAST(max(n) AS BIGINT) AS modal_n
+                FROM cls GROUP BY 1, 2)
+        SELECT lang, len_band, class_size, l_distinct,
+               round(modal_n * 1.0 / class_size, 4) AS modal_share,
+               l_distinct >= 3 AS l3_ok
+        FROM agg
+        ORDER BY lang, len_band
+    """,
+    tags=("L7", "compliance", "diagnostic"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the disclosure check k-anonymity misses: a
+    quasi-identifier class can be large (k-anonymous) yet still leak
+    the sensitive attribute when every member SHARES it. Per
+    (lang, length-band) class, with `source` as the sensitive
+    attribute: class size, the number of distinct sensitive values
+    (distinct l-diversity), the modal sensitive value's share (the
+    homogeneity-attack success rate), and the l>=3 verdict.
+
+    Plan: ONE hash agg to (class, sensitive) counts — the only
+    corpus-scale shuffle, map-side combinable — then a second agg
+    over the |classes x sources| count table computes distinct-l,
+    size and modal share together (count/sum/max of the same rows, no
+    second pass over documents, no count-distinct shuffle of raw
+    rows). Report-sized output, same contract as q_k_anonymity which
+    this composes with on the release-decision ladder.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_band"),
+        "source",
+    ).agg(F.count("*").alias("n"))
+    return (
+        cls.groupBy("lang", "len_band")
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count("*").cast("long").alias("l_distinct"),
+            F.max("n").cast("long").alias("modal_n"),
+        )
+        .select(
+            "lang",
+            "len_band",
+            "class_size",
+            "l_distinct",
+            F.round(F.col("modal_n") / F.col("class_size"), 4).alias(
+                "modal_share"
+            ),
+            (F.col("l_distinct") >= 3).alias("l3_ok"),
+        )
+        .orderBy("lang", "len_band")
+    )

@@ -711,3 +711,71 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_rich_inactive_segments",
+    oracle="""
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+        cand AS (
+          SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+          FROM customer c CROSS JOIN avg_bal
+          WHERE c.c_acctbal > avg_bal.a
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= DATE '2000-01-01'))
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM cand
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("J4", "A2", "A1", "tpch"),
+)
+def q_rich_inactive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and NO orders since 2000-01-01, rolled up per market
+    segment — the "dormant high-value accounts" report. (Q22's
+    literal "never ordered" predicate is vacuous on these fixtures —
+    every customer has orders at every SF — so the NOT EXISTS is
+    instead anchored at a date cutoff, keeping the exact relational
+    shape non-vacuously: 5 / 55 / 646 candidates at sf0.001/0.01/0.1.)
+    Combines a global scalar subquery (the positive-balance average)
+    with a correlated NOT EXISTS, which Spark resolves to a broadcast
+    scalar filter plus a left-anti join — no per-row subquery
+    execution anywhere.
+
+    Scale shape: the average reduces the customer scan to ONE
+    broadcast row; the anti join is keyed on custkey so it shuffles
+    only the (already average-filtered) candidate customers against
+    the orders key column; the final rollup is ~|segments| rows. The
+    average-balance threshold compares RAW doubles on both engines —
+    a strict > against a corpus-scale mean, where no fixture value
+    sits within accumulation noise of the boundary (the balances are
+    2-dp currency values, the mean carries ~1e-10 noise).
+    """
+    cust = scan(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    recent = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

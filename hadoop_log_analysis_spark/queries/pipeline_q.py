@@ -2062,3 +2062,129 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_type")
     )
+
+
+@query(
+    "q_mrr_eval",
+    oracle="""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                          label AS qlabel
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.qid, q.qlabel, e.vec_id AS doc_id, e.label,
+                 round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20),
+        best AS (
+          SELECT qid, doc_id AS bdoc, score AS bscore
+          FROM (SELECT qid, doc_id, score,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, doc_id)
+                         AS rn
+                FROM scored WHERE label = qlabel)
+          WHERE rn = 1),
+        ranked AS (
+          SELECT b.qid, b.bdoc,
+                 1 + count(s.doc_id) FILTER (
+                       s.score > b.bscore
+                       OR (s.score = b.bscore AND s.doc_id < b.bdoc))
+                   AS rnk
+          FROM best b JOIN scored s ON s.qid = b.qid
+          GROUP BY b.qid, b.bdoc)
+        SELECT q.qid,
+               CAST(coalesce(r.rnk, 0) AS BIGINT) AS first_rel_rank,
+               round(CASE WHEN r.rnk IS NOT NULL AND r.rnk <= 10
+                          THEN 1.0 / r.rnk ELSE 0.0 END, 6) AS rr_at_10
+        FROM q LEFT JOIN ranked r ON r.qid = q.qid
+        ORDER BY q.qid
+    """,
+    tags=("L3", "ranking", "eval"),
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval eval, MRR@10: twenty query vectors (vec_id<20)
+    each retrieve from the remaining corpus by cosine; per query, the
+    rank of the FIRST same-label result and its reciprocal rank
+    (0 when the first relevant sits past rank 10 or no relevant doc
+    exists) — the multi-query complement of q_ndcg_eval's single-query
+    deep-dive, and the shape every eval harness actually runs (a
+    query SET, not one probe).
+
+    Rank-without-sorting: the first relevant hit is an argmax over
+    the relevant subset (max of (score, -doc_id) structs — one
+    hash-agg), and its rank is 1 + the COUNT of corpus docs scoring
+    strictly better under the (score desc, doc_id asc) tie order —
+    another hash-agg. No per-query top-k sort, no window over the
+    scored corpus; both shuffles are bounded by |queries| x |corpus|
+    scored ROWS reduced map-side to |queries| groups. Scores are
+    rounded to 6 dp before comparison so cross-engine rank ties
+    cannot diverge. At production scale the corpus side is an ANN
+    candidate list (q_ann_ivf) instead of the full table; the eval
+    algebra here is unchanged.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 20)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("doc_id"),
+            "label",
+            F.round(SIM.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    best = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("s"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select(
+            "qid",
+            F.col("m.s").alias("bscore"),
+            (-F.col("m.nd")).alias("bdoc"),
+        )
+    )
+    ranked = (
+        scored.join(F.broadcast(best), "qid")
+        .filter(
+            (F.col("score") > F.col("bscore"))
+            | (
+                (F.col("score") == F.col("bscore"))
+                & (F.col("doc_id") < F.col("bdoc"))
+            )
+        )
+        .groupBy("qid")
+        .agg((F.count("*") + 1).alias("rnk"))
+        # queries whose best hit is rank 1 have ZERO better rows and
+        # drop out of the filter+agg — restore them from `best`.
+        .join(best.select("qid"), "qid", "right")
+        .select("qid", F.coalesce("rnk", F.lit(1)).alias("rnk"))
+    )
+    return (
+        q.select("qid")
+        .join(ranked, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("rnk", F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.round(
+                F.when(
+                    F.col("rnk").isNotNull() & (F.col("rnk") <= 10),
+                    1.0 / F.col("rnk"),
+                ).otherwise(0.0),
+                6,
+            ).alias("rr_at_10"),
+        )
+        .orderBy("qid")
+    )

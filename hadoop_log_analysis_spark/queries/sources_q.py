@@ -640,3 +640,157 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_dynamic_partition_pruning",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-21'
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S1", "S6", "J1", "pruning"),
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) over a date-partitioned lake:
+    the fact table is laid out as ``event_date=YYYY-MM-DD/`` parquet
+    partitions; a calendar DIM (also parquet, so the filter is not a
+    static literal the planner could fold) selects one week; the join
+    makes Spark inject a runtime ``dynamicpruning`` subquery into the
+    fact scan, so only the 7 matching partition directories are read —
+    the other ~24 days of files are never opened.
+
+    This is THE scan-side win for star-schema joins at 100 TB: a
+    static filter can only prune what the query text names, DPP prunes
+    from the dim's runtime rows (here the calendar week; in production
+    "current fiscal period" or "active tenants"). The plan assertion
+    lives in tests/test_plans.py (``dynamicpruning`` present in the
+    fact scan's PartitionFilters). The oracle computes the same week's
+    aggregate straight off the events table — verifying that pruning
+    changed I/O, not results.
+    """
+    out_dir = _derived_dir(sf_dir, "dpp_events")
+    dim_dir = _derived_dir(sf_dir, "dpp_dates")
+    ev = scan(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+    # Calendar dim: (event_date DATE, period tag). Two DPP-enabling
+    # details, both load-bearing (empirically — each alone kills the
+    # pruning): the dim key must be DATE so it matches the inferred
+    # partition-column type WITHOUT a cast (a cast around the
+    # partition attribute defeats extraction), and the dim filter must
+    # be a comparison Spark's isLikelySelective accepts — a bare
+    # boolean attribute (`WHERE in_week`) does NOT qualify and the
+    # rule silently skips insertion.
+    (
+        ev.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn(
+            "period",
+            F.when(
+                (F.col("event_date") >= F.lit("2024-01-15").cast("date"))
+                & (F.col("event_date") <= F.lit("2024-01-21").cast("date")),
+                "wk3",
+            ).otherwise("other"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(out_dir)
+    dim = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("period") == "wk3")
+        .select("event_date")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_wap_audit_publish",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               TRUE AS audit_passed
+        FROM documents
+        WHERE n_chars >= 100
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("S6", "governance", "pipeline"),
+)
+def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (WAP): the production pattern for getting
+    curated data into a lake WITHOUT readers ever seeing a bad batch.
+    The cleaned corpus (length gate) is (1) WRITTEN to a staging dir
+    no consumer reads, (2) AUDITED there — row count > 0, zero NULL
+    texts, length floor actually holds — with ONE bounded-row
+    aggregate, and (3) PUBLISHED via directory rename only if the
+    audit passes (a failed audit raises and leaves the published
+    location untouched). The returned report reads from the PUBLISHED
+    path, proving consumers see post-audit data only.
+
+    Scale notes: the audit is a single scalar-row aggregate over the
+    staged batch (no second pipeline); the publish step is a metadata
+    operation (rename), not a rewrite — the same atomicity contract a
+    table format (Iceberg/Delta snapshot commit) provides, expressed
+    on plain directories. Dirs are session-unique (applicationId
+    suffix) so concurrent sessions stage/publish independently.
+    """
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    stage_dir = _derived_dir(sf_dir, f"wap_stage_{app}")
+    pub_dir = _derived_dir(sf_dir, f"wap_published_{app}")
+    cleaned = (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 100)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    cleaned.write.mode("overwrite").parquet(stage_dir)
+
+    staged = spark.read.parquet(stage_dir)
+    audit = staged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+    ).collect()[0]
+    if not (audit.n > 0 and audit.null_texts == 0 and audit.min_chars >= 100):
+        raise ValueError(f"WAP audit failed, not publishing: {audit}")
+
+    if os.path.exists(pub_dir):
+        shutil.rmtree(pub_dir)
+    os.rename(stage_dir, pub_dir)
+
+    return (
+        spark.read.parquet(pub_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .withColumn("audit_passed", F.lit(True))
+        .orderBy("lang")
+    )

@@ -744,3 +744,14 @@ def test_crossdoc_coverage_no_cartesian(spark):
     plan = _formatted(REGISTRY["q_crossdoc_ngram_coverage"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark):
+    # The fact scan's PartitionFilters must carry a runtime
+    # dynamicpruning subquery fed by the calendar dim — the star-join
+    # scan-side win DPP exists for. Static pruning would show only
+    # isnotnull; a missing dynamicpruningexpression means the rule was
+    # silently skipped (type-cast around the partition column or a
+    # non-selective dim predicate — both regressions this test pins).
+    plan = _formatted(REGISTRY["q_dynamic_partition_pruning"].fn(spark, SF001))
+    assert "dynamicpruning" in plan.lower()
