@@ -121,6 +121,13 @@ _PRIORITY = (
     "q_dedup_rate_by_source",
     "q_wap_audit_publish",
     "q_rfm_segmentation",
+    "q_chi2_independence",
+    "q_benford_check",
+    "q_prefix_dup_report",
+    "q_null_skew_join_split",
+    "q_ann_recall_curve",
+    "q_gini_spend",
+    "q_snapshot_diff",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2306,3 +2306,164 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q_gini_spend",
+    oracle="""
+        WITH u AS (SELECT user_id,
+                          round(sum(CASE WHEN event_type = 'purchase'
+                                         THEN value ELSE 0 END), 2) AS spend
+                   FROM events GROUP BY user_id),
+        r AS (SELECT spend,
+                     row_number() OVER (ORDER BY spend, user_id) AS rnk
+              FROM u),
+        s AS (SELECT count(*) AS n, sum(spend) AS sx,
+                     sum(rnk * spend) AS six
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(sx, 2) AS total_spend,
+               round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS gini
+        FROM s
+    """,
+    tags=("A5", "W1", "diagnostic"),
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase spend — the concentration
+    index behind "does 1% of users carry the revenue?" (and, run over
+    per-domain token counts, "does 1% of domains carry the corpus?" —
+    the same operator curates data mixtures). Computed by the exact
+    rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-ranked spends.
+
+    Scale shape: the rank is NOT a global window — it is the repo's
+    two-phase exact rank (q_user_segments / q_curriculum_phases
+    pattern): per-spend-class histogram cumsum (|distinct 2-dp
+    spends| rows, bounded by the value grain) broadcast back, plus a
+    within-class row_number partitioned by spend. Tie order inside a
+    class cannot change the statistic (equal x within a class makes
+    Σ i·x independent of the permutation of their consecutive ranks),
+    so the only rank machinery is class-parallel. Spends are rounded
+    to 2 dp (currency) BEFORE ranking on both engines; the final
+    3-term reduction is one scalar row.
+    """
+    u = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("spend")
+        )
+    )
+    hist = u.groupBy("spend").agg(F.count("*").alias("cu"))
+    histw = Window.orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "spend", F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("off")
+    )
+    classw = Window.partitionBy("spend").orderBy("user_id")
+    r = u.join(F.broadcast(offsets), "spend").select(
+        "spend", (F.col("off") + F.row_number().over(classw)).alias("rnk")
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+        F.round(
+            2.0
+            * F.sum(F.col("rnk") * F.col("spend"))
+            / (F.count("*") * F.sum("spend"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+        WITH a AS (SELECT o_custkey, count(*) AS n_orders,
+                          round(sum(o_totalprice), 2) AS total
+                   FROM orders WHERE o_orderdate < DATE '1999-01-01'
+                   GROUP BY o_custkey),
+        b AS (SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY o_custkey),
+        d AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+                     CASE WHEN a.o_custkey IS NULL THEN 'added'
+                          WHEN b.o_custkey IS NULL THEN 'removed'
+                          WHEN a.n_orders = b.n_orders
+                               AND a.total = b.total THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                     coalesce(b.total, 0) - coalesce(a.total, 0) AS delta
+              FROM a FULL JOIN b ON a.o_custkey = b.o_custkey)
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               round(sum(delta), 2) AS total_delta
+        FROM d
+        GROUP BY status
+        ORDER BY status
+    """,
+    tags=("J3", "A1", "incremental", "diagnostic"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the data-diff every incremental
+    pipeline runs before promoting a rebuild: the per-customer order
+    aggregate AS OF 1999 vs the current snapshot, full-outer-joined
+    on the key and classified added / removed / changed / unchanged,
+    with the value delta per class. (On these append-only fixtures
+    'removed' is structurally empty and 'added' counts customers who
+    first ordered after the cut — exactly what an append-only diff
+    should report; the oracle confirms rather than assumes it.)
+
+    Scale shape: both snapshots reduce to ~|keys| aggregate rows
+    BEFORE the full-outer join (never raw-row vs raw-row), the join
+    is keyed on custkey (one co-partitioned shuffle), and the
+    classification is a row-wise CASE rolled up to a 4-row report.
+    Comparing ROUNDED totals makes 'unchanged' accumulation-order-
+    proof. Same machinery class as q_incremental_join_maintenance —
+    this is the audit that certifies such maintenance.
+    """
+    orders = scan(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    a = snap(
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+        )
+    ).alias("a")
+    b = snap(orders).alias("b")
+    d = a.join(b, "o_custkey", "full").select(
+        F.when(F.col("a.total").isNull(), "added")
+        .when(F.col("b.total").isNull(), "removed")
+        .when(
+            (F.col("a.n_orders") == F.col("b.n_orders"))
+            & (F.col("a.total") == F.col("b.total")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("status"),
+        (
+            F.coalesce(F.col("b.total"), F.lit(0.0))
+            - F.coalesce(F.col("a.total"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.round(F.sum("delta"), 2).alias("total_delta"),
+        )
+        .orderBy("status")
+    )

@@ -881,3 +881,77 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Prefix-duplicate detection ----------------------------------------
+
+
+@query(
+    "q_prefix_dup_report",
+    oracle="""
+        WITH p AS (
+          SELECT doc_id, source,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                 ' ') AS prefix,
+                 text
+          FROM documents),
+        cl AS (
+          SELECT prefix,
+                 min(doc_id) AS rep_id,
+                 count(*) AS n_docs,
+                 count(DISTINCT text) AS n_distinct_texts,
+                 count(DISTINCT source) AS n_sources
+          FROM p GROUP BY prefix HAVING count(*) > 1)
+        SELECT rep_id,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               n_distinct_texts > 1 AS template_like
+        FROM cl
+        ORDER BY rep_id
+    """,
+    tags=("L1", "L2", "dedup", "diagnostic"),
+)
+def q_prefix_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: documents sharing their first 8
+    tokens — the common-crawl template artifact (boilerplate intros,
+    mirrored feeds re-writing tails) that EXACT dedup misses whenever
+    the tails differ. Per duplicate-prefix cluster: min-id
+    representative, member count, distinct full texts (>1 = genuine
+    template reuse rather than exact copies, flagged `template_like`),
+    and how many sources the prefix spans (cross-provider templates
+    are the strongest removal candidates). These fixtures carry
+    natural prefix collisions (23 clusters at sf0.01, 233 at sf0.1),
+    so nothing is planted.
+
+    Scale shape: ONE hash agg keyed by the 8-token prefix (in
+    production: xxhash64 of it — same groups, 8-byte shuffle keys);
+    count(DISTINCT text) inside each prefix group is Spark's standard
+    two-phase distinct-aggregate expansion, bounded per group by the
+    cluster size. The report is |dup clusters| rows — the
+    prefix-duplication analog of q_dedup_rate_by_source's accounting.
+    """
+    p = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("prefix"),
+        "text",
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "rep_id",
+            "n_docs",
+            "n_distinct_texts",
+            "n_sources",
+            (F.col("n_distinct_texts") > 1).alias("template_like"),
+        )
+        .orderBy("rep_id")
+    )

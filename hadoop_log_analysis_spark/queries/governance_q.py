@@ -1283,3 +1283,143 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_band")
     )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+        WITH o AS (SELECT lang, source, count(*) AS obs
+                   FROM documents GROUP BY 1, 2),
+        rl AS (SELECT lang, sum(obs) AS rn FROM o GROUP BY 1),
+        cs AS (SELECT source, sum(obs) AS cn FROM o GROUP BY 1),
+        n AS (SELECT sum(obs) AS t FROM o),
+        cells AS (
+          SELECT rl.lang, cs.source,
+                 coalesce(o.obs, 0) AS obs,
+                 rl.rn * cs.cn * 1.0 / n.t AS exp
+          FROM rl CROSS JOIN cs CROSS JOIN n
+          LEFT JOIN o ON o.lang = rl.lang AND o.source = cs.source)
+        SELECT round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+               CAST((count(DISTINCT lang) - 1)
+                    * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN exp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sparse_cells
+        FROM cells
+    """,
+    tags=("A5", "compliance", "diagnostic"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between lang and source — the
+    frequentist complement of q_mutual_info_lang_source: is the
+    language mix the SAME across providers, or does some feed skew
+    toward a language (a stratification signal for mixture
+    rebalancing)? Emits the chi-square statistic, degrees of freedom,
+    and the count of sparse cells (expected < 5) where the asymptotic
+    test is unreliable — the caveat a real report must carry.
+
+    Scale shape: ONE corpus-scale hash agg to the contingency table
+    (map-side combinable), then pure |langs| x |sources| table algebra
+    — marginals, a broadcast total, and a full-grid LEFT join so
+    structurally-absent cells contribute their expected count (the
+    mistake of summing only OBSERVED cells understates chi2). The
+    statistic is rounded at 4 dp, far above the ~1e-10 accumulation
+    noise of a few-hundred-term sum.
+    """
+    o = (
+        scan(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("obs"))
+    )
+    rl = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    cs = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("t"))
+    cells = (
+        rl.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (F.col("rn") * F.col("cn") / F.col("t")).alias("exp"),
+        )
+    )
+    d = (F.col("obs") - F.col("exp"))
+    return cells.agg(
+        F.round(F.sum(d * d / F.col("exp")), 4).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("exp") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sparse_cells"),
+    )
+
+
+@query(
+    "q_benford_check",
+    oracle="""
+        WITH v AS (SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT)
+                                           AS VARCHAR), 1, 1) AS INT) AS d
+                   FROM events WHERE value >= 1),
+        o AS (SELECT d, count(*) AS n FROM v GROUP BY d),
+        t AS (SELECT sum(n) AS tot FROM o),
+        g AS (SELECT unnest(range(1, 10)) AS d)
+        SELECT g.d,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+               round(coalesce(o.n, 0) * 1.0 / t.tot, 4) AS p_obs,
+               round(log10(1.0 + 1.0 / g.d), 4) AS p_benford,
+               round(coalesce(o.n, 0) * 1.0 / t.tot
+                     - log10(1.0 + 1.0 / g.d), 4) AS dev
+        FROM g LEFT JOIN o ON o.d = g.d CROSS JOIN t
+        ORDER BY g.d
+    """,
+    tags=("A1", "F3", "quality", "diagnostic"),
+)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the value column — the classic
+    fabricated-or-truncated-data screen (organic multiplicative
+    quantities follow P(d)=log10(1+1/d); capped, defaulted, or
+    synthesized values don't). Per leading digit: observed count and
+    frequency, the Benford expectation, and the deviation — the row
+    a data-quality monitor alerts on. (These fixtures are uniform-ish
+    by construction, so the deviations are LARGE — the check is
+    reported, not asserted.)
+
+    Scale shape: the leading digit is a row-wise string expression
+    (no log-floor float dance — log10-based digit extraction
+    misassigns values sitting on power-of-ten boundaries by one ulp);
+    one 9-group hash agg, then 9-row grid algebra with a broadcast
+    total, LEFT-joined so absent digits report 0 rather than
+    vanishing.
+    """
+    v = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("value") >= 1)
+        .select(
+            F.substring(
+                F.floor("value").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    o = v.groupBy("d").agg(F.count("*").alias("n"))
+    t = o.agg(F.sum("n").alias("tot"))
+    g = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    p_obs = F.coalesce("n", F.lit(0)) / F.col("tot")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        g.join(F.broadcast(o), "d", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(p_obs, 4).alias("p_obs"),
+            F.round(p_ben, 4).alias("p_benford"),
+            F.round(p_obs - p_ben, 4).alias("dev"),
+        )
+        .orderBy("d")
+    )

@@ -779,3 +779,77 @@ def q_rich_inactive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_null_skew_join_split",
+    oracle="""
+        WITH e AS (SELECT event_id, event_type, value,
+                          CASE WHEN event_type = 'purchase'
+                               THEN user_id END AS buyer_key
+                   FROM events)
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(c.c_custkey) AS BIGINT) AS n_matched,
+               round(sum(CASE WHEN c.c_custkey IS NOT NULL
+                              THEN e.value ELSE 0 END), 2)
+                 AS matched_value
+        FROM e LEFT JOIN customer c ON e.buyer_key = c.c_custkey
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("J3", "skew", "scale"),
+)
+def q_null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skew split for an outer join on a sparsely-populated key:
+    only purchase events carry a buyer key, every other row's key is
+    NULL — and in a shuffled left join ALL null-key rows hash to ONE
+    partition (null never matches, but it still shuffles), the
+    classic silent straggler at 100 TB where 90%+ of a fact table is
+    unattributed. The operator splits on key nullability: null-key
+    rows BYPASS the join entirely (a map-only branch that never
+    shuffles, dim columns attached as NULL literals), only the
+    purchase slice joins the customer dim, and the union is
+    hash-identical to the plain LEFT JOIN the oracle runs.
+
+    This composes with q_salted_join (which spreads skew that must
+    join); the null split is strictly better when the skewed class
+    cannot match by construction — those rows pay zero shuffle
+    instead of a salted one. Output: per event type, row count,
+    matched count (non-purchase rows: 0 by construction) and matched
+    value mass.
+    """
+    e = scan(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("user_id")).alias(
+            "buyer_key"
+        ),
+    )
+    dim = scan(spark, sf_dir, "customer").select("c_custkey")
+    nn = e.filter(F.col("buyer_key").isNotNull()).join(
+        maybe_broadcast(dim, table_bytes(sf_dir, "customer")),
+        F.col("buyer_key") == F.col("c_custkey"),
+        "left",
+    )
+    nu = e.filter(F.col("buyer_key").isNull()).withColumn(
+        "c_custkey", F.lit(None).cast("long")
+    )
+    return (
+        nn.unionByName(nu)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("c_custkey").cast("long").alias("n_matched"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_custkey").isNotNull(), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("matched_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2487,3 +2487,122 @@ def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_ann_recall_curve",
+    oracle=None,  # rows-only BY DESIGN: the IVF side has no SQL
+    # analog; the curve's monotonicity + full-probe-recall=1 contract
+    # is pinned in tests/test_llm_ops.py.
+    tags=("L4", "eval", "diagnostic"),
+)
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality/cost frontier: recall@10 of IVF-pruned retrieval vs
+    exact cosine top-10, swept over n_probe ∈ {1, 2, 4, 10} for the
+    20-query eval set (the same split as q_mrr_eval) — the curve an
+    index operator reads to pick how many buckets a probe visits.
+    n_probe = 10 visits every bucket, so its recall is exactly 1.0 by
+    construction (asserted in tests); the interesting rows are how
+    fast 1-2 probes approach it.
+
+    Scale shape: centroid routing is |queries| x |buckets| on a
+    broadcast centroid table; every per-query ranking (bucket order,
+    IVF top-10, exact top-10) happens inside windows partitioned by
+    query over the scored candidate slice — at production scale the
+    corpus side is the partition-pruned IVF read (operators/
+    similarity.ivf_probe, plan-tested to read n_probe partitions),
+    never a full scan per query; the full-scan exact column here IS
+    the ground-truth baseline the curve is measured against. Scores
+    round to 6 dp before ranking so bucket and candidate order are
+    engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_log_analysis_spark.operators.similarity import (
+        cosine,
+        ivf_centroids,
+    )
+
+    emb = scan(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    cents = ivf_centroids(corpus, "label", "embedding").select(
+        F.col("label").alias("bucket"), "centroid"
+    )
+    # per query: rank buckets by centroid similarity (10 x 20 rows)
+    qb = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "bucket",
+            F.round(cosine(F.col("centroid"), F.col("__qvec")), 6).alias(
+                "__cs"
+            ),
+        )
+        .select(
+            "qid",
+            "bucket",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(F.desc("__cs"), "bucket")
+            )
+            .alias("brank"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.col("label").alias("bucket"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .join(F.broadcast(qb), ["qid", "bucket"])
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    exact10 = (
+        scored.select(
+            "qid", "doc_id", F.row_number().over(w_exact).alias("rn")
+        )
+        .filter(F.col("rn") <= 10)
+        .select("qid", "doc_id")
+    )
+    probes = spark.createDataFrame([(1,), (2,), (4,), (10,)], ["n_probe"])
+    w_ivf = Window.partitionBy("qid", "n_probe").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    ivf10 = (
+        scored.crossJoin(F.broadcast(probes))
+        .filter(F.col("brank") <= F.col("n_probe"))
+        .select(
+            "qid",
+            "n_probe",
+            "doc_id",
+            F.row_number().over(w_ivf).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    hits = (
+        ivf10.join(exact10, ["qid", "doc_id"])
+        .groupBy("qid", "n_probe")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    # queries x probes grid so a 0-hit cell reports 0.0, not a gap
+    grid = queries.select("qid").crossJoin(F.broadcast(probes))
+    return (
+        grid.join(hits, ["qid", "n_probe"], "left")
+        .select(
+            "qid", "n_probe", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+        )
+        .groupBy("n_probe")
+        .agg(
+            F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("mean_recall_at_10"),
+            F.round(F.min(F.col("n_hit") / 10.0), 4).alias("min_recall_at_10"),
+            F.count("*").cast("long").alias("n_queries"),
+        )
+        .orderBy("n_probe")
+    )

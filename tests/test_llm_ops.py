@@ -574,3 +574,25 @@ def test_simhash_recall_vs_bruteforce_hamming_truth(spark):
     assert not found - t8, "emitted pair fails the Hamming<=8 verify"
     recall8 = len(found & t8) / len(t8)
     assert recall8 >= 0.3, f"Hamming<=8 recall {recall8:.2f}"
+
+
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """The IVF recall curve must be non-decreasing in n_probe (more
+    buckets can only add candidates) and EXACTLY 1.0 with zero spread
+    at n_probe = 10 (visiting all 10 label buckets = exact search).
+    A violation means candidate slicing or ranking depends on
+    something other than the probed buckets."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from tests.conftest import SF001
+
+    reg = load_registry()
+    rows = {
+        r.n_probe: r
+        for r in reg["q_ann_recall_curve"].fn(spark, SF001).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 10]
+    means = [rows[p].mean_recall_at_10 for p in (1, 2, 4, 10)]
+    assert means == sorted(means), f"recall not monotone: {means}"
+    assert rows[10].mean_recall_at_10 == 1.0
+    assert rows[10].min_recall_at_10 == 1.0
+    assert all(rows[p].n_queries == 20 for p in rows)
