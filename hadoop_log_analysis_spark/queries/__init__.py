@@ -128,6 +128,11 @@ _PRIORITY = (
     "q_ann_recall_curve",
     "q_gini_spend",
     "q_snapshot_diff",
+    "q_sparse_cosine_pairs",
+    "q_seasonality_heatmap",
+    "q_first_touch_attribution",
+    "q_lang_id_confusion",
+    "q_dedup_survivor_bias",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2467,3 +2467,114 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q_seasonality_heatmap",
+    oracle="""
+        SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY dow, hr
+        ORDER BY dow, hr
+    """,
+    tags=("A1", "F2", "diagnostic"),
+)
+def q_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality heatmap — the day-of-week x hour-of-day
+    grid every ops dashboard opens with (weekday business-hours
+    ridge, weekend trough) and the input to seasonal baselining
+    (q_seasonal_naive_error picks its lag from exactly this shape).
+
+    One map-side-combinable hash agg into at most 7x24 = 168 cells;
+    nothing else. Cross-engine gotcha handled: Spark's dayofweek() is
+    1=Sunday..7, DuckDB's is 0=Sunday..6 — the Spark side emits
+    dayofweek-1 so both engines speak DuckDB's convention.
+    """
+    return (
+        scan(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+        WITH ft AS (
+          SELECT user_id,
+                 arg_min(event_type, epoch_us(ts) * 100 + event_id % 100)
+                   AS touch_type,
+                 min(epoch_us(ts)) AS ft_us
+          FROM events
+          WHERE event_type IN ('click', 'view')
+          GROUP BY user_id),
+        p AS (SELECT user_id, epoch_us(ts) AS pus, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT coalesce(CASE WHEN ft.ft_us < p.pus
+                             THEN ft.touch_type END, 'none') AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(p.value), 2) AS attributed_value
+        FROM p LEFT JOIN ft ON ft.user_id = p.user_id
+        GROUP BY 1
+        ORDER BY touch_type
+    """,
+    tags=("J3", "A1", "attribution"),
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution — the acquisition-side
+    complement of q_last_touch_attribution: every purchase is
+    credited to the channel of the user's EARLIEST click/view,
+    provided it precedes the purchase ('none' otherwise). Last-touch
+    needs a per-purchase as-of join (the nearest prior touch varies
+    per purchase); first-touch needs only ONE argmin per user — a
+    hash aggregate — joined back to purchases, which is why it is
+    the cheap attribution model at 100 TB.
+
+    Determinism: the argmin key is the microsecond timestamp with
+    event_id folded into the sub-µs digits, so two touches collapsed
+    onto one µs by timestamp truncation cannot make the engines pick
+    different channels (ADVICE r4's as-of tie class, solved the same
+    way).
+    """
+    ev = scan(spark, sf_dir, "events")
+    ft = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (ts_us() * 100 + F.col("event_id") % 100).alias("k"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("m"),
+            F.min(ts_us()).alias("ft_us"),
+        )
+        .select("user_id", F.col("m.t").alias("touch_type"), "ft_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us().alias("pus"), "value"
+    )
+    return (
+        p.join(ft, "user_id", "left")
+        .select(
+            F.coalesce(
+                F.when(F.col("ft_us") < F.col("pus"), F.col("touch_type")),
+                F.lit("none"),
+            ).alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

@@ -955,3 +955,92 @@ def q_prefix_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rep_id")
     )
+
+
+# --- Dedup survivorship-bias report ------------------------------------
+
+
+@query(
+    "q_dedup_survivor_bias",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + {_PLANT_OFFSET}, text, 'mirror'
+          FROM documents WHERE doc_id % 3 = 0),
+        keep AS (SELECT text, min(doc_id) AS keeper
+                 FROM corpus GROUP BY text),
+        post AS (SELECT c.source FROM corpus c
+                 JOIN keep k ON c.doc_id = k.keeper),
+        pre_n AS (SELECT source, count(*) AS n FROM corpus GROUP BY 1),
+        post_n AS (SELECT source, count(*) AS n FROM post GROUP BY 1),
+        tp AS (SELECT sum(n) AS t FROM pre_n),
+        tq AS (SELECT sum(n) AS t FROM post_n)
+        SELECT p.source,
+               CAST(p.n AS BIGINT) AS n_pre,
+               round(p.n * 1.0 / tp.t, 4) AS share_pre,
+               CAST(coalesce(q.n, 0) AS BIGINT) AS n_post,
+               round(coalesce(q.n, 0) * 1.0 / tq.t, 4) AS share_post,
+               round(coalesce(q.n, 0) * 1.0 / tq.t - p.n * 1.0 / tp.t, 4)
+                 AS share_delta
+        FROM pre_n p
+        LEFT JOIN post_n q ON q.source = p.source
+        CROSS JOIN tp CROSS JOIN tq
+        ORDER BY p.source
+    """,
+    tags=("L1", "dedup", "mixture", "diagnostic"),
+)
+def q_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship bias of dedup on the source mixture — the check a
+    curation pipeline runs AFTER dedup and BEFORE mixture weighting:
+    min-id keeper selection systematically kills the later-ingested
+    copy, so a mirror/aggregator source can lose most of its mass and
+    silently shift the training mixture. A 'mirror' source is PLANTED
+    (every doc_id % 3 == 0 doc re-ingested under it with a
+    collision-free id offset — both engines build the identical
+    corpus); since originals always carry the smaller id, dedup
+    eliminates the mirror copies entirely, and the report shows its
+    share collapsing while every original source's share rises. Per
+    source: pre/post counts, shares, and the share delta that feeds
+    mixture re-weighting (q_temperature_mixture / q_source_mixture).
+
+    Scale shape: keeper selection is q_dedup's min-id hash agg keyed
+    by text (sha2 at production scale); the post-dedup mix joins the
+    |uniques| keeper table back on the 8-byte doc_id; shares divide
+    by two broadcast scalar totals. Nothing corpus-scale crosses
+    unreduced.
+    """
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    keep = corpus.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    post = corpus.join(
+        keep, corpus["doc_id"] == keep["keeper"], "left_semi"
+    ).select("source")
+    pre_n = corpus.groupBy("source").agg(F.count("*").alias("n"))
+    post_n = post.groupBy("source").agg(F.count("*").alias("n"))
+    tp = pre_n.agg(F.sum("n").alias("t"))
+    tq = post_n.agg(F.sum("n").alias("t"))
+    p = pre_n.alias("p")
+    q_ = post_n.alias("q")
+    share_pre = F.col("p.n") / F.col("tp_t")
+    share_post = F.coalesce(F.col("q.n"), F.lit(0)) / F.col("tq_t")
+    return (
+        p.join(q_, F.col("p.source") == F.col("q.source"), "left")
+        .crossJoin(F.broadcast(tp.select(F.col("t").alias("tp_t"))))
+        .crossJoin(F.broadcast(tq.select(F.col("t").alias("tq_t"))))
+        .select(
+            F.col("p.source").alias("source"),
+            F.col("p.n").cast("long").alias("n_pre"),
+            F.round(share_pre, 4).alias("share_pre"),
+            F.coalesce(F.col("q.n"), F.lit(0)).cast("long").alias("n_post"),
+            F.round(share_post, 4).alias("share_post"),
+            F.round(share_post - share_pre, 4).alias("share_delta"),
+        )
+        .orderBy("source")
+    )

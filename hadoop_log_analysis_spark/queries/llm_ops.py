@@ -2606,3 +2606,180 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+
+
+@query(
+    "q_sparse_cosine_pairs",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents),
+        w AS (SELECT tf.doc_id, tf.tok,
+                     tf.tf * ln(n.nd * 1.0 / df.df) AS wt
+              FROM tf JOIN df USING (tok) CROSS JOIN n
+              WHERE df.df <= 0.25 * n.nd),
+        nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY 1),
+        dot AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       sum(a.wt * b.wt) AS d
+                FROM w a JOIN w b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(d / (x.nr * y.nr), 6) AS cos_sim
+        FROM dot JOIN nrm x ON x.doc_id = a_id
+                 JOIN nrm y ON y.doc_id = b_id
+        ORDER BY cos_sim DESC, a_id, b_id
+        LIMIT 20
+    """,
+    tags=("L3", "L5", "dedup", "similarity"),
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine similarity join — TF-IDF lexical vectors paired
+    through their inverted index, the classic near-dup/plagiarism
+    signal that complements the DENSE embedding stack (L3/L4 operate
+    on learned vectors; this operates on exact token overlap and
+    catches copy-with-edits that embeddings smooth over). Top-20
+    highest-cosine document pairs.
+
+    Scale shape — the whole trick is that sparsity makes the pair
+    space tractable WITHOUT LSH: the self-join runs on the POSTINGS
+    table keyed by token, so a token with document frequency df
+    contributes df(df-1)/2 partial products — bounded by dropping
+    high-df tokens (df > 25% of corpus) BEFORE the join, the standard
+    df-cut that removes exactly the tokens whose idf≈0 weight
+    contributes nothing but whose postings would quadratically
+    dominate the join (same role as PPJoin's prefix filter in
+    q_set_similarity_join, here with a weighted metric). Per-pair
+    dot products and per-doc norms are hash aggs; cosine assembles on
+    the |pairs| table; TakeOrdered emits 20. Cosines round to 6 dp
+    before the ordered limit, ids break ties.
+    """
+    tok = (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = scan(spark, sf_dir, "documents").agg(F.count("*").alias("nd"))
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= 0.25 * F.col("nd"))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("nd") / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nr")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
+    )
+    x = nrm.alias("x")
+    y = nrm.alias("y")
+    return (
+        dot.join(x, F.col("a_id") == F.col("x.doc_id"))
+        .join(y, F.col("b_id") == F.col("y.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("d") / (F.col("x.nr") * F.col("y.nr")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_lang_id_confusion",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, lang,
+                     len(list_intersect(toks,
+                         ['the','and','of','scan','filter'])) AS he,
+                     len(list_intersect(toks, ['le','et','de','la','un'])) AS hf,
+                     len(list_intersect(toks, ['el','y','de','la','que'])) AS hs,
+                     len(list_intersect(toks, ['der','und','die','das','ein'])) AS hd,
+                     len(list_intersect(toks, ['de','shi','bu','le','wo'])) AS hz
+              FROM t),
+        p AS (SELECT lang,
+                     CASE WHEN he >= hf AND he >= hs AND he >= hd AND he >= hz
+                            THEN 'en'
+                          WHEN hf >= hs AND hf >= hd AND hf >= hz THEN 'fr'
+                          WHEN hs >= hd AND hs >= hz THEN 'es'
+                          WHEN hd >= hz THEN 'de'
+                          ELSE 'zh' END AS predicted
+              FROM s)
+        SELECT lang, predicted,
+               CAST(count(*) AS BIGINT) AS n,
+               lang = predicted AS correct
+        FROM p
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
+    """,
+    tags=("L7", "eval", "diagnostic"),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-token classifier
+    (q_lang_id_scores' argmax) evaluated against the labeled lang —
+    the error analysis that decides whether a cheap heuristic
+    suffices for the corpus or a model-based identifier is needed.
+    Long-form (true, predicted, count, correct) cells; diagonal mass
+    over total is the accuracy.
+
+    The argmax over 5 scores is a FIXED-PRIORITY comparison chain
+    (en > fr > es > de > zh on ties) written identically in both
+    engines — a deterministic tie policy where a generic
+    max-of-struct would need score tuples. Everything is within-row
+    array algebra until the final ~|langs|^2-cell aggregate; the scan
+    is the only corpus-scale stage.
+    """
+    from hadoop_log_analysis_spark.operators import text as TXT
+
+    s = scan(spark, sf_dir, "documents").select(
+        "doc_id", "lang", *TXT.lang_scores()
+    )
+    he, hf, hs, hd, hz = (
+        F.col("hits_en"),
+        F.col("hits_fr"),
+        F.col("hits_es"),
+        F.col("hits_de"),
+        F.col("hits_zh"),
+    )
+    predicted = (
+        F.when((he >= hf) & (he >= hs) & (he >= hd) & (he >= hz), "en")
+        .when((hf >= hs) & (hf >= hd) & (hf >= hz), "fr")
+        .when((hs >= hd) & (hs >= hz), "es")
+        .when(hd >= hz, "de")
+        .otherwise("zh")
+    )
+    return (
+        s.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            (F.col("lang") == F.col("predicted")).alias("correct"),
+        )
+        .orderBy("lang", "predicted")
+    )
