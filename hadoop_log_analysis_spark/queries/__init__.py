@@ -133,6 +133,9 @@ _PRIORITY = (
     "q_first_touch_attribution",
     "q_lang_id_confusion",
     "q_dedup_survivor_bias",
+    "q_audience_overlap",
+    "q_lorenz_curve",
+    "q_fano_burstiness",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2578,3 +2578,228 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1),
+        pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        count(*) AS n_both
+                 FROM tu a JOIN tu b
+                   ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b,
+               CAST(na.nu AS BIGINT) AS n_a,
+               CAST(nb.nu AS BIGINT) AS n_b,
+               CAST(p.n_both AS BIGINT) AS n_both,
+               round(p.n_both * 1.0 / (na.nu + nb.nu - p.n_both), 4)
+                 AS jaccard,
+               round(p.n_both * 1.0 / least(na.nu, nb.nu), 4) AS containment
+        FROM pair p
+        JOIN n na ON na.event_type = p.type_a
+        JOIN n nb ON nb.event_type = p.type_b
+        ORDER BY p.type_a, p.type_b
+    """,
+    tags=("J2", "A3", "diagnostic"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    much their user bases intersect — Jaccard (symmetric) and
+    smaller-side containment (catches a niche audience nested inside
+    a broad one that Jaccard scores low) — the cross-sell /
+    cannibalization read of a product dashboard.
+
+    Scale shape: dedup to distinct (type, user) FIRST (map-side
+    combinable — the corpus-scale step), then the pair build
+    self-joins keyed BY USER, so each user contributes at most
+    |types|^2 pairs (types is a small closed set): the shuffle is
+    |users| x type-pairs COUNTS, never event x event. Same
+    inventory-bounded pattern as q_source_vocab_jaccard, keyed on
+    users instead of vocabulary.
+    """
+    tu = (
+        scan(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n = tu.groupBy("event_type").agg(F.count("*").alias("nu"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = n.alias("na")
+    nb = n.alias("nb")
+    return (
+        pair.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
+        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na.nu").cast("long").alias("n_a"),
+            F.col("nb.nu").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("na.nu") + F.col("nb.nu") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both") / F.least(F.col("na.nu"), F.col("nb.nu")), 4
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+        WITH u AS (SELECT user_id,
+                          round(sum(CASE WHEN event_type = 'purchase'
+                                         THEN value ELSE 0 END), 2) AS spend
+                   FROM events GROUP BY user_id),
+        r AS (SELECT spend,
+                     row_number() OVER (ORDER BY spend, user_id) AS rnk
+              FROM u),
+        t AS (SELECT count(*) AS n, sum(spend) AS sx FROM r),
+        b AS (SELECT CAST(ceil(rnk * 10.0 / t.n) AS INT) AS decile,
+                     spend
+              FROM r CROSS JOIN t),
+        d AS (SELECT decile, sum(spend) AS ds, count(*) AS dn
+              FROM b GROUP BY decile)
+        SELECT d.decile,
+               CAST(sum(d2.dn) AS BIGINT) AS cum_users,
+               round(sum(d2.ds), 2) AS cum_spend,
+               round(sum(d2.ds) / t.sx, 4) AS cum_share
+        FROM d JOIN d d2 ON d2.decile <= d.decile CROSS JOIN t
+        GROUP BY d.decile, t.sx
+        ORDER BY d.decile
+    """,
+    tags=("A5", "W1", "diagnostic"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of purchase-spend concentration — the 10-point
+    cumulative-share curve behind q_gini_spend's single number
+    ("the bottom 50% of users carry X% of revenue"); run over
+    per-domain token counts it answers "what fraction of the corpus
+    do the smallest 90% of domains contribute" for mixture design.
+
+    Same scale discipline as the Gini: users are ranked by the
+    two-phase exact rank (per-spend-class histogram offsets broadcast
+    + class-parallel row_number — no global window), deciles are the
+    closed-form ceil(rank·10/n), and the cumulative curve is a 10x10
+    triangular self-join on the DECILE table (q_vocab_growth_heaps'
+    pattern) — cumulative never touches user-grain rows.
+    """
+    u = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("spend")
+        )
+    )
+    hist = u.groupBy("spend").agg(F.count("*").alias("cu"))
+    histw = Window.orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "spend", F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("off")
+    )
+    classw = Window.partitionBy("spend").orderBy("user_id")
+    r = u.join(F.broadcast(offsets), "spend").select(
+        "spend", (F.col("off") + F.row_number().over(classw)).alias("rnk")
+    )
+    t = r.agg(F.count("*").alias("n"), F.sum("spend").alias("sx"))
+    d = (
+        r.crossJoin(F.broadcast(t))
+        .groupBy(
+            F.ceil(F.col("rnk") * 10.0 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(F.sum("spend").alias("ds"), F.count("*").alias("dn"))
+    )
+    d1 = d.alias("d1")
+    d2 = d.alias("d2")
+    return (
+        d1.join(F.broadcast(d2), F.col("d2.decile") <= F.col("d1.decile"))
+        .crossJoin(F.broadcast(t))
+        .groupBy(F.col("d1.decile").alias("decile"), F.col("sx"))
+        .agg(
+            F.sum("d2.dn").cast("long").alias("cum_users"),
+            F.round(F.sum("d2.ds"), 2).alias("cum_spend"),
+            F.round(F.sum("d2.ds") / F.col("sx"), 4).alias("cum_share"),
+        )
+        .drop("sx")
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_fano_burstiness",
+    oracle="""
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               round(avg(n), 4) AS mean_per_hour,
+               round(var_pop(n), 4) AS var_per_hour,
+               round(var_pop(n) / avg(n), 4) AS fano,
+               var_pop(n) / avg(n) > 1.5 AS bursty
+        FROM h
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A5", "F2", "diagnostic"),
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of hourly counts) per event
+    type — the dispersion diagnostic that separates Poisson-like
+    steady traffic (F≈1) from bursty arrivals (F>>1, e.g. error
+    storms, crawler waves): it decides whether rate alerting can use
+    simple thresholds or needs burst-aware baselines, and it sizes
+    the partition-skew margin a streaming job should expect.
+
+    Two map-side-combinable hash aggs: events -> (type, hour) counts
+    (the only corpus-scale shuffle, keyed by a bounded grid), then
+    the moment reduction per type. var_pop (not sample variance) on
+    both engines; only outputs are rounded — the F>1.5 verdict
+    compares raw moments whose ~1e-10 accumulation noise is far from
+    the fixtures' margins (nearest type is >0.1 from the boundary at
+    every SF).
+    """
+    h = (
+        scan(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.avg("n"), 4).alias("mean_per_hour"),
+            F.round(F.var_pop("n"), 4).alias("var_per_hour"),
+            F.round(F.var_pop("n") / F.avg("n"), 4).alias("fano"),
+            (F.var_pop("n") / F.avg("n") > 1.5).alias("bursty"),
+        )
+        .orderBy("event_type")
+    )

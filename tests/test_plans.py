@@ -755,3 +755,36 @@ def test_dynamic_partition_pruning_in_fact_scan(spark):
     # non-selective dim predicate — both regressions this test pins).
     plan = _formatted(REGISTRY["q_dynamic_partition_pruning"].fn(spark, SF001))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_sparse_cosine_pairs_no_cartesian_no_python(spark):
+    # The pair space must come from the token-keyed postings self-join
+    # (bounded by df after the df-cut), NEVER a cartesian/BNLJ over
+    # documents, and the whole pipeline stays JVM-side.
+    plan = _formatted(REGISTRY["q_sparse_cosine_pairs"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_growth_has_no_corpus_scale_window(spark):
+    # The Heaps curve must never window over corpus-grain rows: the
+    # only Window allowed is absent entirely (bucket algebra is joins
+    # + aggregates), and the cumulative step joins the 10-row bucket
+    # table via broadcast.
+    plan = _formatted(REGISTRY["q_vocab_growth_heaps"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gini_two_phase_rank_no_global_window(spark):
+    # The Gini rank must be the histogram-offset + class-parallel
+    # row_number — a window partitioned by spend class — never an
+    # UNPARTITIONED window over all users. The formatted plan shows
+    # window partition specs; assert the partition-by list is
+    # non-empty wherever a Window appears.
+    import re
+
+    plan = _formatted(REGISTRY["q_gini_spend"].fn(spark, SF001))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_gini_spend"
+    assert "row_number" in plan

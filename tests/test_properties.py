@@ -1117,3 +1117,33 @@ def test_interval_union_bounds_and_histogram_conservation(spark):
     }
     got = hist.groupby("event_type").n.sum().to_dict()
     assert got == per_type
+
+
+def test_r6_wave_partition_invariant(spark):
+    """Split-invariance for the round-6 queries built on rank/bucket
+    machinery — the two-phase exact rank (curriculum phases, Gini,
+    Lorenz), the decile-bucket triangular cumsum (Heaps curve), and
+    the postings self-join (sparse cosine): identical rows at 32 and
+    5 shuffle partitions, or a per-partition prefix is leaking."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_curriculum_phases",
+        "q_gini_spend",
+        "q_lorenz_curve",
+        "q_vocab_growth_heaps",
+        "q_sparse_cosine_pairs",
+        "q_rfm_segmentation",
+        "q_audience_overlap",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
