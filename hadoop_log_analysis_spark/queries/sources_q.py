@@ -710,9 +710,15 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(dim_dir)
     )
-    fact = spark.read.parquet(out_dir)
+    # Explicit schema: an all-empty write leaves no partition dirs and
+    # schema inference fails (q_parquet_sink_partitioned precedent).
+    fact_schema = (
+        "event_id long, event_type string, value double, event_date date"
+    )
+    fact = spark.read.schema(fact_schema).parquet(out_dir)
     dim = (
-        spark.read.parquet(dim_dir)
+        spark.read.schema("event_date date, period string")
+        .parquet(dim_dir)
         .filter(F.col("period") == "wk3")
         .select("event_date")
     )
@@ -777,7 +783,10 @@ def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
         F.min("n_chars").alias("min_chars"),
     ).collect()[0]
-    if not (audit.n > 0 and audit.null_texts == 0 and audit.min_chars >= 100):
+    # An empty batch is a publishable quiet day (repo-wide empty-input
+    # contract); the audit REJECTS only a non-empty batch that breaks
+    # an invariant.
+    if audit.n > 0 and not (audit.null_texts == 0 and audit.min_chars >= 100):
         raise ValueError(f"WAP audit failed, not publishing: {audit}")
 
     if os.path.exists(pub_dir):

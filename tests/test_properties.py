@@ -718,6 +718,15 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_label_propagation",       # empty-edge iteration loop
         "q_schema_evolution_read", "q_scd2_point_in_time",
         "q_interval_union_time", "q_value_histogram_log2",
+        # r6 additions — the two that DID crash before hardening
+        # (partitionBy write of zero rows leaves no dirs -> schema
+        # inference fails; the WAP audit treated n=0 as a failure
+        # instead of a publishable quiet day) plus the driver-side-
+        # scalar / rank-machinery members most likely to regress
+        "q_dynamic_partition_pruning", "q_wap_audit_publish",
+        "q_ann_recall_curve", "q_gini_spend", "q_lorenz_curve",
+        "q_rfm_segmentation", "q_sparse_cosine_pairs",
+        "q_vocab_growth_heaps", "q_snapshot_diff",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
