@@ -2523,7 +2523,9 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids,
     )
 
-    emb = scan(spark, sf_dir, "embeddings")
+    emb = scan(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # same latent-NULL guard as q_mrr_eval
+    )
     corpus = emb.filter(F.col("vec_id") >= 20)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")

@@ -2069,12 +2069,14 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
                           label AS qlabel
-                   FROM embeddings WHERE vec_id < 20),
+                   FROM embeddings
+                   WHERE vec_id < 20 AND embedding IS NOT NULL),
         scored AS (
           SELECT q.qid, q.qlabel, e.vec_id AS doc_id, e.label,
                  round(list_cosine_similarity(
                          CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
-          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20),
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id >= 20 AND e.embedding IS NOT NULL),
         best AS (
           SELECT qid, doc_id AS bdoc, score AS bscore
           FROM (SELECT qid, doc_id, score,
@@ -2121,7 +2123,12 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list (q_ann_ivf) instead of the full table; the eval
     algebra here is unchanged.
     """
-    emb = scan(spark, sf_dir, "embeddings")
+    # NULL-vector rows are excluded on BOTH engines: a NULL cosine
+    # would rank under engine-specific NULL-ordering rules (latent —
+    # current fixtures carry no NULL embeddings).
+    emb = scan(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
