@@ -136,6 +136,9 @@ _PRIORITY = (
     "q_audience_overlap",
     "q_lorenz_curve",
     "q_fano_burstiness",
+    "q_time_weighted_avg",
+    "q_event_debounce",
+    "q_session_bounce_rate",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -802,7 +802,9 @@ def q_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_value_by_daypart",
     oracle="""
         SELECT extract(hour FROM ts) AS hod, event_type,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n,
+               CAST(round(round(sum(value) * 100) / count(*)) AS BIGINT)
+                 AS avg_cents
         FROM events
         GROUP BY hod, event_type
         ORDER BY hod, event_type
@@ -821,7 +823,25 @@ def q_value_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scan(spark, sf_dir, "events")
         .groupBy(F.hour("ts").alias("hod"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # Mean in INTEGER CENTS — the only formulation both engines
+            # round identically (r6 sf0.001 sweep finding). A rounded
+            # avg() can land on a round-half boundary (sf0.001's
+            # (13, signup) cell is EXACTLY 438.23/8 = 54.77875), and
+            # the engines then disagree BY DESIGN: Spark's round()
+            # rounds the shortest decimal PRINT of the double
+            # (68.92875 -> up) while DuckDB rounds the binary value
+            # (68.9287499... -> down). With an exact integer cent sum
+            # (accumulation noise ~1e-12 << 0.5 cents) divided by n,
+            # any half-tie is exactly representable (0.5 is a power of
+            # two and IEEE division is correctly rounded), and both
+            # engines round exact halves away from zero — so the
+            # rounded quotient is engine-identical.
+            F.round(F.round(F.sum("value") * 100, 0) / F.count("*"), 0)
+            .cast("long")
+            .alias("avg_cents"),
+        )
         .orderBy("hod", "event_type")
     )
 
@@ -2802,4 +2822,222 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.var_pop("n") / F.avg("n") > 1.5).alias("bursty"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value, event_id
+                   FROM events WHERE value IS NOT NULL),
+        w AS (SELECT user_id, tus, value,
+                     lead(tus) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id) AS nxt
+              FROM e),
+        s AS (SELECT user_id,
+                     sum(value * (nxt - tus)) AS area,
+                     sum(nxt - tus) AS span
+              FROM w WHERE nxt IS NOT NULL
+              GROUP BY user_id)
+        SELECT user_id,
+               CAST(span AS BIGINT) AS span_us,
+               round(area / span, 4) AS twa_value
+        FROM s
+        WHERE span > 0
+        ORDER BY user_id
+    """,
+    tags=("W3", "A1", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the value signal per user — the
+    billing/telemetry integral (each reading holds until the next
+    one; readings that stand for a long time weigh more) that a plain
+    avg() silently gets wrong whenever sampling is irregular, which
+    log streams always are. Per user: observed span and the
+    step-function integral divided by it.
+
+    Scale shape: ONE lead() window partitioned BY USER (state bounded
+    by a user's own events — the same per-key locality every
+    sessionization uses, parallel across |users|), then a hash agg.
+    Interval arithmetic in integer microseconds; the division happens
+    once per user at output, rounded to 4 dp. Same-µs ties order by
+    event_id on both engines, and NULL values drop BEFORE the lead so
+    a gap in the signal extends the previous reading's hold — the
+    LOCF convention (q_locf_fill's law) applied to integration.
+    """
+    e = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", ts_us().alias("tus"), "value", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    stepped = e.select(
+        "user_id", "tus", "value", F.lead("tus").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * (F.col("nxt") - F.col("tus"))).alias("area"),
+            F.sum(F.col("nxt") - F.col("tus")).alias("span"),
+        )
+        .filter(F.col("span") > 0)
+        .select(
+            "user_id",
+            F.col("span").cast("long").alias("span_us"),
+            F.round(F.col("area") / F.col("span"), 4).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_event_debounce",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type, event_id,
+                          epoch_us(ts) AS tus,
+                          CAST(floor(epoch_us(ts) / 300000000) AS BIGINT)
+                            AS win
+                   FROM events),
+        r AS (SELECT event_type,
+                     row_number() OVER (PARTITION BY user_id, event_type, win
+                                        ORDER BY tus, event_id) AS rn
+              FROM e)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               round(1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0
+                           / count(*), 4) AS drop_rate
+        FROM r
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("O5", "W1", "dedup"),
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit accounting: keep only the FIRST event per
+    (user, type) in each 5-minute tumbling window — the batch twin of
+    streaming dropDuplicates-within-watermark (T5), and the standard
+    pre-aggregation against double-fires, retry storms and
+    instrumentation echo. Per type: raw count, survivors, drop rate.
+
+    Scale shape: the keep-decision is a row_number over
+    (user, type, window) — per-key-per-window state, the bounded
+    partition shape; the report is a ~|types| hash agg. The window id
+    is integer-floored µs (deterministic; no timestamp-truncation
+    drift), first-in-window ties break by event_id on both engines.
+    """
+    e = scan(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ts_us().alias("tus"),
+        F.floor(ts_us() / 300_000_000).cast("long").alias("win"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "win").orderBy(
+        "tus", "event_id"
+    )
+    r = e.select("event_type", F.row_number().over(w).alias("rn"))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            kept.cast("long").alias("n_kept"),
+            F.round(1.0 - kept / F.count("*"), 4).alias("drop_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_session_bounce_rate",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+                   FROM events),
+        g AS (SELECT user_id, tus,
+                     CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                                    ORDER BY tus, event_id)
+                               > 1800000000
+                            OR lag(tus) OVER (PARTITION BY user_id
+                                              ORDER BY tus, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        s AS (SELECT user_id, tus,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+        per AS (SELECT user_id, sid,
+                       min(tus) AS start_us, count(*) AS n_events
+                FROM s GROUP BY user_id, sid),
+        daily AS (SELECT CAST(floor(start_us / 86400000000) AS BIGINT)
+                           AS day_idx,
+                        n_events
+                 FROM per)
+        SELECT day_idx,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS bounce_rate
+        FROM daily
+        GROUP BY day_idx
+        ORDER BY day_idx
+    """,
+    tags=("W6", "A1", "diagnostic"),
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the fraction of sessions (30-min inactivity
+    gap rule, q_sessionize's law) containing exactly ONE event — the
+    engagement-quality headline a product dashboard tracks next to
+    session counts. Buckets by the session's START day so a session
+    spanning midnight counts once.
+
+    Scale shape: the standard two-window sessionizer (gap flag via
+    lag, session id via running sum) partitioned BY USER — per-key
+    state, parallel across users — then session-grain and day-grain
+    hash aggs. The day bucket is integer-floored µs (no timezone
+    re-interpretation between engines); same-µs ties order by
+    event_id in the gap window.
+    """
+    e = scan(spark, sf_dir, "events").select(
+        "user_id", ts_us().alias("tus"), "event_id"
+    )
+    ow = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "user_id",
+        "tus",
+        F.when(
+            F.lag("tus").over(ow).isNull()
+            | ((F.col("tus") - F.lag("tus").over(ow)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sw = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.select("user_id", "tus", F.sum("new_s").over(sw).alias("sid"))
+    per = s.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("start_us"), F.count("*").alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per.select(
+            F.floor(F.col("start_us") / 86_400_000_000)
+            .cast("long")
+            .alias("day_idx"),
+            "n_events",
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            bounces.cast("long").alias("n_bounces"),
+            F.round(bounces / F.count("*"), 4).alias("bounce_rate"),
+        )
+        .orderBy("day_idx")
     )

@@ -256,7 +256,9 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     batchId overwrite), then read back and aggregated; must equal the
     batch table (SQL oracle)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(TMP, f"stream_sink_{tag}")
+    out_dir = os.path.join(
+        TMP, f"stream_sink_{tag}_{spark.sparkContext.applicationId}"
+    )
     drop = derive_drop_dir(spark, sf_dir)
     events = read_events_stream(spark, drop)
     run_foreach_batch_to_parquet(events, f"t7_sink_{tag}", out_dir)
@@ -359,9 +361,10 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drop = derive_drop_dir(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = os.path.join(TMP, f"recovery_stage_{tag}")
-    out = os.path.join(TMP, f"recovery_out_{tag}")
-    ckpt = os.path.join(TMP, f"stream_ckpt_recovery_{tag}")
+    app = spark.sparkContext.applicationId
+    stage = os.path.join(TMP, f"recovery_stage_{tag}_{app}")
+    out = os.path.join(TMP, f"recovery_out_{tag}_{app}")
+    ckpt = os.path.join(TMP, f"stream_ckpt_recovery_{tag}_{app}")
     for p in (stage, out, ckpt):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(stage)
@@ -738,10 +741,15 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    state_root = os.path.join(TMP, f"stream_cdc_state_{tag}")
+    state_root = os.path.join(
+        TMP, f"stream_cdc_state_{tag}_{spark.sparkContext.applicationId}"
+    )
     shutil.rmtree(state_root, ignore_errors=True)
     os.makedirs(state_root, exist_ok=True)
-    ckpt = os.path.join(TMP, f"stream_ckpt_cdc_apply_{tag}")
+    ckpt = os.path.join(
+        TMP,
+        f"stream_ckpt_cdc_apply_{tag}_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(ckpt, ignore_errors=True)
 
     drop = derive_drop_dir(spark, sf_dir)

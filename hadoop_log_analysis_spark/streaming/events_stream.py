@@ -201,7 +201,12 @@ def run_to_table(
     cleared per run (stale checkpoints no-op re-runs).
     """
     spark = sdf.sparkSession
-    ckpt = os.path.join(TMP, f"stream_ckpt_{name}")
+    # Session-unique checkpoint (r6: a concurrent pytest + sweep pair
+    # raced rmtree against an in-flight batch-0 state write and died
+    # with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY — same fix class
+    # as q_schema_evolution_read's derived dir).
+    app = spark.sparkContext.applicationId
+    ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
     shutil.rmtree(ckpt, ignore_errors=True)
     q = (
         sdf.writeStream.format("memory")
@@ -231,7 +236,8 @@ def run_foreach_batch_to_parquet(
     sink keys each batch's files on batch_id and overwrites, making
     replays idempotent (effectively-once end to end).
     """
-    ckpt = os.path.join(TMP, f"stream_ckpt_{name}")
+    app = sdf.sparkSession.sparkContext.applicationId
+    ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
 
