@@ -95,6 +95,15 @@ HEADLINE = (
     # argmax + merge rewrite) close the family.
     "q_bfs_hops",
     "q_bpe_train",
+    # r6 additions: the sparse-similarity join (token-keyed postings
+    # self-join with the df-cut — the quadratic-term regression
+    # target), the character-entropy gate (explode-to-chars whose
+    # shuffle must stay |docs| x alphabet), and the two-phase exact
+    # rank via the Gini statistic (histogram-offset + class-parallel
+    # row_number — now load-bearing in four queries).
+    "q_sparse_cosine_pairs",
+    "q_char_entropy_filter",
+    "q_gini_spend",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
