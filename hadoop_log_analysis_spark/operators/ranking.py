@@ -1,0 +1,57 @@
+"""Two-phase exact global rank — the scale-safe replacement for an
+unpartitioned ranking window.
+
+``rank(row) = offset(key) + row_number within the key's tie class``:
+the offset comes from a cumulative sum over the per-key histogram
+(|distinct key values| rows — bounded by the key's value grain, e.g.
+2-dp currency or 6-dp rounded scores, never the corpus) broadcast
+back onto the rows, and the within-class row_number partitions BY the
+key, so no task ever sorts more than the largest tie class. The
+result is row-for-row identical to
+``row_number().over(Window.orderBy(key, tie))`` — which Spark executes
+as a SINGLE-partition window, the silent scale cliff this operator
+exists to avoid (VERDICT r2 #7 for q_user_segments; VERDICT r5 #2 for
+q_curriculum_phases; r6 generalized here for the Gini/Lorenz pair).
+
+Statistics that only consume ``sum(rank * value)`` per tie class
+(Gini, Lorenz) are additionally insensitive to the tie order itself:
+equal values within a class make the sum independent of how the
+class's consecutive ranks are permuted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_rank(
+    df: DataFrame,
+    key_col: str,
+    tie_col: str,
+    *,
+    ascending: bool = True,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Append ``rank_col``: the exact 1-based global rank of each row
+    under (key_col asc|desc, tie_col asc) — without a global window.
+
+    ``key_col`` must be a deterministic, exactly-comparable value
+    (integers, or floats already rounded to a fixed grain on every
+    engine that must agree); ``tie_col`` must be unique per row.
+    """
+    key: Column = F.col(key_col)
+    hist = df.groupBy(key_col).agg(F.count("*").alias("__cu"))
+    histw = Window.orderBy(key if ascending else key.desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        key_col,
+        F.coalesce(F.sum("__cu").over(histw), F.lit(0)).alias("__off"),
+    )
+    classw = Window.partitionBy(key_col).orderBy(tie_col)
+    return (
+        df.join(F.broadcast(offsets), key_col)
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(classw))
+        .drop("__off")
+    )

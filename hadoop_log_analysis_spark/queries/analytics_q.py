@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from hadoop_log_analysis_spark.functions import ts_us
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
+from hadoop_log_analysis_spark.operators.ranking import exact_rank
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 # Warm-up for the anomaly baseline: a trailing mean/std over fewer
@@ -642,19 +643,7 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend"),
         )
     )
-    hist = u.groupBy("n_events").agg(F.count("*").alias("cu"))
-    histw = Window.orderBy(F.desc("n_events")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = hist.select(
-        "n_events",
-        F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("offset"),
-    )
-    classw = Window.partitionBy("n_events").orderBy("user_id")
-    ranked = (
-        u.join(F.broadcast(offsets), "n_events")
-        .withColumn("rank", F.col("offset") + F.row_number().over(classw))
-    )
+    ranked = exact_rank(u, "n_events", "user_id", ascending=False)
     n_total = u.agg(F.count("*").alias("N"))
     b = ranked.crossJoin(F.broadcast(n_total)).withColumn(
         "quartile",
@@ -2381,16 +2370,8 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend")
         )
     )
-    hist = u.groupBy("spend").agg(F.count("*").alias("cu"))
-    histw = Window.orderBy("spend").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = hist.select(
-        "spend", F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("off")
-    )
-    classw = Window.partitionBy("spend").orderBy("user_id")
-    r = u.join(F.broadcast(offsets), "spend").select(
-        "spend", (F.col("off") + F.row_number().over(classw)).alias("rnk")
+    r = exact_rank(u, "spend", "user_id", rank_col="rnk").select(
+        "spend", "rnk"
     )
     return r.agg(
         F.count("*").cast("long").alias("n_users"),
@@ -2738,16 +2719,8 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend")
         )
     )
-    hist = u.groupBy("spend").agg(F.count("*").alias("cu"))
-    histw = Window.orderBy("spend").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = hist.select(
-        "spend", F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("off")
-    )
-    classw = Window.partitionBy("spend").orderBy("user_id")
-    r = u.join(F.broadcast(offsets), "spend").select(
-        "spend", (F.col("off") + F.row_number().over(classw)).alias("rnk")
+    r = exact_rank(u, "spend", "user_id", rank_col="rnk").select(
+        "spend", "rnk"
     )
     t = r.agg(F.count("*").alias("n"), F.sum("spend").alias("sx"))
     d = (

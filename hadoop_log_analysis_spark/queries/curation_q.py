@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_log_analysis_spark.operators.ranking import exact_rank
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 
@@ -279,18 +280,7 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difficulty"
         ),
     )
-    hist = s.groupBy("difficulty").agg(F.count("*").alias("cu"))
-    histw = Window.orderBy("difficulty").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = hist.select(
-        "difficulty",
-        F.coalesce(F.sum("cu").over(histw), F.lit(0)).alias("offset"),
-    )
-    classw = Window.partitionBy("difficulty").orderBy("doc_id")
-    ranked = s.join(F.broadcast(offsets), "difficulty").withColumn(
-        "rank", F.col("offset") + F.row_number().over(classw)
-    )
+    ranked = exact_rank(s, "difficulty", "doc_id")
     n_total = s.agg(F.count("*").alias("N"))
     big = F.floor(F.col("N") / 4) + 1  # size of the first N%4 phases
     small = F.floor(F.col("N") / 4)
