@@ -2503,7 +2503,9 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     index operator reads to pick how many buckets a probe visits.
     n_probe = 10 visits every bucket, so its recall is exactly 1.0 by
     construction (asserted in tests); the interesting rows are how
-    fast 1-2 probes approach it.
+    fast 1-2 probes approach it. Rows-only by design — the IVF side
+    has no SQL analog; monotonicity + the full-probe recall law are
+    the correctness story (tests/test_llm_ops.py).
 
     Scale shape: centroid routing is |queries| x |buckets| on a
     broadcast centroid table; every per-query ranking (bucket order,

@@ -1156,3 +1156,26 @@ def test_r6_wave_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_registry_priority_integrity():
+    """The driver samples the FIRST 50 names of load_registry() order;
+    a duplicate in _PRIORITY silently collapses in the dict and
+    shrinks the evidence window, and an unregistered name raises only
+    at driver time. Pin: no duplicates, every priority name resolves,
+    full registry >= priority, and the first 50 entries all carry a
+    callable + (oracle or declared rows-only)."""
+    from hadoop_log_analysis_spark.queries import _PRIORITY, load_registry
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
+    reg = load_registry()
+    assert set(_PRIORITY) <= set(reg)
+    top50 = list(reg.values())[:50]
+    assert all(callable(s.fn) for s in top50)
+    # every query is either oracled or explicitly rows-only (oracle
+    # None is a declared state, not an accident: it must come with a
+    # docstring mentioning its verification story)
+    for s in top50:
+        if s.oracle is None:
+            doc = (s.fn.__doc__ or "").lower()
+            assert "rows-only" in doc or "oracle" in doc, s.name
