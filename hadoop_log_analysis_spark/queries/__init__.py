@@ -81,11 +81,13 @@ _MODULES = (
 # 6-dp rounding sitting inside Arrow-batch-order accumulation noise
 # (VERDICT r5 "What's wrong" #1); re-sampled here after the 4-dp fix
 # (pinned by tests/test_properties.py's batch+partition invariance
-# battery). Positions 24-50 are round-6 additions (never driver-seen,
-# locally hash-verified) so new work earns driver evidence in the
-# same round it lands. Everything after position 50 already has green
-# driver rows (latest status r1-r5); their order is re-confirmation
-# priority only.
+# battery). Positions 24-52 are the 29 round-6 additions (never
+# driver-seen, locally hash-verified) so new work earns driver
+# evidence in the same round it lands — the driver's top-50 window
+# covers through q_time_weighted_avg (50); q_event_debounce and
+# q_session_bounce_rate (51-52) are round-7 promotions. Everything
+# after the r6 block has green driver rows (latest status r1-r5);
+# their order is re-confirmation priority only.
 _PRIORITY = (
     "q_intersect_all",
     "q_bpe_fertility",
