@@ -191,6 +191,7 @@ def run_to_table(
     name: str,
     output_mode: str,
     timeout_sec: int = 300,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame to completion; return the result.
 
@@ -199,6 +200,17 @@ def run_to_table(
     source's maxFilesPerTrigger) then stops — the deterministic way to
     verify a streaming pipeline. Memory sink; checkpoint under .tmp,
     cleared per run (stale checkpoints no-op re-runs).
+
+    ``state_partitions`` sizes the state-store TASK COUNT to the
+    (tiny) state volume for the duration of the drain — exactly the
+    sizing a production job makes (BASELINE.md r5 addendum: the
+    per-microbatch cost of these bounded replays is state tasks, not
+    data; 32 -> 8 partitions took the stream-stream join 22.8 -> 7.5 s
+    and a bare 200-partition driver session pays 25x that). The
+    partition count is pinned at the checkpoint's batch 0 — the
+    checkpoint is fresh per run, so the conf applies — and is
+    restored right after the drain; results are partition-count
+    invariant (hash-parity is the oracle on every streaming query).
     """
     spark = sdf.sparkSession
     # Session-unique checkpoint (r6: a concurrent pytest + sweep pair
@@ -208,19 +220,24 @@ def run_to_table(
     app = spark.sparkContext.applicationId
     ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise RuntimeError(
-            f"stream {name!r} did not drain within {timeout_sec}s"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"stream {name!r} did not drain within {timeout_sec}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -236,7 +253,8 @@ def run_foreach_batch_to_parquet(
     sink keys each batch's files on batch_id and overwrites, making
     replays idempotent (effectively-once end to end).
     """
-    app = sdf.sparkSession.sparkContext.applicationId
+    spark = sdf.sparkSession
+    app = spark.sparkContext.applicationId
     ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -246,15 +264,21 @@ def run_foreach_batch_to_parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise RuntimeError(
-            f"stream {name!r} did not drain within {timeout_sec}s"
+    # same state-partition sizing rationale as run_to_table
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"stream {name!r} did not drain within {timeout_sec}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
