@@ -141,6 +141,8 @@ _PRIORITY = (
     "q_time_weighted_avg",
     "q_event_debounce",
     "q_session_bounce_rate",
+    "q_gdpr_erasure",
+    "q_mixture_solver",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -1034,3 +1034,74 @@ def q_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Mixture-rate solver ------------------------------------------------
+
+
+@query(
+    "q_mixture_solver",
+    oracle="""
+        WITH src AS (SELECT source,
+                            sum(len(string_split(text, ' '))) AS toks
+                     FROM documents GROUP BY source),
+        tgt AS (SELECT source, toks,
+                       power(toks, 0.5) AS w
+                FROM src),
+        z AS (SELECT sum(w) AS zw, sum(toks) AS total FROM tgt)
+        SELECT t.source,
+               CAST(t.toks AS BIGINT) AS toks_have,
+               round(t.toks * 1.0 / z.total, 6) AS share_natural,
+               round(t.w / z.zw, 6) AS share_target,
+               round(least((t.w / z.zw) * z.total / t.toks, 1.0), 6)
+                 AS sample_rate,
+               CAST(round(least((t.w / z.zw) * z.total / t.toks, 1.0)
+                          * t.toks) AS BIGINT) AS toks_sampled
+        FROM tgt t CROSS JOIN z
+        ORDER BY t.source
+    """,
+    tags=("L7", "mixture", "diagnostic"),
+)
+def q_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rate solver: turn a temperature-scaled TARGET mixture
+    (tau = 0.5 — upweight tail sources, the multilingual-sampling
+    standard) into per-source SAMPLING RATES against the corpus we
+    actually have, capping at 1.0 where a source is too small to meet
+    its target without repetition. The table a data-mixing job
+    consumes directly: natural share, target share, the rate, and the
+    resulting token count. (q_temperature_mixture reports target
+    shares; this solves for the rates that achieve them subject to
+    availability — the step between "what we want" and "what we
+    run".)
+
+    Scale shape: the per-source token histogram is the only
+    corpus-scale aggregate (explode -> map-side-combinable sum);
+    everything after is |sources|-row algebra against two broadcast
+    scalars. Rates round at 6 dp on both engines; the cap comparison
+    uses least(), not a CASE on a rounded value, so there is no
+    boundary to flip.
+    """
+    src = (
+        scan(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    tgt = src.select("source", "toks", F.pow("toks", 0.5).alias("w"))
+    z = tgt.agg(F.sum("w").alias("zw"), F.sum("toks").alias("total"))
+    rate = F.least(
+        (F.col("w") / F.col("zw")) * F.col("total") / F.col("toks"),
+        F.lit(1.0),
+    )
+    return (
+        tgt.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("toks").cast("long").alias("toks_have"),
+            F.round(F.col("toks") / F.col("total"), 6).alias("share_natural"),
+            F.round(F.col("w") / F.col("zw"), 6).alias("share_target"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("toks"), 0).cast("long").alias("toks_sampled"),
+        )
+        .orderBy("source")
+    )

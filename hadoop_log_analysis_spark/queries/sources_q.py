@@ -803,3 +803,92 @@ def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("audit_passed", F.lit(True))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_gdpr_erasure",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE user_id % 17 <> 3
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("S6", "governance", "compliance"),
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure on a partitioned lake: delete a
+    set of user ids (the deterministic `user_id % 17 == 3` cohort —
+    the "erasure request batch") by REWRITING ONLY the partitions
+    that contain them, leaving every other partition's files
+    untouched. On an event_date-partitioned month that still touches
+    most partitions (active users span days), so the demonstration
+    partitions by user bucket (`u_bkt = user_id % 8`) — the layout a
+    lake that expects erasure SHOULD choose, because then a delete
+    cohort maps to a bounded partition subset and the rewrite I/O is
+    |affected buckets| / |buckets|, not the table.
+
+    Flow: (1) derive the bucketed lake (session-unique dir); (2) find
+    affected buckets from the erasure set (one distinct over the
+    broadcast-joined ids — computed from data, never assumed; a small
+    erasure batch touches few buckets, this month-wide cohort happens
+    to touch all 8, and the rewrite is bounded either way); (3) rewrite only
+    those partition dirs with the ids anti-joined out (dynamic
+    partition overwrite, the q_incremental_overwrite machinery);
+    (4) read the whole lake back and aggregate — the oracle computes
+    the same accounting straight off events WITH the ids filtered,
+    so the join of [untouched partitions + rewritten partitions]
+    proves the rewrite deleted exactly the cohort and nothing else.
+    """
+    app = spark.sparkContext.applicationId
+    lake = _derived_dir(sf_dir, f"gdpr_lake_{app}")
+    ev = scan(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 8).alias("u_bkt"),
+    )
+    ev.write.mode("overwrite").partitionBy("u_bkt").parquet(lake)
+
+    erase = ev.filter(F.col("user_id") % 17 == 3).select("user_id").distinct()
+    affected = [
+        r.u_bkt
+        for r in ev.join(F.broadcast(erase), "user_id")
+        .select("u_bkt")
+        .distinct()
+        .collect()
+    ]
+    schema = "event_id long, user_id long, event_type string, value double, u_bkt long"
+    if affected:
+        lake_df = spark.read.schema(schema).parquet(lake)
+        rewritten = (
+            lake_df.filter(F.col("u_bkt").isin(affected))
+            .join(F.broadcast(erase), "user_id", "left_anti")
+        )
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rewritten.select(
+                    "event_id", "user_id", "event_type", "value", "u_bkt"
+                )
+                .write.mode("overwrite")
+                .partitionBy("u_bkt")
+                .parquet(lake)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+    return (
+        spark.read.schema(schema)
+        .parquet(lake)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
