@@ -143,6 +143,8 @@ _PRIORITY = (
     "q_session_bounce_rate",
     "q_gdpr_erasure",
     "q_mixture_solver",
+    "q_join_size_estimate",
+    "q_compression_ratio_filter",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -10,8 +10,10 @@ tests/test_llm_ops.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hadoop_log_analysis_spark.operators import text as TXT
 from hadoop_log_analysis_spark.operators.dedup import (
@@ -2786,4 +2788,62 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("predicted")).alias("correct"),
         )
         .orderBy("lang", "predicted")
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _zlib_ratio(texts: pd.Series) -> pd.Series:
+    """Per-doc zlib compressibility (compressed/raw bytes), Arrow-
+    batched — deflate has no JVM expression, and this is the one
+    justified Python step (vectorized per batch, never per row via
+    slow scalar UDFs)."""
+    import zlib
+
+    def ratio(s):
+        if s is None or not s:
+            return None
+        raw = s.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return texts.map(ratio)
+
+
+@query(
+    "q_compression_ratio_filter",
+    oracle=None,  # rows-only BY DESIGN: no deflate in SQL. The
+    # correctness story is the planted-repetition property test
+    # (tests/test_llm_ops.py): boilerplate must compress far below
+    # the natural-text band, and the gate must separate them.
+    tags=("L7", "U2", "quality"),
+)
+def q_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate: zlib-compress each document and
+    flag the ones that compress suspiciously WELL — machine-generated
+    boilerplate, keyword stuffing and template spam compress far
+    below natural text's ~0.4-0.7 band, a signal orthogonal to the
+    token-level Gopher rules (it sees sub-token and long-range
+    repetition at once). Used as a cheap pre-filter in CCNet-style
+    pipelines. Per language: docs, mean/min ratio, and the count
+    under the 0.35 gate.
+
+    Scale shape: map-only — one Arrow-batched pandas UDF pass over
+    the text column (the deflate step; everything around it is
+    codegen), then a ~|langs| hash agg. No shuffle carries text. The
+    UDF is total over the column domain (None/empty -> NULL, skipped
+    by the aggregates on both any-engine reading).
+    """
+    docs = scan(spark, sf_dir, "documents").select(
+        "lang", _zlib_ratio(F.col("text")).alias("ratio")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("ratio").cast("long").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
     )

@@ -596,3 +596,30 @@ def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
     assert rows[10].mean_recall_at_10 == 1.0
     assert rows[10].min_recall_at_10 == 1.0
     assert all(rows[p].n_queries == 20 for p in rows)
+
+
+def test_compression_ratio_separates_boilerplate_from_natural_text(spark):
+    """The gate's correctness story (rows-only query): a planted
+    repetitive document must compress FAR below the natural corpus
+    band, the natural fixtures must sit inside it, and the per-lang
+    report must count flags consistently."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.llm_ops import _zlib_ratio
+    from tests.conftest import SF001
+
+    reg = load_registry()
+    rows = reg["q_compression_ratio_filter"].fn(spark, SF001).collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    # natural synthetic text: every language's mean inside a wide sane band
+    assert all(0.2 < r.avg_ratio < 0.9 for r in rows)
+
+    planted = spark.createDataFrame(
+        [("spam " * 400,), ("the quick brown fox jumps over the lazy dog. "
+                            "meanwhile, seventeen astronauts debated quantum "
+                            "economics beside a turquoise harpsichord!",)],
+        ["text"],
+    ).select(_zlib_ratio("text").alias("r")).collect()
+    rep, nat = planted[0].r, planted[1].r
+    assert rep < 0.05, f"repetitive text should collapse, got {rep}"
+    assert rep < min(r.min_ratio for r in rows), "gate cannot separate"
+    assert nat > 0.35, f"natural one-off text should not be flagged, got {nat}"
