@@ -70,13 +70,22 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
         FROM events
+        WHERE value > 0
         GROUP BY event_type
         ORDER BY event_type
     """,
     tags=("U3",),
 )
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3: grouped-agg pandas UDAF — geometric mean per event type."""
+    """U3: grouped-agg pandas UDAF — geometric mean per event type.
+
+    Positive-domain filter on BOTH engines (r6 sf0.1 sweep): the
+    geometric mean is undefined at 0, and the engines fail
+    DIFFERENTLY — DuckDB's ln(0) raises Out of Range while numpy's
+    log(0) silently yields -inf and a 0.0 "mean". sf0.1 carries six
+    value == 0 rows, so without the filter the oracle errors while
+    Spark fabricates zeros.
+    """
 
     @pandas_udf(T.DoubleType())
     def geo_mean(v: pd.Series) -> float:
@@ -84,7 +93,7 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return float(np.exp(np.log(v).mean()))
 
-    ev = scan(spark, sf_dir, "events")
+    ev = scan(spark, sf_dir, "events").filter(F.col("value") > 0)
     return (
         ev.groupBy("event_type")
         .agg(F.round(geo_mean("value"), 6).alias("geo_mean"))
