@@ -632,3 +632,228 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+        WITH rev AS (
+          SELECT extract(year FROM o.o_orderdate) AS yr,
+                 sn.n_name AS supp_nation,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = cn.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'AMERICA')
+        SELECT yr,
+               round(sum(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume ELSE 0 END), 2) AS nation_rev,
+               round(sum(volume), 2) AS market_rev,
+               round(round(sum(CASE WHEN supp_nation = 'NATION_1'
+                                    THEN volume ELSE 0 END), 2)
+                     / round(sum(volume), 2), 6) AS share
+        FROM rev
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    tags=("A1", "J1", "J2", "tpch"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of the AMERICA-region
+    market per order year — a six-way snowflake join feeding a
+    conditional-sum ratio.
+
+    Scale shape: the only fact-sized relation is lineitem; orders is
+    fact-sized too, so lineitem JOIN orders is the single big shuffle
+    (both hash-partitioned on the order key). Every dimension
+    (customer, supplier, nation x2, region) is broadcast, and the
+    region filter reaches the customer-nation side BEFORE the fact
+    join via the broadcast hash lookup, so non-AMERICA customers'
+    rows never enter the big shuffle. The share divides the two
+    2-dp-rounded sums (then rounds to 6) so the compared value is
+    derived from already-pinned quantities, not raw FP accumulations.
+    """
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    orders = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    nation = scan(spark, sf_dir, "nation")
+    region = scan(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_in_region = (
+        scan(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        scan(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_1", F.col("volume")
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            maybe_broadcast(cust_in_region, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            maybe_broadcast(supp_nation, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(F.sum(nation_vol), 2).alias("nation_rev"),
+            F.round(F.sum("volume"), 2).alias("market_rev"),
+        )
+        .select(
+            "yr",
+            "nation_rev",
+            "market_rev",
+            F.round(F.col("nation_rev") / F.col("market_rev"), 6).alias("share"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "q_small_qty_revenue",
+    oracle="""
+        WITH pa AS (
+          SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey)
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_small_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < pa.half_avg
+    """,
+    tags=("A1", "A2", "J1", "tpch"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would vanish if small-quantity
+    orders (below half the part's average order quantity) for one
+    brand were dropped — the canonical correlated-AVG-subquery
+    decorrelation.
+
+    Scale shape: the correlated subquery becomes ONE per-part
+    aggregate (|parts| rows after map-side partial agg) joined back to
+    the brand-filtered fact rows — never a re-scan of lineitem per
+    part. The per-part avg frame is dimension-sized, so it broadcasts
+    alongside the part dim, leaving the plan a single lineitem scan
+    with two broadcast hash joins and a global agg. The half-average
+    threshold compares identically on both engines: avg() of the
+    same doubles in any order differs by <1 ulp while quantities are
+    integers >= 1 apart, so the < predicate cannot flip.
+    """
+    li = scan(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    brand = (
+        scan(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    return (
+        li.join(
+            maybe_broadcast(brand, table_bytes(sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            maybe_broadcast(per_part, table_bytes(sf_dir, "part")),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+        WITH sup_rev AS (
+          SELECT c.c_mktsegment AS segment, l.l_suppkey,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY segment, l.l_suppkey),
+        sh AS (
+          SELECT segment, rev,
+                 rev / sum(rev) OVER (PARTITION BY segment) AS share
+          FROM sup_rev)
+        SELECT segment,
+               count(*) AS n_suppliers,
+               round(sum(rev), 2) AS segment_rev,
+               round(sum(share * share), 6) AS hhi
+        FROM sh
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("A1", "A5", "W4", "governance"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each customer market segment — the antitrust-style
+    concentration metric complementing q_gini_spend / q_lorenz_curve
+    (inequality) with market-power semantics (sum of squared shares;
+    1/HHI = effective number of suppliers).
+
+    Scale shape: one fact-fact shuffle (lineitem JOIN orders on the
+    order key) with the customer dim broadcast; the (segment,
+    supplier) aggregate is |segments| x |suppliers| rows, so the
+    share/HHI arithmetic runs on a dimension-bounded frame. Per-
+    supplier revenues are rounded to 2 dp BEFORE shares are formed,
+    so both engines square identical deterministic ratios.
+    """
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sup_rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "l_suppkey")
+        .agg(F.round(F.sum("vol"), 2).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    seg_total = F.sum("rev").over(Window.partitionBy("segment"))
+    return (
+        sup_rev.withColumn("share", F.col("rev") / seg_total)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("rev"), 2).alias("segment_rev"),
+            F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
+        )
+        .orderBy("segment")
+    )

@@ -3014,3 +3014,78 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@query(
+    "q_theil_sen_trend",
+    oracle="""
+        WITH monthly AS (
+          SELECT (extract(year FROM o_orderdate) * 12
+                  + extract(month FROM o_orderdate)) AS idx,
+                 round(sum(o_totalprice), 2) AS rev
+          FROM orders GROUP BY idx),
+        slopes AS (
+          SELECT round((b.rev - a.rev) / (b.idx - a.idx), 6) AS slope,
+                 CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+          FROM monthly a JOIN monthly b ON b.idx > a.idx),
+        nm AS (SELECT count(*) AS n FROM monthly),
+        mk AS (SELECT sum(sgn) AS s, count(*) AS n_pairs FROM slopes)
+        SELECT (SELECT n FROM nm) AS n_months,
+               round(quantile_cont(slope, 0.5), 4) AS sen_slope,
+               CAST((SELECT s FROM mk) AS BIGINT) AS mk_s,
+               round((SELECT s - CASE WHEN s > 0 THEN 1
+                                      WHEN s < 0 THEN -1 ELSE 0 END
+                      FROM mk)
+                     / sqrt((SELECT n FROM nm) * ((SELECT n FROM nm) - 1.0)
+                            * (2.0 * (SELECT n FROM nm) + 5.0) / 18.0),
+                     6) AS mk_z
+        FROM slopes
+    """,
+    tags=("A5", "J8", "timeseries", "robust"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend + Mann-Kendall significance over monthly
+    order revenue: the median of all pairwise slopes (up to 29%
+    outlier-months cannot move it, unlike q_regression_trend's OLS
+    fit) plus the nonparametric MK test statistic S and its normal
+    z-score — the standard "is this series really trending" pair.
+
+    Scale shape: the pairwise machinery runs over the MONTHLY
+    aggregate (|months| rows — calendar-bounded, independent of order
+    volume), so the self-join is |months|^2/2 pairs of tiny rows; the
+    corpus-scale work is exactly one date-keyed hash agg. Determinism:
+    monthly revenue is pinned at 2 dp before differencing, each slope
+    is rounded to 6 dp before the median (both engines interpolate the
+    midpoint of an identical multiset), MK's S is a sum of integer
+    signs of pinned values, and the z denominator is closed-form in
+    n. Outputs round to 4/6 dp, orders of magnitude above the
+    remaining interpolation ulp.
+    """
+    monthly = (
+        scan(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(b, F.col("b.idx") > F.col("a.idx")).select(
+        F.round(
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.idx") - F.col("a.idx")),
+            6,
+        ).alias("slope"),
+        F.signum(F.col("b.rev") - F.col("a.rev")).cast("long").alias("sgn"),
+    )
+    n_months = monthly.count()
+    var_s = n_months * (n_months - 1.0) * (2.0 * n_months + 5.0) / 18.0
+    return slopes.agg(
+        F.lit(n_months).cast("long").alias("n_months"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("sen_slope"),
+        F.sum("sgn").alias("mk_s"),
+        F.round(
+            (F.sum("sgn") - F.signum(F.sum("sgn")))
+            / F.lit(float(var_s) ** 0.5),
+            6,
+        ).alias("mk_z"),
+    )

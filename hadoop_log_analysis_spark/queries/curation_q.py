@@ -1105,3 +1105,177 @@ def q_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Deterministic contrastive negative sampling ------------------------
+NEG_K = 5  # negatives mined per anchor
+NEG_ANCHOR_MOD = 50  # doc_id % MOD == 0 marks the anchor set
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+        WITH anchors AS (
+          SELECT doc_id AS anchor_id, source AS anchor_source
+          FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = 0),
+        cand AS (
+          SELECT a.anchor_id, d.doc_id AS neg_id, d.source AS neg_source,
+                 (d.doc_id * 2654435761 + a.anchor_id) % 1000003 AS h
+          FROM anchors a
+          JOIN documents d ON d.source <> a.anchor_source),
+        ranked AS (
+          SELECT anchor_id, neg_id, neg_source,
+                 CAST(row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY h, neg_id) AS BIGINT)
+                   AS rank
+          FROM cand)
+        SELECT anchor_id, neg_id, neg_source, rank
+        FROM ranked WHERE rank <= {NEG_K}
+        ORDER BY anchor_id, rank
+    """,
+    tags=("L3", "W2", "curation", "training-data"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative mining for contrastive /
+    retrieval training: for each anchor document, the k=5
+    pseudo-random negatives drawn from OTHER sources, selected by a
+    portable integer hash (doc_id * Knuth-multiplier + anchor_id mod
+    prime) so resampling a grown corpus only appends — no RNG state,
+    reproducible across engines and runs (the property q_deterministic_
+    sample pins for uniform sampling, applied to pair mining).
+
+    Scale shape: anchors are a fixed-rate slice (|docs|/50) broadcast
+    against the corpus; per-anchor selection uses operators/topk.
+    grouped_bottom_k — two hash-agg phases bounded per reducer by one
+    (anchor, input-partition) slice — NEVER a window sorting every
+    candidate through |anchors| partitions. The k * |anchors| survivors
+    get their final rank from a window over that k-bounded frame. Hash
+    values stay < 2^53: doc_id * 2654435761 fits a BIGINT for any
+    realistic doc count.
+    """
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
+
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "source")
+    anchors = docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_source"),
+    )
+    cand = docs.join(
+        F.broadcast(anchors), F.col("source") != F.col("anchor_source")
+    ).select(
+        "anchor_id",
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        ((F.col("doc_id") * F.lit(2654435761).cast("long") + F.col("anchor_id"))
+         % 1000003).alias("h"),
+    )
+    top = grouped_bottom_k(
+        cand,
+        ["anchor_id"],
+        F.struct(F.col("h"), F.col("neg_id"), F.col("neg_source")),
+        NEG_K,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("item.h"), F.col("item.neg_id")
+    )
+    return (
+        top.select(
+            "anchor_id",
+            F.col("item.neg_id").alias("neg_id"),
+            F.col("item.neg_source").alias("neg_source"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+# --- Benchmark-contamination audit ---------------------------------------
+EVAL_MOD = 23  # doc_id % MOD == EVAL_RESIDUE marks the held-out eval slice
+EVAL_RESIDUE = 3
+CONTAM_FRAC = 0.10  # flag a train doc when >=10% of its shingles are eval
+
+
+@query(
+    "q_eval_contamination",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id, source,
+                      array_to_string(
+                        list_slice(toks, i + 1, i + {NGRAM_K}), ' ') AS g
+               FROM (SELECT doc_id, source, toks,
+                            unnest(generate_series(
+                              0, greatest(len(toks) - {NGRAM_K}, 0))) AS i
+                     FROM t)),
+        eg AS (SELECT DISTINCT g FROM sh
+               WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}),
+        per_doc AS (
+          SELECT sh.doc_id, sh.source,
+                 count(*) AS n_shingles,
+                 sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+          FROM sh LEFT JOIN eg ON eg.g = sh.g
+          WHERE sh.doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+          GROUP BY sh.doc_id, sh.source)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_train_docs,
+               CAST(sum(CASE WHEN n_hit * 1.0 / n_shingles >= {CONTAM_FRAC}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               round(avg(n_hit * 1.0 / n_shingles), 6) AS avg_overlap,
+               round(max(n_hit * 1.0 / n_shingles), 6) AS max_overlap
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("L5", "L7", "curation", "training-data"),
+)
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (the train/eval n-gram overlap
+    check every serious pretraining pipeline runs before training):
+    a deterministic slice of documents (doc_id % 23 == 3) stands in
+    for the held-out eval set; every TRAIN document is scored by the
+    fraction of its 8-token shingles that appear anywhere in the eval
+    slice, and sources are graded by how many of their docs cross the
+    10% contamination threshold. Catches both verbatim eval leakage
+    and templated paraphrase that shares long n-grams.
+
+    Scale shape: the eval side is benchmarks — thousands of docs, not
+    the corpus — so its DISTINCT shingle set is dimension-sized and
+    BROADCASTS; the train side is one shingle explode (corpus-token-
+    stream shuffle shape, same as q_crossdoc_ngram_coverage) probed
+    by a broadcast left join, then ONE per-doc hash agg and a
+    |sources|-row rollup. Nothing pairwise, nothing corpus x corpus.
+    Overlap fractions are ratios of exact integer counts (round 6).
+    """
+    from hadoop_log_analysis_spark.operators.dedup import shingles
+
+    sh = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(shingles("text", NGRAM_K)).alias("g"),
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_RESIDUE
+    eval_grams = sh.filter(is_eval).select("g").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    per_doc = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    overlap = F.col("n_hit") / F.col("n_shingles")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.sum((overlap >= CONTAM_FRAC).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(F.avg(overlap), 6).alias("avg_overlap"),
+            F.round(F.max(overlap), 6).alias("max_overlap"),
+        )
+        .orderBy("source")
+    )

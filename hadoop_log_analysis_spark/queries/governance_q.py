@@ -1423,3 +1423,102 @@ def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+        WITH cell AS (
+          SELECT lang, CAST(floor(n_chars / 100) AS INT) AS len_band,
+                 source, count(*) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        grp AS (
+          SELECT lang, len_band, sum(c) AS ng
+          FROM cell GROUP BY 1, 2),
+        gsrc AS (
+          SELECT source, sum(c) AS cs FROM cell GROUP BY 1),
+        n AS (SELECT sum(c) AS n FROM cell),
+        grid AS (
+          SELECT g.lang, g.len_band, g.ng, s.source, s.cs,
+                 coalesce(cl.c, 0) AS c
+          FROM grp g
+          CROSS JOIN gsrc s
+          LEFT JOIN cell cl ON cl.lang = g.lang
+                           AND cl.len_band = g.len_band
+                           AND cl.source = s.source)
+        SELECT lang, len_band,
+               CAST(max(ng) AS BIGINT) AS group_size,
+               round(0.5 * sum(abs(c * 1.0 / ng - cs * 1.0 / (SELECT n FROM n))),
+                     6) AS tvd,
+               round(0.5 * sum(abs(c * 1.0 / ng - cs * 1.0 / (SELECT n FROM n))),
+                     6) <= 0.25 AS t_close
+        FROM grid
+        GROUP BY lang, len_band
+        ORDER BY lang, len_band
+    """,
+    tags=("L7", "compliance", "diagnostic"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the anonymization triad
+    (q_k_anonymity: class sizes; q_l_diversity: sensitive-value
+    variety; here: sensitive-value DISTRIBUTION): for each
+    quasi-identifier class (lang, length band), the total-variation
+    distance between the class's `source` distribution and the
+    corpus-wide one, and whether it meets t = 0.25. A class can be
+    large (k-anonymous) and diverse (l-diverse) yet still leak —
+    e.g. 95% one source where the corpus has 5% — which only the
+    distributional test catches.
+
+    Plan: ONE corpus-scale hash agg to (lang, band, source) counts;
+    everything after runs on aggregate-sized frames — the class x
+    source grid is |classes| x |sources| rows built by a bounded
+    cross join (absent cells must contribute |0 - p(s)|, so the grid
+    is semantically required, not a cartesian accident). All
+    probabilities are ratios of exact integer counts; the TVD sum has
+    <= |sources| terms, so round(6) is far above accumulation noise.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    cell = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_band"),
+        "source",
+    ).agg(F.count("*").alias("c"))
+    grp = cell.groupBy("lang", "len_band").agg(F.sum("c").alias("ng"))
+    glob = cell.groupBy(F.col("source").alias("g_source")).agg(
+        F.sum("c").alias("cs")
+    )
+    n_total = cell.agg(F.sum("c").alias("n"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n_total))
+        .join(
+            cell.withColumnRenamed("lang", "c_lang")
+            .withColumnRenamed("len_band", "c_band")
+            .withColumnRenamed("source", "c_source"),
+            (F.col("lang") == F.col("c_lang"))
+            & (F.col("len_band") == F.col("c_band"))
+            & (F.col("g_source") == F.col("c_source")),
+            "left",
+        )
+        .select(
+            "lang",
+            "len_band",
+            "ng",
+            "cs",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    tvd = F.round(
+        0.5 * F.sum(F.abs(F.col("c") / F.col("ng") - F.col("cs") / F.col("n"))),
+        6,
+    )
+    return (
+        grid.groupBy("lang", "len_band")
+        .agg(
+            F.max("ng").cast("long").alias("group_size"),
+            tvd.alias("tvd"),
+            (tvd <= 0.25).alias("t_close"),
+        )
+        .orderBy("lang", "len_band")
+    )

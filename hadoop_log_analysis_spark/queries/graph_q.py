@@ -428,3 +428,79 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         nb.unpersist()
     return out
+
+
+@query(
+    "q_adamic_adar",
+    oracle="""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        sz AS (
+          SELECT l_orderkey, count(*) AS n
+          FROM basket GROUP BY l_orderkey),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*) AS common_orders,
+                 round(sum(1.0 / ln(s.n)), 6) AS aa_score
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey > a.l_partkey
+          JOIN sz s ON s.l_orderkey = a.l_orderkey
+          WHERE s.n >= 2
+          GROUP BY part_a, part_b
+          HAVING count(*) >= 2)
+        SELECT part_a, part_b, common_orders, aa_score
+        FROM pairs
+        ORDER BY aa_score DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("J8", "A1", "graph", "W2"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the order-basket bipartite
+    graph: for part pairs co-occurring in >= 2 orders, score each pair
+    by sum(1/ln(basket size)) over shared orders — shared SMALL
+    baskets are stronger evidence of affinity than shared big ones —
+    and return the top-20 predicted links.
+
+    Scale shape: the pair generator is a SELF-JOIN WITHIN the order
+    key, so the blow-up is bounded by basket size (max 13 parts ->
+    <= 78 pairs per order at every SF; baskets are size-capped by the
+    workload, not the corpus), never an all-pairs cartesian over
+    parts. Both join legs hash-partition on the order key — one
+    shuffle, co-located — and the pair aggregate collapses map-side.
+    The HAVING >= 2 prunes the singleton-pair tail (the vast majority)
+    before the final top-k, which is a 20-row TakeOrdered, not a
+    global sort. Scores are rounded BEFORE the ORDER BY on both
+    engines so the top-20 cut compares identical values; ties break
+    on the pair key.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sz = basket.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count("*").alias("n")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .join(sz.filter(F.col("n") >= 2), F.col("a.l_orderkey") == F.col("o_key"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(
+            F.count("*").alias("common_orders"),
+            F.round(F.sum(1.0 / F.log(F.col("n"))), 6).alias("aa_score"),
+        )
+        .filter(F.col("common_orders") >= 2)
+        .orderBy(F.desc("aa_score"), "part_a", "part_b")
+        .limit(20)
+    )

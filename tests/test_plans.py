@@ -788,3 +788,76 @@ def test_gini_two_phase_rank_no_global_window(spark):
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window in q_gini_spend"
     assert "row_number" in plan
+
+
+def test_market_share_region_filter_pushed_and_dims_broadcast(spark):
+    # Q8 shape: every dimension hop (customer-nation-region, supplier-
+    # nation) must broadcast so the only big exchange is the fact join,
+    # and the region predicate must reach the parquet scan — at 100 TB
+    # the non-AMERICA customers must never enter the shuffle.
+    plan = _formatted(REGISTRY["q_market_share"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(r_name,AMERICA)" in plan.replace("'", "")
+
+
+def test_small_qty_revenue_decorrelated_no_window(spark):
+    # Q17 shape: the correlated AVG must be ONE per-part aggregate
+    # joined back — no Window, no per-part re-scan loop; the brand
+    # filter must reach the part scan.
+    plan = _formatted(REGISTRY["q_small_qty_revenue"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "EqualTo(p_brand,Brand#4)" in plan.replace("'", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_share_window_partitioned_by_segment(spark):
+    # The share denominator runs over the (segment, supplier)
+    # AGGREGATE frame with a segment-partitioned window — never an
+    # unpartitioned window over corpus-grain rows.
+    import re
+
+    plan = _formatted(REGISTRY["q_hhi_concentration"].fn(spark, SF001))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_hhi_concentration"
+
+
+def test_theil_sen_pairs_join_is_aggregate_sized(spark):
+    # The pairwise slope join must run over the MONTHLY aggregate
+    # (calendar-bounded), broadcast on one side (theta join -> BNLJ),
+    # and the orders scan must be pruned to the two needed columns.
+    plan = _formatted(REGISTRY["q_theil_sen_trend"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
+
+
+def test_negative_sampling_windows_partitioned_and_anchor_broadcast(spark):
+    # Candidate generation broadcasts the anchor slice; the final rank
+    # window runs over the k-bounded survivor frame partitioned by
+    # anchor — no unpartitioned window anywhere.
+    import re
+
+    plan = _formatted(REGISTRY["q_negative_sampling"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_negative_sampling"
+
+
+def test_t_closeness_grid_is_broadcast_not_cartesian(spark):
+    # The |classes| x |sources| grid is built from aggregate-sized
+    # frames with explicit broadcasts — a CartesianProduct would mean
+    # a corpus-scale side leaked into the grid.
+    plan = _formatted(REGISTRY["q_t_closeness"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_adamic_adar_pair_join_colocated_topk_take_ordered(spark):
+    # The within-order self-join must be an equi-join on the order key
+    # (one co-located shuffle), never a cartesian; the top-20 must be
+    # TakeOrdered, not a global sort.
+    plan = _formatted(REGISTRY["q_adamic_adar"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1179,3 +1179,34 @@ def test_registry_priority_integrity():
         if s.oracle is None:
             doc = (s.fn.__doc__ or "").lower()
             assert "rows-only" in doc or "oracle" in doc, s.name
+
+
+def test_r6_wave8_partition_invariant(spark):
+    """Split-invariance for the round-6 wave-8 FP-heavy queries: the
+    Q8 market-share ratio, the HHI squared-share sum, the Theil-Sen
+    pairwise median + MK z-score, the t-closeness TVD, and the
+    Adamic-Adar 1/ln(n) accumulation all pin intermediate floats
+    before rounding — identical rows at 32 and 5 shuffle partitions,
+    or an accumulation-order sensitivity is leaking through the
+    rounding."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_market_share",
+        "q_hhi_concentration",
+        "q_theil_sen_trend",
+        "q_t_closeness",
+        "q_adamic_adar",
+        "q_negative_sampling",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
