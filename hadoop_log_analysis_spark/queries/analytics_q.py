@@ -3089,3 +3089,115 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mk_z"),
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+        WITH pu AS (
+          SELECT user_id, min(epoch_ns(ts)) AS t0,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_ns(ts) END) AS p_ns
+          FROM events GROUP BY user_id),
+        obs AS (SELECT max(epoch_ns(ts)) AS end_ns FROM events),
+        dur AS (
+          SELECT (coalesce(p_ns, end_ns) - t0) // 3600000000000 AS d,
+                 CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM pu, obs),
+        agg AS (
+          SELECT d, sum(ev) AS d_i, count(*) - sum(ev) AS c_i
+          FROM dur GROUP BY d),
+        km AS (
+          SELECT d, d_i,
+                 (SELECT count(*) FROM dur)
+                 - coalesce(sum(d_i + c_i) OVER (
+                     ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_i
+          FROM agg),
+        s AS (
+          SELECT d, d_i, n_i,
+                 max(CASE WHEN d_i = n_i THEN 1 ELSE 0 END)
+                   OVER (ORDER BY d) AS extinct,
+                 sum(CASE WHEN d_i < n_i
+                          THEN ln(1.0 - d_i * 1.0 / n_i) ELSE 0 END)
+                   OVER (ORDER BY d) AS lsum
+          FROM km WHERE d_i > 0)
+        SELECT CAST(d AS BIGINT) AS duration_h,
+               CAST(n_i AS BIGINT) AS n_at_risk,
+               CAST(d_i AS BIGINT) AS n_events,
+               CASE WHEN extinct = 1 THEN 0.0
+                    ELSE round(exp(lsum), 6) END AS survival
+        FROM s ORDER BY duration_h
+    """,
+    tags=("A5", "W4", "timeseries", "robust"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve for time-to-first-
+    purchase with RIGHT-CENSORING: users who never purchase are
+    censored at the observation end instead of being dropped — the
+    bias plain avg(time-to-convert) has (q_time_to_convert measures
+    converters only; this measures everyone). S(t) = prod over event
+    times t_i <= t of (1 - d_i/n_i) with censored users counted in
+    the at-risk set n_i until their censor hour.
+
+    Scale shape: ONE per-user min-aggregate over the fact table (map-
+    side combinable), then every KM step runs on the distinct-duration
+    frame — bounded by |users'| distinct hours, aggregate-sized, so
+    its unpartitioned ordered window is safe (same bounded-frame
+    argument as q_vocab_growth_heaps' 10-row cumsum). Durations are
+    integer floor-divided nanosecond epochs (bit-identical on both
+    engines); the cumulative product is exp(sum(ln)) over exact
+    integer ratios, skipping the ln(0) of an extinct risk set (Spark
+    ln(0) is NULL, DuckDB -inf — the CASE keeps both engines on the
+    defined domain), rounded to 6 dp.
+    """
+    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts_ns").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+        ).alias("p_ns"),
+    )
+    obs = ev.agg(F.max("ts_ns").alias("end_ns"))
+    dur = pu.crossJoin(F.broadcast(obs)).select(
+        F.expr(
+            "(coalesce(p_ns, end_ns) - t0) div 3600000000000"
+        ).alias("d"),
+        F.col("p_ns").isNotNull().cast("long").alias("ev"),
+    )
+    agg = dur.groupBy("d").agg(
+        F.sum("ev").alias("d_i"),
+        (F.count("*") - F.sum("ev")).alias("c_i"),
+    )
+    n_total = dur.count()
+    w_prior = (
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = agg.withColumn(
+        "n_i",
+        F.lit(n_total)
+        - F.coalesce(F.sum(F.col("d_i") + F.col("c_i")).over(w_prior), F.lit(0)),
+    ).filter(F.col("d_i") > 0)
+    km = km.withColumn(
+        "extinct",
+        F.max((F.col("d_i") == F.col("n_i")).cast("int")).over(w_run),
+    ).withColumn(
+        "lsum",
+        F.sum(
+            F.when(
+                F.col("d_i") < F.col("n_i"),
+                F.log(1.0 - F.col("d_i") / F.col("n_i")),
+            ).otherwise(F.lit(0.0))
+        ).over(w_run),
+    )
+    return km.select(
+        F.col("d").cast("long").alias("duration_h"),
+        F.col("n_i").cast("long").alias("n_at_risk"),
+        F.col("d_i").cast("long").alias("n_events"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lsum"), 6))
+        .alias("survival"),
+    ).orderBy("duration_h")

@@ -1279,3 +1279,116 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_mixture_apply",
+    oracle="""
+        WITH d AS (SELECT doc_id, source,
+                          len(string_split(text, ' ')) AS n_tok,
+                          ((doc_id * 2654435761) % 1000003) / 1000003.0
+                            AS u
+                   FROM documents),
+        src AS (SELECT source, sum(n_tok) AS toks FROM d GROUP BY source),
+        tgt AS (SELECT source, toks, power(toks, 0.5) AS w FROM src),
+        z AS (SELECT sum(w) AS zw, sum(toks) AS total FROM tgt),
+        rates AS (SELECT t.source,
+                         round(t.w / z.zw, 6) AS share_target,
+                         round(least((t.w / z.zw) * z.total / t.toks, 1.0),
+                               6) AS rate
+                  FROM tgt t CROSS JOIN z),
+        kept AS (SELECT d.source, r.share_target, r.rate,
+                        count(*) AS n_docs,
+                        sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END)
+                          AS n_kept,
+                        sum(CASE WHEN d.u < r.rate THEN d.n_tok ELSE 0 END)
+                          AS toks_kept
+                 FROM d JOIN rates r USING (source)
+                 GROUP BY d.source, r.share_target, r.rate),
+        tot AS (SELECT sum(toks_kept) AS kt FROM kept)
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(toks_kept AS BIGINT) AS toks_kept,
+               rate,
+               share_target,
+               round(toks_kept * 1.0 / (SELECT kt FROM tot), 6)
+                 AS share_achieved
+        FROM kept
+        ORDER BY source
+    """,
+    tags=("L7", "mixture", "curation", "training-data"),
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mixture: q_mixture_solver computes per-source
+    sampling rates; this query applies them with the shared portable
+    hash (doc kept when hash-uniform u < rate) and reports achieved
+    vs target token shares — the job that actually writes the
+    training mix, plus its own audit. Deterministic end-to-end: the
+    same corpus always yields the same kept set (re-runs, task
+    retries, and the DuckDB oracle all agree), and because u is a
+    pure function of doc_id, growing the corpus never flips a
+    previously-kept doc.
+
+    Scale shape: ONE corpus-scale pass computes per-doc token counts
+    and hash-uniforms; the rate table is |sources| rows broadcast back
+    onto the stream; keep/drop is a map-side comparison feeding a
+    per-source hash agg. Rates are pinned at 6 dp on BOTH engines
+    before the u < rate comparison, and u is an exact integer ratio —
+    the boundary cannot flip between engines.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            ((F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000003)
+            / F.lit(1000003.0)
+        ).alias("u"),
+    )
+    src = d.groupBy(F.col("source").alias("r_source")).agg(
+        F.sum("n_tok").alias("toks")
+    )
+    tgt = src.withColumn("w", F.pow("toks", 0.5))
+    z = tgt.agg(
+        F.sum("w").alias("zw"), F.sum("toks").alias("total")
+    )
+    rates = tgt.crossJoin(F.broadcast(z)).select(
+        "r_source",
+        F.round(F.col("w") / F.col("zw"), 6).alias("share_target"),
+        F.round(
+            F.least(
+                F.col("w") / F.col("zw") * F.col("total") / F.col("toks"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    kept_flag = F.col("u") < F.col("rate")
+    kept = (
+        d.join(F.broadcast(rates), F.col("source") == F.col("r_source"))
+        .groupBy("source", "share_target", "rate")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept_flag.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept_flag, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("toks_kept"),
+        )
+    )
+    tot = kept.agg(F.sum("toks_kept").alias("kt"))
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "toks_kept",
+            "rate",
+            "share_target",
+            F.round(F.col("toks_kept") / F.col("kt"), 6).alias(
+                "share_achieved"
+            ),
+        )
+        .orderBy("source")
+    )

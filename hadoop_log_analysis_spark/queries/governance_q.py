@@ -1522,3 +1522,162 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_band")
     )
+
+
+# --- Multiple-testing control (Benjamini-Hochberg) ------------------------
+BH_ALPHA = 0.05
+
+
+@query(
+    "q_bh_fdr",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events),
+        bounds AS (
+          SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        daily AS (
+          SELECT event_type, day, count(*) AS c
+          FROM e GROUP BY event_type, day),
+        halves AS (
+          SELECT d.event_type,
+                 CASE WHEN d.day <= b.mid THEN 1 ELSE 2 END AS h,
+                 d.c
+          FROM daily d CROSS JOIN bounds b),
+        st AS (
+          SELECT event_type,
+                 count(CASE WHEN h = 1 THEN 1 END) AS n1,
+                 count(CASE WHEN h = 2 THEN 1 END) AS n2,
+                 avg(CASE WHEN h = 1 THEN c END) AS m1,
+                 avg(CASE WHEN h = 2 THEN c END) AS m2,
+                 var_samp(CASE WHEN h = 1 THEN c END) AS v1,
+                 var_samp(CASE WHEN h = 2 THEN c END) AS v2
+          FROM halves GROUP BY event_type),
+        zt AS (
+          SELECT event_type, n1, n2,
+                 round(abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6) AS za
+          FROM st),
+        pt AS (
+          SELECT event_type, n1, n2, za,
+                 round(2 * (exp(-za * za / 2) / 2.506628274631)
+                       * ((1.0 / (1 + 0.2316419 * za))
+                          * (0.319381530
+                             + (1.0 / (1 + 0.2316419 * za))
+                               * (-0.356563782
+                                  + (1.0 / (1 + 0.2316419 * za))
+                                    * (1.781477937
+                                       + (1.0 / (1 + 0.2316419 * za))
+                                         * (-1.821255978
+                                            + (1.0 / (1 + 0.2316419 * za))
+                                              * 1.330274429))))),
+                       6) AS p_value
+          FROM zt),
+        ranked AS (
+          SELECT *,
+                 CAST(row_number() OVER (ORDER BY p_value, event_type)
+                      AS BIGINT) AS rank,
+                 count(*) OVER () AS m
+          FROM pt),
+        kstar AS (
+          SELECT max(CASE WHEN p_value <= rank * {BH_ALPHA} / m
+                          THEN rank ELSE 0 END) AS k
+          FROM ranked)
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_days_1,
+               CAST(n2 AS BIGINT) AS n_days_2,
+               za AS abs_z,
+               p_value,
+               rank,
+               rank <= (SELECT k FROM kstar) AS reject
+        FROM ranked
+        ORDER BY rank
+    """,
+    tags=("A5", "governance", "diagnostic"),
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of per-event-type
+    volume-shift tests: Welch z on daily counts (first vs second half
+    of the observation window), normal tail via the Abramowitz-Stegun
+    26.2.17 polynomial (written out as plain arithmetic so BOTH
+    engines evaluate the identical formula — neither has a portable
+    erf), then the BH step-up: reject every hypothesis ranked at or
+    below k* = max{{k : p_(k) <= k/m * alpha}}. The multiple-testing
+    discipline any drift-monitor dashboard (q_ks_drift, q_psi_drift,
+    q_chi2_independence) needs once it watches many metrics at once —
+    per-test alpha inflates the family-wise false-alarm rate.
+
+    Scale shape: the corpus-scale work is ONE (type, day) hash agg;
+    the test statistics, polynomial, ranking window, and step-up all
+    run on the |types|-row frame (bounded, aggregate-sized — the safe
+    unpartitioned-window case). Days are integer floor-divided ns
+    epochs; z is rounded to 6 dp BEFORE the polynomial and p to 6 dp
+    before ranking, so both engines rank identical values; ranks
+    tie-break on event_type; the BH threshold k*alpha/m is a ratio of
+    small exact integers on both sides.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 86400000000000").alias("day"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("mid")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    halves = daily.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("h"),
+        "c",
+    )
+    c1 = F.when(F.col("h") == 1, F.col("c"))
+    c2 = F.when(F.col("h") == 2, F.col("c"))
+    st = halves.groupBy("event_type").agg(
+        F.count(c1).alias("n1"),
+        F.count(c2).alias("n2"),
+        F.avg(c1).alias("m1"),
+        F.avg(c2).alias("m2"),
+        F.var_samp(c1).alias("v1"),
+        F.var_samp(c2).alias("v2"),
+    )
+    za = F.round(
+        F.abs(F.col("m2") - F.col("m1"))
+        / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+        6,
+    )
+    t = 1.0 / (1 + 0.2316419 * F.col("za"))
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    p = F.round(
+        2 * (F.exp(-F.col("za") * F.col("za") / 2) / 2.506628274631) * poly,
+        6,
+    )
+    pt = st.withColumn("za", za).withColumn("p_value", p)
+    w = Window.orderBy("p_value", "event_type")
+    ranked = pt.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).crossJoin(
+        F.broadcast(pt.agg(F.count("*").alias("m")))
+    )
+    kstar = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("rank") * BH_ALPHA / F.col("m"),
+                F.col("rank"),
+            ).otherwise(F.lit(0))
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_days_1"),
+            F.col("n2").cast("long").alias("n_days_2"),
+            F.col("za").alias("abs_z"),
+            "p_value",
+            "rank",
+            (F.col("rank") <= F.col("k")).alias("reject"),
+        )
+        .orderBy("rank")
+    )

@@ -853,3 +853,95 @@ def q_null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_sole_late_supplier",
+    oracle="""
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT s.s_name,
+               CAST(count(DISTINCT la.l_orderkey) AS BIGINT) AS numwait
+        FROM late la
+        JOIN supplier s ON s.s_suppkey = la.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = la.l_orderkey
+              AND l2.l_suppkey <> la.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = la.l_orderkey
+              AND l3.l_suppkey <> la.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    tags=("J4", "A3", "tpch"),
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order ("late" = shipped >60 days after the
+    order date — the fixture carries no commit/receipt dates, so
+    shipdate lateness stands in). The reference shape is a correlated
+    EXISTS + NOT EXISTS pair (the oracle keeps that form as the
+    equivalence proof); the engine DECORRELATES both into one per-
+    order aggregate — at 100 TB the correlated form re-probes
+    lineitem twice per candidate row, while the aggregate form is a
+    single extra pass.
+
+    Scale shape: per-order supplier/late-supplier distinct-counts and
+    the late pairs all hash-partition on the order key — one shuffle
+    family, co-located; the qualifying filter (n_supp >= 2 AND
+    n_late_supp = 1) runs on the order-grain aggregate, the supplier
+    dim broadcasts, and the top-10 is a TakeOrdered with a name
+    tie-break. Counts are exact integers — no FP anywhere.
+    """
+    orders_f = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines_f = li.join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias(
+            "is_late"
+        ),
+    )
+    per_order = lines_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lines_f.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    sup = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(
+            maybe_broadcast(sup, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

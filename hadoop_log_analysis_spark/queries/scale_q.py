@@ -469,3 +469,149 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Resharding cost: mod-N vs consistent-hash ring ----------------------
+SHARDS_OLD = 8
+SHARDS_NEW = 10
+RING_VNODES = 16  # virtual nodes per shard
+
+
+@query(
+    "q_shard_rebalance",
+    oracle=f"""
+        WITH keys AS (
+          SELECT DISTINCT user_id AS k,
+                 (user_id * 2654435761) % 1000003 AS p
+          FROM events),
+        ring AS (
+          SELECT s, ((s * 7919 + v + 1) * 2654435761) % 1000003 AS pt
+          FROM generate_series(0, {SHARDS_NEW - 1}) t(s),
+               generate_series(0, {RING_VNODES - 1}) u(v)),
+        succ AS (
+          SELECT k.k,
+                 coalesce(min(CASE WHEN r.pt >= k.p AND r.s < {SHARDS_OLD}
+                                   THEN r.pt END),
+                          min(CASE WHEN r.s < {SHARDS_OLD}
+                                   THEN r.pt END)) AS apt_old,
+                 coalesce(min(CASE WHEN r.pt >= k.p THEN r.pt END),
+                          min(r.pt)) AS apt_new
+          FROM keys k CROSS JOIN ring r GROUP BY k.k, k.p),
+        ring_assign AS (
+          SELECT su.k,
+                 (SELECT min(s) FROM ring r
+                  WHERE r.pt = su.apt_old AND r.s < {SHARDS_OLD}) AS old_s,
+                 (SELECT min(s) FROM ring r
+                  WHERE r.pt = su.apt_new) AS new_s
+          FROM succ su),
+        mod_assign AS (
+          SELECT k, p % {SHARDS_OLD} AS old_s, p % {SHARDS_NEW} AS new_s
+          FROM keys)
+        SELECT 'mod' AS method,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved,
+               round(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS moved_frac
+        FROM mod_assign
+        UNION ALL
+        SELECT 'ring',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               round(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6)
+        FROM ring_assign
+        ORDER BY method
+    """,
+    tags=("A1", "layout", "scale"),
+)
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding cost report: when the user-keyed state store scales
+    8 -> 10 shards, what fraction of keys MOVE under naive mod-N
+    placement vs a consistent-hash ring (16 virtual nodes per shard)?
+    Mod-N remaps ~1 - 1/lcm-share of ALL keys (every key whose hash
+    changes residue); the ring only hands keys to the two NEW shards
+    (~2/10) — the reason state stores, shuffle services, and KV
+    caches shard by ring. Both placements use the shared portable
+    Knuth hash so the report is engine-identical and re-runnable.
+
+    Scale shape: the corpus-scale work is ONE distinct over user ids;
+    the ring is |shards| x |vnodes| = 160 rows, BROADCAST against the
+    key set (bounded nested-loop per key, 160 comparisons); successor
+    resolution is two aggregate passes (min candidate point, then min
+    shard at that point — avoiding engine-specific struct-ordering
+    ties). Everything downstream of the distinct is integer-exact.
+    """
+    keys = (
+        scan(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn(
+            "p", (F.col("k") * F.lit(2654435761).cast("long")) % 1000003
+        )
+    )
+    ring = (
+        spark.range(SHARDS_NEW)
+        .select(F.col("id").cast("int").alias("s"))
+        .crossJoin(
+            spark.range(RING_VNODES).select(F.col("id").cast("int").alias("v"))
+        )
+        .select(
+            "s",
+            (
+                ((F.col("s") * F.lit(7919) + F.col("v") + F.lit(1))
+                 * F.lit(2654435761).cast("long"))
+                % 1000003
+            ).alias("pt"),
+        )
+    )
+    old_ring = F.col("s") < SHARDS_OLD
+    succ = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("k", "p")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("pt") >= F.col("p")) & old_ring, F.col("pt")
+                    )
+                ),
+                F.min(F.when(old_ring, F.col("pt"))),
+            ).alias("apt_old"),
+            F.coalesce(
+                F.min(F.when(F.col("pt") >= F.col("p"), F.col("pt"))),
+                F.min("pt"),
+            ).alias("apt_new"),
+        )
+    )
+    old_shard = ring.filter(old_ring).groupBy("pt").agg(
+        F.min("s").alias("old_s")
+    )
+    new_shard = ring.groupBy(F.col("pt").alias("pt_n")).agg(
+        F.min("s").alias("new_s")
+    )
+    ring_assign = succ.join(
+        F.broadcast(old_shard), F.col("apt_old") == F.col("pt")
+    ).join(F.broadcast(new_shard), F.col("apt_new") == F.col("pt_n"))
+    moved = F.sum(
+        (F.col("old_s") != F.col("new_s")).cast("long")
+    )
+    frac = F.round(moved * F.lit(1.0) / F.count("*"), 6)
+    mod_assign = keys.select(
+        (F.col("p") % SHARDS_OLD).alias("old_s"),
+        (F.col("p") % SHARDS_NEW).alias("new_s"),
+    )
+    mod_row = mod_assign.agg(
+        F.lit("mod").alias("method"),
+        F.count("*").cast("long").alias("n_keys"),
+        moved.cast("long").alias("n_moved"),
+        frac.alias("moved_frac"),
+    )
+    ring_row = ring_assign.agg(
+        F.lit("ring").alias("method"),
+        F.count("*").cast("long").alias("n_keys"),
+        moved.cast("long").alias("n_moved"),
+        frac.alias("moved_frac"),
+    )
+    return mod_row.unionByName(ring_row).orderBy("method")

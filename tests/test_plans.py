@@ -861,3 +861,59 @@ def test_adamic_adar_pair_join_colocated_topk_take_ordered(spark):
     plan = _formatted(REGISTRY["q_adamic_adar"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kaplan_meier_single_fact_agg_pruned_scan(spark):
+    # The fact table contributes ONE per-user min-aggregate; the
+    # observation end is a broadcast scalar (BNLJ), and the events
+    # scan is pruned to the three needed columns.
+    plan = _formatted(REGISTRY["q_kaplan_meier"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_sole_late_supplier_decorrelated_no_window_take_ordered(spark):
+    # The EXISTS/NOT-EXISTS pair must decorrelate into per-order
+    # aggregates — no Window, no re-probe; the top-10 is TakeOrdered
+    # and the supplier dim broadcasts.
+    plan = _formatted(REGISTRY["q_sole_late_supplier"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_rebalance_ring_broadcasts(spark):
+    # The 160-point ring must broadcast against the key set — the
+    # corpus-scale side never shuffles for the ring probe.
+    plan = _formatted(REGISTRY["q_shard_rebalance"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_apply_rates_broadcast_no_window(spark):
+    # The |sources|-row rate table joins back via broadcast; keep/drop
+    # is a map-side comparison — no Window anywhere.
+    plan = _formatted(REGISTRY["q_mixture_apply"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bh_fdr_corpus_scan_pruned(spark):
+    # The only corpus-scale work is the (type, day) hash agg; the
+    # events scan must carry only event_type and the timestamp.
+    plan = _formatted(REGISTRY["q_bh_fdr"].fn(spark, SF001))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_type" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+    assert "row_number" in plan
+
+
+def test_eval_contamination_eval_grams_broadcast(spark):
+    # The eval shingle set is benchmark-sized and must broadcast into
+    # the train-side probe — corpus x corpus would be a scale killer.
+    plan = _formatted(REGISTRY["q_eval_contamination"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

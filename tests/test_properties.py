@@ -1210,3 +1210,31 @@ def test_r6_wave8_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_r6_wave9_partition_invariant(spark):
+    """Split-invariance for the round-6 wave-9 queries: KM's exp-sum
+    survival, BH's Welch variances and polynomial tail, the mixture
+    rates, the ring successor resolution, and the contamination
+    fractions must be identical at 32 and 5 shuffle partitions."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_kaplan_meier",
+        "q_bh_fdr",
+        "q_mixture_apply",
+        "q_shard_rebalance",
+        "q_eval_contamination",
+        "q_sole_late_supplier",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
