@@ -145,6 +145,22 @@ _PRIORITY = (
     "q_mixture_solver",
     "q_join_size_estimate",
     "q_compression_ratio_filter",
+    # round-6 waves 8-9 (landed after the r6 top-50 window was set;
+    # all locally hash-green — lead the round-7 promotion block
+    # together with positions 51-56 above):
+    "q_market_share",
+    "q_small_qty_revenue",
+    "q_hhi_concentration",
+    "q_theil_sen_trend",
+    "q_negative_sampling",
+    "q_t_closeness",
+    "q_adamic_adar",
+    "q_eval_contamination",
+    "q_kaplan_meier",
+    "q_sole_late_supplier",
+    "q_shard_rebalance",
+    "q_mixture_apply",
+    "q_bh_fdr",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",
