@@ -161,6 +161,11 @@ _PRIORITY = (
     "q_shard_rebalance",
     "q_mixture_apply",
     "q_bh_fdr",
+    "q_mann_whitney",
+    "q_cohens_kappa",
+    "q_weighted_median",
+    "q_compaction_plan",
+    "q_quantile_bridge",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -10,7 +10,7 @@ oracle sides (addition order differs; FIXTURES.md rule 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
@@ -856,4 +856,76 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
         )
         .orderBy("segment")
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+        WITH h AS (
+          SELECT l_returnflag AS flag, l_extendedprice AS v,
+                 sum(l_quantity) AS w
+          FROM lineitem GROUP BY flag, v),
+        c AS (
+          SELECT flag, v, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM h)
+        SELECT flag,
+               round(min(CASE WHEN cw >= tw / 2 THEN v END), 2)
+                 AS weighted_median,
+               round(max(tw), 1) AS total_weight
+        FROM c
+        GROUP BY flag
+        ORDER BY flag
+    """,
+    tags=("A5", "W4", "robust"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    volume-weighted central price (each line votes by units moved,
+    not once), the robust complement of the VWAP-mean. percentile()
+    has no weighted form in either engine, so the estimator is
+    computed from the VALUE HISTOGRAM: per (flag, price) summed
+    weight, partitioned cumulative weight, and the smallest price
+    whose cumulative weight reaches half the total.
+
+    Scale shape: ONE corpus-scale hash agg to the (flag, price)
+    histogram; the cumulative window is PARTITIONED by flag and runs
+    over the bounded distinct-price frame (value-grain: 2-dp currency,
+    not row-grain). Weights are integer-valued quantities, so the
+    cumulative sums and the tw/2 threshold are exact — the >= cut
+    cannot flip between engines.
+    """
+    h = (
+        scan(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = h.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_all)
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(F.col("cw") >= F.col("tw") / 2, F.col("v"))
+                ),
+                2,
+            ).alias("weighted_median"),
+            F.round(F.max("tw"), 1).alias("total_weight"),
+        )
+        .orderBy("flag")
     )

@@ -1392,3 +1392,80 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_quantile_bridge",
+    oracle="""
+        WITH ds AS (
+          SELECT source,
+                 unnest(generate_series(1, 9)) AS d,
+                 unnest(quantile_cont(n_chars,
+                        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS src_v
+          FROM documents GROUP BY source),
+        cs AS (
+          SELECT unnest(generate_series(1, 9)) AS d,
+                 unnest(quantile_cont(n_chars,
+                        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS corpus_v
+          FROM documents)
+        SELECT ds.source, CAST(ds.d AS INT) AS decile,
+               round(ds.src_v, 4) AS src_value,
+               round(cs.corpus_v, 4) AS corpus_value,
+               round(ds.src_v - cs.corpus_v, 4) AS gap
+        FROM ds JOIN cs ON cs.d = ds.d
+        ORDER BY ds.source, decile
+    """,
+    tags=("A5", "curation", "diagnostic"),
+)
+def q_quantile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization bridge table: each source's doc-length
+    deciles against the corpus deciles — the lookup a
+    quantile-normalizing feature pipeline applies (map a value to its
+    source-percentile, read off the corpus value at that percentile),
+    and the distribution-shift diagnostic behind it (a source whose
+    gap column is one-signed is systematically longer/shorter than
+    the corpus; KS/PSI flag THAT it differs, this shows WHERE).
+
+    Scale shape: two exact-percentile aggregates (per-source and
+    global; both swap to approx_percentile's t-digest beyond ~1e7
+    rows per group — same plan shape), posexploded to a
+    |sources| x 9 bridge joined on decile position with the 9-row
+    corpus side BROADCAST. Both engines interpolate percentiles
+    linearly (Spark percentile / DuckDB quantile_cont); values round
+    at 4 dp, far above interpolation ulp on integer char counts.
+    """
+    probes = [i / 10.0 for i in range(1, 10)]
+    probe_sql = ",".join(str(p) for p in probes)
+    ds = (
+        scan(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.expr(f"percentile(n_chars, array({probe_sql}))").alias("qs")
+        )
+        .select(
+            "source",
+            F.posexplode("qs").alias("pos", "src_v"),
+        )
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("int").alias("decile"),
+            "src_v",
+        )
+    )
+    cs = (
+        scan(spark, sf_dir, "documents")
+        .agg(F.expr(f"percentile(n_chars, array({probe_sql}))").alias("qs"))
+        .select(F.posexplode("qs").alias("pos", "corpus_v"))
+        .select((F.col("pos") + 1).cast("int").alias("c_decile"), "corpus_v")
+    )
+    return (
+        ds.join(F.broadcast(cs), F.col("decile") == F.col("c_decile"))
+        .select(
+            "source",
+            "decile",
+            F.round("src_v", 4).alias("src_value"),
+            F.round("corpus_v", 4).alias("corpus_value"),
+            F.round(F.col("src_v") - F.col("corpus_v"), 4).alias("gap"),
+        )
+        .orderBy("source", "decile")
+    )

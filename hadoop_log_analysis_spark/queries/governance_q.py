@@ -1681,3 +1681,117 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+        WITH h AS (
+          SELECT n_chars AS v,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS b
+          FROM documents WHERE lang IN ('en', 'de')
+          GROUP BY n_chars),
+        cum AS (
+          SELECT v, a, b,
+                 coalesce(sum(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS b_below
+          FROM h),
+        tot AS (
+          SELECT sum(a) AS na, sum(b) AS nb,
+                 sum(a + b) AS n,
+                 sum((a + b) * (a + b) * (a + b) - (a + b)) AS ties
+          FROM h),
+        u AS (
+          SELECT sum(a * (b_below + b / 2.0)) AS u_a FROM cum),
+        zt AS (
+          SELECT t.na, t.nb, u.u_a,
+                 round((u.u_a - t.na * t.nb / 2.0)
+                       / sqrt(t.na * t.nb / 12.0
+                              * ((t.n + 1)
+                                 - t.ties * 1.0 / (t.n * (t.n - 1)))),
+                       6) AS z
+          FROM u CROSS JOIN tot t),
+        pt AS (
+          SELECT na, nb, u_a, z,
+                 1.0 / (1 + 0.2316419 * abs(z)) AS tt
+          FROM zt)
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(u_a, 1) AS u_stat,
+               z,
+               round(2 * (exp(-z * z / 2) / 2.506628274631)
+                     * (tt * (0.319381530
+                        + tt * (-0.356563782
+                           + tt * (1.781477937
+                              + tt * (-1.821255978
+                                 + tt * 1.330274429))))),
+                     6) AS p_value
+        FROM pt
+    """,
+    tags=("A5", "governance", "robust"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (do English and German documents
+    have the same length DISTRIBUTION?) — the nonparametric two-sample
+    test that needs no normality assumption, with the normal
+    approximation z including the tie correction. Complements
+    q_ks_drift (max-gap view) with the stochastic-dominance view.
+
+    Scale shape: the entire test is computed from the VALUE HISTOGRAM
+    — per distinct n_chars, the two group counts — so the rank-sum
+    never ranks doc-grain rows: U_A = sum over values of
+    a_v * (B-below + b_v/2), with B-below from an ordered window over
+    the bounded distinct-value frame. Tie correction sums t³-t per
+    value group. U is a sum of integers and exact halves (exact in
+    doubles far past 2^53 corpus sizes... at 1e9+ rows per group
+    switch U to decimal); z is rounded to 6 dp BEFORE the
+    Abramowitz-Stegun tail so both engines evaluate the polynomial on
+    the identical input.
+    """
+    docs = (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select("lang", "n_chars")
+    )
+    h = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("a"),
+        F.sum((F.col("lang") == "de").cast("long")).alias("b"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.withColumn(
+        "b_below", F.coalesce(F.sum("b").over(w_below), F.lit(0))
+    )
+    tot = h.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("a") + F.col("b")).alias("n"),
+        F.sum(
+            F.pow(F.col("a") + F.col("b"), 3) - (F.col("a") + F.col("b"))
+        ).alias("ties"),
+    )
+    u = cum.agg(
+        F.sum(F.col("a") * (F.col("b_below") + F.col("b") / 2.0)).alias("u_a")
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    sigma = F.sqrt(
+        F.col("na") * F.col("nb") / 12.0
+        * ((F.col("n") + 1) - F.col("ties") * 1.0 / (F.col("n") * (F.col("n") - 1)))
+    )
+    z = F.round((F.col("u_a") - F.col("na") * F.col("nb") / 2.0) / sigma, 6)
+    j = j.withColumn("z", z)
+    za = F.abs(F.col("z"))
+    t_ = 1.0 / (1 + 0.2316419 * za)
+    poly = t_ * (
+        0.319381530
+        + t_ * (-0.356563782 + t_ * (1.781477937 + t_ * (-1.821255978 + t_ * 1.330274429)))
+    )
+    p = F.round(2 * (F.exp(-za * za / 2) / 2.506628274631) * poly, 6)
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("u_a"), 1).alias("u_stat"),
+        "z",
+        p.alias("p_value"),
+    )

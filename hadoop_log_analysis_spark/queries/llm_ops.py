@@ -2847,3 +2847,117 @@ def q_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, lang,
+                     len(list_intersect(toks,
+                         ['the','and','of','scan','filter'])) AS he,
+                     len(list_intersect(toks, ['le','et','de','la','un'])) AS hf,
+                     len(list_intersect(toks, ['el','y','de','la','que'])) AS hs,
+                     len(list_intersect(toks, ['der','und','die','das','ein'])) AS hd,
+                     len(list_intersect(toks, ['de','shi','bu','le','wo'])) AS hz
+              FROM t),
+        p AS (SELECT lang,
+                     CASE WHEN he >= hf AND he >= hs AND he >= hd AND he >= hz
+                            THEN 'en'
+                          WHEN hf >= hs AND hf >= hd AND hf >= hz THEN 'fr'
+                          WHEN hs >= hd AND hs >= hz THEN 'es'
+                          WHEN hd >= hz THEN 'de'
+                          ELSE 'zh' END AS predicted
+              FROM s),
+        cells AS (SELECT lang, predicted, count(*) AS n FROM p
+                  GROUP BY lang, predicted),
+        tot AS (SELECT sum(n) AS nn FROM cells),
+        po AS (SELECT sum(CASE WHEN lang = predicted THEN n ELSE 0 END)
+                        * 1.0 / (SELECT nn FROM tot) AS p_o
+               FROM cells),
+        marg AS (
+          SELECT r.lang AS c, r.rn, cl.cn
+          FROM (SELECT lang, sum(n) AS rn FROM cells GROUP BY lang) r
+          JOIN (SELECT predicted, sum(n) AS cn FROM cells
+                GROUP BY predicted) cl
+            ON cl.predicted = r.lang),
+        pe AS (SELECT sum(rn * 1.0 * cn) /
+                      ((SELECT nn FROM tot) * (SELECT nn FROM tot)) AS p_e
+               FROM marg)
+        SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_docs,
+               round((SELECT p_o FROM po), 6) AS p_observed,
+               round((SELECT p_e FROM pe), 6) AS p_expected,
+               round(((SELECT p_o FROM po) - (SELECT p_e FROM pe))
+                     / (1 - (SELECT p_e FROM pe)), 6) AS kappa
+    """,
+    tags=("L7", "eval", "governance"),
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled language and the marker-token
+    classifier — chance-corrected agreement. q_lang_id_confusion
+    shows WHERE the heuristic errs; kappa answers whether its raw
+    accuracy beats what the marginal label frequencies would produce
+    by luck (the 'en'-heavy corpus makes plain accuracy flattering:
+    a constant-'en' classifier already scores 44%).
+
+    Scale shape: identical corpus pass to q_lang_id_confusion (within-
+    row argmax, one |langs|^2-cell aggregate); p_o, the marginals, and
+    kappa are |langs|-bounded algebra on that cell table. All
+    probabilities are ratios of exact integer counts, rounded at 6 dp.
+    """
+    from hadoop_log_analysis_spark.operators import text as TXT
+
+    s = scan(spark, sf_dir, "documents").select(
+        "lang", *TXT.lang_scores()
+    )
+    he, hf, hs, hd, hz = (
+        F.col("hits_en"),
+        F.col("hits_fr"),
+        F.col("hits_es"),
+        F.col("hits_de"),
+        F.col("hits_zh"),
+    )
+    predicted = (
+        F.when((he >= hf) & (he >= hs) & (he >= hd) & (he >= hz), "en")
+        .when((hf >= hs) & (hf >= hd) & (hf >= hz), "fr")
+        .when((hs >= hd) & (hs >= hz), "es")
+        .when(hd >= hz, "de")
+        .otherwise("zh")
+    )
+    cells = (
+        s.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("nn"))
+    po = cells.agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted"), F.col("n")).otherwise(0)
+        ).alias("diag")
+    )
+    row_m = cells.groupBy(F.col("lang").alias("c")).agg(F.sum("n").alias("rn"))
+    col_m = cells.groupBy(F.col("predicted").alias("c2")).agg(
+        F.sum("n").alias("cn")
+    )
+    pe = (
+        row_m.join(col_m, F.col("c") == F.col("c2"))
+        .agg(F.sum(F.col("rn") * 1.0 * F.col("cn")).alias("rc"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            F.round(F.col("diag") / F.col("nn"), 6).alias("p_observed"),
+            F.round(F.col("rc") / (F.col("nn") * F.col("nn")), 6).alias(
+                "p_expected"
+            ),
+            F.round(
+                (F.col("diag") / F.col("nn") - F.col("rc") / (F.col("nn") * F.col("nn")))
+                / (1 - F.col("rc") / (F.col("nn") * F.col("nn"))),
+                6,
+            ).alias("kappa"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.operators.skew import salted_agg, salted_join
@@ -615,3 +615,75 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("moved_frac"),
     )
     return mod_row.unionByName(ring_row).orderBy("method")
+
+
+# --- Compaction planner ---------------------------------------------------
+ROW_BYTES = 200  # modeled on-disk bytes per event row
+TARGET_BYTES = 128_000  # target compacted file size at this scale
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH part AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 count(*) * {ROW_BYTES} AS bytes
+          FROM events GROUP BY day),
+        small AS (
+          SELECT day, bytes,
+                 coalesce(sum(bytes) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+          FROM part WHERE bytes < {TARGET_BYTES})
+        SELECT CAST(cum_before // {TARGET_BYTES} AS BIGINT) AS grp,
+               CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(min(day) AS BIGINT) AS day_from,
+               CAST(max(day) AS BIGINT) AS day_to,
+               CAST(sum(bytes) AS BIGINT) AS group_bytes,
+               round(sum(bytes) * 1.0 / {TARGET_BYTES}, 4) AS fill_ratio
+        FROM small
+        GROUP BY grp
+        ORDER BY grp
+    """,
+    tags=("A1", "layout", "scale"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: model per-day partition sizes
+    (rows x bytes/row), keep the partitions under the target file
+    size, and pack ADJACENT small partitions into compaction groups
+    by cumulative-size binning (group = exclusive-running-total div
+    target) — contiguity preserved so day-range predicates still
+    prune the compacted files. The report a lake-maintenance job
+    (OPTIMIZE / rewriteDataFiles) consumes: which days merge, into
+    how many files, at what fill ratio.
+
+    Scale shape: the corpus contributes ONE (day) hash agg; the plan
+    runs on the |days| frame — its ordered window is calendar-bounded
+    (the safe unpartitioned case; at multi-decade scale partition the
+    window by year). All arithmetic is integer bytes; groups and fill
+    ratios are exact on both engines.
+    """
+    part = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_ns div 86400000000000").alias("day"))
+        .agg((F.count("*") * ROW_BYTES).alias("bytes"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    small = part.filter(F.col("bytes") < TARGET_BYTES).withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        small.groupBy(
+            F.expr(f"cum_before div {TARGET_BYTES}").cast("long").alias("grp")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.min("day").cast("long").alias("day_from"),
+            F.max("day").cast("long").alias("day_to"),
+            F.sum("bytes").cast("long").alias("group_bytes"),
+            F.round(F.sum("bytes") * 1.0 / TARGET_BYTES, 4).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("grp")
+    )

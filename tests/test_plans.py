@@ -917,3 +917,46 @@ def test_eval_contamination_eval_grams_broadcast(spark):
     plan = _formatted(REGISTRY["q_eval_contamination"].fn(spark, SF001))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_rank_from_value_histogram(spark):
+    # The U statistic must come from the distinct-value histogram —
+    # one corpus hash agg, no row-grain ranking window, lang filter
+    # pushed to the scan.
+    plan = _formatted(REGISTRY["q_mann_whitney"].fn(spark, SF001))
+    assert "In(lang" in plan.replace("'", "") or "lang" in plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "row_number" not in plan and "rank(" not in plan
+
+
+def test_cohens_kappa_single_corpus_pass(spark):
+    # Kappa shares q_lang_id_confusion's shape: within-row argmax into
+    # one |langs|^2 aggregate; everything after is broadcast algebra.
+    plan = _formatted(REGISTRY["q_cohens_kappa"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_window_partitioned_by_flag(spark):
+    # The cumulative-weight window must be partitioned by the group
+    # key — never an unpartitioned corpus-scale window.
+    import re
+
+    plan = _formatted(REGISTRY["q_weighted_median"].fn(spark, SF001))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_weighted_median"
+
+
+def test_compaction_plan_scan_pruned_to_day(spark):
+    # The corpus contributes one (day) hash agg; the events scan must
+    # not read payload columns.
+    plan = _formatted(REGISTRY["q_compaction_plan"].fn(spark, SF001))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_quantile_bridge_corpus_side_broadcast(spark):
+    # The 9-row corpus decile frame must broadcast into the bridge
+    # join.
+    plan = _formatted(REGISTRY["q_quantile_bridge"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1238,3 +1238,30 @@ def test_r6_wave9_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_r6_wave10_partition_invariant(spark):
+    """Split-invariance for the round-6 wave-10 queries: U/z/p from
+    integer histograms, kappa's count ratios, the weighted-median
+    cumulative cut, compaction byte bins, and interpolated deciles
+    must be identical at 32 and 5 shuffle partitions."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_mann_whitney",
+        "q_cohens_kappa",
+        "q_weighted_median",
+        "q_compaction_plan",
+        "q_quantile_bridge",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
