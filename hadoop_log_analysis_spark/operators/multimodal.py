@@ -412,3 +412,129 @@ def decode_audio_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         extract, AUDIO_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash64(images: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of the image BODY: strip the
+    real PNG/JPEG header, treat the payload bytes as the decoded
+    grayscale signal (stand-in for pixel decode — no codecs in this
+    container; a production build swaps ONLY the `body -> vals`
+    line for a real decoder), block-average into 64 cells, threshold
+    each cell at the global mean, pack to one int64.
+
+    Arrow-batched (mapInPandas + numpy) like every decode step here:
+    the hash is a pure function of the payload bytes, so shards,
+    retries, and re-runs agree; downstream LSH banding never touches
+    the binary column again.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    fmt, body = "png", data[PNG_HEADER_LEN:]
+                else:
+                    fmt, body = "jpg", data[JPEG_HEADER_LEN:]
+                vals = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                if len(vals) == 0:
+                    vals = np.zeros(64)
+                # block-average into exactly 64 cells (pad the tail
+                # with the signal mean so short bodies hash stably)
+                cells = 64
+                pad = (-len(vals)) % cells
+                if pad:
+                    vals = np.concatenate([vals, np.full(pad, vals.mean())])
+                means = vals.reshape(cells, -1).mean(axis=1)
+                bits = (means > vals.mean()).astype(np.uint8)
+                h = int(np.packbits(bits).view(">u8")[0])
+                # wrap to signed int64 (Spark LongType)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append((int(doc_id), fmt, h))
+            yield pd.DataFrame(out, columns=["doc_id", "fmt", "ahash"])
+
+    return images.mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over 64-bit aHashes: split each hash
+    into ``bands`` equal bit-bands, bucket by (band index, band
+    value), expand pairs WITHIN each bucket, then EXACT-verify the
+    full Hamming distance with bit_count(xor) — candidates are
+    O(dups), precision is 1.0 by construction, and the pigeonhole
+    bound guarantees recall 1.0 for any pair with Hamming < ``bands``
+    (fewer differing bits than bands forces at least one intact
+    shared band; beyond that recall is probabilistic and quantified
+    by the test battery).
+
+    Pair generation is groupBy-collect + in-bucket expansion rather
+    than a bucket self-join: a self-join would evaluate the upstream
+    Arrow-batched hash stage TWICE (once per side — at 100 TB that is
+    2x the payload decode), while the grouped form keeps one lineage
+    pass and bounds each task by its bucket (dup-cluster-sized; cap
+    pathological buckets like the text-LSH tier if a degenerate
+    corpus ever funnels one value)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), i * width)
+                        .bitwiseAND(mask)
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "ahash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bv").alias("bv"),
+    )
+    buckets = banded.groupBy("band", "bv").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "ahash"))
+        ).alias("m")
+    )
+    pairs = buckets.filter(F.size("m") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(m) - 2), i ->"
+                " transform(sequence(i + 1, size(m) - 1), j ->"
+                " struct(m[i].doc_id AS doc_a, m[j].doc_id AS doc_b,"
+                " m[i].ahash AS ha, m[j].ahash AS hb))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.ha", "p.hb").distinct()
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -166,6 +166,9 @@ _PRIORITY = (
     "q_weighted_median",
     "q_compaction_plan",
     "q_quantile_bridge",
+    "q_nation_trade_volume",
+    "q_returned_revenue",
+    "q_image_ahash_dedup",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

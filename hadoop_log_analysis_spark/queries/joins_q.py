@@ -945,3 +945,168 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "q_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               extract(year FROM o.o_orderdate) AS yr,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS volume
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    tags=("J1", "J2", "A1", "tpch"),
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume BETWEEN two nations by year,
+    both directions kept as separate rows (the bilateral trade view
+    q_market_share's one-vs-region cut doesn't give).
+
+    Scale shape: both nation filters resolve to broadcast key lists
+    BEFORE the fact join — the supplier side prunes lineitem rows and
+    the customer side prunes order rows, so only cross-border rows
+    enter the one fact-fact shuffle (lineitem x orders on the order
+    key). The disjunctive nation pair predicate is applied as a
+    post-join filter on two broadcast-joined name columns (Catalyst
+    cannot split an OR across two dimension arms, but both arms are
+    already dimension-pruned to the two named nations). Revenue sums
+    are 2-dp-pinned.
+    """
+    nations = scan(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        scan(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nations.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        scan(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nations.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    orders = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    return (
+        li.join(
+            maybe_broadcast(sup, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.round(F.sum("vol"), 2).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@query(
+    "q_returned_revenue",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, nation
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("J1", "J2", "A1", "W2", "tpch"),
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the top-20 customers by revenue LOST to
+    returned items — the churn-risk / fraud-review list.
+
+    Scale shape: the returnflag filter is pushed to the lineitem scan
+    (PushedFilters — roughly a 1/3 selectivity cut before any join);
+    the one fact-fact shuffle joins the filtered lineitem to orders on
+    the order key; customer and nation broadcast; the per-customer
+    aggregate is customer-bounded and the top-20 is a TakeOrdered
+    with a custkey tie-break, never a global sort. Revenue pinned at
+    2 dp before the ordering so the cut compares identical values.
+    """
+    li = (
+        scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "vol"
+            ),
+        )
+    )
+    orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        scan(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .join(
+            F.broadcast(
+                scan(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.round(F.sum("vol"), 2).alias("revenue"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

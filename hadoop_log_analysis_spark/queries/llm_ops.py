@@ -2961,3 +2961,41 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@query(
+    "q_image_ahash_dedup",
+    oracle=None,  # binary-payload perceptual hashing has no SQL analog;
+    # verified by tests/test_llm_ops.py's pigeonhole-recall battery
+    # (banded recall == 1.0 vs brute-force Hamming for d < bands;
+    # precision == 1.0 by exact verification) and the wave-11
+    # partition-invariance battery.
+    tags=("L6", "L2", "multimodal", "dedup"),
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection: aHash (64-cell
+    block-average threshold hash) over the synthetic-but-real-header
+    PNG/JPEG payloads, then banded-LSH candidate pairs exact-verified
+    by Hamming distance <= 6 — the image twin of SimHash text dedup
+    (re-encoded/resized copies keep low Hamming; unrelated images
+    land ~32). Production swaps ONLY the body->pixels line of
+    operators/multimodal.ahash64 for a real decoder.
+
+    Scale shape: the binary column is touched ONCE by an Arrow-
+    batched hash (64 bits out per image — the 100 TB payload column
+    never shuffles); banding makes candidates O(dups) like every LSH
+    tier here; the exact verify is a bit_count on two longs. Output
+    ordered (doc_a, doc_b) with exact Hamming for auditability.
+    """
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        ahash64,
+        ahash_near_dup_pairs,
+        attach_synthetic_binary,
+    )
+
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
+    images = attach_synthetic_binary(docs)
+    hashes = ahash64(images)
+    return ahash_near_dup_pairs(hashes, max_hamming=6, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -623,3 +623,41 @@ def test_compression_ratio_separates_boilerplate_from_natural_text(spark):
     assert rep < 0.05, f"repetitive text should collapse, got {rep}"
     assert rep < min(r.min_ratio for r in rows), "gate cannot separate"
     assert nat > 0.35, f"natural one-off text should not be flagged, got {nat}"
+
+
+def test_ahash_banding_pigeonhole_recall_and_precision(spark):
+    """Banded aHash pairs vs brute-force Hamming truth at sf0.001:
+    every truth pair with Hamming < bands MUST be found (pigeonhole),
+    every reported pair must be a truth pair at its exact distance
+    (precision 1.0 — candidates are exact-verified)."""
+    from hadoop_log_analysis_spark.operators.multimodal import (
+        ahash64,
+        ahash_near_dup_pairs,
+        attach_synthetic_binary,
+    )
+    from hadoop_log_analysis_spark.sources.catalog import scan
+    from tests.conftest import SF0001
+
+    docs = scan(spark, SF0001, "documents").select("doc_id", "text")
+    hashes = ahash64(attach_synthetic_binary(docs)).collect()
+    truth = {}
+    for i, ra in enumerate(hashes):
+        for rb in hashes[i + 1 :]:
+            a, b = sorted((ra.doc_id, rb.doc_id))
+            d = bin((ra.ahash ^ rb.ahash) & (2**64 - 1)).count("1")
+            if d <= 6:
+                truth[(a, b)] = d
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_near_dup_pairs(
+            ahash64(attach_synthetic_binary(docs)), max_hamming=6, bands=4
+        ).collect()
+    }
+    # precision 1.0: everything reported is true at the exact distance
+    for pair, d in got.items():
+        assert truth.get(pair) == d, f"false/mis-scored pair {pair}"
+    # pigeonhole recall: Hamming < 4 (= bands) is guaranteed found
+    guaranteed = {p for p, d in truth.items() if d < 4}
+    assert guaranteed <= set(got), "pigeonhole-guaranteed pair missed"
+    # sanity: the planted near-dup structure produces at least one pair
+    assert len(truth) > 0 and len(got) > 0

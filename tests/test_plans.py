@@ -960,3 +960,30 @@ def test_quantile_bridge_corpus_side_broadcast(spark):
     plan = _formatted(REGISTRY["q_quantile_bridge"].fn(spark, SF001))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nation_trade_volume_dims_broadcast_one_fact_shuffle(spark):
+    # Q7 shape: both nation arms resolve to broadcast key lists; the
+    # only big exchange is lineitem x orders.
+    plan = _formatted(REGISTRY["q_nation_trade_volume"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_revenue_filter_pushed_take_ordered(spark):
+    # Q10 shape: the returnflag filter must reach the lineitem scan
+    # and the top-20 must be TakeOrdered.
+    plan = _formatted(REGISTRY["q_returned_revenue"].fn(spark, SF001))
+    assert "EqualTo(l_returnflag,R)" in plan.replace("'", "")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_image_ahash_payload_hashed_once_then_jvm(spark):
+    # The binary payload crosses into Python exactly once — ONE
+    # MapInPandas node (formatted explain names each node twice:
+    # tree + details). A bucket SELF-JOIN would duplicate the node
+    # (2x payload decode at 100 TB); the grouped pair expansion must
+    # keep a single lineage pass. Banding + verify stay JVM-side.
+    plan = _formatted(REGISTRY["q_image_ahash_dedup"].fn(spark, SF001))
+    assert plan.count("MapInPandas") == 2, "hash stage evaluated more than once"
+    assert "CartesianProduct" not in plan
