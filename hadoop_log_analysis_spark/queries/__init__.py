@@ -169,6 +169,10 @@ _PRIORITY = (
     "q_nation_trade_volume",
     "q_returned_revenue",
     "q_image_ahash_dedup",
+    "q_percentile_ranks",
+    "q_decayed_score",
+    "q_stratified_fixed_k",
+    "q_script_mix",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

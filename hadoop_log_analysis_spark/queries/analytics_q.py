@@ -3201,3 +3201,118 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lsum"), 6))
         .alias("survival"),
     ).orderBy("duration_h")
+
+
+@query(
+    "q_percentile_ranks",
+    oracle="""
+        WITH r AS (
+          SELECT c_mktsegment AS segment, c_custkey,
+                 round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                            ORDER BY c_acctbal, c_custkey),
+                       6) AS pr,
+                 round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal, c_custkey),
+                       6) AS cd
+          FROM customer)
+        SELECT segment,
+               CAST(floor(pr * 4) AS INT) AS pr_quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(pr), 6) AS pr_lo,
+               round(max(cd), 6) AS cd_hi
+        FROM r
+        GROUP BY segment, pr_quartile
+        ORDER BY segment, pr_quartile
+    """,
+    tags=("W1", "W4", "A1"),
+)
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist surface: account-balance percentile
+    bands per market segment — the two relative-rank window functions
+    the engine had not yet exercised (rank/dense_rank/row_number/ntile
+    are covered elsewhere). Banded to quartiles so the output is
+    |segments| x 4 rows.
+
+    Scale shape: the window partitions by segment over the CUSTOMER
+    dimension (dimension-scale frames — millions of rows per segment
+    at 100 TB, well inside a window task; this is the dimension-rank
+    case, NOT the corpus-scale case that demands the two-phase exact
+    rank used by q_gini_spend). Order is (acctbal, custkey) — fully
+    deterministic under ties; both rank functions are exact integer
+    ratios rounded at 6 dp.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = scan(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return (
+        r.groupBy(
+            "segment",
+            F.floor(F.col("pr") * 4).cast("int").alias("pr_quartile"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("pr"), 6).alias("pr_lo"),
+            F.round(F.max("cd"), 6).alias("cd_hi"),
+        )
+        .orderBy("segment", "pr_quartile")
+    )
+
+
+@query(
+    "q_decayed_score",
+    oracle="""
+        WITH b AS (SELECT max(epoch_ns(ts)) AS now_ns FROM events),
+        s AS (
+          SELECT e.user_id,
+                 e.value * exp(-0.05 * ((b.now_ns - epoch_ns(e.ts))
+                                        / 86400000000000.0)) AS dv,
+                 e.value AS v
+          FROM events e CROSS JOIN b
+          WHERE e.event_type IN ('click', 'purchase'))
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(v), 2) AS raw_score,
+               round(sum(dv), 4) AS decayed_score
+        FROM s
+        GROUP BY user_id
+        ORDER BY decayed_score DESC, user_id
+        LIMIT 25
+    """,
+    tags=("A1", "F3", "timeseries"),
+)
+def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score (half-life ~14 days at
+    lambda=0.05/day): each click/purchase contributes value *
+    exp(-lambda * age) — the recency weighting every ranking /
+    recommendation freshness signal uses, where plain sum() treats a
+    year-old purchase like today's.
+
+    Scale shape: the decay is a WITHIN-ROW expression against one
+    broadcast scalar (the observation end) — map-side only, then one
+    per-user hash agg and a TakeOrdered top-25. Age is an exact
+    integer-ns difference scaled by a closed-form constant; exp() may
+    differ by an ulp across engines, but the per-user sum has
+    |user-events| terms and rounds at 4 dp, orders of magnitude above
+    that noise. Deterministic tie-break on user_id.
+    """
+    ev = scan(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = scan(spark, sf_dir, "events").agg(F.max("ts_ns").alias("now_ns"))
+    age_days = (F.col("now_ns") - F.col("ts_ns")) / F.lit(86400000000000.0)
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("raw_score"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-0.05 * age_days)), 4
+            ).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(25)
+    )

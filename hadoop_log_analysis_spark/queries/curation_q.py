@@ -1469,3 +1469,72 @@ def q_quantile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# --- Stratified fixed-k sampling ------------------------------------------
+STRAT_K = 8  # docs kept per source
+
+
+@query(
+    "q_stratified_fixed_k",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 (doc_id * 2654435761) % 1000003 AS hk
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, hk,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY hk, doc_id) AS BIGINT)
+                   AS rnk
+          FROM h)
+        SELECT source, rnk AS pick, doc_id, CAST(hk AS BIGINT) AS hk
+        FROM r WHERE rnk <= {STRAT_K}
+        ORDER BY source, pick
+    """,
+    tags=("L7", "W2", "curation", "training-data"),
+)
+def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified FIXED-SIZE sampling: exactly k=8 documents per
+    source, chosen as the k smallest portable-hash values — the
+    eval-set / human-review draw where every stratum must contribute
+    the same count regardless of its size (vs q_mixture_apply's
+    rate-based draw whose per-source counts float with availability).
+    Hash-ordered selection is deterministic, engine-portable, and
+    STABLE UNDER GROWTH in expectation-bounded churn: a new doc
+    displaces at most one pick in its own stratum.
+
+    Scale shape: selection uses operators/topk.grouped_bottom_k —
+    two hash-agg phases whose per-reducer state is k-bounded — never
+    a window sorting whole strata; the final rank window runs over
+    the k * |sources| survivor frame. The oracle's per-source
+    row_number is the semantic spec; the engine's plan is the scale
+    implementation (same split as q_negative_sampling).
+    """
+    from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
+
+    docs = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000003).alias(
+            "hk"
+        ),
+    )
+    top = grouped_bottom_k(
+        docs,
+        ["source"],
+        F.struct(F.col("hk"), F.col("doc_id")),
+        STRAT_K,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("item.hk"), F.col("item.doc_id")
+    )
+    return (
+        top.select(
+            "source",
+            F.row_number().over(w).cast("long").alias("pick"),
+            F.col("item.doc_id").alias("doc_id"),
+            F.col("item.hk").cast("long").alias("hk"),
+        )
+        .orderBy("source", "pick")
+    )

@@ -2999,3 +2999,84 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dup_pairs(hashes, max_hamming=6, bands=4).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "q_script_mix",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, lang, source,
+                 length(text) AS n,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   AS n_latin,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                 length(regexp_replace(text, '[ -~]', '', 'g'))
+                   AS n_nonascii
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang, source, n,
+                 round(n_latin * 1.0 / n, 4) AS latin_frac,
+                 round(n_digit * 1.0 / n, 4) AS digit_frac,
+                 round(n_nonascii * 1.0 / n, 4) AS nonascii_frac
+          FROM s WHERE n > 0)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(latin_frac), 4) AS avg_latin,
+               round(avg(digit_frac), 4) AS avg_digit,
+               round(avg(nonascii_frac), 4) AS avg_nonascii,
+               CAST(sum(CASE WHEN nonascii_frac > 0.05
+                              AND latin_frac > 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+        FROM f
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("L7", "F1", "curation"),
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mixing detector: per-language character-class profile
+    (latin / digit / non-ASCII fractions) and the count of MIXED
+    documents (mostly-latin text carrying >5% non-ASCII) — the cheap
+    homoglyph-spam / encoding-mojibake / wrong-lang-label signal that
+    runs before any model-based filter. A zh-labeled doc that is 90%
+    latin, or an en doc with heavy non-ASCII, is a labeling or
+    ingestion defect.
+
+    Scale shape: three regexp_replace counts are WITHIN-ROW codegen'd
+    expressions (no Python); one |langs|-bounded hash agg. Fractions
+    are exact integer ratios pinned at 4 dp BEFORE the mix-flag
+    comparison and the avg, so the 0.05/0.5 thresholds compare
+    identically on both engines.
+    """
+    t = F.col("text")
+    s = scan(spark, sf_dir, "documents").select(
+        "lang",
+        F.length(t).alias("n"),
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).alias("n_latin"),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace(t, "[ -~]", "")).alias("n_nonascii"),
+    ).filter(F.col("n") > 0)
+    f = s.select(
+        "lang",
+        F.round(F.col("n_latin") / F.col("n"), 4).alias("latin_frac"),
+        F.round(F.col("n_digit") / F.col("n"), 4).alias("digit_frac"),
+        F.round(F.col("n_nonascii") / F.col("n"), 4).alias("nonascii_frac"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("latin_frac"), 4).alias("avg_latin"),
+            F.round(F.avg("digit_frac"), 4).alias("avg_digit"),
+            F.round(F.avg("nonascii_frac"), 4).alias("avg_nonascii"),
+            F.sum(
+                (
+                    (F.col("nonascii_frac") > 0.05)
+                    & (F.col("latin_frac") > 0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_mixed"),
+        )
+        .orderBy("lang")
+    )

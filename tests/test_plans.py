@@ -987,3 +987,43 @@ def test_image_ahash_payload_hashed_once_then_jvm(spark):
     plan = _formatted(REGISTRY["q_image_ahash_dedup"].fn(spark, SF001))
     assert plan.count("MapInPandas") == 2, "hash stage evaluated more than once"
     assert "CartesianProduct" not in plan
+
+
+def test_percentile_ranks_window_partitioned(spark):
+    # percent_rank/cume_dist run partitioned by segment over the
+    # customer DIMENSION — never an unpartitioned window.
+    import re
+
+    plan = _formatted(REGISTRY["q_percentile_ranks"].fn(spark, SF001))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_percentile_ranks"
+
+
+def test_decayed_score_map_side_take_ordered(spark):
+    # The decay is a within-row expression against one broadcast
+    # scalar; top-25 is TakeOrdered, no Window.
+    plan = _formatted(REGISTRY["q_decayed_score"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_fixed_k_no_strata_scale_window(spark):
+    # Selection must be the k-bounded grouped_bottom_k aggregates;
+    # the only window runs over the k * |sources| survivor frame and
+    # is partitioned.
+    import re
+
+    plan = _formatted(REGISTRY["q_stratified_fixed_k"].fn(spark, SF001))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_script_mix_within_row_no_python(spark):
+    # Character-class counting is codegen'd regexp_replace — no
+    # Python stage, no Window, one hash agg.
+    plan = _formatted(REGISTRY["q_script_mix"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
