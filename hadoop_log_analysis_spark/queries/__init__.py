@@ -173,6 +173,9 @@ _PRIORITY = (
     "q_decayed_score",
     "q_stratified_fixed_k",
     "q_script_mix",
+    "q_feature_backfill",
+    "q_degree_powerlaw",
+    "q_funnel_latency",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3316,3 +3316,96 @@ def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(25)
     )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+        WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS t_signup
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id),
+        c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'click'
+                AND epoch_ns(e.ts) >= s.t_signup
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_ns(e.ts) >= c.t_click
+              GROUP BY e.user_id),
+        g1 AS (SELECT (c.t_click - s.t_signup) / 6e10 AS gap
+               FROM c JOIN s USING (user_id)),
+        g2 AS (SELECT (p.t_purchase - c.t_click) / 6e10 AS gap
+               FROM p JOIN c USING (user_id))
+        SELECT 'signup->click' AS step,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(quantile_cont(gap, 0.5), 2) AS p50_min,
+               round(quantile_cont(gap, 0.9), 2) AS p90_min
+        FROM g1
+        UNION ALL
+        SELECT 'click->purchase',
+               CAST(count(*) AS BIGINT),
+               round(quantile_cont(gap, 0.5), 2),
+               round(quantile_cont(gap, 0.9), 2)
+        FROM g2
+        ORDER BY step
+    """,
+    tags=("A5", "funnel", "timeseries"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel latency: exact p50/p90 minutes between ORDERED
+    funnel stages (first signup -> first click at-or-after it ->
+    first purchase at-or-after that). q_funnel_steps counts who
+    reaches each stage; this measures how long each hop takes — the
+    step whose latency blows out is the one to fix.
+
+    Scale shape: each stage is ONE per-user min-aggregate joined to
+    the previous stage's frame (user-bounded, broadcast-or-shuffled
+    by the same user key — co-located chain); gaps are integer-ns
+    differences scaled closed-form; exact percentiles run over
+    |users-reaching-stage| values (approx_percentile past ~1e7).
+    Both engines interpolate linearly; rounds at 2 dp.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_ns") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    g1 = c.join(s, "user_id").select(
+        ((F.col("t_click") - F.col("t_signup")) / F.lit(6e10)).alias("gap")
+    )
+    g2 = p.join(c, "user_id").select(
+        ((F.col("t_purchase") - F.col("t_click")) / F.lit(6e10)).alias("gap")
+    )
+
+    def step_row(g, name):
+        return g.agg(
+            F.lit(name).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_min"),
+            F.round(F.expr("percentile(gap, 0.9)"), 2).alias("p90_min"),
+        )
+
+    return (
+        step_row(g1, "signup->click")
+        .unionByName(step_row(g2, "click->purchase"))
+        .orderBy("step")
+    )

@@ -504,3 +504,105 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q_degree_powerlaw",
+    oracle="""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey > a.l_partkey),
+        und AS (
+          SELECT pa AS p, pb AS q FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT p, count(*) AS d FROM und GROUP BY p),
+        hist AS (SELECT d, count(*) AS n FROM deg GROUP BY d),
+        pts AS (SELECT ln(d * 1.0) AS x, ln(n * 1.0) AS y FROM hist),
+        fit AS (
+          SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM pts)
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+               CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                 AS slope,
+               round(pow(k * sxy - sx * sy, 2)
+                     / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4)
+                 AS r2
+        FROM fit
+    """,
+    tags=("J8", "A5", "graph"),
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph with a
+    log-log power-law fit: node degrees, the degree histogram, and
+    the OLS slope/R² of ln(count) vs ln(degree) — the scale-free-ness
+    check that sizes skew mitigation (a -2ish slope with high R²
+    means hub parts exist and salting budgets should assume them;
+    q_skew_report measures key skew, this measures GRAPH skew).
+
+    Scale shape: pair generation self-joins WITHIN the order key
+    (basket-bounded, the q_adamic_adar generator); degrees are one
+    hash agg over undirected edge endpoints; the histogram is
+    degree-bounded and the OLS fit is closed-form sums over that
+    bounded frame — no iteration, no corpus-scale window. ln() feeds
+    sums of |distinct degrees| terms rounded at 4 dp.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("pa").alias("p")).unionAll(
+        pairs.select(F.col("pb").alias("p"))
+    )
+    deg = und.groupBy("p").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("n"))
+    pts = hist.select(
+        F.log(F.col("d") * 1.0).alias("x"), F.log(F.col("n") * 1.0).alias("y")
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    scalars = (
+        deg.agg(
+            F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")
+        )
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("n_edges"))))
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        scalars.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("max_degree").cast("long").alias("max_degree"),
+            F.round(num / den, 4).alias("slope"),
+            F.round(F.pow(num, 2) / (den * deny), 4).alias("r2"),
+        )
+    )

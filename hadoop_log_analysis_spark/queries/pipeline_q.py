@@ -2195,3 +2195,98 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- Point-in-time feature backfill ---------------------------------------
+PIT_CUTOFF_DAYS = (10, 20, 30)  # cutoffs: min_ts + k days
+
+
+@query(
+    "q_feature_backfill",
+    oracle=f"""
+        WITH b AS (SELECT min(epoch_ns(ts)) AS t0 FROM events),
+        cut AS (
+          SELECT unnest([{', '.join(str(d) for d in PIT_CUTOFF_DAYS)}])
+                   AS cutoff_day),
+        ec AS (
+          SELECT e.user_id, c.cutoff_day,
+                 epoch_ns(e.ts) AS ns, e.event_id, e.value
+          FROM events e
+          CROSS JOIN b
+          CROSS JOIN cut c
+          WHERE epoch_ns(e.ts)
+                <= b.t0 + c.cutoff_day * 86400000000000),
+        agg AS (
+          SELECT user_id, cutoff_day,
+                 count(*) AS n_events,
+                 max((ns // 1000) * 100 + event_id % 100) AS last_key
+          FROM ec GROUP BY user_id, cutoff_day)
+        SELECT a.user_id, CAST(a.cutoff_day AS INT) AS cutoff_day,
+               CAST(a.n_events AS BIGINT) AS n_events,
+               round(max(e.value), 2) AS last_value
+        FROM agg a
+        JOIN ec e ON e.user_id = a.user_id
+                 AND e.cutoff_day = a.cutoff_day
+                 AND (e.ns // 1000) * 100 + e.event_id % 100 = a.last_key
+        GROUP BY a.user_id, a.cutoff_day, a.n_events
+        ORDER BY a.user_id, a.cutoff_day
+    """,
+    tags=("J7", "A1", "training-data", "pipeline"),
+)
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill (the feature-store training-set
+    join): for every user and every training cutoff (3 snapshot dates),
+    the event count and LAST event value as of that cutoff — computed
+    without leakage: only events at-or-before each cutoff contribute.
+    Getting this wrong (using current features for past labels) is the
+    classic silent train-serve skew; the PIT join is the fix.
+
+    Scale shape: the fact table fans out by |cutoffs| (x3 — bounded,
+    NOT a window over event history per cutoff), then ONE hash agg per
+    (user, cutoff) computes the count and the argmax key in the same
+    pass; the last value resolves via max_by on a collision-proofed
+    key (µs * 100 + event_id mod 100 — the repo's standard sub-µs
+    fold, deterministic under same-µs ties where raw max_by
+    tie-breaking is engine-defined, and safely inside int64). At
+    many cutoffs, replace the fan-out with an as-of join per cutoff
+    batch (operators/joins.asof_join).
+    """
+    b = scan(spark, sf_dir, "events").agg(F.min("ts_ns").alias("t0"))
+    cut = spark.createDataFrame(
+        [(d,) for d in PIT_CUTOFF_DAYS], "cutoff_day int"
+    )
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_id", "value"
+    )
+    ec = (
+        ev.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(cut))
+        .filter(
+            F.col("ts_ns")
+            <= F.col("t0") + F.col("cutoff_day").cast("long") * 86400000000000
+        )
+        .select(
+            "user_id",
+            "cutoff_day",
+            (
+                F.expr("(ts_ns div 1000)") * 100 + F.col("event_id") % 100
+            ).alias("last_key"),
+            "value",
+        )
+    )
+    return (
+        ec.groupBy("user_id", "cutoff_day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.expr("max_by(value, last_key)"), 2).alias(
+                "last_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("cutoff_day").cast("int").alias("cutoff_day"),
+            "n_events",
+            "last_value",
+        )
+        .orderBy("user_id", "cutoff_day")
+    )

@@ -1027,3 +1027,27 @@ def test_script_mix_within_row_no_python(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_feature_backfill_fanout_one_agg_no_window(spark):
+    # The PIT join fans the fact out by |cutoffs| (broadcast) and
+    # resolves count + last value in ONE hash agg — no window over
+    # per-cutoff event history.
+    plan = _formatted(REGISTRY["q_feature_backfill"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_degree_powerlaw_pairs_colocated_fit_on_histogram(spark):
+    # Pair generation self-joins within the order key; the OLS fit is
+    # aggregate algebra on the degree histogram — no window anywhere.
+    plan = _formatted(REGISTRY["q_degree_powerlaw"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_latency_stage_chain_is_aggregates(spark):
+    # Each funnel stage is a per-user min-aggregate joined forward —
+    # no per-user ordered window over raw events.
+    plan = _formatted(REGISTRY["q_funnel_latency"].fn(spark, SF001))
+    assert "Window" not in plan
