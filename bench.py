@@ -104,6 +104,14 @@ HEADLINE = (
     "q_sparse_cosine_pairs",
     "q_char_entropy_filter",
     "q_gini_spend",
+    # r6 waves 8-13: the Arrow-batched binary tier (aHash decode +
+    # banded LSH — the single-MapInPandas plan is the regression
+    # target), the within-key pair generator (Adamic-Adar: blow-up
+    # bounded by basket size), and the broadcast-armed snowflake
+    # (TPC-H Q8 shape: one fact shuffle, every dim broadcast).
+    "q_image_ahash_dedup",
+    "q_adamic_adar",
+    "q_market_share",
 )
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -176,6 +176,8 @@ _PRIORITY = (
     "q_feature_backfill",
     "q_degree_powerlaw",
     "q_funnel_latency",
+    "q_ohlc_hourly",
+    "q_churn_training_set",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3409,3 +3409,174 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step_row(g2, "click->purchase"))
         .orderBy("step")
     )
+
+
+@query(
+    "q_ohlc_hourly",
+    oracle="""
+        WITH p AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS hr,
+                 (epoch_ns(ts) // 1000) * 100 + event_id % 100 AS k,
+                 value
+          FROM events WHERE event_type = 'purchase'),
+        agg AS (
+          SELECT hr, min(k) AS k_open, max(k) AS k_close,
+                 round(max(value), 2) AS high,
+                 round(min(value), 2) AS low,
+                 CAST(count(*) AS BIGINT) AS n_trades,
+                 round(sum(value), 2) AS volume
+          FROM p GROUP BY hr)
+        SELECT a.hr AS hr,
+               round(max(CASE WHEN p.k = a.k_open THEN p.value END), 2)
+                 AS open,
+               a.high, a.low,
+               round(max(CASE WHEN p.k = a.k_close THEN p.value END), 2)
+                 AS close,
+               a.n_trades, a.volume
+        FROM agg a JOIN p ON p.hr = a.hr
+        GROUP BY a.hr, a.high, a.low, a.n_trades, a.volume
+        ORDER BY hr
+    """,
+    tags=("A1", "W5", "timeseries"),
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars: per hour of purchase activity, the Opening
+    (first) and Closing (last) values plus High/Low/count/volume —
+    the first/last-in-group aggregation pattern every market-data /
+    metering rollup needs, WITHOUT a window: open and close resolve
+    via min_by/max_by on the repo's collision-proofed sub-µs key
+    (µs * 100 + event_id % 100), so same-µs ties cannot make the
+    engines pick different rows.
+
+    Scale shape: ONE hash agg per hour bucket (map-side combinable —
+    min_by/max_by carry (key, value) pairs through partial
+    aggregation); no window, no self-join on the Spark side (the
+    oracle's join-back is DuckDB-side spec only). Hour buckets are
+    integer floor-divided ns epochs.
+    """
+    p = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("ts_ns div 3600000000000").alias("hr"),
+            (
+                F.expr("(ts_ns div 1000)") * 100 + F.col("event_id") % 100
+            ).alias("k"),
+            "value",
+        )
+    )
+    return (
+        p.groupBy("hr")
+        .agg(
+            F.round(F.expr("min_by(value, k)"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, k)"), 2).alias("close"),
+            F.count("*").cast("long").alias("n_trades"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("hr")
+    )
+
+
+# --- Churn training-set assembly ------------------------------------------
+CHURN_FEATURE_DAYS = 20  # features from [t0, t0 + 20d]
+CHURN_LABEL_DAYS = 10  # label window (t0+20d, t0+30d]
+
+
+@query(
+    "q_churn_training_set",
+    oracle=f"""
+        WITH b AS (SELECT min(epoch_ns(ts)) AS t0 FROM events),
+        e AS (
+          SELECT e.user_id, epoch_ns(e.ts) AS ns, e.event_type, e.value,
+                 b.t0 + {CHURN_FEATURE_DAYS} * 86400000000000 AS cutoff,
+                 b.t0 + {CHURN_FEATURE_DAYS + CHURN_LABEL_DAYS}
+                      * 86400000000000 AS label_end
+          FROM events e CROSS JOIN b),
+        f AS (
+          SELECT user_id,
+                 count(CASE WHEN ns <= cutoff THEN 1 END) AS n_events,
+                 count(DISTINCT CASE WHEN ns <= cutoff
+                                     THEN event_type END) AS n_types,
+                 count(DISTINCT CASE WHEN ns <= cutoff
+                                     THEN ns // 86400000000000 END)
+                   AS days_active,
+                 round(sum(CASE WHEN ns <= cutoff THEN value END), 2)
+                   AS value_sum,
+                 CAST((max(cutoff) - max(CASE WHEN ns <= cutoff
+                                              THEN ns END))
+                      // 3600000000000 AS BIGINT) AS recency_h,
+                 count(CASE WHEN ns > cutoff AND ns <= label_end
+                            THEN 1 END) = 0 AS churned
+          FROM e GROUP BY user_id)
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(days_active AS BIGINT) AS days_active,
+               value_sum, recency_h, churned
+        FROM f WHERE n_events > 0
+        ORDER BY user_id
+    """,
+    tags=("A1", "A3", "training-data", "pipeline"),
+)
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete churn TRAINING SET in one pass: per user, features
+    computed strictly from the 20-day feature window (counts, type
+    variety, active days, spend, recency) and the label (no activity
+    in the following 10-day window) — the feature/label temporal
+    split q_feature_backfill generalizes; getting the windows to
+    overlap is the leakage bug this query's structure makes
+    impossible by construction.
+
+    Scale shape: ONE fact pass with CONDITIONAL aggregation (CASE on
+    the pinned cutoff inside count/sum/countDistinct) — no fan-out,
+    no second scan for the label, no window; the cutoff scalars
+    broadcast. Users active only after the cutoff are excluded (no
+    feature evidence). All features are integers or 2-dp-pinned sums.
+    """
+    b = scan(spark, sf_dir, "events").agg(F.min("ts_ns").alias("t0"))
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_type", "value"
+    )
+    day_ns = 86400000000000
+    e = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "value",
+        (F.col("t0") + CHURN_FEATURE_DAYS * day_ns).alias("cutoff"),
+        (
+            F.col("t0") + (CHURN_FEATURE_DAYS + CHURN_LABEL_DAYS) * day_ns
+        ).alias("label_end"),
+    )
+    in_f = F.col("ts_ns") <= F.col("cutoff")
+    in_l = (F.col("ts_ns") > F.col("cutoff")) & (
+        F.col("ts_ns") <= F.col("label_end")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.when(in_f, 1)).cast("long").alias("n_events"),
+            F.countDistinct(F.when(in_f, F.col("event_type")))
+            .cast("long")
+            .alias("n_types"),
+            F.countDistinct(
+                F.when(in_f, F.expr(f"ts_ns div {day_ns}"))
+            )
+            .cast("long")
+            .alias("days_active"),
+            F.round(F.sum(F.when(in_f, F.col("value"))), 2).alias(
+                "value_sum"
+            ),
+            F.expr(
+                f"(max(cutoff) - max(CASE WHEN ts_ns <= cutoff THEN ts_ns END))"
+                f" div 3600000000000"
+            )
+            .cast("long")
+            .alias("recency_h"),
+            (F.count(F.when(in_l, 1)) == 0).alias("churned"),
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("user_id")
+    )

@@ -1051,3 +1051,21 @@ def test_funnel_latency_stage_chain_is_aggregates(spark):
     # no per-user ordered window over raw events.
     plan = _formatted(REGISTRY["q_funnel_latency"].fn(spark, SF001))
     assert "Window" not in plan
+
+
+def test_ohlc_single_agg_no_window_no_self_join(spark):
+    # Open/close resolve via min_by/max_by inside ONE hash agg — no
+    # window, and exactly one scan (the oracle's join-back is spec
+    # only; the engine must not mirror it).
+    plan = _formatted(REGISTRY["q_ohlc_hourly"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_churn_training_set_one_pass_conditional_agg(spark):
+    # Features AND label come from one conditional-aggregation pass:
+    # one fact scan (plus the 1-row bounds scan), no window, no
+    # fan-out join.
+    plan = _formatted(REGISTRY["q_churn_training_set"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert len(_scan_node_ids(plan)) <= 2
