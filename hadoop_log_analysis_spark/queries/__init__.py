@@ -178,6 +178,7 @@ _PRIORITY = (
     "q_funnel_latency",
     "q_ohlc_hourly",
     "q_churn_training_set",
+    "q_stream_ohlc",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -968,3 +968,70 @@ def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+        WITH p AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hr_us,
+                 epoch_us(ts) * 100 + event_id % 100 AS k,
+                 value
+          FROM events WHERE event_type = 'purchase')
+        SELECT hr_us,
+               round(arg_min(value, k), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(arg_max(value, k), 2) AS close,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               round(sum(value), 2) AS volume
+        FROM p
+        GROUP BY hr_us
+        ORDER BY hr_us
+    """,
+    tags=("T1", "T7", "timeseries"),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles — q_ohlc_hourly's tumbling-window twin
+    running as a REAL stream (complete-mode window aggregation over
+    the drop-dir replay): min_by/max_by resolve open/close
+    incrementally inside the streaming state, proving the
+    first/last-in-group rollup needs no batch re-sort — the pattern a
+    live market-data / metering dashboard runs. Hash-matches the
+    batch answer at the stream's µs grain (stream-batch parity law).
+
+    Scale shape: state is |open windows| x 7 aggregates (bounded by
+    the calendar in complete mode; with a watermark in append mode it
+    is bounded by lateness); min_by/max_by carry (key, value) pairs
+    through partial aggregation exactly as the batch plan does. The
+    sub-µs key fold (µs * 100 + event_id % 100) keeps same-µs ties
+    engine-deterministic; unlike the batch twin the stream's native
+    grain IS µs, so the fold multiplies the raw epoch (safe: 1.7e17
+    < 2^63).
+    """
+    drop = derive_drop_dir(spark, sf_dir)
+    events = read_events_stream(spark, drop)
+    k = F.unix_micros(F.col("ts")) * 100 + F.col("event_id") % 100
+    agg = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("k", k)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.expr("min_by(value, k)"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, k)"), 2).alias("close"),
+            F.count("*").cast("long").alias("n_trades"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+    out = run_to_table(agg, "t1_ohlc", "complete")
+    return out.select(
+        _us(F.col("w.start")).alias("hr_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+        "volume",
+    ).orderBy("hr_us")
