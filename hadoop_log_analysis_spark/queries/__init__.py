@@ -179,6 +179,9 @@ _PRIORITY = (
     "q_ohlc_hourly",
     "q_churn_training_set",
     "q_stream_ohlc",
+    "q_budget_apportionment",
+    "q_slo_burn_rate",
+    "q_hits_scores",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

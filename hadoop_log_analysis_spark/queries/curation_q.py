@@ -1538,3 +1538,89 @@ def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pick")
     )
+
+
+# --- Exact budget apportionment (largest remainder / Hamilton) ------------
+APPORTION_BUDGET = 1000  # docs to sample across sources
+
+
+@query(
+    "q_budget_apportionment",
+    oracle=f"""
+        WITH src AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source),
+        tot AS (SELECT sum(n) AS total FROM src),
+        quota AS (
+          SELECT s.source, s.n,
+                 s.n * {APPORTION_BUDGET} * 1.0 / t.total AS q,
+                 CAST(floor(s.n * {APPORTION_BUDGET} * 1.0 / t.total)
+                      AS BIGINT) AS base
+          FROM src s CROSS JOIN tot t),
+        rem AS (
+          SELECT source, n, q, base,
+                 q - base AS frac,
+                 CAST(row_number() OVER (ORDER BY q - base DESC, source)
+                      AS BIGINT) AS frac_rank,
+                 {APPORTION_BUDGET} - sum(base) OVER () AS leftover
+          FROM quota)
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               round(q, 4) AS quota,
+               base + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+                 AS allocated
+        FROM rem
+        ORDER BY source
+    """,
+    tags=("A1", "W1", "curation", "mixture"),
+)
+def q_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget across sources: proportional quotas floored, then the
+    leftover units handed to the largest fractional remainders — the
+    integer allocation that sums EXACTLY to the budget, which naive
+    per-source rounding does not (q_mixture_apply's rates hit targets
+    in expectation; a fixed eval budget needs exactness).
+
+    Scale shape: one corpus-scale count per source, then every
+    apportionment step (quota, floor, remainder rank, leftover) is
+    |sources|-row algebra over the SAME single-scan frame (the total
+    is a window aggregate on the bounded source table, not a second
+    scan); the remainder rank window orders that frame with a name
+    tie-break. Quotas are exact
+    integer ratios; the floor/rank arithmetic is integer-exact, so
+    the allocation is bit-identical on both engines and re-runs.
+    """
+    src = scan(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    w_tot = Window.partitionBy()
+    total = F.sum("n").over(w_tot)
+    quota = src.select(
+        "source",
+        "n",
+        (F.col("n") * APPORTION_BUDGET * 1.0 / total).alias("q"),
+        F.floor(F.col("n") * APPORTION_BUDGET * 1.0 / total)
+        .cast("long")
+        .alias("base"),
+    )
+    w_rank = Window.orderBy(F.desc(F.col("q") - F.col("base")), "source")
+    w_all = Window.partitionBy()
+    rem = quota.select(
+        "source",
+        "n",
+        "q",
+        "base",
+        F.row_number().over(w_rank).cast("long").alias("frac_rank"),
+        (F.lit(APPORTION_BUDGET) - F.sum("base").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return rem.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("q", 4).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("allocated"),
+    ).orderBy("source")

@@ -1795,3 +1795,81 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         p.alias("p_value"),
     )
+
+
+# --- SLO burn rate ---------------------------------------------------------
+SLO_TARGET = 0.75  # allowed error ratio (fixture errors ~20% of events)
+
+
+@query(
+    "q_slo_burn_rate",
+    oracle=f"""
+        WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS hr,
+                 count(*) AS n,
+                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS errs
+          FROM events GROUP BY hr),
+        w AS (
+          SELECT hr, n, errs,
+                 sum(errs) OVER (ORDER BY hr
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS errs6,
+                 sum(n) OVER (ORDER BY hr
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6
+          FROM h),
+        r AS (
+          SELECT hr,
+                 round(errs * 1.0 / n / (1 - {SLO_TARGET}), 4) AS burn_1h,
+                 round(errs6 * 1.0 / n6 / (1 - {SLO_TARGET}), 4) AS burn_6h
+          FROM w)
+        SELECT CAST(hr AS BIGINT) AS hr,
+               burn_1h, burn_6h,
+               burn_1h > 1.0 AND burn_6h > 1.0 AS page
+        FROM r
+        WHERE burn_1h > 1.0 OR burn_6h > 1.0
+        ORDER BY hr
+    """,
+    tags=("A1", "W4", "governance", "diagnostic"),
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    the error-budget burn rate (error ratio / allowed ratio) on a 1-h
+    and a trailing 6-h window; a PAGE fires only when BOTH windows
+    burn > 1x — the fast window for responsiveness, the slow one to
+    suppress blips. Built on q_hourly_errors' bucket grain with SLO
+    semantics on top.
+
+    Scale shape: ONE corpus-scale (hour) hash agg; the trailing
+    window runs over the calendar-bounded hourly frame (the safe
+    bounded-frame ordered window; partition by day/service when the
+    frame grows). Ratios are exact integer quotients scaled by a
+    closed-form constant, rounded at 4 dp BEFORE the > 1.0 alert
+    comparisons on both engines.
+    """
+    h = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_ns div 3600000000000").alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "errs"
+            ),
+        )
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    w = h.withColumn("errs6", F.sum("errs").over(w6)).withColumn(
+        "n6", F.sum("n").over(w6)
+    )
+    denom = 1 - SLO_TARGET
+    r = w.select(
+        F.col("hr").cast("long").alias("hr"),
+        F.round(F.col("errs") / F.col("n") / denom, 4).alias("burn_1h"),
+        F.round(F.col("errs6") / F.col("n6") / denom, 4).alias("burn_6h"),
+    )
+    return (
+        r.withColumn(
+            "page", (F.col("burn_1h") > 1.0) & (F.col("burn_6h") > 1.0)
+        )
+        .filter((F.col("burn_1h") > 1.0) | (F.col("burn_6h") > 1.0))
+        .orderBy("hr")
+    )

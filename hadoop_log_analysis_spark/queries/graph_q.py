@@ -606,3 +606,105 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(num, 2) / (den * deny), 4).alias("r2"),
         )
     )
+
+
+@query(
+    "q_hits_scores",
+    oracle="""
+        WITH e AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        df AS (SELECT tok, count(*) AS d FROM e GROUP BY tok),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM e),
+        ek AS (SELECT e.doc_id, e.tok FROM e
+               JOIN df ON df.tok = e.tok
+               WHERE df.d >= 2 AND df.d <= 0.9 * (SELECT n FROM nd)),
+        a1 AS (SELECT tok, count(*) * 1.0 AS s FROM ek GROUP BY tok),
+        n1 AS (SELECT sqrt(sum(s * s)) AS z FROM a1),
+        a1n AS (SELECT tok, s / (SELECT z FROM n1) AS a FROM a1),
+        h1 AS (SELECT ek.doc_id, sum(a1n.a) AS s
+               FROM ek JOIN a1n ON a1n.tok = ek.tok
+               GROUP BY ek.doc_id),
+        n2 AS (SELECT sqrt(sum(s * s)) AS z FROM h1),
+        h1n AS (SELECT doc_id, s / (SELECT z FROM n2) AS h FROM h1),
+        a2 AS (SELECT ek.tok, sum(h1n.h) AS s
+               FROM ek JOIN h1n ON h1n.doc_id = ek.doc_id
+               GROUP BY ek.tok),
+        n3 AS (SELECT sqrt(sum(s * s)) AS z FROM a2)
+        SELECT a2.tok,
+               CAST(df.d AS BIGINT) AS df,
+               round(a2.s / (SELECT z FROM n3), 6) AS authority
+        FROM a2 JOIN df ON df.tok = a2.tok
+        ORDER BY authority DESC, a2.tok
+        LIMIT 15
+    """,
+    tags=("J2", "A1", "graph", "iterative"),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities, Kleinberg) over the doc-token
+    bipartite graph, TWO power iterations unrolled: authority(token)
+    <- sum of hub(doc) over containing docs; hub(doc) <- sum of
+    authority(token) over its tokens; L2-normalized each step.
+    Authoritative tokens are those carried by strong hub documents —
+    a different signal from raw df (PageRank's token twin lives at
+    q_pagerank_tokens; HITS adds the dual hub view). The df band
+    [2, 0.9 * |docs|] drops singletons and near-universal stopword
+    tokens first — RELATIVE cap, so the band survives corpus growth
+    where an absolute cut silently empties or floods.
+
+    Scale shape: each half-iteration is ONE edge-keyed hash agg
+    (word-count shuffle shape) plus a broadcast scalar normalizer —
+    the unrolled form keeps the whole thing oracle-able (fixed
+    iteration count), unlike the driver-looped pagerank; at more
+    iterations, switch to the loop with lineage cuts. All four
+    normalizers derive from sums whose inputs are exact counts or
+    once-normalized doubles; authority rounds at 6 dp with a token
+    tie-break before the top-15 TakeOrdered.
+    """
+    e = (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    df_t = e.groupBy("tok").agg(F.count("*").alias("d"))
+    n_docs = e.select("doc_id").distinct().count()
+    ek = e.join(
+        df_t.filter(
+            (F.col("d") >= 2) & (F.col("d") <= 0.9 * n_docs)
+        ).select("tok", "d"),
+        "tok",
+    )
+    a1 = ek.groupBy("tok").agg((F.count("*") * 1.0).alias("s"))
+    n1 = a1.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
+    a1n = a1.crossJoin(F.broadcast(n1)).select(
+        "tok", (F.col("s") / F.col("z")).alias("a")
+    )
+    h1 = (
+        ek.select("doc_id", "tok")
+        .join(a1n, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("a").alias("s"))
+    )
+    n2 = h1.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
+    h1n = h1.crossJoin(F.broadcast(n2)).select(
+        "doc_id", (F.col("s") / F.col("z")).alias("h")
+    )
+    a2 = (
+        ek.select("doc_id", "tok")
+        .join(h1n, "doc_id")
+        .groupBy("tok")
+        .agg(F.sum("h").alias("s"))
+    )
+    n3 = a2.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
+    return (
+        a2.crossJoin(F.broadcast(n3))
+        .join(df_t, "tok")
+        .select(
+            "tok",
+            F.col("d").cast("long").alias("df"),
+            F.round(F.col("s") / F.col("z"), 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "tok")
+        .limit(15)
+    )

@@ -1069,3 +1069,30 @@ def test_churn_training_set_one_pass_conditional_agg(spark):
     plan = _formatted(REGISTRY["q_churn_training_set"].fn(spark, SF001))
     assert "Window" not in plan
     assert len(_scan_node_ids(plan)) <= 2
+
+
+def test_apportionment_algebra_on_source_frame(spark):
+    # Everything after the per-source count is |sources|-row algebra;
+    # the remainder-rank window is over that bounded frame (ordered
+    # + tie-broken) — assert no corpus-scale second scan.
+    plan = _formatted(REGISTRY["q_budget_apportionment"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert "row_number" in plan
+
+
+def test_slo_burn_rate_single_hour_agg(spark):
+    # One corpus-scale (hour) hash agg; the trailing window runs on
+    # the calendar-bounded hourly frame.
+    plan = _formatted(REGISTRY["q_slo_burn_rate"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_hits_half_iterations_are_hash_aggs(spark):
+    # Each HITS half-iteration is an edge-keyed hash agg + broadcast
+    # scalar normalizer — no window, no cartesian.
+    plan = _formatted(REGISTRY["q_hits_scores"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
