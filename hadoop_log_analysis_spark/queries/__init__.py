@@ -182,6 +182,8 @@ _PRIORITY = (
     "q_budget_apportionment",
     "q_slo_burn_rate",
     "q_hits_scores",
+    "q_session_path_topk",
+    "q_linear_attribution",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

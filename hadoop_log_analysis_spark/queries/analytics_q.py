@@ -3580,3 +3580,160 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_session_path_topk",
+    oracle="""
+        WITH g AS (SELECT user_id, event_type,
+                          epoch_ns(ts) AS ns, event_id,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, event_type, ns, event_id,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ns, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+              FROM g),
+        p AS (SELECT user_id, sid,
+                     string_agg(event_type, '>'
+                                ORDER BY ns, event_id) AS path,
+                     count(*) AS plen
+              FROM s GROUP BY user_id, sid)
+        SELECT path,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               round(avg(plen), 4) AS avg_len
+        FROM p
+        WHERE plen <= 5
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
+    """,
+    tags=("W6", "W3", "A1", "funnel"),
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths: the 10 most common short (<=5 events) session
+    event-type sequences, serialized as 'view>click>purchase' strings
+    — the path-analysis view of behavior that funnels (fixed stage
+    order) and transition matrices (memoryless hops) both miss:
+    WHOLE trajectories, ranked.
+
+    Scale shape: sessionization reuses operators/windows.sessionize
+    (per-user ordered window — entity-bounded partitions); the path
+    string builds from a per-session collect_list SORTED WITHIN THE
+    ROW (array_sort on (ns, event_id, type) structs, then transform +
+    array_join) — a bounded-size in-row sort, not a shuffle ordering
+    assumption, because collect_list order is nondeterministic under
+    retries. The (ns, event_id) key makes same-µs ties
+    engine-deterministic. Top-10 is a TakeOrdered with a path
+    tie-break.
+    """
+    from hadoop_log_analysis_spark.operators.windows import sessionize
+
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    s = sessionize(ev, gap=30 * 60 * 1_000_000_000)
+    p = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts_ns", "event_id", "event_type")
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("seq"), lambda x: x["event_type"]), ">"
+            ).alias("path"),
+            F.size("seq").alias("plen"),
+        )
+    )
+    return (
+        p.filter(F.col("plen") <= 5)
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.round(F.avg("plen"), 4).alias("avg_len"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+ATTR_WINDOW_H = 24  # attribution lookback window (hours)
+
+
+@query(
+    "q_linear_attribution",
+    oracle=f"""
+        WITH t AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS ns
+          FROM events WHERE event_type IN ('click', 'view')),
+        p AS (
+          SELECT user_id, epoch_ns(ts) AS pns, event_id, value
+          FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT p.event_id, p.value, t.event_type,
+                 count(*) OVER (PARTITION BY p.event_id) AS n_touch
+          FROM p JOIN t ON t.user_id = p.user_id
+                       AND t.ns < p.pns
+                       AND t.ns >= p.pns - {ATTR_WINDOW_H} * 3600000000000)
+        SELECT event_type AS channel,
+               round(sum(value * 1.0 / n_touch), 2) AS credited_revenue,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases
+        FROM m
+        GROUP BY channel
+        ORDER BY channel
+    """,
+    tags=("J6", "A1", "funnel"),
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click/view in the 24 h
+    before a purchase shares that purchase's revenue equally —
+    completing the attribution triad (first-touch: one argmin per
+    user; last-touch: per-purchase as-of; linear: per-purchase
+    INTERVAL JOIN, credit 1/n per touch). Linear is the model that
+    values mid-funnel channels first/last both erase.
+
+    Scale shape: the touch-purchase match is a time-bounded interval
+    join on the user key (both sides hash-partition on user_id — one
+    co-located shuffle; the 24 h bound keeps per-purchase touch sets
+    small); n_touch is a per-purchase window over the MATCHED frame
+    (purchase-bounded, partitioned by event_id). Credits are exact
+    value/n_touch ratios summed per channel and pinned at 2 dp.
+    """
+    ev = scan(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("ts_ns").alias("tns"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("pns"),
+        "event_id",
+        "value",
+    )
+    m = p.join(
+        t,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("tns") < F.col("pns"))
+        & (F.col("tns") >= F.col("pns") - ATTR_WINDOW_H * 3600000000000),
+    )
+    w = Window.partitionBy("event_id")
+    m = m.withColumn("n_touch", F.count("*").over(w))
+    return (
+        m.groupBy("channel")
+        .agg(
+            F.round(F.sum(F.col("value") * 1.0 / F.col("n_touch")), 2).alias(
+                "credited_revenue"
+            ),
+            F.countDistinct("event_id").cast("long").alias("n_purchases"),
+        )
+        .orderBy("channel")
+    )

@@ -1096,3 +1096,25 @@ def test_hits_half_iterations_are_hash_aggs(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session_path_in_row_sort_no_collect_order_assumption(spark):
+    # The path string must build from array_sort over collected
+    # structs (in-row, retry-safe) — collect_list order alone is
+    # nondeterministic. array_sort shows up as sort_array/array_sort
+    # in the plan; and the top-10 is TakeOrdered.
+    plan = _formatted(REGISTRY["q_session_path_topk"].fn(spark, SF001))
+    assert "array_sort" in plan or "sort_array" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_linear_attribution_interval_join_on_user_key(spark):
+    # The touch-purchase match must be an equi-join on user_id with
+    # the time bounds as join filters — never a cartesian; n_touch is
+    # a purchase-partitioned window.
+    import re
+
+    plan = _formatted(REGISTRY["q_linear_attribution"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window"
