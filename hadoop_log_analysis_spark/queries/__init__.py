@@ -184,6 +184,9 @@ _PRIORITY = (
     "q_hits_scores",
     "q_session_path_topk",
     "q_linear_attribution",
+    "q_anova_doclen",
+    "q_referential_integrity",
+    "q_id_gap_report",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

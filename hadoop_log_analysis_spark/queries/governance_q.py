@@ -1873,3 +1873,173 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("burn_1h") > 1.0) | (F.col("burn_6h") > 1.0))
         .orderBy("hr")
     )
+
+
+@query(
+    "q_anova_doclen",
+    oracle="""
+        WITH g AS (
+          SELECT source, count(*) AS n, avg(n_chars) AS m,
+                 var_samp(n_chars) AS v
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT sum(n) AS nn, count(*) AS k,
+                 sum(n * m) / sum(n) AS gm
+          FROM g),
+        ss AS (
+          SELECT sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+                 sum((g.n - 1) * g.v) AS ssw,
+                 max(t.k) AS k, max(t.nn) AS nn
+          FROM g CROSS JOIN tot t)
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(nn AS BIGINT) AS n_docs,
+               round(ssb / (k - 1), 2) AS ms_between,
+               round(ssw / (nn - k), 2) AS ms_within,
+               round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
+               round(ssb / (ssb + ssw), 6) AS eta_sq
+        FROM ss
+    """,
+    tags=("A5", "governance", "diagnostic"),
+)
+def q_anova_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across sources: the F
+    statistic (between-group vs within-group mean square) and eta²
+    (variance explained by source) — does SOURCE matter for length at
+    all, before pairwise tests (q_mann_whitney) ask which pair
+    differs. The variance decomposition SSB + SSW = SST is computed
+    from per-group sufficient statistics, never from row deviations.
+
+    Scale shape: ONE corpus-scale hash agg to per-source (n, mean,
+    variance); the grand mean, SSB, SSW, F, and eta² are
+    |sources|-row algebra (window aggregates on the bounded group
+    frame — single scan, no recomputed totals subtree). n_chars
+    is integer so group means/variances carry ~1e-12 relative noise;
+    outputs round at 2/4/6 dp, far above it.
+    """
+    g = (
+        scan(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("n_chars").alias("m"),
+            F.var_samp("n_chars").alias("v"),
+        )
+    )
+    w_all = Window.partitionBy()
+    g = g.select(
+        "n",
+        "m",
+        "v",
+        F.sum("n").over(w_all).alias("nn"),
+        F.count("*").over(w_all).alias("k"),
+        (F.sum(F.col("n") * F.col("m")).over(w_all)
+         / F.sum("n").over(w_all)).alias("gm"),
+    )
+    ss = g.agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+    )
+    return ss.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.round(F.col("ssb") / (F.col("k") - 1), 2).alias("ms_between"),
+        F.round(F.col("ssw") / (F.col("nn") - F.col("k")), 2).alias(
+            "ms_within"
+        ),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+@query(
+    "q_referential_integrity",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders' AS fk,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM customer) AS BIGINT)
+        ORDER BY fk
+    """,
+    tags=("J4", "A2", "governance", "diagnostic"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the four FK
+    edges of the star schema (fact->orders->customer->nation,
+    fact->supplier) — the load-validation step that runs after every
+    ingest, completing q_data_quality_report's single-table checks
+    with CROSS-table ones.
+
+    Scale shape: each edge is a LEFT-ANTI join counting unmatched
+    fact rows — dimension sides broadcast (orders-side shuffles on
+    the order key); four bounded 1-row aggregates union into the
+    report. The oracle states the same audits as NOT EXISTS (the
+    semantic spec); anti-join is the scale plan.
+    """
+    li = scan(spark, sf_dir, "lineitem")
+    orders = scan(spark, sf_dir, "orders")
+    cust = scan(spark, sf_dir, "customer")
+    sup = scan(spark, sf_dir, "supplier")
+    nation = scan(spark, sf_dir, "nation")
+
+    def audit(fact, fk_col, dim, dim_key, label, dim_small=True):
+        dimk = dim.select(dim_key).distinct()
+        if dim_small:
+            dimk = F.broadcast(dimk)
+        orphans = fact.join(
+            dimk, F.col(fk_col) == F.col(dim_key), "left_anti"
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        total = fact.agg(F.count("*").cast("long").alias("n_rows"))
+        return orphans.crossJoin(F.broadcast(total)).select(
+            F.lit(label).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey -> orders", dim_small=False)
+        .unionByName(
+            audit(orders, "o_custkey", cust, "c_custkey",
+                  "orders.o_custkey -> customer")
+        )
+        .unionByName(
+            audit(li, "l_suppkey", sup, "s_suppkey",
+                  "lineitem.l_suppkey -> supplier")
+        )
+        .unionByName(
+            audit(cust, "c_nationkey", nation, "n_nationkey",
+                  "customer.c_nationkey -> nation")
+        )
+        .orderBy("fk")
+    )

@@ -687,3 +687,102 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- ID-gap report ----------------------------------------------------------
+GAP_BLOCK = 1000  # id-space block size
+
+
+@query(
+    "q_id_gap_report",
+    oracle=f"""
+        WITH ids AS (
+          SELECT event_id AS id FROM events
+          WHERE event_type = 'purchase'),
+        b AS (
+          SELECT id // {GAP_BLOCK} AS block,
+                 count(*) AS present,
+                 min(id) AS lo,
+                 max(id) AS hi
+          FROM ids GROUP BY block),
+        bounds AS (
+          SELECT min(id) AS gmin, max(id) AS gmax FROM ids),
+        r AS (
+          SELECT b.block, b.present, b.lo, b.hi,
+                 CASE WHEN b.block = bo.gmin // {GAP_BLOCK}
+                      THEN bo.gmin
+                      ELSE b.block * {GAP_BLOCK} END AS span_lo,
+                 CASE WHEN b.block = bo.gmax // {GAP_BLOCK}
+                      THEN bo.gmax
+                      ELSE b.block * {GAP_BLOCK} + {GAP_BLOCK} - 1
+                      END AS span_hi
+          FROM b CROSS JOIN bounds bo)
+        SELECT CAST(block AS BIGINT) AS block,
+               CAST(present AS BIGINT) AS present,
+               CAST(span_hi - span_lo + 1 - present AS BIGINT) AS missing,
+               CAST(lo AS BIGINT) AS lo,
+               CAST(hi AS BIGINT) AS hi
+        FROM r
+        WHERE span_hi - span_lo + 1 - present > 0
+        ORDER BY block
+    """,
+    tags=("A1", "governance", "diagnostic", "scale"),
+)
+def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-space gap report: per 1000-id block of the purchase-event
+    id space, how many ids are MISSING (vs the block's expected span,
+    edge blocks clipped to the observed min/max) — the sequence-audit
+    that surfaces failed ingest batches, purged ranges, or generator
+    skips without ever comparing adjacent rows. (The purchase subset
+    is the audited "table": its ids legitimately skip — the fixture's
+    order keys are fully dense at every SF, which would make the
+    report trivially empty evidence.)
+
+    Scale shape: gap detection by ADJACENCY (lead/lag over the sorted
+    id space) needs a corpus-scale ordered window; the block-count
+    formulation is ONE hash agg (map-side combinable) plus block
+    algebra against two broadcast scalars — missing = span - present
+    per block, exact integers. Block size trades report resolution
+    against report size (|id-range|/1000 rows).
+    """
+    ids = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("id"))
+    )
+    b = ids.groupBy(F.expr(f"id div {GAP_BLOCK}").alias("block")).agg(
+        F.count("*").alias("present"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    bounds = ids.agg(
+        F.min("id").alias("gmin"), F.max("id").alias("gmax")
+    )
+    r = b.crossJoin(F.broadcast(bounds)).select(
+        "block",
+        "present",
+        "lo",
+        "hi",
+        F.when(
+            F.col("block") == F.expr(f"gmin div {GAP_BLOCK}"), F.col("gmin")
+        )
+        .otherwise(F.col("block") * GAP_BLOCK)
+        .alias("span_lo"),
+        F.when(
+            F.col("block") == F.expr(f"gmax div {GAP_BLOCK}"), F.col("gmax")
+        )
+        .otherwise(F.col("block") * GAP_BLOCK + GAP_BLOCK - 1)
+        .alias("span_hi"),
+    )
+    missing = F.col("span_hi") - F.col("span_lo") + 1 - F.col("present")
+    return (
+        r.select(
+            F.col("block").cast("long").alias("block"),
+            F.col("present").cast("long").alias("present"),
+            missing.cast("long").alias("missing"),
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+        )
+        .filter(F.col("missing") > 0)
+        .orderBy("block")
+    )

@@ -1118,3 +1118,26 @@ def test_linear_attribution_interval_join_on_user_key(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window"
+
+
+def test_anova_from_sufficient_statistics(spark):
+    # SSB/SSW come from per-group sufficient statistics — ONE corpus
+    # scan and hash agg; the grand-mean/total terms are window
+    # aggregates on the |sources|-bounded group frame (not a second
+    # scan of the corpus, which a derived-totals cross join causes).
+    plan = _formatted(REGISTRY["q_anova_doclen"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_referential_integrity_anti_joins_broadcast_dims(spark):
+    # Each FK audit is a left-anti join; dimension key sets broadcast.
+    plan = _formatted(REGISTRY["q_referential_integrity"].fn(spark, SF001))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_id_gap_report_no_adjacency_window(spark):
+    # Gap detection must be block-count algebra, never a lead/lag
+    # window over the sorted corpus-scale id space.
+    plan = _formatted(REGISTRY["q_id_gap_report"].fn(spark, SF001))
+    assert "Window" not in plan
