@@ -187,6 +187,9 @@ _PRIORITY = (
     "q_anova_doclen",
     "q_referential_integrity",
     "q_id_gap_report",
+    "q_xmr_control_chart",
+    "q_empirical_bayes_rate",
+    "q_simpson_check",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

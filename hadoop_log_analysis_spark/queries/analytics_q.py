@@ -3737,3 +3737,80 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_xmr_control_chart",
+    oracle="""
+        WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS hr, count(*) AS x
+          FROM events WHERE event_type = 'error' GROUP BY hr),
+        mr AS (
+          SELECT hr, x,
+                 abs(x - lag(x) OVER (ORDER BY hr)) AS r
+          FROM h),
+        lim AS (
+          SELECT avg(x) AS xbar, avg(r) AS rbar FROM mr)
+        SELECT m.hr AS hr, CAST(m.x AS BIGINT) AS x,
+               round(l.xbar, 4) AS center,
+               round(l.xbar + 2.66 * l.rbar, 4) AS ucl,
+               round(greatest(l.xbar - 2.66 * l.rbar, 0), 4) AS lcl,
+               m.x > round(l.xbar + 2.66 * l.rbar, 4)
+                 OR m.x < round(greatest(l.xbar - 2.66 * l.rbar, 0), 4)
+                 AS out_of_control
+        FROM mr m CROSS JOIN lim l
+        WHERE m.x > round(l.xbar + 2.66 * l.rbar, 4)
+           OR m.x < round(greatest(l.xbar - 2.66 * l.rbar, 0), 4)
+        ORDER BY hr
+    """,
+    tags=("W3", "A5", "timeseries", "diagnostic"),
+)
+def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving range) control chart over hourly
+    error counts: natural process limits at mean ± 2.66 x average
+    moving range, flagging out-of-control hours — the Shewhart-style
+    voice-of-the-process chart that distinguishes special-cause spikes
+    from routine variation WITHOUT assuming a distribution (CUSUM
+    detects sustained shifts, EWMA smooths, MAD needs a scale guess;
+    XmR's limits come from short-term variation itself).
+
+    Scale shape: one corpus-scale (hour) hash agg; the moving range
+    lag and the limit scalars run on the calendar-bounded hourly
+    frame. Limits are rounded to 4 dp BEFORE the out-of-control
+    comparison on both engines, so the flag cannot flip on an
+    accumulation ulp.
+    """
+    h = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.expr("ts_ns div 3600000000000").alias("hr"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("hr")
+    mr = h.withColumn("r", F.abs(F.col("x") - F.lag("x").over(w)))
+    w_all = Window.partitionBy()
+    lim = mr.select(
+        "hr",
+        "x",
+        F.round(F.avg("x").over(w_all), 4).alias("center"),
+        F.round(
+            F.avg("x").over(w_all) + 2.66 * F.avg("r").over(w_all), 4
+        ).alias("ucl"),
+        F.round(
+            F.greatest(
+                F.avg("x").over(w_all) - 2.66 * F.avg("r").over(w_all),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("lcl"),
+    )
+    ooc = (F.col("x") > F.col("ucl")) | (F.col("x") < F.col("lcl"))
+    return (
+        lim.withColumn("out_of_control", ooc)
+        .filter(ooc)
+        .select(
+            "hr", F.col("x").cast("long").alias("x"),
+            "center", "ucl", "lcl", "out_of_control",
+        )
+        .orderBy("hr")
+    )

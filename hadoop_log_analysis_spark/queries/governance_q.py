@@ -2043,3 +2043,149 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+@query(
+    "q_empirical_bayes_rate",
+    oracle="""
+        WITH u AS (
+          SELECT user_id, count(*) AS n,
+                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS x
+          FROM events GROUP BY user_id),
+        r AS (SELECT user_id, n, x, x * 1.0 / n AS raw FROM u),
+        mom AS (
+          SELECT avg(raw) AS mu, var_samp(raw) AS s2, avg(n) AS nbar
+          FROM r),
+        ab AS (
+          SELECT mu, s2,
+                 mu * (mu * (1 - mu) / s2 - 1) AS alpha,
+                 (1 - mu) * (mu * (1 - mu) / s2 - 1) AS beta
+          FROM mom)
+        SELECT r.user_id,
+               CAST(r.n AS BIGINT) AS n_events,
+               CAST(r.x AS BIGINT) AS n_errors,
+               round(r.raw, 6) AS raw_rate,
+               round((r.x + ab.alpha) / (r.n + ab.alpha + ab.beta), 6)
+                 AS shrunk_rate
+        FROM r CROSS JOIN ab
+        ORDER BY shrunk_rate DESC, r.user_id
+        LIMIT 20
+    """,
+    tags=("A5", "governance", "robust"),
+)
+def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunken error rates: per-user rates shrunk
+    toward the population via a method-of-moments Beta prior
+    (alpha, beta from the mean/variance of raw rates) — the ranking
+    fix for small-sample entities, where a 2-of-3 user must not
+    outrank a 40-of-100 one. The same machinery ranks sources by
+    defect rate or templates by dup rate without sample-size artifacts.
+
+    Scale shape: ONE per-user hash agg; the prior is two broadcast
+    scalars from the |users|-bounded rate frame; shrinkage is a
+    within-row expression and the top-20 a TakeOrdered with a user
+    tie-break. Raw rates are exact integer ratios; the prior moments
+    carry ~1e-15 accumulation noise against outputs rounded at 6 dp.
+    """
+    u = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("x"),
+        )
+    )
+    r = u.withColumn("raw", F.col("x") * 1.0 / F.col("n"))
+    mom = r.agg(
+        F.avg("raw").alias("mu"), F.var_samp("raw").alias("s2")
+    )
+    ab = mom.select(
+        (F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("s2") - 1)
+         ).alias("alpha"),
+        ((1 - F.col("mu"))
+         * (F.col("mu") * (1 - F.col("mu")) / F.col("s2") - 1)
+         ).alias("beta"),
+    )
+    return (
+        r.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("x").cast("long").alias("n_errors"),
+            F.round("raw", 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_simpson_check",
+    oracle="""
+        WITH pooled AS (
+          SELECT 'ALL' AS stratum,
+                 round(corr(l_discount, l_quantity), 6) AS corr_dq,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem),
+        strata AS (
+          SELECT l_returnflag AS stratum,
+                 round(corr(l_discount, l_quantity), 6) AS corr_dq,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT s.stratum, s.corr_dq, s.n,
+               p.corr_dq AS pooled_corr,
+               CASE WHEN s.corr_dq = 0 OR p.corr_dq = 0 THEN false
+                    ELSE sign(s.corr_dq) <> sign(p.corr_dq) END
+                 AS sign_flips
+        FROM strata s CROSS JOIN pooled p
+        UNION ALL
+        SELECT stratum, corr_dq, n, corr_dq, false FROM pooled
+        ORDER BY stratum
+    """,
+    tags=("A5", "governance", "diagnostic"),
+)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled discount-quantity
+    correlation vs the same correlation WITHIN each return-flag
+    stratum, flagging sign flips — the aggregation trap where a
+    relationship reverses once a confounder is stratified out. Any
+    metrics dashboard aggregating over a mix (segments, cohorts,
+    sources) needs this screen before reporting a pooled trend.
+
+    Scale shape: corr() is a one-pass streaming aggregate (sufficient
+    statistics, map-side combinable) — pooled + per-stratum in two
+    hash aggs over one scan lineage each; the flip check is
+    |strata|-row algebra against a broadcast scalar. Correlations are
+    rounded at 6 dp BEFORE sign comparison on both engines.
+    """
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    )
+    pooled = li.agg(
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias("pooled_corr"),
+        F.count("*").cast("long").alias("pn"),
+    )
+    strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_dq"),
+        F.count("*").cast("long").alias("n"),
+    )
+    flips = F.when(
+        (F.col("corr_dq") == 0) | (F.col("pooled_corr") == 0), F.lit(False)
+    ).otherwise(F.signum("corr_dq") != F.signum("pooled_corr"))
+    s_rows = strata.crossJoin(F.broadcast(pooled)).select(
+        "stratum", "corr_dq", "n", "pooled_corr", flips.alias("sign_flips")
+    )
+    p_row = pooled.select(
+        F.lit("ALL").alias("stratum"),
+        F.col("pooled_corr").alias("corr_dq"),
+        F.col("pn").alias("n"),
+        F.col("pooled_corr"),
+        F.lit(False).alias("sign_flips"),
+    )
+    return s_rows.unionByName(p_row).orderBy("stratum")

@@ -1141,3 +1141,25 @@ def test_id_gap_report_no_adjacency_window(spark):
     # window over the sorted corpus-scale id space.
     plan = _formatted(REGISTRY["q_id_gap_report"].fn(spark, SF001))
     assert "Window" not in plan
+
+
+def test_xmr_single_hour_agg_bounded_windows(spark):
+    # One corpus (hour) hash agg; lag/limits run on the hourly frame.
+    plan = _formatted(REGISTRY["q_xmr_control_chart"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_empirical_bayes_prior_broadcast_take_ordered(spark):
+    # The Beta prior is a broadcast scalar row; shrinkage is within-
+    # row; top-20 is TakeOrdered.
+    plan = _formatted(REGISTRY["q_empirical_bayes_rate"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simpson_check_corr_is_streaming_agg(spark):
+    # corr() must compile to hash aggregates (sufficient statistics),
+    # no window, no Python.
+    plan = _formatted(REGISTRY["q_simpson_check"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
