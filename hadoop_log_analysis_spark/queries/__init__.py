@@ -190,6 +190,9 @@ _PRIORITY = (
     "q_xmr_control_chart",
     "q_empirical_bayes_rate",
     "q_simpson_check",
+    "q_graph_assortativity",
+    "q_mahalanobis_outliers",
+    "q_peak_detection",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3814,3 +3814,82 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@query(
+    "q_peak_detection",
+    oracle="""
+        WITH h AS (
+          SELECT epoch_ns(ts) // 3600000000000 AS hr, count(*) AS x
+          FROM events GROUP BY hr),
+        n AS (
+          SELECT hr, x,
+                 lag(x, 1) OVER w AS p1, lead(x, 1) OVER w AS n1,
+                 round((lag(x, 1) OVER w + lag(x, 2) OVER w
+                        + lead(x, 1) OVER w + lead(x, 2) OVER w) / 4.0,
+                       4) AS neigh
+          FROM h WINDOW w AS (ORDER BY hr))
+        SELECT CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS x, neigh,
+               round(x / neigh, 4) AS prominence
+        FROM n
+        WHERE p1 IS NOT NULL AND n1 IS NOT NULL
+          AND x > p1 AND x >= n1
+          AND neigh > 0 AND round(x / neigh, 4) >= 1.2
+        ORDER BY hr
+    """,
+    tags=("W3", "A1", "timeseries", "diagnostic"),
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic peak detection: hours that are strict local maxima
+    (above the previous hour, at-or-above the next — the asymmetric
+    tie rule keeps plateau edges from double-reporting) AND at least
+    1.2x their ±2 h neighborhood average — prominence filtering so
+    routine ripple doesn't page (q_xmr_control_chart flags level
+    violations; this finds SHAPE features for capacity planning and
+    campaign post-mortems).
+
+    Scale shape: one corpus-scale (hour) hash agg, then lag/lead and
+    the neighborhood mean over the calendar-bounded hourly frame.
+    Neighborhood means and prominence pinned at 4 dp before the
+    threshold comparison on both engines.
+    """
+    h = (
+        scan(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_ns div 3600000000000").alias("hr"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("hr")
+    n = h.select(
+        "hr",
+        "x",
+        F.lag("x", 1).over(w).alias("p1"),
+        F.lead("x", 1).over(w).alias("n1"),
+        F.round(
+            (
+                F.lag("x", 1).over(w)
+                + F.lag("x", 2).over(w)
+                + F.lead("x", 1).over(w)
+                + F.lead("x", 2).over(w)
+            )
+            / 4.0,
+            4,
+        ).alias("neigh"),
+    )
+    prom = F.round(F.col("x") / F.col("neigh"), 4)
+    return (
+        n.filter(
+            F.col("p1").isNotNull()
+            & F.col("n1").isNotNull()
+            & (F.col("x") > F.col("p1"))
+            & (F.col("x") >= F.col("n1"))
+            & (F.col("neigh") > 0)
+            & (prom >= 1.2)
+        )
+        .select(
+            F.col("hr").cast("long").alias("hr"),
+            F.col("x").cast("long").alias("x"),
+            "neigh",
+            prom.alias("prominence"),
+        )
+        .orderBy("hr")
+    )

@@ -708,3 +708,80 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "tok")
         .limit(15)
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey > a.l_partkey),
+        und AS (
+          SELECT pa AS p, pb AS q FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT p, count(*) AS d FROM und GROUP BY p),
+        ed AS (
+          SELECT da.d AS dx, db.d AS dy
+          FROM und u
+          JOIN deg da ON da.p = u.p
+          JOIN deg db ON db.p = u.q)
+        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+               round(avg(dx), 4) AS mean_degree,
+               round(corr(dx, dy), 6) AS assortativity
+        FROM ed
+    """,
+    tags=("J8", "A5", "graph"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over all (directed-both-ways)
+    edges — do hub parts co-occur with other hubs (assortative, r>0)
+    or with the long tail (disassortative, r<0)? Together with
+    q_degree_powerlaw this fixes the graph's skew PROFILE: power-law
+    + disassortative means hub-tail joins dominate and salting the
+    hub side alone suffices; assortative hubs mean hub-hub pair
+    explosions need the bucket cap too.
+
+    Scale shape: reuses the basket-bounded pair generator; degrees
+    are one hash agg; the edge-degree join is two broadcast-able
+    dimension joins (degree table is |parts|-bounded); corr() is a
+    one-pass sufficient-statistics aggregate. 6-dp rounding over
+    integer-valued inputs.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q")
+    ).unionAll(pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q")))
+    deg = und.groupBy("p").agg(F.count("*").alias("d"))
+    ed = (
+        und.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("dx")),
+                 F.col("p") == F.col("p1"))
+        .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("dy")),
+              F.col("q") == F.col("p2"))
+    )
+    return ed.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("dx"), 4).alias("mean_degree"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )

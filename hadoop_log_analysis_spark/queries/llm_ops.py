@@ -3080,3 +3080,89 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_mahalanobis_outliers",
+    oracle="""
+        WITH f AS (
+          SELECT doc_id, lang, n_chars * 1.0 AS x,
+                 len(string_split(text, ' ')) * 1.0 AS y
+          FROM documents),
+        m AS (
+          SELECT avg(x) AS mx, avg(y) AS my,
+                 var_samp(x) AS sxx, var_samp(y) AS syy,
+                 covar_samp(x, y) AS sxy
+          FROM f),
+        d AS (
+          SELECT f.doc_id, f.lang, f.x, f.y,
+                 round(
+                   ((f.x - m.mx) * (f.x - m.mx) * m.syy
+                    - 2 * (f.x - m.mx) * (f.y - m.my) * m.sxy
+                    + (f.y - m.my) * (f.y - m.my) * m.sxx)
+                   / (m.sxx * m.syy - m.sxy * m.sxy),
+                   4) AS d2
+          FROM f CROSS JOIN m)
+        SELECT doc_id, lang,
+               CAST(x AS BIGINT) AS n_chars,
+               CAST(y AS BIGINT) AS n_tokens,
+               d2
+        FROM d
+        ORDER BY d2 DESC, doc_id
+        LIMIT 15
+    """,
+    tags=("A5", "L7", "robust", "curation"),
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: squared Mahalanobis distance of
+    each document in (chars, tokens) space, top-15 — catches docs
+    whose char/token RATIO is anomalous (binary-ish payloads, no-space
+    CJK mislabels, repeated-char spam) that per-axis z-scores miss
+    because each marginal looks normal. The 2x2 covariance inverts in
+    CLOSED FORM, so the whole statistic is scan -> broadcast scalars
+    -> within-row arithmetic.
+
+    Scale shape: one moments aggregate (map-side combinable
+    var/covar sufficient statistics), broadcast back, per-row d²
+    expression, TakeOrdered top-15 with a doc tie-break. At d > ~10
+    features switch to the distributed Gram machinery
+    (q_embedding_covariance) + a local solve (q_pca_components'
+    split). d² rounds at 4 dp before the ordering on both engines.
+    """
+    f = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") * 1.0).alias("x"),
+        (F.size(F.split("text", " ")) * 1.0).alias("y"),
+    )
+    m = f.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("sxx"),
+        F.var_samp("y").alias("syy"),
+        F.covar_samp("x", "y").alias("sxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    d2 = F.round(
+        (
+            dx * dx * F.col("syy")
+            - 2 * dx * dy * F.col("sxy")
+            + dy * dy * F.col("sxx")
+        )
+        / det,
+        4,
+    )
+    return (
+        f.crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("x").cast("long").alias("n_chars"),
+            F.col("y").cast("long").alias("n_tokens"),
+            d2.alias("d2"),
+        )
+        .orderBy(F.desc("d2"), "doc_id")
+        .limit(15)
+    )

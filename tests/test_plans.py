@@ -1163,3 +1163,26 @@ def test_simpson_check_corr_is_streaming_agg(spark):
     plan = _formatted(REGISTRY["q_simpson_check"].fn(spark, SF001))
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assortativity_corr_aggregate_no_window(spark):
+    # Edge-degree correlation is a sufficient-statistics aggregate;
+    # the degree joins are hash/broadcast joins, no cartesian.
+    plan = _formatted(REGISTRY["q_graph_assortativity"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mahalanobis_closed_form_broadcast_take_ordered(spark):
+    # Moments broadcast back; d2 is within-row; top-15 TakeOrdered.
+    plan = _formatted(REGISTRY["q_mahalanobis_outliers"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_peak_detection_single_hour_agg(spark):
+    # One (hour) hash agg; shape tests run on the bounded hourly
+    # frame.
+    plan = _formatted(REGISTRY["q_peak_detection"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
