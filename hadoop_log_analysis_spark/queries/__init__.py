@@ -193,6 +193,9 @@ _PRIORITY = (
     "q_graph_assortativity",
     "q_mahalanobis_outliers",
     "q_peak_detection",
+    "q_lag_feature_matrix",
+    "q_loo_target_encoding",
+    "q_ab_power_calc",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2189,3 +2189,68 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("sign_flips"),
     )
     return s_rows.unionByName(p_row).orderBy("stratum")
+
+
+@query(
+    "q_ab_power_calc",
+    oracle="""
+        WITH m AS (
+          SELECT var_samp(value) AS s2, avg(value) AS mu,
+                 count(*) AS n
+          FROM events WHERE event_type = 'purchase'),
+        mde AS (SELECT unnest([0.05, 0.10, 0.20]) AS rel_mde)
+        SELECT round(mde.rel_mde, 2) AS rel_mde,
+               round(mde.rel_mde * m.mu, 4) AS abs_mde,
+               CAST(ceil(2 * m.s2 * (1.959964 + 0.841621)
+                         * (1.959964 + 0.841621)
+                         / (mde.rel_mde * m.mu * mde.rel_mde * m.mu))
+                    AS BIGINT) AS n_per_arm,
+               round(2.0 * ceil(2 * m.s2 * (1.959964 + 0.841621)
+                                * (1.959964 + 0.841621)
+                                / (mde.rel_mde * m.mu
+                                   * mde.rel_mde * m.mu))
+                     / m.n, 4) AS runs_of_data
+        FROM mde CROSS JOIN m
+        ORDER BY rel_mde
+    """,
+    tags=("A5", "governance", "diagnostic"),
+)
+def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power calculator from OBSERVED variance: per relative
+    MDE (5/10/20% of the purchase-value mean), the required n per arm
+    at alpha=0.05 two-sided / 80% power — n = 2*sigma^2*(z_{a/2}+z_b)^2
+    / delta^2 — and how many multiples of the current dataset that is.
+    The pre-experiment sizing step q_ab_test_report's post-hoc readout
+    assumes was done; z constants are literals (1.959964, 0.841621)
+    so both engines evaluate identical arithmetic.
+
+    Scale shape: one moments aggregate over the metric stream, then a
+    3-row MDE grid of within-row arithmetic against the broadcast
+    scalars. ceil() of a ratio of pinned quantities is deterministic;
+    outputs round at 4 dp.
+    """
+    m = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.var_samp("value").alias("s2"),
+            F.avg("value").alias("mu"),
+            F.count("*").alias("n"),
+        )
+    )
+    mde = spark.createDataFrame(
+        [(0.05,), (0.10,), (0.20,)], "rel_mde double"
+    )
+    z2 = (1.959964 + 0.841621) ** 2
+    delta = F.col("rel_mde") * F.col("mu")
+    n_arm = F.ceil(2 * F.col("s2") * F.lit(z2) / (delta * delta))
+    return (
+        mde.crossJoin(F.broadcast(m))
+        .select(
+            F.round("rel_mde", 2).alias("rel_mde"),
+            F.round(delta, 4).alias("abs_mde"),
+            n_arm.cast("long").alias("n_per_arm"),
+            F.round(2.0 * n_arm / F.col("n"), 4).alias("runs_of_data"),
+        )
+        .orderBy("rel_mde")
+    )

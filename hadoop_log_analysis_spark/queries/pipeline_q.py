@@ -2290,3 +2290,129 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "cutoff_day")
     )
+
+
+@query(
+    "q_lag_feature_matrix",
+    oracle="""
+        WITH d AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 round(sum(value), 2) AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY day),
+        f AS (
+          SELECT day, rev,
+                 lag(rev, 1) OVER w AS lag1,
+                 lag(rev, 7) OVER w AS lag7,
+                 round(avg(rev) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+                 round(rev - lag(rev, 1) OVER w, 2) AS diff1
+          FROM d WINDOW w AS (ORDER BY day))
+        SELECT CAST(day AS BIGINT) AS day, rev, lag1, lag7, ma7, diff1
+        FROM f
+        WHERE lag7 IS NOT NULL
+        ORDER BY day
+    """,
+    tags=("W3", "W4", "timeseries", "training-data"),
+)
+def q_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature matrix: daily purchase revenue with its
+    lag-1, lag-7, trailing 7-day mean, and first difference — the
+    supervised-learning representation of a time series (each row is
+    a training example; the warm-up rows without a full lag-7 are
+    dropped, the standard fit-window convention).
+
+    Scale shape: one corpus-scale (day) hash agg; every lag/rolling
+    feature runs on the calendar-bounded daily frame (partition by
+    series id when this becomes per-entity). Daily revenue is pinned
+    at 2 dp BEFORE the lags/diffs so every derived feature is exact
+    arithmetic on pinned values; the moving average re-rounds at 4 dp.
+    """
+    d = (
+        scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("ts_ns div 86400000000000").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    f = d.select(
+        F.col("day").cast("long").alias("day"),
+        "rev",
+        F.lag("rev", 1).over(w).alias("lag1"),
+        F.lag("rev", 7).over(w).alias("lag7"),
+        F.round(F.avg("rev").over(w7), 4).alias("ma7"),
+        F.round(F.col("rev") - F.lag("rev", 1).over(w), 2).alias("diff1"),
+    )
+    return f.filter(F.col("lag7").isNotNull()).orderBy("day")
+
+
+@query(
+    "q_loo_target_encoding",
+    oracle="""
+        WITH g AS (
+          SELECT l_returnflag AS cat,
+                 count(*) AS n,
+                 sum(l_discount) AS s,
+                 round(avg(l_discount), 6) AS naive_mean
+          FROM lineitem GROUP BY cat),
+        loo AS (
+          SELECT l.l_returnflag AS cat,
+                 round((g.s - l.l_discount) / (g.n - 1), 6) AS enc
+          FROM lineitem l JOIN g ON g.cat = l.l_returnflag)
+        SELECT loo.cat,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(enc), 6) AS mean_encoding,
+               round(var_samp(enc), 10) AS var_encoding,
+               max(g.naive_mean) AS naive_mean
+        FROM loo JOIN g ON g.cat = loo.cat
+        GROUP BY loo.cat
+        ORDER BY loo.cat
+    """,
+    tags=("A1", "A5", "training-data", "pipeline"),
+)
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding audit: each row's category is
+    encoded by the mean target (discount) of the OTHER rows in its
+    category — (sum - y_i)/(n - 1) — the leakage-safe variant of mean
+    encoding (naive mean encoding leaks each row's own target into
+    its feature; LOO's per-row variance column is exactly the leak
+    detector: zero variance means the encoding collapsed to the
+    naive mean). Reported per category against the naive mean.
+
+    Scale shape: per-category (n, sum) aggregates broadcast back
+    onto the fact stream; the LOO encoding is a within-row
+    expression, then ONE per-category audit agg. Encodings are
+    pinned at 6 dp before the audit moments; var_samp of the pinned
+    values rounds at 10 dp (its scale is the pinned-grid spacing).
+    """
+    g = (
+        scan(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("cat"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_discount").alias("s"),
+            F.round(F.avg("l_discount"), 6).alias("naive_mean"),
+        )
+    )
+    loo = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_discount")
+        .join(F.broadcast(g), F.col("l_returnflag") == F.col("cat"))
+        .select(
+            "cat",
+            "naive_mean",
+            F.round(
+                (F.col("s") - F.col("l_discount")) / (F.col("n") - 1), 6
+            ).alias("enc"),
+        )
+    )
+    return (
+        loo.groupBy("cat")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.avg("enc"), 6).alias("mean_encoding"),
+            F.round(F.var_samp("enc"), 10).alias("var_encoding"),
+            F.max("naive_mean").alias("naive_mean"),
+        )
+        .orderBy("cat")
+    )

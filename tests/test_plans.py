@@ -1186,3 +1186,26 @@ def test_peak_detection_single_hour_agg(spark):
     # frame.
     plan = _formatted(REGISTRY["q_peak_detection"].fn(spark, SF001))
     assert len(_scan_node_ids(plan)) == 1
+
+
+def test_lag_feature_matrix_single_day_agg(spark):
+    # One (day) hash agg; lags/rolling on the bounded daily frame.
+    plan = _formatted(REGISTRY["q_lag_feature_matrix"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_loo_encoding_group_stats_broadcast(spark):
+    # Per-category (n, sum) broadcast back; the LOO expression is
+    # within-row — no window, no second corpus aggregation pass
+    # before the audit agg.
+    plan = _formatted(REGISTRY["q_loo_target_encoding"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ab_power_moments_broadcast(spark):
+    # One moments aggregate; the MDE grid is 3 rows of within-row
+    # arithmetic against broadcast scalars.
+    plan = _formatted(REGISTRY["q_ab_power_calc"].fn(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
