@@ -145,9 +145,10 @@ _PRIORITY = (
     "q_mixture_solver",
     "q_join_size_estimate",
     "q_compression_ratio_filter",
-    # round-6 waves 8-9 (landed after the r6 top-50 window was set;
-    # all locally hash-green — lead the round-7 promotion block
-    # together with positions 51-56 above):
+    # round-6 waves 8-20 (landed after the r6 top-50 window was set;
+    # all locally hash-green AND driver-sim-verified this session —
+    # they lead the round-7 promotion block together with positions
+    # 51-56 above; 41 names through q_ab_power_calc):
     "q_market_share",
     "q_small_qty_revenue",
     "q_hhi_concentration",
