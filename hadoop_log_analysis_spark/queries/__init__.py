@@ -197,6 +197,8 @@ _PRIORITY = (
     "q_lag_feature_matrix",
     "q_loo_target_encoding",
     "q_ab_power_calc",
+    "q_two_core",
+    "q_data_freshness",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

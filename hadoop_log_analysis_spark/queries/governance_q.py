@@ -2254,3 +2254,54 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_mde")
     )
+
+
+FRESHNESS_SLA_H = 24  # staleness threshold (hours behind the newest arrival)
+
+
+@query(
+    "q_data_freshness",
+    oracle=f"""
+        WITH g AS (SELECT max(epoch_ns(ts)) AS now_ns FROM events),
+        s AS (
+          SELECT event_type,
+                 max(epoch_ns(ts)) AS last_ns,
+                 count(*) AS n
+          FROM events GROUP BY event_type)
+        SELECT s.event_type,
+               CAST(s.n AS BIGINT) AS n_events,
+               CAST((g.now_ns - s.last_ns) // 3600000000000 AS BIGINT)
+                 AS lag_hours,
+               (g.now_ns - s.last_ns) // 3600000000000
+                 >= {FRESHNESS_SLA_H} AS stale
+        FROM s CROSS JOIN g
+        ORDER BY event_type
+    """,
+    tags=("A1", "governance", "diagnostic"),
+)
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA board: per event type, hours since its last
+    arrival relative to the newest arrival anywhere, with a 24 h
+    staleness flag — the first check a pipeline on-call runs (a type
+    whose feed silently died shows here before any metric drifts).
+
+    Scale shape: two max-aggregates over one scan lineage (per-type
+    and global — both map-side combinable), a broadcast scalar join,
+    integer floor-divided lag. Nothing else.
+    """
+    ev = scan(spark, sf_dir, "events").select("event_type", "ts_ns")
+    g = ev.agg(F.max("ts_ns").alias("now_ns"))
+    s = ev.groupBy("event_type").agg(
+        F.max("ts_ns").alias("last_ns"), F.count("*").alias("n")
+    )
+    lag_h = F.expr("(now_ns - last_ns) div 3600000000000")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            lag_h.cast("long").alias("lag_hours"),
+            (lag_h >= FRESHNESS_SLA_H).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -785,3 +785,121 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dx"), 4).alias("mean_degree"),
         F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
     )
+
+
+@query(
+    "q_two_core",
+    oracle="""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey > a.l_partkey),
+        e0 AS (SELECT pa AS p, pb AS q FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+        d0 AS (SELECT p, count(*) AS d FROM e0 GROUP BY p),
+        keep1 AS (SELECT p FROM d0 WHERE d >= 2),
+        e1 AS (SELECT e.p, e.q FROM e0 e
+               JOIN keep1 k1 ON k1.p = e.p
+               JOIN keep1 k2 ON k2.p = e.q),
+        d1 AS (SELECT p, count(*) AS d FROM e1 GROUP BY p),
+        keep2 AS (SELECT p FROM d1 WHERE d >= 2),
+        e2 AS (SELECT e.p, e.q FROM e1 e
+               JOIN keep2 k1 ON k1.p = e.p
+               JOIN keep2 k2 ON k2.p = e.q),
+        d2 AS (SELECT p, count(*) AS d FROM e2 GROUP BY p)
+        SELECT CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM keep1) AS BIGINT)
+                 AS n_after_pass1,
+               CAST((SELECT count(*) FROM d2 WHERE d >= 2) AS BIGINT)
+                 AS n_core_nodes,
+               CAST((SELECT coalesce(sum(d), 0) / 2 FROM d2 WHERE d >= 2)
+                 AS BIGINT) AS core_edges_lb,
+               CAST((SELECT coalesce(max(d), 0) FROM d2) AS BIGINT)
+                 AS max_core_degree
+        FROM (SELECT 1)
+    """,
+    tags=("J8", "A1", "graph", "iterative"),
+)
+def q_two_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the co-purchase graph, TWO pruning passes
+    unrolled: drop degree<2 nodes, recompute degrees on the induced
+    subgraph, drop again — the dense-core extraction that separates
+    structurally-connected parts from dangling one-off pairings
+    (community detection and dedup-cluster triage both start from
+    the core). Two unrolled passes keep the query oracle-able (the
+    fixed-point loop version belongs with pagerank's driver loop).
+
+    Scale shape: each peel is one degree hash agg + two semi-join-
+    shaped hash joins against the (node)-bounded keep list — the
+    keep list broadcasts once it shrinks below the threshold, which
+    is exactly what peeling does; no adjacency windows, no cartesian.
+    All counts are exact integers.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    e0 = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionAll(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
+    )
+
+    def degrees(e):
+        return e.groupBy("p").agg(F.count("*").alias("d"))
+
+    def peel(e, keep):
+        k1 = keep.select(F.col("p").alias("kp"))
+        k2 = keep.select(F.col("p").alias("kq"))
+        return (
+            e.join(k1, F.col("p") == F.col("kp"))
+            .join(k2, F.col("q") == F.col("kq"))
+            .select("p", "q")
+        )
+
+    d0 = degrees(e0)
+    keep1 = d0.filter(F.col("d") >= 2).select("p")
+    e1 = peel(e0, keep1)
+    d1 = degrees(e1)
+    keep2 = d1.filter(F.col("d") >= 2).select("p")
+    e2 = peel(e1, keep2)
+    d2 = degrees(e2)
+    core = d2.filter(F.col("d") >= 2)
+    n0 = d0.agg(F.count("*").alias("n_nodes"))
+    n1 = keep1.agg(F.count("*").alias("n_after_pass1"))
+    nc = core.agg(
+        F.count("*").alias("n_core_nodes"),
+        (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+        .cast("long")
+        .alias("core_edges_lb"),
+    )
+    md = d2.agg(
+        F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_core_degree")
+    )
+    return (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(md))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_after_pass1").cast("long").alias("n_after_pass1"),
+            F.col("n_core_nodes").cast("long").alias("n_core_nodes"),
+            "core_edges_lb",
+            "max_core_degree",
+        )
+    )

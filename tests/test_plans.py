@@ -1209,3 +1209,20 @@ def test_ab_power_moments_broadcast(spark):
     plan = _formatted(REGISTRY["q_ab_power_calc"].fn(spark, SF001))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_two_core_peels_are_joins_no_cartesian(spark):
+    # Each peel is degree agg + keep-list joins — no cartesian, no
+    # window.
+    plan = _formatted(REGISTRY["q_two_core"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_data_freshness_two_aggs_one_lineage(spark):
+    # Per-type + global max over the same pruned scan; broadcast
+    # scalar join only.
+    plan = _formatted(REGISTRY["q_data_freshness"].fn(spark, SF001))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+    assert "BroadcastNestedLoopJoin" in plan
