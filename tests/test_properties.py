@@ -727,6 +727,16 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_ann_recall_curve", "q_gini_spend", "q_lorenz_curve",
         "q_rfm_segmentation", "q_sparse_cosine_pairs",
         "q_vocab_growth_heaps", "q_snapshot_diff",
+        # r6 waves 8-21: driver-side counts (theil-sen n_months,
+        # hits n_docs), grouped_bottom_k / mapInPandas empty-group
+        # paths, and the scalar-division members
+        "q_theil_sen_trend", "q_negative_sampling",
+        "q_stratified_fixed_k", "q_image_ahash_dedup",
+        "q_shard_rebalance", "q_hits_scores", "q_kaplan_meier",
+        "q_bh_fdr", "q_mann_whitney", "q_budget_apportionment",
+        "q_two_core", "q_eval_contamination", "q_feature_backfill",
+        "q_churn_training_set", "q_quantile_bridge",
+        "q_mahalanobis_outliers", "q_ab_power_calc",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
