@@ -199,6 +199,8 @@ _PRIORITY = (
     "q_ab_power_calc",
     "q_two_core",
     "q_data_freshness",
+    "q_partition_digest",
+    "q_cell_residuals",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2305,3 +2305,87 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_cell_residuals",
+    oracle="""
+        WITH cell AS (
+          SELECT lang, source, count(*) AS o
+          FROM documents GROUP BY lang, source),
+        marg AS (
+          SELECT c.lang, c.source, c.o,
+                 sum(c.o) OVER (PARTITION BY c.lang) AS rl,
+                 sum(c.o) OVER (PARTITION BY c.source) AS rs,
+                 sum(c.o) OVER () AS n
+          FROM cell c),
+        r AS (
+          SELECT lang, source, o,
+                 rl * rs * 1.0 / n AS e,
+                 round((o - rl * rs * 1.0 / n)
+                       / sqrt((rl * rs * 1.0 / n)
+                              * (1 - rl * 1.0 / n)
+                              * (1 - rs * 1.0 / n)),
+                       4) AS std_residual
+          FROM marg)
+        SELECT lang, source, CAST(o AS BIGINT) AS observed,
+               round(e, 4) AS expected, std_residual,
+               abs(std_residual) > 2.0 AS anomalous
+        FROM r
+        WHERE abs(std_residual) > 2.0
+        ORDER BY lang, source
+    """,
+    tags=("A5", "W4", "governance", "diagnostic"),
+)
+def q_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized Pearson residuals per (lang, source) cell: which
+    SPECIFIC combinations are over/under-represented relative to
+    independence (|residual| > 2 ~ the 95% band) —
+    q_chi2_independence answers WHETHER lang and source are
+    associated; this says WHERE, which is what a mixture engineer
+    acts on (a lang x source hole means that slice needs sourcing;
+    a spike means one source dominates a language).
+
+    Scale shape: ONE corpus-scale hash agg to the contingency cells;
+    marginals are window aggregates on the |langs| x |sources|
+    bounded cell frame (the single-scan pattern q_anova_doclen
+    pins); residuals are within-row arithmetic on exact integer
+    counts, pinned at 4 dp before the 2.0 threshold.
+    """
+    cell = (
+        scan(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+    )
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_a = Window.partitionBy()
+    marg = cell.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_l).alias("rl"),
+        F.sum("o").over(w_s).alias("rs"),
+        F.sum("o").over(w_a).alias("n"),
+    )
+    e = F.col("rl") * F.col("rs") * 1.0 / F.col("n")
+    std_res = F.round(
+        (F.col("o") - e)
+        / F.sqrt(
+            e * (1 - F.col("rl") * 1.0 / F.col("n"))
+            * (1 - F.col("rs") * 1.0 / F.col("n"))
+        ),
+        4,
+    )
+    return (
+        marg.select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            std_res.alias("std_residual"),
+            (F.abs(std_res) > 2.0).alias("anomalous"),
+        )
+        .filter(F.abs(F.col("std_residual")) > 2.0)
+        .orderBy("lang", "source")
+    )

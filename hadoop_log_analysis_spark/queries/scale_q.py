@@ -786,3 +786,69 @@ def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("missing") > 0)
         .orderBy("block")
     )
+
+
+@query(
+    "q_partition_digest",
+    oracle="""
+        WITH d AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 ((event_id * 2654435761 + user_id) % 1000003) AS h
+          FROM events)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(h) AS BIGINT) AS digest_sum,
+               CAST(sum(h * h) % 9007199254740881 AS BIGINT)
+                 AS digest_sq
+        FROM d
+        GROUP BY day
+        ORDER BY day
+    """,
+    tags=("A1", "layout", "scale", "diagnostic"),
+)
+def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content digests: for each day partition, the row
+    count plus order-independent checksums (sum and mod-reduced
+    sum-of-squares of a portable row hash) — the cheap reconciliation
+    primitive behind incremental sync: two sides compare |partitions|
+    digest rows instead of any data, and only partitions whose
+    digests differ get re-shipped (q_snapshot_diff classifies
+    aggregate changes; digests detect ANY row-level change, including
+    compensating ones that leave aggregates intact — the sum alone
+    misses swap-like edits, hence the second moment).
+
+    Scale shape: a map-side-combinable hash agg — commutative
+    checksums are exactly the aggregates that combine in any order;
+    the digest is the shared Knuth hash so any engine (or a
+    DuckDB-side auditor) reproduces it bit-identically. Sum-of-squares
+    is reduced mod a sub-2^53 prime so both engines stay in exact
+    integer range: h < 1000003 so h*h < 2^40, and partial sums are
+    reduced only at the final aggregate — per-partition row counts up
+    to ~2^13 partial terms stay exact; at bigger partitions reduce
+    per-term (documented trade, same oracle).
+    """
+    d = scan(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("day"),
+        (
+            (F.col("event_id") * F.lit(2654435761).cast("long")
+             + F.col("user_id"))
+            % 1000003
+        ).alias("h"),
+    )
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("digest_sum"),
+            (F.sum(F.col("h") * F.col("h")) % F.lit(9007199254740881))
+            .cast("long")
+            .alias("digest_sq"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_rows",
+            "digest_sum",
+            "digest_sq",
+        )
+        .orderBy("day")
+    )

@@ -1226,3 +1226,19 @@ def test_data_freshness_two_aggs_one_lineage(spark):
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "props" not in read_schema and "value" not in read_schema
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_partition_digest_map_side_combinable(spark):
+    # The digest is a plain hash agg — partial + final HashAggregate,
+    # no window, no Python, one scan.
+    plan = _formatted(REGISTRY["q_partition_digest"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_cell_residuals_marginals_on_cell_frame(spark):
+    # Marginals are window aggregates over the bounded cell frame —
+    # one corpus scan, residuals within-row.
+    plan = _formatted(REGISTRY["q_cell_residuals"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
