@@ -852,3 +852,81 @@ def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_column_stats",
+    oracle="""
+        SELECT 'l_quantity' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+               round(min(l_quantity), 2) AS min_v,
+               round(max(l_quantity), 2) AS max_v,
+               round(avg(l_quantity), 4) AS mean_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(count(*) AS BIGINT),
+               CAST(count(l_discount) AS BIGINT),
+               CAST(count(DISTINCT l_discount) AS BIGINT),
+               round(min(l_discount), 2), round(max(l_discount), 2),
+               round(avg(l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(count(*) AS BIGINT),
+               CAST(count(l_extendedprice) AS BIGINT),
+               CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+               round(min(l_extendedprice), 2),
+               round(max(l_extendedprice), 2),
+               round(avg(l_extendedprice), 4)
+        FROM lineitem
+        ORDER BY col
+    """,
+    tags=("A2", "A3", "layout", "scale"),
+)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the fact table's numeric
+    columns: row/non-null/NDV counts, min/max bounds, and means — the
+    statistics a cost-based optimizer feeds on (join reordering and
+    broadcast decisions are only as good as NDV and bounds; this is
+    the query behind `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS`, expressed on the engine's own surface).
+
+    Scale shape: ONE scan computing all three columns' statistics in
+    a single multi-aggregate pass on the Spark side (the oracle's
+    three-scan UNION is DuckDB-side spec; the plan test pins one
+    scan). Exact count(DISTINCT) on multiple columns expands rows
+    (Spark's expand-based multi-distinct); swap to approx_count_
+    distinct's HLL at 100 TB — same plan shape, documented trade.
+    """
+    cols = ("l_quantity", "l_discount", "l_extendedprice")
+    li = scan(spark, sf_dir, "lineitem").select(*cols)
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
+            F.round(F.min(c), 2).alias(f"{c}__min"),
+            F.round(F.max(c), 2).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__ndv, {c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack})"
+                " as (col, n_nonnull, ndv, min_v, max_v, mean_v)"
+            ),
+        )
+        .select(
+            "col", "n_rows", "n_nonnull", "ndv", "min_v", "max_v", "mean_v"
+        )
+        .orderBy("col")
+    )

@@ -1242,3 +1242,11 @@ def test_cell_residuals_marginals_on_cell_frame(spark):
     # one corpus scan, residuals within-row.
     plan = _formatted(REGISTRY["q_cell_residuals"].fn(spark, SF001))
     assert len(_scan_node_ids(plan)) == 1
+
+
+def test_column_stats_single_pass_stack(spark):
+    # All three columns' statistics come from ONE multi-aggregate
+    # pass over ONE scan, unpivoted with stack — not a per-column
+    # UNION of re-scans (the oracle's three-scan UNION is spec only).
+    plan = _formatted(REGISTRY["q_column_stats"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1

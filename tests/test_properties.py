@@ -1519,3 +1519,19 @@ def test_r6_wave22_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_r6_wave23_partition_invariant(spark):
+    """Split-invariance for q_column_stats (multi-distinct expand)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = [tuple(r) for r in reg["q_column_stats"].fn(spark, SF001).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = [tuple(r) for r in reg["q_column_stats"].fn(spark, SF001).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow
