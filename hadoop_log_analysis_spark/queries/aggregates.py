@@ -796,18 +796,22 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH sup_rev AS (
           SELECT c.c_mktsegment AS segment, l.l_suppkey,
-                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(5,2))))
+                      AS DECIMAL(22,4)) AS rev
           FROM lineitem l
           JOIN orders o ON o.o_orderkey = l.l_orderkey
           JOIN customer c ON c.c_custkey = o.o_custkey
           GROUP BY segment, l.l_suppkey),
         sh AS (
           SELECT segment, rev,
-                 rev / sum(rev) OVER (PARTITION BY segment) AS share
+                 CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY segment) AS DOUBLE)
+                   AS share
           FROM sup_rev)
         SELECT segment,
                count(*) AS n_suppliers,
-               round(sum(rev), 2) AS segment_rev,
+               CAST(sum(rev) AS DOUBLE) AS segment_rev,
                round(sum(share * share), 6) AS hhi
         FROM sh
         GROUP BY segment
@@ -825,13 +829,21 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact-fact shuffle (lineitem JOIN orders on the
     order key) with the customer dim broadcast; the (segment,
     supplier) aggregate is |segments| x |suppliers| rows, so the
-    share/HHI arithmetic runs on a dimension-bounded frame. Per-
-    supplier revenues are rounded to 2 dp BEFORE shares are formed,
-    so both engines square identical deterministic ratios.
+    share/HHI arithmetic runs on a dimension-bounded frame.
+    Money arithmetic is EXACT DECIMAL end-to-end (price 2 dp x
+    discount 2 dp = exact 4-dp volumes, exact sums): a double sum of
+    per-line revenues can land within an ulp of a rounding boundary
+    and flip the 2-dp per-supplier figure with accumulation order —
+    observed at sf0.1 — so no double enters until the share division,
+    which divides identical exact decimals on both engines.
     """
     li = scan(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(5,2)")
+               - F.col("l_discount").cast("decimal(5,2)"))
+        ).alias("vol"),
     )
     orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = scan(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -842,17 +854,19 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(F.col("c_mktsegment").alias("segment"), "l_suppkey")
-        .agg(F.round(F.sum("vol"), 2).alias("rev"))
+        .agg(F.sum("vol").cast("decimal(22,4)").alias("rev"))
     )
-    from pyspark.sql import Window
 
     seg_total = F.sum("rev").over(Window.partitionBy("segment"))
     return (
-        sup_rev.withColumn("share", F.col("rev") / seg_total)
+        sup_rev.withColumn(
+            "share",
+            F.col("rev").cast("double") / seg_total.cast("double"),
+        )
         .groupBy("segment")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("rev"), 2).alias("segment_rev"),
+            F.sum("rev").cast("double").alias("segment_rev"),
             F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
         )
         .orderBy("segment")
