@@ -903,3 +903,111 @@ def q_two_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_core_degree",
         )
     )
+
+
+ITEM_CF_K = 5  # neighbors kept per item
+
+
+@query(
+    "q_item_cf_topk",
+    oracle=f"""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        deg AS (
+          SELECT l_partkey, count(*) AS n
+          FROM basket GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 count(*) AS c
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey <> a.l_partkey
+          GROUP BY pa, pb
+          HAVING count(*) >= 2),
+        scored AS (
+          SELECT p.pa, p.pb, p.c,
+                 round(p.c / sqrt(da.n * db.n), 6) AS cosine
+          FROM pairs p
+          JOIN deg da ON da.l_partkey = p.pa
+          JOIN deg db ON db.l_partkey = p.pb),
+        ranked AS (
+          SELECT pa, pb, c, cosine,
+                 CAST(row_number() OVER (PARTITION BY pa
+                        ORDER BY cosine DESC, pb) AS BIGINT) AS rank
+          FROM scored)
+        SELECT pa AS part, pb AS neighbor,
+               CAST(c AS BIGINT) AS common_orders, cosine, rank
+        FROM ranked WHERE rank <= {ITEM_CF_K}
+        ORDER BY part, rank
+    """,
+    tags=("J8", "W2", "A1", "graph"),
+)
+def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, its top-5
+    most-similar parts by COSINE over order co-occurrence
+    (c / sqrt(n_a * n_b) — the normalization that stops bestsellers
+    from being everyone's neighbor, which raw co-counts like
+    q_basket_lift's support suffer). The people-who-bought-X
+    recommender primitive, materialized as a neighbor table.
+
+    Scale shape: the pair generator self-joins WITHIN the order key
+    (basket-bounded, shared with q_adamic_adar); degrees broadcast
+    back onto the pair aggregate; HAVING >= 2 prunes the singleton
+    tail BEFORE ranking; the top-k window partitions by part over
+    its pruned candidate list (co-occurrence-bounded, never
+    corpus-wide). Cosine derives from exact integer counts, rounded
+    at 6 dp before the rank order with a neighbor tie-break.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = basket.groupBy(F.col("l_partkey").alias("dk")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("dk").alias("ka"), F.col("n").alias("na")),
+            F.col("pa") == F.col("ka"),
+        )
+        .join(
+            deg.select(F.col("dk").alias("kb"), F.col("n").alias("nb")),
+            F.col("pb") == F.col("kb"),
+        )
+        .select(
+            "pa",
+            "pb",
+            "c",
+            F.round(
+                F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine"), "pb")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ITEM_CF_K)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("neighbor"),
+            F.col("c").cast("long").alias("common_orders"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("part", "rank")
+    )

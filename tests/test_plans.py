@@ -1250,3 +1250,14 @@ def test_column_stats_single_pass_stack(spark):
     # UNION of re-scans (the oracle's three-scan UNION is spec only).
     plan = _formatted(REGISTRY["q_column_stats"].fn(spark, SF001))
     assert len(_scan_node_ids(plan)) == 1
+
+
+def test_item_cf_pairs_colocated_window_partitioned(spark):
+    # Pair generator self-joins within the order key; the top-k
+    # window partitions by part over pruned candidate lists.
+    import re
+
+    plan = _formatted(REGISTRY["q_item_cf_topk"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in q_item_cf_topk"
