@@ -203,6 +203,7 @@ _PRIORITY = (
     "q_cell_residuals",
     "q_column_stats",
     "q_item_cf_topk",
+    "q_rec_eval",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

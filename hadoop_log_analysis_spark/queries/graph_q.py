@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.sources.catalog import scan
+from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
 
 PR_DAMPING = 0.85
 PR_ITERS = 3
@@ -1010,4 +1011,145 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("part", "rank")
+    )
+
+
+@query(
+    "q_rec_eval",
+    oracle=f"""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        deg AS (
+          SELECT l_partkey, count(*) AS n
+          FROM basket GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+          FROM basket a
+          JOIN basket b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_partkey <> a.l_partkey
+          GROUP BY pa, pb HAVING count(*) >= 2),
+        scored AS (
+          SELECT p.pa, p.pb,
+                 round(p.c / sqrt(da.n * db.n), 6) AS cosine
+          FROM pairs p
+          JOIN deg da ON da.l_partkey = p.pa
+          JOIN deg db ON db.l_partkey = p.pb),
+        topk AS (
+          SELECT pa, pb FROM (
+            SELECT pa, pb,
+                   row_number() OVER (PARTITION BY pa
+                     ORDER BY cosine DESC, pb) AS rank
+            FROM scored) WHERE rank <= {ITEM_CF_K}),
+        lists AS (
+          SELECT t.pa,
+                 count(*) AS k_actual,
+                 count(DISTINCT pp.p_brand) AS n_brands
+          FROM topk t
+          JOIN part pp ON pp.p_partkey = t.pb
+          GROUP BY t.pa),
+        cat AS (SELECT count(*) AS n_parts FROM part),
+        rec AS (SELECT count(DISTINCT pb) AS n_recommended FROM topk)
+        SELECT CAST((SELECT n_parts FROM cat) AS BIGINT) AS catalog_size,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST((SELECT n_recommended FROM rec) AS BIGINT)
+                 AS n_recommended,
+               round((SELECT n_recommended FROM rec) * 1.0
+                     / (SELECT n_parts FROM cat), 6) AS coverage,
+               round(avg(n_brands * 1.0 / k_actual), 6)
+                 AS avg_brand_diversity
+        FROM lists
+    """,
+    tags=("A1", "A3", "graph", "eval"),
+)
+def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-quality evaluation of the q_item_cf_topk neighbor
+    table: catalog COVERAGE@k (what fraction of parts ever get
+    recommended — low coverage means the recommender only surfaces
+    head items) and average intra-list BRAND DIVERSITY (distinct
+    brands per top-5 list — accuracy metrics alone reward five
+    near-identical neighbors). The two offline metrics that catch
+    popularity bias before an A/B test does.
+
+    Scale shape: rebuilds the CF neighbor table (same basket-bounded
+    machinery), joins the part dim (broadcast) for brands, then two
+    |parts|-bounded aggregates and scalar algebra. All ratios are
+    exact integer quotients rounded at 6 dp.
+    """
+    basket = (
+        scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = basket.groupBy(F.col("l_partkey").alias("dk")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("dk").alias("ka"), F.col("n").alias("na")),
+            F.col("pa") == F.col("ka"),
+        )
+        .join(
+            deg.select(F.col("dk").alias("kb"), F.col("n").alias("nb")),
+            F.col("pb") == F.col("kb"),
+        )
+        .select(
+            "pa",
+            "pb",
+            F.round(
+                F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine"), "pb")
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ITEM_CF_K)
+        .select("pa", "pb")
+    )
+    part = scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lists = (
+        topk.join(
+            maybe_broadcast(part, table_bytes(sf_dir, "part")),
+            F.col("pb") == F.col("p_partkey"),
+        )
+        .groupBy("pa")
+        .agg(
+            F.count("*").alias("k_actual"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+    cat = part.agg(F.count("*").alias("n_parts"))
+    rec = topk.agg(F.countDistinct("pb").alias("n_recommended"))
+    return (
+        lists.agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.round(
+                F.avg(F.col("n_brands") * 1.0 / F.col("k_actual")), 6
+            ).alias("avg_brand_diversity"),
+        )
+        .crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(rec))
+        .select(
+            F.col("n_parts").cast("long").alias("catalog_size"),
+            "n_lists",
+            F.col("n_recommended").cast("long").alias("n_recommended"),
+            F.round(
+                F.col("n_recommended") * 1.0 / F.col("n_parts"), 6
+            ).alias("coverage"),
+            "avg_brand_diversity",
+        )
     )

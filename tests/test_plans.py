@@ -1261,3 +1261,11 @@ def test_item_cf_pairs_colocated_window_partitioned(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window in q_item_cf_topk"
+
+
+def test_rec_eval_part_dim_broadcast(spark):
+    # The part dim joins broadcast for brand lookup; top-k window is
+    # part-partitioned; no cartesian.
+    plan = _formatted(REGISTRY["q_rec_eval"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
