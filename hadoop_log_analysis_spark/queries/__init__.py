@@ -204,6 +204,7 @@ _PRIORITY = (
     "q_column_stats",
     "q_item_cf_topk",
     "q_rec_eval",
+    "q_churn_rule_eval",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3507,8 +3507,10 @@ CHURN_LABEL_DAYS = 10  # label window (t0+20d, t0+30d]
                  CAST((max(cutoff) - max(CASE WHEN ns <= cutoff
                                               THEN ns END))
                       // 3600000000000 AS BIGINT) AS recency_h,
-                 count(CASE WHEN ns > cutoff AND ns <= label_end
-                            THEN 1 END) = 0 AS churned
+                 5 * count(CASE WHEN ns > cutoff AND ns <= label_end
+                               THEN 1 END)
+                   < 2 * count(CASE WHEN ns <= cutoff THEN 1 END)
+                   AS churned
           FROM e GROUP BY user_id)
         SELECT user_id,
                CAST(n_events AS BIGINT) AS n_events,
@@ -3523,11 +3525,15 @@ CHURN_LABEL_DAYS = 10  # label window (t0+20d, t0+30d]
 def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete churn TRAINING SET in one pass: per user, features
     computed strictly from the 20-day feature window (counts, type
-    variety, active days, spend, recency) and the label (no activity
-    in the following 10-day window) — the feature/label temporal
-    split q_feature_backfill generalizes; getting the windows to
-    overlap is the leakage bug this query's structure makes
-    impossible by construction.
+    variety, active days, spend, recency) and the label: ACTIVITY
+    COLLAPSE — the 10-day label window's event rate falling below
+    80% of the user's feature-window rate (5*n_label < 2*n_feature;
+    integer-exact). An absence label ("no events at all") is
+    degenerate on steady traffic — every user stays active at every
+    SF — so the rate-drop label is what keeps both classes populated.
+    The feature/label temporal split q_feature_backfill generalizes;
+    getting the windows to overlap is the leakage bug this query's
+    structure makes impossible by construction.
 
     Scale shape: ONE fact pass with CONDITIONAL aggregation (CASE on
     the pinned cutoff inside count/sum/countDistinct) — no fan-out,
@@ -3575,7 +3581,10 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("recency_h"),
-            (F.count(F.when(in_l, 1)) == 0).alias("churned"),
+            (
+                5 * F.count(F.when(in_l, 1))
+                < 2 * F.count(F.when(in_f, 1))
+            ).alias("churned"),
         )
         .filter(F.col("n_events") > 0)
         .orderBy("user_id")

@@ -2416,3 +2416,187 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+# Thresholds shared with the training-set builder (analytics_q) — the
+# eval must score the SAME feature/label windows the builder used.
+from hadoop_log_analysis_spark.queries.analytics_q import (  # noqa: E402
+    CHURN_FEATURE_DAYS,
+    CHURN_LABEL_DAYS,
+)
+
+CHURN_RULE_H = 48  # predict churn when recency exceeds this (hours)
+
+
+@query(
+    "q_churn_rule_eval",
+    oracle=f"""
+        WITH b AS (SELECT min(epoch_ns(ts)) AS t0 FROM events),
+        e AS (
+          SELECT e.user_id, epoch_ns(e.ts) AS ns,
+                 b.t0 + {CHURN_FEATURE_DAYS} * 86400000000000 AS cutoff,
+                 b.t0 + {CHURN_FEATURE_DAYS + CHURN_LABEL_DAYS}
+                      * 86400000000000 AS label_end
+          FROM events e CROSS JOIN b),
+        f AS (
+          SELECT user_id,
+                 count(CASE WHEN ns <= cutoff THEN 1 END) AS n_events,
+                 CAST((max(cutoff) - max(CASE WHEN ns <= cutoff
+                                              THEN ns END))
+                      // 3600000000000 AS BIGINT) AS recency_h,
+                 5 * count(CASE WHEN ns > cutoff AND ns <= label_end
+                               THEN 1 END)
+                   < 2 * count(CASE WHEN ns <= cutoff THEN 1 END)
+                   AS churned
+          FROM e GROUP BY user_id),
+        u AS (SELECT recency_h, churned FROM f WHERE n_events > 0),
+        h AS (
+          SELECT recency_h AS v,
+                 sum(CASE WHEN churned THEN 1 ELSE 0 END) AS pos,
+                 sum(CASE WHEN churned THEN 0 ELSE 1 END) AS neg
+          FROM u GROUP BY recency_h),
+        cum AS (
+          SELECT v, pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below
+          FROM h),
+        agg AS (
+          SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+                 sum(pos * (neg_below + neg / 2.0)) AS u_stat
+          FROM cum),
+        conf AS (
+          SELECT sum(CASE WHEN churned AND recency_h >= {CHURN_RULE_H}
+                          THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN NOT churned AND recency_h >= {CHURN_RULE_H}
+                          THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN churned AND recency_h < {CHURN_RULE_H}
+                          THEN 1 ELSE 0 END) AS fn,
+                 sum(CASE WHEN NOT churned AND recency_h < {CHURN_RULE_H}
+                          THEN 1 ELSE 0 END) AS tn
+          FROM u)
+        SELECT CAST(a.n_pos + a.n_neg AS BIGINT) AS n_users,
+               CAST(a.n_pos AS BIGINT) AS n_churned,
+               CASE WHEN a.n_pos * a.n_neg > 0
+                    THEN round(a.u_stat / (a.n_pos * a.n_neg), 6)
+                    END AS auc,
+               CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+               CAST(c.fn AS BIGINT) AS fn, CAST(c.tn AS BIGINT) AS tn,
+               CASE WHEN c.tp + c.fp > 0
+                    THEN round(c.tp * 1.0 / (c.tp + c.fp), 6)
+                    END AS precision_,
+               CASE WHEN c.tp + c.fn > 0
+                    THEN round(c.tp * 1.0 / (c.tp + c.fn), 6)
+                    END AS recall_,
+               CASE WHEN 2 * c.tp + c.fp + c.fn > 0
+                    THEN round(2.0 * c.tp / (2.0 * c.tp + c.fp + c.fn), 6)
+                    END AS f1
+        FROM agg a CROSS JOIN conf c
+    """,
+    tags=("A5", "training-data", "eval", "pipeline"),
+)
+def q_churn_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation of a churn predictor INSIDE the engine,
+    closing the q_churn_training_set loop (same activity-collapse
+    label: 5*n_label < 2*n_feature): the recency-threshold rule
+    (predict churn when recency >= 48 h) scored by confusion counts,
+    precision/recall/F1, AND the exact rank-based AUC — computed as
+    the Mann-Whitney U of recency between churned and retained users
+    over the VALUE HISTOGRAM (AUC = P(score_churned > score_retained)
+    + tie credit — the q_mann_whitney machinery reused as a model
+    metric; no row-grain ranking).
+
+    Scale shape: one conditional-aggregation pass builds the labeled
+    frame (the q_churn_training_set plan); AUC runs on the distinct-
+    recency histogram (value-grain window); the confusion is one more
+    bounded aggregate. All metrics are exact integer ratios rounded
+    at 6 dp.
+    """
+    b = scan(spark, sf_dir, "events").agg(F.min("ts_ns").alias("t0"))
+    ev = scan(spark, sf_dir, "events").select("user_id", "ts_ns")
+    day_ns = 86400000000000
+    e = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "ts_ns",
+        (F.col("t0") + CHURN_FEATURE_DAYS * day_ns).alias("cutoff"),
+        (
+            F.col("t0") + (CHURN_FEATURE_DAYS + CHURN_LABEL_DAYS) * day_ns
+        ).alias("label_end"),
+    )
+    in_f = F.col("ts_ns") <= F.col("cutoff")
+    in_l = (F.col("ts_ns") > F.col("cutoff")) & (
+        F.col("ts_ns") <= F.col("label_end")
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.when(in_f, 1)).alias("n_events"),
+            F.expr(
+                f"(max(cutoff) - max(CASE WHEN ts_ns <= cutoff THEN ts_ns END))"
+                f" div 3600000000000"
+            )
+            .cast("long")
+            .alias("recency_h"),
+            (
+                5 * F.count(F.when(in_l, 1))
+                < 2 * F.count(F.when(in_f, 1))
+            ).alias("churned"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select("recency_h", "churned")
+    )
+    h = u.groupBy(F.col("recency_h").alias("v")).agg(
+        F.sum(F.col("churned").cast("long")).alias("pos"),
+        F.sum((~F.col("churned")).cast("long")).alias("neg"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w_below), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+        ).alias("u_stat"),
+    )
+    pred = F.col("recency_h") >= CHURN_RULE_H
+    conf = u.agg(
+        F.sum((F.col("churned") & pred).cast("long")).alias("tp"),
+        F.sum(((~F.col("churned")) & pred).cast("long")).alias("fp"),
+        F.sum((F.col("churned") & ~pred).cast("long")).alias("fn"),
+        F.sum(((~F.col("churned")) & ~pred).cast("long")).alias("tn"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(conf))
+        .select(
+            (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_users"),
+            F.col("n_pos").cast("long").alias("n_churned"),
+            F.when(
+                F.col("n_pos") * F.col("n_neg") > 0,
+                F.round(
+                    F.col("u_stat") / (F.col("n_pos") * F.col("n_neg")), 6
+                ),
+            ).alias("auc"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.col("tn").cast("long").alias("tn"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+            ).alias("precision_"),
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6),
+            ).alias("recall_"),
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                F.round(
+                    2.0 * F.col("tp")
+                    / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+                    6,
+                ),
+            ).alias("f1"),
+        )
+    )

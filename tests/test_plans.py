@@ -1269,3 +1269,12 @@ def test_rec_eval_part_dim_broadcast(spark):
     plan = _formatted(REGISTRY["q_rec_eval"].fn(spark, SF001))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_churn_rule_eval_auc_from_value_histogram(spark):
+    # AUC must come from the distinct-recency histogram (value-grain
+    # window), never a row-grain ranking; confusion is one bounded
+    # aggregate.
+    plan = _formatted(REGISTRY["q_churn_rule_eval"].fn(spark, SF001))
+    assert "row_number" not in plan and "rank(" not in plan
+    assert "CartesianProduct" not in plan

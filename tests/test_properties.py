@@ -737,6 +737,7 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_two_core", "q_eval_contamination", "q_feature_backfill",
         "q_churn_training_set", "q_quantile_bridge",
         "q_mahalanobis_outliers", "q_ab_power_calc",
+        "q_churn_rule_eval",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
@@ -1565,6 +1566,22 @@ def test_r6_wave25_partition_invariant(spark):
         wide = [tuple(r) for r in reg["q_rec_eval"].fn(spark, SF001).collect()]
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         narrow = [tuple(r) for r in reg["q_rec_eval"].fn(spark, SF001).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow
+
+
+def test_r6_wave26_partition_invariant(spark):
+    """Split-invariance for q_churn_rule_eval (integer histogram U)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = [tuple(r) for r in reg["q_churn_rule_eval"].fn(spark, SF001).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = [tuple(r) for r in reg["q_churn_rule_eval"].fn(spark, SF001).collect()]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert wide == narrow
