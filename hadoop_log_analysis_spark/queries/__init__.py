@@ -205,6 +205,8 @@ _PRIORITY = (
     "q_item_cf_topk",
     "q_rec_eval",
     "q_churn_rule_eval",
+    "q_aging_report",
+    "q_retry_storms",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3902,3 +3902,123 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@query(
+    "q_aging_report",
+    oracle="""
+        WITH b AS (SELECT max(o_orderdate) AS as_of FROM orders),
+        open_o AS (
+          SELECT o.o_orderpriority AS priority,
+                 date_diff('day', o.o_orderdate, b.as_of) AS age_d
+          FROM orders o CROSS JOIN b
+          WHERE o.o_orderstatus = 'O')
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n_open,
+               CAST(max(age_d) AS BIGINT) AS oldest_d,
+               round(quantile_cont(age_d, 0.5), 1) AS p50_d,
+               round(quantile_cont(age_d, 0.9), 1) AS p90_d,
+               CAST(sum(CASE WHEN age_d > 60 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_60d
+        FROM open_o
+        GROUP BY priority
+        ORDER BY priority
+    """,
+    tags=("A1", "A5", "diagnostic"),
+)
+def q_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: per priority class, how old the
+    still-open (status 'O') orders are — count, max, exact p50/p90
+    ages, and the over-60-day backlog — the work-queue health view
+    (an aging p90 that grows week-over-week means intake outruns
+    fulfillment in that class long before totals show it).
+
+    Scale shape: status filter pushed to the scan, ONE hash agg per
+    priority with exact percentiles over |open orders per class|
+    values (approx_percentile past ~1e7); ages are integer day
+    diffs against one broadcast as-of scalar.
+    """
+    b = scan(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("as_of"))
+    open_o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority", "o_orderdate")
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("as_of"), F.col("o_orderdate")).alias("age_d"),
+        )
+    )
+    return (
+        open_o.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.max("age_d").cast("long").alias("oldest_d"),
+            F.round(F.expr("percentile(age_d, 0.5)"), 1).alias("p50_d"),
+            F.round(F.expr("percentile(age_d, 0.9)"), 1).alias("p90_d"),
+            F.sum((F.col("age_d") > 60).cast("long"))
+            .cast("long")
+            .alias("n_over_60d"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q_retry_storms",
+    oracle="""
+        WITH m AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 300000000000 AS bucket5m,
+                 count(*) AS c
+          FROM events
+          GROUP BY user_id, event_type, bucket5m)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_storm_minutes,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(max(c) AS BIGINT) AS worst_burst,
+               CAST(sum(c) AS BIGINT) AS n_storm_events
+        FROM m
+        WHERE c >= 2
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("A1", "A3", "diagnostic", "timeseries"),
+)
+def q_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat detector: (user, type, 5-minute) buckets carrying
+    2+ identical-type events — the client-retry-loop / double-click /
+    scraper signature at this fixture's traffic density (~1.5
+    events/user/day; production tightens the bucket and raises the
+    threshold with density, same plan) — rolled up per event type
+    with the worst burst size and affected-user counts. The fixed
+    bucket grid deliberately trades the sliding-window definition
+    for a ONE-hash-agg plan: a true sliding burst needs the
+    q_time_range_window interval machinery; the grid catches any
+    burst at most one boundary-split weaker — the right cost/recall
+    trade for a monitoring sweep.
+
+    Scale shape: one corpus-scale hash agg to the bucket grain, a
+    |storm-buckets|-bounded rollup after the c >= 2 cut. Integer
+    buckets from floor-divided ns epochs.
+    """
+    m = (
+        scan(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns div 300000000000").alias("bucket5m"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        m.filter(F.col("c") >= 2)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_storm_minutes"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.max("c").cast("long").alias("worst_burst"),
+            F.sum("c").cast("long").alias("n_storm_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1278,3 +1278,18 @@ def test_churn_rule_eval_auc_from_value_histogram(spark):
     plan = _formatted(REGISTRY["q_churn_rule_eval"].fn(spark, SF001))
     assert "row_number" not in plan and "rank(" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aging_report_status_filter_pushed(spark):
+    # The open-status filter must reach the parquet scan.
+    plan = _formatted(REGISTRY["q_aging_report"].fn(spark, SF001))
+    assert "EqualTo(o_orderstatus,O)" in plan.replace("'", "")
+    assert "Window" not in plan
+
+
+def test_retry_storms_single_bucket_agg(spark):
+    # One corpus-scale (user, type, minute) hash agg; the rollup runs
+    # on the storm-bucket frame.
+    plan = _formatted(REGISTRY["q_retry_storms"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert len(_scan_node_ids(plan)) == 1

@@ -1585,3 +1585,21 @@ def test_r6_wave26_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert wide == narrow
+
+
+def test_r6_wave27_partition_invariant(spark):
+    """Split-invariance for the aging report and retry storms."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = ("q_aging_report", "q_retry_storms")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
