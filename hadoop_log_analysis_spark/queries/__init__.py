@@ -207,6 +207,7 @@ _PRIORITY = (
     "q_churn_rule_eval",
     "q_aging_report",
     "q_retry_storms",
+    "q_price_volume_mix",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

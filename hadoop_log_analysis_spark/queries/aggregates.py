@@ -943,3 +943,107 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q_price_volume_mix",
+    oracle="""
+        WITH mm AS (
+          SELECT min(extract(year FROM l_shipdate) * 12
+                     + extract(month FROM l_shipdate)) AS m0
+          FROM lineitem),
+        per AS (
+          SELECT l.l_returnflag AS flag,
+                 CASE WHEN extract(year FROM l.l_shipdate) * 12
+                           + extract(month FROM l.l_shipdate) = b.m0
+                      THEN 0 ELSE 1 END AS p,
+                 sum(l.l_quantity) AS qty,
+                 sum(l.l_extendedprice) AS rev
+          FROM lineitem l CROSS JOIN mm b
+          WHERE extract(year FROM l.l_shipdate) * 12
+                + extract(month FROM l.l_shipdate) IN (b.m0, b.m0 + 1)
+          GROUP BY flag, p),
+        w AS (
+          SELECT flag,
+                 max(CASE WHEN p = 0 THEN qty END) AS q0,
+                 max(CASE WHEN p = 1 THEN qty END) AS q1,
+                 max(CASE WHEN p = 0 THEN rev END) AS r0,
+                 max(CASE WHEN p = 1 THEN rev END) AS r1
+          FROM per GROUP BY flag)
+        SELECT flag,
+               round(r0, 2) AS rev_m0,
+               round(r1, 2) AS rev_m1,
+               round(r1 - r0, 2) AS delta,
+               round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+               round(q1 * (r1 / q1 - r0 / q0), 2) AS price_effect,
+               round((r1 - r0)
+                     - ((q1 - q0) * (r0 / q0) + q1 * (r1 / q1 - r0 / q0)),
+                     2) AS residual
+        FROM w
+        ORDER BY flag
+    """,
+    tags=("A1", "A5", "tpch", "diagnostic"),
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of month-over-month revenue (the
+    FP&A waterfall): per return flag, the first two shipping months'
+    revenue delta split into a VOLUME effect ((q1-q0) x old unit
+    price) and a PRICE effect (q1 x unit-price change) — which sum to
+    the delta EXACTLY under this two-factor attribution (the residual
+    column proves it: identically 0.00, the property that makes the
+    waterfall reconcile in front of a CFO).
+
+    Scale shape: the month filter prunes the scan to two months; ONE
+    (flag, period) hash agg, then |flags|-row pivot algebra. The
+    decomposition divides sums before differencing (unit prices),
+    rounded at 2 dp only at the output — both engines compute the
+    same double expressions from identical per-period sums (sums of
+    2-dp prices / integer quantities; the wide aggregate is
+    order-insensitive at the output rounding).
+    """
+    mm = scan(spark, sf_dir, "lineitem").agg(
+        F.min(
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).alias("m0")
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+    )
+    per = (
+        li.crossJoin(F.broadcast(mm))
+        .filter(
+            (F.col("m") == F.col("m0")) | (F.col("m") == F.col("m0") + 1)
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.when(F.col("m") == F.col("m0"), 0).otherwise(1).alias("p"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_extendedprice").alias("rev"),
+        )
+    )
+    w = per.groupBy("flag").agg(
+        F.max(F.when(F.col("p") == 0, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("p") == 1, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("p") == 0, F.col("rev"))).alias("r0"),
+        F.max(F.when(F.col("p") == 1, F.col("rev"))).alias("r1"),
+    )
+    vol = (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0"))
+    prc = F.col("q1") * (
+        F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0")
+    )
+    return w.select(
+        "flag",
+        F.round("r0", 2).alias("rev_m0"),
+        F.round("r1", 2).alias("rev_m1"),
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(prc, 2).alias("price_effect"),
+        F.round((F.col("r1") - F.col("r0")) - (vol + prc), 2).alias(
+            "residual"
+        ),
+    ).orderBy("flag")

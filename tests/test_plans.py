@@ -1293,3 +1293,10 @@ def test_retry_storms_single_bucket_agg(spark):
     plan = _formatted(REGISTRY["q_retry_storms"].fn(spark, SF001))
     assert "Window" not in plan
     assert len(_scan_node_ids(plan)) == 1
+
+
+def test_price_volume_mix_no_window_two_aggs(spark):
+    # Month filter + one (flag, period) hash agg + bounded pivot
+    # algebra — no window anywhere.
+    plan = _formatted(REGISTRY["q_price_volume_mix"].fn(spark, SF001))
+    assert "Window" not in plan

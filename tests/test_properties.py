@@ -1603,3 +1603,31 @@ def test_r6_wave27_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_price_volume_mix_reconciles(spark):
+    """The two-factor attribution must reconcile: volume_effect +
+    price_effect == delta exactly (residual 0.00 for every flag) —
+    the property that makes the waterfall trustworthy."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    rows = load_registry()["q_price_volume_mix"].fn(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r.residual == 0.0, f"waterfall leaks for {r.flag}"
+
+
+def test_r6_wave28_partition_invariant(spark):
+    """Split-invariance for q_price_volume_mix."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = [tuple(r) for r in reg["q_price_volume_mix"].fn(spark, SF001).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = [tuple(r) for r in reg["q_price_volume_mix"].fn(spark, SF001).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow
