@@ -4022,3 +4022,151 @@ def q_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_logrank_test",
+    oracle="""
+        WITH pu AS (
+          SELECT user_id, min(epoch_ns(ts)) AS t0,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_ns(ts) END) AS p_ns,
+                 min_by(event_type,
+                        (epoch_ns(ts) // 1000) * 100 + event_id % 100)
+                   = 'signup' AS grp_a
+          FROM events GROUP BY user_id),
+        obs AS (SELECT max(epoch_ns(ts)) AS end_ns FROM events),
+        dur AS (
+          SELECT (coalesce(p_ns, end_ns) - t0) // 3600000000000 AS d,
+                 CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                 CASE WHEN grp_a THEN 1 ELSE 0 END AS a
+          FROM pu, obs),
+        h AS (
+          SELECT d,
+                 sum(ev * a) AS da, sum(ev * (1 - a)) AS db,
+                 sum((1 - ev) * a) AS ca, sum((1 - ev) * (1 - a)) AS cb
+          FROM dur GROUP BY d),
+        cum AS (
+          SELECT d, da, db,
+                 (SELECT sum(a) FROM dur)
+                 - coalesce(sum(da + ca) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS na,
+                 (SELECT count(*) - sum(a) FROM dur)
+                 - coalesce(sum(db + cb) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nb
+          FROM h),
+        terms AS (
+          SELECT da, na, nb, da + db AS dt, na + nb AS nt
+          FROM cum WHERE da + db > 0),
+        s AS (
+          SELECT sum(da - dt * na * 1.0 / nt) AS o_minus_e,
+                 sum(CASE WHEN nt > 1
+                          THEN dt * (na * 1.0 / nt)
+                               * (1 - na * 1.0 / nt)
+                               * (nt - dt) * 1.0 / (nt - 1)
+                          ELSE 0 END) AS var_s,
+                 CAST(count(*) AS BIGINT) AS n_event_times
+          FROM terms)
+        SELECT n_event_times,
+               round(o_minus_e, 4) AS o_minus_e,
+               round(o_minus_e / sqrt(var_s), 6) AS z
+        FROM s
+    """,
+    tags=("A5", "W4", "timeseries", "robust"),
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do signup-first users convert to purchase on a
+    DIFFERENT survival curve than other users? The standard censored
+    two-group comparison — at each event hour, observed group-A
+    conversions vs expected under the pooled hazard, summed and
+    normalized by the hypergeometric variance (q_kaplan_meier draws
+    ONE curve; this tests whether two differ — t-tests are invalid
+    under censoring). Group assignment uses the sub-µs-folded min_by
+    so the 'first event' is tie-deterministic on both engines.
+
+    Scale shape: one per-user aggregate over the fact table, then
+    every log-rank term runs on the distinct-duration histogram
+    (bounded, value-grain) with exclusive-cumulative windows for the
+    per-group risk sets — the q_kaplan_meier machinery with a group
+    dimension. O-E and the variance are sums of exact-integer ratios;
+    outputs round at 4/6 dp.
+    """
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts_ns").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+        ).alias("p_ns"),
+        (
+            F.expr(
+                "min_by(event_type, (ts_ns div 1000) * 100 + event_id % 100)"
+            )
+            == "signup"
+        ).alias("grp_a"),
+    )
+    obs = ev.agg(F.max("ts_ns").alias("end_ns"))
+    dur = pu.crossJoin(F.broadcast(obs)).select(
+        F.expr("(coalesce(p_ns, end_ns) - t0) div 3600000000000").alias("d"),
+        F.col("p_ns").isNotNull().cast("long").alias("ev"),
+        F.col("grp_a").cast("long").alias("a"),
+    )
+    h = dur.groupBy("d").agg(
+        F.sum(F.col("ev") * F.col("a")).alias("da"),
+        F.sum(F.col("ev") * (1 - F.col("a"))).alias("db"),
+        F.sum((1 - F.col("ev")) * F.col("a")).alias("ca"),
+        F.sum((1 - F.col("ev")) * (1 - F.col("a"))).alias("cb"),
+    )
+    tot = dur.agg(
+        F.sum("a").alias("n_a_total"),
+        (F.count("*") - F.sum("a")).alias("n_b_total"),
+    )
+    w_prior = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "da",
+        "db",
+        (
+            F.col("n_a_total")
+            - F.coalesce(
+                F.sum(F.col("da") + F.col("ca")).over(w_prior), F.lit(0)
+            )
+        ).alias("na"),
+        (
+            F.col("n_b_total")
+            - F.coalesce(
+                F.sum(F.col("db") + F.col("cb")).over(w_prior), F.lit(0)
+            )
+        ).alias("nb"),
+    )
+    terms = cum.filter(F.col("da") + F.col("db") > 0).select(
+        "da",
+        "na",
+        "nb",
+        (F.col("da") + F.col("db")).alias("dt"),
+        (F.col("na") + F.col("nb")).alias("nt"),
+    )
+    frac_a = F.col("na") * 1.0 / F.col("nt")
+    s = terms.agg(
+        F.sum(F.col("da") - F.col("dt") * frac_a).alias("o_minus_e"),
+        F.sum(
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt")
+                * frac_a
+                * (1 - frac_a)
+                * (F.col("nt") - F.col("dt"))
+                * 1.0
+                / (F.col("nt") - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("var_s"),
+        F.count("*").cast("long").alias("n_event_times"),
+    )
+    return s.select(
+        "n_event_times",
+        F.round("o_minus_e", 4).alias("o_minus_e"),
+        F.round(F.col("o_minus_e") / F.sqrt(F.col("var_s")), 6).alias("z"),
+    )

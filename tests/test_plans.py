@@ -1300,3 +1300,12 @@ def test_price_volume_mix_no_window_two_aggs(spark):
     # algebra — no window anywhere.
     plan = _formatted(REGISTRY["q_price_volume_mix"].fn(spark, SF001))
     assert "Window" not in plan
+
+
+def test_logrank_terms_on_duration_histogram(spark):
+    # Log-rank terms run on the distinct-duration histogram with
+    # exclusive-cumulative windows — one fact aggregate, no
+    # corpus-scale ranking.
+    plan = _formatted(REGISTRY["q_logrank_test"].fn(spark, SF001))
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
