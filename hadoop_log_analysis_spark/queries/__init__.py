@@ -209,6 +209,7 @@ _PRIORITY = (
     "q_retry_storms",
     "q_price_volume_mix",
     "q_logrank_test",
+    "q_silhouette_simplified",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

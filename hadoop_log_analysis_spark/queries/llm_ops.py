@@ -3166,3 +3166,111 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d2"), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "q_silhouette_simplified",
+    oracle="""
+        WITH comps AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, range(1, 65) t(i)),
+        centroid AS (
+          SELECT label AS c_label, pos, avg(comp) AS c
+          FROM comps GROUP BY c_label, pos),
+        d2 AS (
+          SELECT v.vec_id, v.label, ce.c_label,
+                 sum((v.comp - ce.c) * (v.comp - ce.c)) AS dist2
+          FROM comps v
+          JOIN centroid ce ON ce.pos = v.pos
+          GROUP BY v.vec_id, v.label, ce.c_label),
+        ab AS (
+          SELECT vec_id, label,
+                 round(sqrt(max(CASE WHEN c_label = label
+                                     THEN dist2 END)), 6) AS a_own,
+                 round(sqrt(min(CASE WHEN c_label <> label
+                                     THEN dist2 END)), 6) AS b_other
+          FROM d2 GROUP BY vec_id, label),
+        sil AS (
+          SELECT label,
+                 (b_other - a_own) / greatest(a_own, b_other) AS s
+          FROM ab)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(s), 4) AS avg_silhouette,
+               round(min(s), 4) AS worst
+        FROM sil
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("L4", "A5", "eval"),
+)
+def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, (b - a)/max(a, b) where a = distance to its OWN label
+    centroid and b = distance to the NEAREST OTHER centroid —
+    labels whose average approaches 0 overlap their neighbors and
+    are unreliable supervision (full silhouette is O(n²) pairwise;
+    the centroid form is O(n·k) and the standard scale substitute —
+    the separation check for q_knn_classify / q_label_centroids
+    supervision quality).
+
+    Scale shape: centroids from one posexplode + (label, pos) hash
+    agg (centroid-table-bounded shuffle); per-vector distances join
+    the BROADCAST centroid frame on dim position and reduce per
+    (vec, centroid) — |vecs| x k rows of partial sums, never n².
+    Distances are pinned at 6 dp before the a/b comparison and the
+    ratio, so nearest-centroid ties cannot flip engines; the ratio
+    denominators are strictly positive for distinct centroids.
+    """
+    emb = scan(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "comp_f"),
+    ).select(
+        "vec_id", "label", "pos", F.col("comp_f").cast("double").alias("comp")
+    )
+    centroid = comps.groupBy(
+        F.col("label").alias("c_label"), F.col("pos").alias("c_pos")
+    ).agg(F.avg("comp").alias("c"))
+    d2 = (
+        comps.join(F.broadcast(centroid), F.col("pos") == F.col("c_pos"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sqrt(
+                F.max(
+                    F.when(F.col("c_label") == F.col("label"), F.col("dist2"))
+                )
+            ),
+            6,
+        ).alias("a_own"),
+        F.round(
+            F.sqrt(
+                F.min(
+                    F.when(F.col("c_label") != F.col("label"), F.col("dist2"))
+                )
+            ),
+            6,
+        ).alias("b_other"),
+    )
+    s = (F.col("b_other") - F.col("a_own")) / F.greatest(
+        F.col("a_own"), F.col("b_other")
+    )
+    return (
+        ab.select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.avg("s"), 4).alias("avg_silhouette"),
+            F.round(F.min("s"), 4).alias("worst"),
+        )
+        .orderBy("label")
+    )

@@ -1309,3 +1309,11 @@ def test_logrank_terms_on_duration_histogram(spark):
     plan = _formatted(REGISTRY["q_logrank_test"].fn(spark, SF001))
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_silhouette_centroids_broadcast_no_pairwise(spark):
+    # Distances reduce against the broadcast centroid frame — never
+    # an n x n pairwise join.
+    plan = _formatted(REGISTRY["q_silhouette_simplified"].fn(spark, SF001))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
