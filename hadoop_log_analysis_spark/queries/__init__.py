@@ -210,6 +210,7 @@ _PRIORITY = (
     "q_price_volume_mix",
     "q_logrank_test",
     "q_silhouette_simplified",
+    "q_effective_sample_size",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

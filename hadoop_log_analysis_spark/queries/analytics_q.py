@@ -4170,3 +4170,74 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_minus_e", 4).alias("o_minus_e"),
         F.round(F.col("o_minus_e") / F.sqrt(F.col("var_s")), 6).alias("z"),
     )
+
+
+@query(
+    "q_effective_sample_size",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+          FROM events GROUP BY 1),
+        l AS (SELECT unnest(generate_series(1, 5)) AS lag),
+        acf AS (
+          SELECT l.lag, round(corr(a.n, b.n), 6) AS r
+          FROM l
+          CROSS JOIN c a
+          JOIN c b ON b.d = a.d - CAST(l.lag AS INTEGER)
+          GROUP BY l.lag),
+        agg AS (
+          SELECT sum(r) AS rsum FROM acf),
+        nn AS (SELECT count(*) AS n_days FROM c)
+        SELECT CAST(nn.n_days AS BIGINT) AS n_days,
+               round(agg.rsum, 6) AS acf_sum_1_5,
+               round(nn.n_days / greatest(1 + 2 * agg.rsum, 1.0), 2)
+                 AS effective_n,
+               round(greatest(1 + 2 * agg.rsum, 1.0), 4)
+                 AS inflation_factor
+        FROM nn CROSS JOIN agg
+    """,
+    tags=("A5", "timeseries", "diagnostic"),
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation-adjusted EFFECTIVE sample size of the daily
+    series: ESS = n / (1 + 2*sum(rho_1..rho_5)) — how many
+    INDEPENDENT observations the n autocorrelated days are actually
+    worth. The discipline bridge to q_ab_power_calc: its n-per-arm
+    assumes independence, and day-level metrics on autocorrelated
+    traffic need the inflation factor this query reports (clamped at
+    1.0 below — negative-ACF series don't get free power here).
+
+    Scale shape: the q_acf_daily machinery (one day-grain fact
+    aggregate; calendar-join pairs on the tiny day series) with two
+    scalar reductions on top. ACF values are pinned at 6 dp before
+    the sum, so the ESS derives from identical inputs on both
+    engines.
+    """
+    ev = scan(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
+    probe = c.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_sub(F.col("d"), F.col("lag")).alias("d_prev"),
+        F.col("n").alias("n_now"),
+    )
+    prev = c.select(F.col("d").alias("d_prev"), F.col("n").alias("n_prev"))
+    acf = (
+        probe.join(prev, "d_prev")
+        .groupBy("lag")
+        .agg(F.round(F.corr("n_now", "n_prev"), 6).alias("r"))
+    )
+    agg = acf.agg(F.sum("r").alias("rsum"))
+    nn = c.agg(F.count("*").alias("n_days"))
+    infl = F.greatest(1 + 2 * F.col("rsum"), F.lit(1.0))
+    return (
+        nn.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("rsum", 6).alias("acf_sum_1_5"),
+            F.round(F.col("n_days") / infl, 2).alias("effective_n"),
+            F.round(infl, 4).alias("inflation_factor"),
+        )
+    )

@@ -1317,3 +1317,11 @@ def test_silhouette_centroids_broadcast_no_pairwise(spark):
     plan = _formatted(REGISTRY["q_silhouette_simplified"].fn(spark, SF001))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_effective_sample_size_day_grain_only(spark):
+    # The fact table contributes one day-grain aggregate; everything
+    # else runs on the day series with broadcast scalars.
+    plan = _formatted(REGISTRY["q_effective_sample_size"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
