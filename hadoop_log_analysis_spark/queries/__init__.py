@@ -211,6 +211,7 @@ _PRIORITY = (
     "q_logrank_test",
     "q_silhouette_simplified",
     "q_effective_sample_size",
+    "q_token_burstiness",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -3274,3 +3274,91 @@ def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+TOKEN_BURST_BUCKETS = 10
+
+
+@query(
+    "q_token_burstiness",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id % {TOKEN_BURST_BUCKETS} AS bucket,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        grid AS (
+          SELECT t.tok, b.bucket
+          FROM (SELECT DISTINCT tok FROM tok) t
+          CROSS JOIN (SELECT unnest(generate_series(
+                        0, {TOKEN_BURST_BUCKETS - 1})) AS bucket) b),
+        cnt AS (
+          SELECT g.tok, g.bucket, count(tk.tok) AS c
+          FROM grid g
+          LEFT JOIN tok tk ON tk.tok = g.tok AND tk.bucket = g.bucket
+          GROUP BY g.tok, g.bucket),
+        f AS (
+          SELECT tok,
+                 sum(c) AS total,
+                 round(avg(c), 4) AS mean_c,
+                 round(var_samp(c) / avg(c), 4) AS fano
+          FROM cnt GROUP BY tok
+          HAVING sum(c) >= {TOKEN_BURST_BUCKETS})
+        SELECT tok, CAST(total AS BIGINT) AS total, mean_c, fano,
+               fano > 2.0 AS bursty
+        FROM f
+        ORDER BY fano DESC, tok
+        LIMIT 15
+    """,
+    tags=("L5", "A5", "curation"),
+)
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness: the Fano factor (variance/mean) of each
+    token's count across 10 deterministic corpus shards — the
+    corpus-linguistics signal that separates CONTENT words (bursty:
+    concentrated where their topic lives) from FUNCTION words
+    (uniform: Fano ~= 1 everywhere), feeding data-driven stopword
+    lists where frequency alone cannot (a rare token can be uniform,
+    a frequent one bursty). q_fano_burstiness profiles event TYPES
+    over time; this profiles TOKENS over the corpus.
+
+    Scale shape: one token explode + (token, bucket) hash agg; the
+    zero-filled grid (absent buckets must contribute variance) is
+    |vocab| x 10 built from the vocab frame — vocabulary-bounded,
+    never corpus-bounded. Fano is a ratio of count moments pinned at
+    4 dp before the 2.0 burstiness cut and the ordering (token
+    tie-break).
+    """
+    tok = scan(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % TOKEN_BURST_BUCKETS).alias("bucket"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = tok.groupBy("tok", "bucket").agg(F.count("*").alias("c"))
+    vocab = cnt.select("tok").distinct()
+    buckets = spark.range(TOKEN_BURST_BUCKETS).select(
+        F.col("id").cast("long").alias("g_bucket")
+    )
+    grid = vocab.crossJoin(F.broadcast(buckets))
+    filled = (
+        grid.join(
+            cnt.withColumnRenamed("tok", "c_tok").withColumnRenamed(
+                "bucket", "c_bucket"
+            ),
+            (F.col("tok") == F.col("c_tok"))
+            & (F.col("g_bucket") == F.col("c_bucket")),
+            "left",
+        )
+        .select("tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    fano = F.round(F.var_samp("c") / F.avg("c"), 4)
+    return (
+        filled.groupBy("tok")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.round(F.avg("c"), 4).alias("mean_c"),
+            fano.alias("fano"),
+        )
+        .filter(F.col("total") >= TOKEN_BURST_BUCKETS)
+        .select("tok", "total", "mean_c", "fano", (F.col("fano") > 2.0).alias("bursty"))
+        .orderBy(F.desc("fano"), "tok")
+        .limit(15)
+    )

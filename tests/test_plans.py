@@ -1325,3 +1325,11 @@ def test_effective_sample_size_day_grain_only(spark):
     plan = _formatted(REGISTRY["q_effective_sample_size"].fn(spark, SF001))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_burstiness_grid_vocab_bounded(spark):
+    # The zero-filled grid builds from the vocab frame (broadcast
+    # bucket list) — vocabulary-bounded, no cartesian over the corpus.
+    plan = _formatted(REGISTRY["q_token_burstiness"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

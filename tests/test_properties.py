@@ -1679,3 +1679,19 @@ def test_r6_wave31_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert wide == narrow
+
+
+def test_r6_wave32_partition_invariant(spark):
+    """Split-invariance for q_token_burstiness."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = [tuple(r) for r in reg["q_token_burstiness"].fn(spark, SF001).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = [tuple(r) for r in reg["q_token_burstiness"].fn(spark, SF001).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow
