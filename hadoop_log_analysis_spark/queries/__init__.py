@@ -212,6 +212,8 @@ _PRIORITY = (
     "q_silhouette_simplified",
     "q_effective_sample_size",
     "q_token_burstiness",
+    "q_ratio_delta_method",
+    "q_neyman_allocation",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -1624,3 +1624,104 @@ def q_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
         ).alias("allocated"),
     ).orderBy("source")
+
+
+NEYMAN_BUDGET = 500  # docs to sample across sources, optimally
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+        WITH src AS (
+          SELECT source, count(*) AS n,
+                 round(coalesce(stddev_samp(n_chars), 0), 4) AS sd
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n, sd, n * sd AS wgt,
+                 sum(n * sd) OVER () AS wsum
+          FROM src),
+        quota AS (
+          SELECT source, n, sd,
+                 wgt * {NEYMAN_BUDGET} / wsum AS q,
+                 CAST(floor(wgt * {NEYMAN_BUDGET} / wsum) AS BIGINT)
+                   AS base
+          FROM w),
+        rem AS (
+          SELECT source, n, sd, q, base,
+                 CAST(row_number() OVER (ORDER BY q - base DESC, source)
+                      AS BIGINT) AS frac_rank,
+                 {NEYMAN_BUDGET} - sum(base) OVER () AS leftover
+          FROM quota)
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               sd,
+               round(q, 4) AS quota,
+               base + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+                 AS allocated
+        FROM rem
+        ORDER BY source
+    """,
+    tags=("A5", "W1", "curation", "mixture"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-optimal stratified sampling allocation: the review/eval
+    budget split across sources proportional to N_h x sigma_h (size
+    TIMES within-stratum spread) — the design that minimizes the
+    estimator's variance for a fixed budget, vs q_budget_apportionment's
+    purely proportional split (a big but homogeneous source needs
+    fewer samples than a small wild one). Integerized with the same
+    largest-remainder machinery so the allocation sums exactly.
+
+    Scale shape: one per-source (count, stddev) aggregate; weights,
+    quotas, remainder ranks, and the leftover are window algebra on
+    the bounded source frame (single scan — the q_budget_apportionment
+    pattern). Stddevs are pinned at 4 dp BEFORE the weights so both
+    engines rank identical remainders.
+    """
+    src = (
+        scan(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0)), 4
+            ).alias("sd"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w = src.select(
+        "source",
+        "n",
+        "sd",
+        (F.col("n") * F.col("sd")).alias("wgt"),
+        F.sum(F.col("n") * F.col("sd")).over(w_all).alias("wsum"),
+    )
+    quota = w.select(
+        "source",
+        "n",
+        "sd",
+        (F.col("wgt") * NEYMAN_BUDGET / F.col("wsum")).alias("q"),
+        F.floor(F.col("wgt") * NEYMAN_BUDGET / F.col("wsum"))
+        .cast("long")
+        .alias("base"),
+    )
+    w_rank = Window.orderBy(F.desc(F.col("q") - F.col("base")), "source")
+    rem = quota.select(
+        "source",
+        "n",
+        "sd",
+        "q",
+        "base",
+        F.row_number().over(w_rank).cast("long").alias("frac_rank"),
+        (F.lit(NEYMAN_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return rem.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        "sd",
+        F.round("q", 4).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("allocated"),
+    ).orderBy("source")

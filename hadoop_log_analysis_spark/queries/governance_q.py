@@ -2389,3 +2389,88 @@ def q_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("std_residual")) > 2.0)
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_ratio_delta_method",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase'
+                          THEN value ELSE 0 END) AS x,
+                 count(*) AS y
+          FROM events GROUP BY user_id),
+        m AS (
+          SELECT count(*) AS n,
+                 avg(x) AS mx, avg(y) AS my,
+                 var_samp(x) AS vx, var_samp(y) AS vy,
+                 covar_samp(x, y) AS cxy
+          FROM u)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(mx / my, 6) AS ratio,
+               round((vx - 2 * (mx / my) * cxy
+                      + (mx / my) * (mx / my) * vy)
+                     / (my * my) / n, 10) AS var_ratio,
+               round(sqrt((vx - 2 * (mx / my) * cxy
+                           + (mx / my) * (mx / my) * vy)
+                          / (my * my) / n), 6) AS se_ratio,
+               round(mx / my - 1.959964
+                     * sqrt((vx - 2 * (mx / my) * cxy
+                             + (mx / my) * (mx / my) * vy)
+                            / (my * my) / n), 6) AS ci_lo,
+               round(mx / my + 1.959964
+                     * sqrt((vx - 2 * (mx / my) * cxy
+                             + (mx / my) * (mx / my) * vy)
+                            / (my * my) / n), 6) AS ci_hi
+        FROM m
+    """,
+    tags=("A5", "governance", "robust"),
+)
+def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (purchase
+    revenue per event): Var(x̄/ȳ) ≈ (vx - 2r·cxy + r²·vy)/(ȳ²·n)
+    with the user as the randomization unit — the A/B-analysis
+    subtlety naive per-event variance gets wrong (events cluster
+    within users, so treating them as independent understates the
+    SE; q_bootstrap_ci solves this by resampling, the delta method
+    solves it in closed form — one pass, no replicates).
+
+    Scale shape: ONE per-user aggregate, then a single moments
+    aggregate (var/covar sufficient statistics, map-side combinable)
+    and closed-form scalar algebra. The z constant matches
+    q_ab_power_calc's literal. Outputs round at 6/10 dp.
+    """
+    u = (
+        scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ).alias("x"),
+            F.count("*").alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    var_r = (
+        (F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy"))
+        / (F.col("my") * F.col("my"))
+        / F.col("n")
+    )
+    se = F.sqrt(var_r)
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(var_r, 10).alias("var_ratio"),
+        F.round(se, 6).alias("se_ratio"),
+        F.round(r - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(r + 1.959964 * se, 6).alias("ci_hi"),
+    )

@@ -1333,3 +1333,18 @@ def test_token_burstiness_grid_vocab_bounded(spark):
     plan = _formatted(REGISTRY["q_token_burstiness"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ratio_delta_method_two_aggs_no_window(spark):
+    # One per-user agg + one moments agg — no window, no fan-out.
+    plan = _formatted(REGISTRY["q_ratio_delta_method"].fn(spark, SF001))
+    assert "Window" not in plan
+    assert len(_scan_node_ids(plan)) == 1
+
+
+def test_neyman_allocation_single_scan_window_total(spark):
+    # Same single-scan pattern as q_budget_apportionment: totals are
+    # window aggregates on the bounded source frame.
+    plan = _formatted(REGISTRY["q_neyman_allocation"].fn(spark, SF001))
+    assert len(_scan_node_ids(plan)) == 1
+    assert "row_number" in plan

@@ -1695,3 +1695,31 @@ def test_r6_wave32_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert wide == narrow
+
+
+def test_r6_wave33_partition_invariant(spark):
+    """Split-invariance for the delta-method and Neyman queries."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = ("q_ratio_delta_method", "q_neyman_allocation")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """The integerized Neyman allocation must sum EXACTLY to the
+    budget (the largest-remainder property)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.curation_q import NEYMAN_BUDGET
+
+    rows = load_registry()["q_neyman_allocation"].fn(spark, SF001).collect()
+    assert sum(r.allocated for r in rows) == NEYMAN_BUDGET
