@@ -214,6 +214,13 @@ _PRIORITY = (
     "q_token_burstiness",
     "q_ratio_delta_method",
     "q_neyman_allocation",
+    # round-6 waves 33+ (third r6 session; locally hash-green at
+    # sf0.01 AND sf0.1, driver-sim-verified — round-7 promotions):
+    "q_spearman_corr",
+    "q_two_proportion_ztest",
+    "q_wasserstein_drift",
+    "q_calibration_bins",
+    "q_brier_score",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

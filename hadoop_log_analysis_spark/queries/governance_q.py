@@ -2474,3 +2474,477 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - 1.959964 * se, 6).alias("ci_lo"),
         F.round(r + 1.959964 * se, 6).alias("ci_hi"),
     )
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+        WITH per AS (
+          SELECT o.o_orderkey, o.o_totalprice AS x,
+                 count(l.l_orderkey) AS y
+          FROM orders o LEFT JOIN lineitem l
+            ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2),
+        hx AS (SELECT x, count(*) AS c FROM per GROUP BY x),
+        ox AS (SELECT x, 2 * coalesce(sum(c) OVER (
+                 ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hx),
+        hy AS (SELECT y, count(*) AS c FROM per GROUP BY y),
+        oy AS (SELECT y, 2 * coalesce(sum(c) OVER (
+                 ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hy),
+        nn AS (SELECT count(*) AS n FROM per),
+        rk AS (
+          SELECT ox.r2 - (n + 1) AS dx, oy.r2 - (n + 1) AS dy
+          FROM per JOIN ox USING (x) JOIN oy USING (y), nn),
+        s AS (
+          SELECT count(*) AS n,
+                 sum(dx * dy) AS sxy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+          FROM rk)
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(CAST(sxy AS DOUBLE)
+                     / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)),
+                     6) AS spearman_rho
+        FROM s
+    """,
+    tags=("A5", "W4", "governance", "robust"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's total price and
+    its line-item count — the monotone-association check an analyst
+    runs before trusting a Pearson r (price outliers can't move a
+    rank statistic). Ties get the textbook AVERAGE rank, carried as
+    2*rank so every intermediate stays an exact integer: avg-rank of
+    a tie class = offset + (c+1)/2, hence 2*r = 2*offset + c + 1.
+
+    Scale shape: ranks come from the per-value HISTOGRAM (distinct
+    2-dp prices / item counts — value-grain-bounded, not corpus-
+    bounded) with a cumulative offset over that bounded table, then a
+    broadcast join back onto rows — the exact_rank pattern minus the
+    per-row window, since Spearman only needs each row's tie-CLASS
+    rank, never a within-class position. The doubled ranks are
+    CENTERED by their exact integer mean (sum of average ranks is
+    always n(n+1)/2, so mean 2*rank = n+1) before the moment sums:
+    rho = sum dx*dy / sqrt(sum dx^2 * sum dy^2) on centered values
+    keeps every bigint below n^3 — the uncentered n*sum(rx*ry)
+    form overflowed int64 at sf0.1 (~2e21). The sums are map-side-
+    combinable bigint aggregates of exact integers, so the final rho
+    is one double division of identical operands on both engines: no
+    FP-order sensitivity anywhere. (Beyond ~2e9 rows even centered
+    n^3 outgrows int64: switch the three moment sums to
+    DECIMAL(38,0), which both engines aggregate exactly.)
+    """
+    per = (
+        scan(spark, sf_dir, "orders")
+        .join(
+            scan(spark, sf_dir, "lineitem").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("y"))
+        .select(F.col("o_totalprice").alias("x"), "y")
+    )
+
+    def double_ranks(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return hist.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    nn = per.agg(F.count("*").alias("n"))
+    rk = (
+        per.join(F.broadcast(double_ranks(per, "x")), "x")
+        .join(F.broadcast(double_ranks(per, "y")), "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("r2_x") - (F.col("n") + 1)).alias("dx"),
+            (F.col("r2_y") - (F.col("n") + 1)).alias("dy"),
+        )
+    )
+    s = rk.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(
+            F.col("sxy").cast("double")
+            / F.sqrt(
+                F.col("sxx").cast("double") * F.col("syy").cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q_two_proportion_ztest",
+    oracle="""
+        WITH g AS (
+          SELECT o_orderpriority AS grp,
+                 count(*) AS n,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+          GROUP BY 1),
+        w AS (
+          SELECT max(CASE WHEN grp = '1-URGENT' THEN n END) AS na,
+                 max(CASE WHEN grp = '1-URGENT' THEN x END) AS xa,
+                 max(CASE WHEN grp = '5-LOW' THEN n END) AS nb,
+                 max(CASE WHEN grp = '5-LOW' THEN x END) AS xb
+          FROM g)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+               round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+               CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+               round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+               round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                     / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 6) AS z
+        FROM w
+    """,
+    tags=("A1", "governance", "abtest"),
+)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test: does the URGENT order queue
+    finish ('F') at a different rate than the LOW queue? The
+    completion counts are the sufficient statistics; z uses the
+    pooled rate p̂ = (xa+xb)/(na+nb) under H0 — the companion
+    test statistic to q_ab_power_calc's sample-size planner (same
+    pooled-SE convention).
+
+    Scale shape: one filtered two-group count/sum aggregate
+    (map-side combinable, two output rows), a 2-row conditional
+    pivot, then closed-form scalar algebra on exact integers — the
+    only doubles are the final divisions, bit-identical on both
+    engines. Rounds at 6 dp.
+    """
+    g = (
+        scan(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "1-URGENT", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "1-URGENT", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("grp") == "5-LOW", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "5-LOW", F.col("x"))).alias("xb"),
+    )
+    ra = F.col("xa").cast("double") / F.col("na")
+    rb = F.col("xb").cast("double") / F.col("nb")
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("xa").cast("long").alias("x_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xb").cast("long").alias("x_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((ra - rb) / se, 6).alias("z"),
+    )
+
+
+# Wasserstein binning grain: 64 equal-width bins over the observed
+# global [min, max] — coarse enough that the per-source histograms
+# stay tiny, fine enough that the binned EMD tracks the exact one.
+WASSERSTEIN_BINS = 64
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle=f"""
+        WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+                   FROM documents),
+        h AS (
+          SELECT source,
+                 least(((n_chars - lo) * {WASSERSTEIN_BINS})
+                       // (hi - lo + 1),
+                       {WASSERSTEIN_BINS - 1}) AS bin,
+                 count(*) AS c
+          FROM documents, b GROUP BY 1, 2),
+        n AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+        spine AS (
+          SELECT source, unnest(range({WASSERSTEIN_BINS})) AS bin FROM n),
+        cum AS (
+          SELECT s.source, s.bin,
+                 sum(coalesce(h.c, 0)) OVER (
+                   PARTITION BY s.source ORDER BY s.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+          FROM spine s LEFT JOIN h ON h.source = s.source AND h.bin = s.bin),
+        pair AS (
+          SELECT a.source AS source_a, z.source AS source_b,
+                 sum(abs(a.cu * nb.n - z.cu * na.n)) AS cross_abs,
+                 max(na.n) AS na, max(nb.n) AS nb
+          FROM cum a
+          JOIN cum z ON z.bin = a.bin AND a.source < z.source
+          JOIN n na ON na.source = a.source
+          JOIN n nb ON nb.source = z.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               CAST((2 * (SELECT hi - lo + 1 FROM b) * cross_abs * 1000000
+                     + {WASSERSTEIN_BINS} * na * nb)
+                    // (2 * {WASSERSTEIN_BINS} * na * nb) AS DOUBLE)
+               / 1000000.0 AS emd_chars
+        FROM pair
+        ORDER BY source_a, source_b
+    """,
+    tags=("A5", "W4", "governance", "drift"),
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D Wasserstein distance (earth-mover, in character
+    units) between every two sources' document-length distributions —
+    the drift measure that, unlike KS (q_ks_drift) or PSI
+    (q_psi_drift), weighs HOW FAR mass moved, not just whether the
+    CDFs separate: a source whose docs all grew 10% scores near the
+    growth, not near 1.0.
+
+    Binned EMD on a 64-bucket equal-width grid: EMD = binwidth *
+    sum over bins |CDF_a - CDF_b|. Carried cross-multiplied —
+    |cumA*nB - cumB*nA| — so every comparison is EXACT bigint
+    arithmetic, and even the 6-dp rounding happens as integer
+    half-up division in micro-units ((2*numer + den) div (2*den)):
+    the first 4-dp draft landed on exact .00005 boundaries where
+    Spark (BigDecimal HALF_UP on the shortest-string double) and
+    DuckDB (round on the binary value) disagree — integer carry
+    makes the question moot; the only double op is one final /1e6 of
+    identical bigints. The zero-count bins matter (a gap in one
+    source's histogram still advances the other's CDF), so
+    cumulation runs over a dense per-source bin spine, not the
+    sparse histogram.
+
+    Scale shape: corpus-scale work is ONE pass into per-(source, bin)
+    counts (sources x 64 rows); the spine, cumulation window
+    (partitioned per source, 64 rows each) and the pairwise bin join
+    (|sources|^2/2 x 64 rows) are all source-cardinality-bounded.
+    The [min, max] bounds are a broadcast 1-row aggregate.
+    """
+    docs = scan(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    nb_ = WASSERSTEIN_BINS
+    h = (
+        docs.crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            F.least(
+                F.expr(
+                    f"((n_chars - lo) * {nb_}) div (hi - lo + 1)"
+                ),
+                F.lit(nb_ - 1).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    n = h.groupBy("source").agg(F.sum("c").alias("n"))
+    spine = n.select(
+        "source", F.explode(F.sequence(F.lit(0), F.lit(nb_ - 1))).alias("bin")
+    )
+    cumw = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        spine.join(h, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(cumw).alias("cu"),
+        )
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"), "bin", F.col("cu").alias("cua")
+    )
+    z = cum.select(
+        F.col("source").alias("source_b"), "bin", F.col("cu").alias("cub")
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nbt = n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    pair = (
+        a.join(z, "bin")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nbt), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("cua") * F.col("nb") - F.col("cub") * F.col("na"))
+            ).alias("cross_abs"),
+            F.max("na").alias("na_"),
+            F.max("nb").alias("nb_"),
+        )
+    )
+    return (
+        pair.crossJoin(F.broadcast(b))
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.expr(
+                    f"(2 * (hi - lo + 1) * cross_abs * 1000000"
+                    f" + {nb_} * na_ * nb_)"
+                    f" div (2 * {nb_} * na_ * nb_)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("emd_chars"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# Deterministic length-based pseudo-classifier for the calibration /
+# Brier pair: P(lang = 'en' | n_chars) modeled as a fixed logistic in
+# the document length. Fixed coefficients, NOT a fit — these queries
+# verify the EVALUATION machinery (reliability bins, ECE, Brier
+# decomposition), which at 100 TB consumes model scores produced
+# upstream; a deterministic score function makes the evaluation
+# hash-comparable across engines.
+CALIB_MID = 300.0
+CALIB_SCALE = 100.0
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+        WITH s AS (
+          SELECT 1.0 / (1.0 + exp(-(n_chars - {CALIB_MID})
+                                  / {CALIB_SCALE})) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (
+          SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+                 score, y
+          FROM s)
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(score), 4) AS mean_score,
+               round(avg(CAST(y AS DOUBLE)), 4) AS frac_pos,
+               round(abs(avg(score) - avg(CAST(y AS DOUBLE))), 4) AS gap
+        FROM b
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    tags=("A1", "governance", "mleval"),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: decile
+    bins of the predicted probability vs the observed positive rate,
+    with the per-bin |confidence - accuracy| gap whose n-weighted sum
+    is the Expected Calibration Error. The scored event is "document
+    is English", the score a fixed logistic in document length (see
+    CALIB_MID note) — evaluation machinery, not a model fit.
+
+    Determinism: the score is one exp() of identical operands (both
+    engines' libm agree far beyond the 1e-4 minimum distance any
+    fixture score has to a 0.1 bin edge — the n_chars=300 midpoint
+    lands on exp(0)=0.5, exact in both), bins clamp to 9 so
+    score=1.0 can't overflow the decile grid, and the averaged
+    doubles round at 4 dp, nine orders above accumulation noise.
+
+    Scale shape: per-row scoring is codegen arithmetic; the only
+    exchange is a hash-agg into <=10 bins (map-side combinable).
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(-(F.col("n_chars") - CALIB_MID) / CALIB_SCALE)
+            )
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return (
+        s.select(
+            F.least(
+                F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long")
+            ).alias("bin"),
+            "score",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
+            F.round(
+                F.abs(F.avg("score") - F.avg(F.col("y").cast("double"))), 4
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_brier_score",
+    oracle=f"""
+        WITH s AS (
+          SELECT 1.0 / (1.0 + exp(-(n_chars - {CALIB_MID})
+                                  / {CALIB_SCALE})) AS score,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(y), 6) AS base_rate,
+               round(avg((score - y) * (score - y)), 6) AS brier,
+               round(avg(y) * (1.0 - avg(y)), 6) AS brier_ref,
+               round(1.0 - avg((score - y) * (score - y))
+                     / (avg(y) * (1.0 - avg(y))), 6) AS skill
+        FROM s
+    """,
+    tags=("A2", "governance", "mleval"),
+)
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + skill for the same length-logistic classifier as
+    q_calibration_bins: mean squared error of the probability
+    forecast, referenced against the no-skill climatology forecast
+    (always predict the base rate, whose Brier is p(1-p)) — skill =
+    1 - brier/brier_ref, the standard "is this model better than
+    guessing the prior" scalar.
+
+    Scale shape: one global aggregate of codegen arithmetic —
+    map-side partials, a 1-row result. Rounds at 6 dp (accumulation
+    noise on ~n 0-1 doubles is ~1e-15 relative).
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(-(F.col("n_chars") - CALIB_MID) / CALIB_SCALE)
+            )
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    sq = (F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))
+    return s.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("y"), 6).alias("base_rate"),
+        F.round(F.avg(sq), 6).alias("brier"),
+        F.round(F.avg("y") * (1.0 - F.avg("y")), 6).alias("brier_ref"),
+        F.round(
+            1.0 - F.avg(sq) / (F.avg("y") * (1.0 - F.avg("y"))), 6
+        ).alias("skill"),
+    )

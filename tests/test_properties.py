@@ -738,6 +738,11 @@ def test_queries_survive_empty_input(spark, tmp_path):
         "q_churn_training_set", "q_quantile_bridge",
         "q_mahalanobis_outliers", "q_ab_power_calc",
         "q_churn_rule_eval",
+        # r6 waves 33+: global-moment scalars whose denominators all
+        # go NULL (never raise) on zero rows, and the histogram-spine
+        # EMD whose [min,max] bounds vanish
+        "q_spearman_corr", "q_two_proportion_ztest",
+        "q_wasserstein_drift", "q_calibration_bins", "q_brier_score",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
@@ -1723,3 +1728,30 @@ def test_neyman_allocation_sums_to_budget(spark):
 
     rows = load_registry()["q_neyman_allocation"].fn(spark, SF001).collect()
     assert sum(r.allocated for r in rows) == NEYMAN_BUDGET
+
+
+def test_r6_wave34_partition_invariant(spark):
+    """Split-invariance for the wave-34 stats queries: Spearman's
+    centered-bigint moments, the pooled z, the integer-carried EMD,
+    and the calibration averages must not depend on how the shuffle
+    fans out."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_spearman_corr",
+        "q_two_proportion_ztest",
+        "q_wasserstein_drift",
+        "q_calibration_bins",
+        "q_brier_score",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
