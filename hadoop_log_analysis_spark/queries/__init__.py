@@ -221,6 +221,10 @@ _PRIORITY = (
     "q_wasserstein_drift",
     "q_calibration_bins",
     "q_brier_score",
+    "q_max_drawdown",
+    "q_bollinger_breakouts",
+    "q_holt_linear_forecast",
+    "q_clustering_coefficient",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

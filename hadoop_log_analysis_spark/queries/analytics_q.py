@@ -4241,3 +4241,388 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(infl, 4).alias("inflation_factor"),
         )
     )
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+        WITH daily AS (
+          SELECT n.n_name AS nation, date_trunc('day', o.o_orderdate) AS d,
+                 sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1, 2),
+        dd AS (
+          SELECT nation, d, rev,
+                 max(rev) OVER (PARTITION BY nation ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak,
+                 count(*) OVER (PARTITION BY nation) AS n_days
+          FROM daily),
+        r AS (
+          SELECT nation, d, n_days,
+                 CAST(rev AS DOUBLE) AS trough_rev,
+                 CAST(peak AS DOUBLE) AS peak_rev,
+                 round(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE),
+                       6) AS drawdown,
+                 row_number() OVER (
+                   PARTITION BY nation
+                   ORDER BY round(CAST(peak - rev AS DOUBLE)
+                                  / CAST(peak AS DOUBLE), 6) DESC,
+                            d ASC) AS rn
+          FROM dd)
+        SELECT nation, CAST(n_days AS BIGINT) AS n_days,
+               d AS trough_day, peak_rev, trough_rev,
+               drawdown AS max_drawdown
+        FROM r WHERE rn = 1
+        ORDER BY nation
+    """,
+    tags=("W4", "W1", "A1", "timeseries", "finance"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each nation's daily order-revenue series:
+    the deepest relative slump from the running peak — the risk
+    statistic that, unlike variance, only punishes DOWNSIDE moves
+    and remembers their order (a crash-then-recover series and a
+    steady series with the same variance have very different
+    drawdowns). Reported per nation with the trough day (earliest
+    day on ties, pinned by the 6-dp-rounded drawdown sort key).
+
+    Determinism: daily revenue aggregates as EXACT DECIMAL (the HHI
+    lesson — double sums flip 2-dp boundaries with accumulation
+    order), the running peak is a max over exact decimals, and the
+    one double division divides identical operands on both engines;
+    its denominator is an arbitrary-cents decimal, so the 6-dp round
+    can't sit on a terminating-decimal halfway point.
+
+    Scale shape: corpus-scale work is one hash agg into (nation,
+    day) cells; every window — running peak, partition count, the
+    argmax row_number — is PARTITIONED BY nation over a
+    calendar-bounded series (no global window, the
+    q_curriculum_phases scale-cliff this repo replaced).
+    """
+    daily = (
+        scan(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .join(
+            scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                scan(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", "d")
+        .agg(F.sum("p").alias("rev"))
+    )
+    nw = Window.partitionBy("nation")
+    runw = nw.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "nation",
+        "d",
+        F.count("*").over(nw).alias("n_days"),
+        F.col("rev"),
+        F.max("rev").over(runw).alias("peak"),
+    ).withColumn(
+        "drawdown",
+        F.round(
+            (F.col("peak") - F.col("rev")).cast("double")
+            / F.col("peak").cast("double"),
+            6,
+        ),
+    )
+    rn = F.row_number().over(nw.orderBy(F.col("drawdown").desc(), F.col("d")))
+    return (
+        dd.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("d").alias("trough_day"),
+            F.col("peak").cast("double").alias("peak_rev"),
+            F.col("rev").cast("double").alias("trough_rev"),
+            F.col("drawdown").alias("max_drawdown"),
+        )
+        .orderBy("nation")
+    )
+
+
+# Bollinger parameters: the classic 20-period/2-sigma band, narrowed
+# to a 7-observed-day trailing window so the sparse per-region daily
+# series at small scale factors still fills frames.
+BOLLINGER_WIN = 7
+BOLLINGER_K = 2.0
+
+
+@query(
+    "q_bollinger_breakouts",
+    oracle=f"""
+        WITH daily AS (
+          SELECT r.r_name AS region, date_trunc('day', o.o_orderdate) AS d,
+                 CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                           * 100 AS BIGINT) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY 1, 2),
+        w AS (
+          SELECT region, d, cents,
+                 count(*) OVER fr AS n,
+                 sum(cents) OVER fr AS s1,
+                 sum(cents * cents) OVER fr AS s2
+          FROM daily
+          WINDOW fr AS (PARTITION BY region ORDER BY d
+                        ROWS BETWEEN {BOLLINGER_WIN - 1} PRECEDING
+                        AND CURRENT ROW)),
+        z AS (
+          SELECT region, d, cents, s1,
+                 CAST({BOLLINGER_WIN} * s2 - s1 * s1 AS DOUBLE)
+                 / ({BOLLINGER_WIN} * ({BOLLINGER_WIN} - 1.0)) AS var_c
+          FROM w WHERE n = {BOLLINGER_WIN})
+        SELECT region, d,
+               round(cents / 100.0, 2) AS rev,
+               round(s1 / {BOLLINGER_WIN}.0 / 100.0, 2) AS ma,
+               round((cents - s1 / {BOLLINGER_WIN}.0) / sqrt(var_c), 4) AS z
+        FROM z
+        WHERE var_c > 0
+          AND abs((cents - s1 / {BOLLINGER_WIN}.0) / sqrt(var_c))
+              > {BOLLINGER_K}
+        ORDER BY region, d
+    """,
+    tags=("W4", "A1", "timeseries", "finance"),
+)
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout days: for each region's daily revenue
+    series, a trailing 7-observed-day mean/sigma band; days whose
+    revenue sits more than 2 trailing sigmas from the trailing mean
+    are flagged — the mean-reversion alert complementing
+    q_xmr_control_chart (global limits) with LOCAL adaptive limits
+    that track regime changes.
+
+    Determinism end-to-end in integers: daily revenue becomes EXACT
+    cents via decimal sum (never a double round), the frame
+    aggregates s1 = sum(cents) and s2 = sum(cents^2) are exact
+    integer window sums — DECIMAL(38,0) on the Spark side, int128 on
+    DuckDB's (s1^2 already overflows int64 at sf0.1's daily
+    revenues) — exact regardless of the engines' frame-summation
+    order (DuckDB segment trees vs Spark's frame re-scan, the FP
+    trap a naive stddev() window would hit), and the variance
+    identity (n*s2 - s1^2)/(n(n-1)) is computed from those exact
+    integers, so z divides identical doubles on both engines.
+
+    Scale shape: one hash agg into (region, day) cells, then
+    PARTITIONED windows over calendar-bounded per-region series;
+    warmup rows (frame count < 7) are excluded, not emitted as
+    unstable bands.
+    """
+    daily = (
+        scan(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .join(
+            scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                scan(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                scan(spark, sf_dir, "region").select(
+                    "r_regionkey", F.col("r_name").alias("region")
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("region", "d")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    fr = (
+        Window.partitionBy("region")
+        .orderBy("d")
+        .rowsBetween(-(BOLLINGER_WIN - 1), 0)
+    )
+    n_, k_ = BOLLINGER_WIN, BOLLINGER_K
+    c_dec = F.col("cents").cast("decimal(38,0)")
+    w = daily.select(
+        "region",
+        "d",
+        "cents",
+        F.count("*").over(fr).alias("n"),
+        F.sum(c_dec).over(fr).alias("s1"),
+        F.sum(c_dec * c_dec).over(fr).alias("s2"),
+    ).where(F.col("n") == n_)
+    var_c = (n_ * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n_ * (n_ - 1.0)
+    )
+    zcol = (
+        F.col("cents") - F.col("s1").cast("double") / float(n_)
+    ) / F.sqrt(var_c)
+    return (
+        w.withColumn("var_c", var_c)
+        .where(F.col("var_c") > 0)
+        .withColumn("z_", zcol)
+        .where(F.abs(F.col("z_")) > k_)
+        .select(
+            "region",
+            "d",
+            F.round(F.col("cents") / 100.0, 2).alias("rev"),
+            F.round(F.col("s1") / float(n_) / 100.0, 2).alias("ma"),
+            F.round(F.col("z_"), 4).alias("z"),
+        )
+        .orderBy("region", "d")
+    )
+
+
+# Holt's linear-trend smoothing constants — exact binary fractions so
+# the per-step arithmetic is the same dyadic multiply-add on every
+# engine (0.5 = 2^-1, 0.25 = 2^-2; no decimal-literal representation
+# drift enters the recursion).
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_HORIZON = 7.0
+
+_HOLT_SCHEMA = (
+    "nation string, n_days long, level double, trend double, fcst double"
+)
+
+
+def _holt_group(pdf):
+    """Holt recursion over ONE nation's day-ordered revenue series.
+
+    l_t = a*y_t + (1-a)*(l + b);  b_t = g*(l_t - l) + (1-g)*b, seeded
+    l_1 = y_1, b_1 = y_2 - y_1 (0 for a length-1 series). A plain
+    Python loop over floats: each step is the exact IEEE expression
+    the DuckDB recursive-CTE oracle evaluates, so the final state is
+    bit-identical, not approximately equal.
+    """
+    import pandas as pd
+
+    ys = [float(v) for v in pdf.sort_values("d")["y"]]
+    lvl = ys[0]
+    b = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+    for y in ys[1:]:
+        new_l = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (lvl + b)
+        b = HOLT_BETA * (new_l - lvl) + (1.0 - HOLT_BETA) * b
+        lvl = new_l
+    return pd.DataFrame(
+        {
+            "nation": [pdf["nation"].iloc[0]],
+            "n_days": [len(ys)],
+            "level": [lvl],
+            "trend": [b],
+            "fcst": [lvl + HOLT_HORIZON * b],
+        }
+    )
+
+
+@query(
+    "q_holt_linear_forecast",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+          SELECT n.n_name AS nation, date_trunc('day', o.o_orderdate) AS d,
+                 sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1, 2),
+        ser AS (
+          SELECT nation, CAST(rev AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY nation ORDER BY d) AS rn,
+                 count(*) OVER (PARTITION BY nation) AS n
+          FROM daily),
+        rec(nation, rn, n, l, b) AS (
+          SELECT s1.nation, 1, s1.n, s1.y,
+                 coalesce(s2.y - s1.y, 0.0)
+          FROM ser s1 LEFT JOIN ser s2
+            ON s2.nation = s1.nation AND s2.rn = 2
+          WHERE s1.rn = 1
+          UNION ALL
+          SELECT r.nation, r.rn + 1, r.n,
+                 {HOLT_ALPHA} * s.y
+                 + {1.0 - HOLT_ALPHA} * (r.l + r.b),
+                 {HOLT_BETA} * (({HOLT_ALPHA} * s.y
+                                 + {1.0 - HOLT_ALPHA} * (r.l + r.b))
+                                - r.l)
+                 + {1.0 - HOLT_BETA} * r.b
+          FROM rec r JOIN ser s
+            ON s.nation = r.nation AND s.rn = r.rn + 1)
+        SELECT nation, CAST(n AS BIGINT) AS n_days,
+               round(l, 4) AS level, round(b, 4) AS trend,
+               round(l + {HOLT_HORIZON} * b, 4) AS fcst
+        FROM rec WHERE rn = n
+        ORDER BY nation
+    """,
+    tags=("U4", "timeseries", "forecast", "iterative"),
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing per nation over the
+    daily revenue series, with a 7-step-ahead forecast — the
+    level+trend upgrade of q_ewma_daily (which tracks level only) and
+    the closed-form cousin of q_seasonal_naive_error's baseline. An
+    inherently SEQUENTIAL recurrence: each day's state depends on the
+    previous day's, which no window frame expresses.
+
+    Spark-first shape for sequential-per-key state: applyInPandas
+    over the nation groups — each group's series is calendar-bounded
+    (days, never order volume), groups run in parallel, and the
+    corpus-scale work (the daily aggregate) happens BEFORE the
+    Python boundary, so the Arrow transfer moves |nations| x |days|
+    rows, not orders. The DuckDB oracle runs the SAME recurrence as
+    a recursive CTE (one iteration per day, all nations advancing in
+    lockstep) — dyadic smoothing constants and identical expression
+    shapes make the two engines' float states bit-equal, so the 4-dp
+    output rounding is cosmetic, not load-bearing.
+
+    Scale note: series state is O(1) per group; the recursion length
+    is the calendar, not the data. At 100 TB the daily pre-aggregate
+    is the only shuffle.
+    """
+    daily = (
+        scan(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .join(
+            scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                scan(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", "d")
+        .agg(F.sum("p").cast("double").alias("y"))
+    )
+    out = daily.groupBy("nation").applyInPandas(_holt_group, _HOLT_SCHEMA)
+    return out.select(
+        "nation",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("fcst", 4).alias("fcst"),
+    ).orderBy("nation")

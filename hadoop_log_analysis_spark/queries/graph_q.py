@@ -1153,3 +1153,96 @@ def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_brand_diversity",
         )
     )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT a.tok AS u, b.tok AS v
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+          HAVING count(*) * 5 >= (SELECT n FROM tot)),
+        deg AS (
+          SELECT tok, count(*) AS d
+          FROM (SELECT u AS tok FROM e UNION ALL SELECT v FROM e)
+          GROUP BY tok),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        t AS (
+          SELECT tok, count(*) AS nt
+          FROM (SELECT a AS tok FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY tok)
+        SELECT deg.tok, CAST(deg.d AS BIGINT) AS degree,
+               CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+               CAST((2 * (2 * coalesce(t.nt, 0) * 1000000)
+                     + deg.d * (deg.d - 1))
+                    // (2 * deg.d * (deg.d - 1)) AS DOUBLE)
+               / 1000000.0 AS coeff
+        FROM deg LEFT JOIN t ON t.tok = deg.tok
+        WHERE deg.d >= 2
+        ORDER BY deg.tok
+    """,
+    tags=("J8", "graph"),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the >=20%-support
+    token co-occurrence graph: C(v) = 2*T(v) / (d(v)*(d(v)-1)) — how
+    close each token's neighborhood is to a clique, the
+    community-tightness signal on top of q_triangle_count's raw
+    participation counts (same graph, same enumeration).
+
+    Triangle counts come from the degree-ordered compact-forward
+    enumeration q_triangle_count already runs (called directly — one
+    definition, zero drift); degrees from the symmetrized edge list.
+    Nodes in no triangle still appear (coefficient 0 via left join);
+    degree-1 nodes are excluded (undefined denominator). The 6-dp
+    coefficient is rounded by INTEGER half-up carry in micro-units —
+    d(d-1) denominators are routinely 2^a*5^b (d=5 -> 20), exactly
+    the terminating-decimal halfway class where the engines' double
+    round() implementations disagree (the q_wasserstein_drift
+    lesson), so no double forms until one final /1e6.
+
+    Scale shape: everything is the triangle query's plan plus one
+    vocab-bounded degree aggregate and a vocab-keyed left join.
+    """
+    tri = q_triangle_count(spark, sf_dir).withColumnRenamed(
+        "n_triangles", "nt"
+    )
+    e = _support_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("tok"))
+        .unionByName(e.select(F.col("v").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "tok", "left")
+        .select(
+            "tok",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            (
+                F.expr(
+                    "(2 * (2 * coalesce(nt, 0) * 1000000) + d * (d - 1))"
+                    " div (2 * d * (d - 1))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("coeff"),
+        )
+        .orderBy("tok")
+    )

@@ -743,6 +743,10 @@ def test_queries_survive_empty_input(spark, tmp_path):
         # EMD whose [min,max] bounds vanish
         "q_spearman_corr", "q_two_proportion_ztest",
         "q_wasserstein_drift", "q_calibration_bins", "q_brier_score",
+        # wave 35: empty-series Holt (applyInPandas zero groups),
+        # empty-window bands, zero-edge graph
+        "q_max_drawdown", "q_bollinger_breakouts",
+        "q_holt_linear_forecast", "q_clustering_coefficient",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
@@ -1744,6 +1748,32 @@ def test_r6_wave34_partition_invariant(spark):
         "q_wasserstein_drift",
         "q_calibration_bins",
         "q_brier_score",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_r6_wave35_partition_invariant(spark):
+    """Split-invariance for the wave-35 time-series/graph queries:
+    the decimal daily aggregates, bigint band moments, sequential
+    Holt state (group-to-pandas boundary must not depend on shuffle
+    fan-out), and the triangle/degree join."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_max_drawdown",
+        "q_bollinger_breakouts",
+        "q_holt_linear_forecast",
+        "q_clustering_coefficient",
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
