@@ -1348,3 +1348,62 @@ def test_neyman_allocation_single_scan_window_total(spark):
     plan = _formatted(REGISTRY["q_neyman_allocation"].fn(spark, SF001))
     assert len(_scan_node_ids(plan)) == 1
     assert "row_number" in plan
+
+
+def test_wave34_35_windows_all_partitioned(spark):
+    # Every Window in the new time-series/stats queries must carry a
+    # non-empty partition spec: drawdown/bollinger/holt run per
+    # nation/region series, wasserstein's CDF runs per source, and
+    # spearman's rank offsets run over per-value HISTOGRAMS — the
+    # one allowed unpartitioned window class (value-grain-bounded
+    # input, the exact_rank contract), which is why spearman is
+    # exempted here and covered by the histogram-size assertion in
+    # its docstring instead.
+    import re
+
+    for name in (
+        "q_max_drawdown",
+        "q_bollinger_breakouts",
+        "q_wasserstein_drift",
+    ):
+        plan = _formatted(REGISTRY[name].fn(spark, SF001))
+        for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+            assert m.group(1).strip(), f"unpartitioned Window in {name}"
+
+
+def test_wave35_dims_broadcast_no_cartesian(spark):
+    # The nation/region dimension hops must broadcast (the fact join
+    # on custkey is the only big exchange) and nothing in the wave
+    # may degenerate to a cartesian product.
+    for name in (
+        "q_max_drawdown",
+        "q_bollinger_breakouts",
+        "q_holt_linear_forecast",
+        "q_clustering_coefficient",
+    ):
+        plan = _formatted(REGISTRY[name].fn(spark, SF001))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_holt_python_boundary_after_daily_aggregate(spark):
+    # The Arrow boundary (FlatMapGroupsInPandas) must sit ABOVE the
+    # daily HashAggregate: the corpus-scale orders table collapses to
+    # (nation, day) cells BEFORE any row crosses into Python.
+    plan = _formatted(REGISTRY["q_holt_linear_forecast"].fn(spark, SF001))
+    assert "FlatMapGroupsInPandas" in plan
+    pandas_pos = plan.index("FlatMapGroupsInPandas")
+    assert "HashAggregate" in plan[pandas_pos:], (
+        "daily aggregate must feed the pandas group, not follow it"
+    )
+
+
+def test_calibration_single_exchange(spark):
+    # Per-row scoring is codegen arithmetic; the only exchanges are
+    # the bin hash-agg and the final 10-row ordering. No join, no
+    # window anywhere. (Formatted explain lists each node twice —
+    # count tree edges, not name occurrences.)
+    plan = _formatted(REGISTRY["q_calibration_bins"].fn(spark, SF001))
+    assert plan.count("- Exchange") <= 2  # agg shuffle + output sort
+    assert "Window" not in plan
+    assert "Join" not in plan
