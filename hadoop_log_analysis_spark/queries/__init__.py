@@ -225,6 +225,9 @@ _PRIORITY = (
     "q_bollinger_breakouts",
     "q_holt_linear_forecast",
     "q_clustering_coefficient",
+    "q_auc_roc",
+    "q_precision_recall_curve",
+    "q_kendall_tau",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

@@ -2948,3 +2948,343 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.avg(sq) / (F.avg("y") * (1.0 - F.avg("y"))), 6
         ).alias("skill"),
     )
+
+
+@query(
+    "q_auc_roc",
+    oracle="""
+        WITH d AS (
+          SELECT n_chars,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        h AS (
+          SELECT n_chars, count(*) AS c, sum(y) AS pos
+          FROM d GROUP BY n_chars),
+        r AS (
+          SELECT n_chars, c, pos,
+                 2 * coalesce(sum(c) OVER (
+                   ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + c + 1 AS r2
+          FROM h),
+        s AS (
+          SELECT sum(pos) AS np, sum(c) - sum(pos) AS nn,
+                 sum(pos * r2) AS r2pos
+          FROM r)
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               CAST((2 * ((r2pos - np * (np + 1)) * 1000000)
+                     + 2 * np * nn)
+                    // (2 * (2 * np * nn)) AS DOUBLE)
+               / 1000000.0 AS auc
+        FROM s
+    """,
+    tags=("A5", "W4", "governance", "mleval"),
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the length-logistic English classifier
+    (q_calibration_bins' scorer) via the rank-sum identity: AUC =
+    (R_pos - np(np+1)/2) / (np*nn) with AVERAGE ranks on ties —
+    exactly the probability a random positive outranks a random
+    negative, ties counting half. Because the logistic is monotone
+    in n_chars, ranking by score IS ranking by n_chars, so no
+    transcendental ever enters: the whole statistic is integer
+    arithmetic on the n_chars histogram.
+
+    Determinism: doubled average ranks (2r = 2*offset + c + 1, the
+    q_spearman_corr carry) keep R_pos an exact bigint; the 6-dp AUC
+    is rounded by integer half-up carry in micro-units — np*nn
+    denominators can be 2^a*5^b (the terminating-decimal halfway
+    class where engine round()s disagree).
+
+    Scale shape: one hash agg onto the n_chars grain (value-bounded,
+    ~500 distinct), a cumulative window over that bounded histogram,
+    and a 1-row moment aggregate.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    h = d.groupBy("n_chars").agg(
+        F.count("*").alias("c"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "c",
+        "pos",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("r2"),
+    )
+    s = r.agg(
+        F.sum("pos").alias("np"),
+        (F.sum("c") - F.sum("pos")).alias("nn"),
+        F.sum(F.col("pos") * F.col("r2")).alias("r2pos"),
+    )
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        (
+            F.expr(
+                "(2 * ((r2pos - np * (np + 1)) * 1000000) + 2 * np * nn)"
+                " div (2 * (2 * np * nn))"
+            ).cast("double")
+            / 1000000.0
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_precision_recall_curve",
+    oracle="""
+        WITH s AS (
+          SELECT least(CAST(floor((1.0 / (1.0 + exp(-(n_chars - 300.0)
+                                                    / 100.0))) * 10)
+                            AS BIGINT), 9) AS bin,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        h AS (SELECT bin, count(*) AS c, sum(y) AS pos
+              FROM s GROUP BY bin),
+        tot AS (SELECT sum(pos) AS np FROM h),
+        c AS (
+          SELECT bin,
+                 sum(c) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pred_pos,
+                 sum(pos) OVER (ORDER BY bin DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS tp
+          FROM h)
+        SELECT bin AS threshold_bin,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(pred_pos AS BIGINT) AS pred_pos,
+               CAST((2 * tp * 1000000 + pred_pos)
+                    // (2 * pred_pos) AS DOUBLE) / 1000000.0
+                 AS precision_,
+               CAST((2 * tp * 1000000 + (SELECT np FROM tot))
+                    // (2 * (SELECT np FROM tot)) AS DOUBLE) / 1000000.0
+                 AS recall_
+        FROM c
+        ORDER BY threshold_bin
+    """,
+    tags=("A1", "W4", "governance", "mleval"),
+)
+def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every score-decile threshold for the
+    length-logistic classifier: predict positive when the score
+    lands in bin >= t, sweep t over the ten calibration bins —
+    q_calibration_bins answers "are the probabilities honest", this
+    answers "where should the gate sit" (the quality-filter tuning
+    curve a corpus pipeline reads before setting its keep
+    threshold).
+
+    Determinism: cumulate the per-bin (count, positives) histogram
+    FROM THE TOP bin down (10-row window), so TP and predicted-
+    positive counts are exact integers; precision/recall round by
+    integer half-up carry (denominators here are plain doc counts —
+    250, 500 — squarely the 2^a*5^b halfway class).
+
+    Scale shape: identical to q_calibration_bins — per-row codegen
+    scoring, one hash-agg into <=10 bins, then 10-row windows; the
+    np total broadcasts.
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        F.least(
+            F.floor(
+                (
+                    1.0
+                    / (
+                        1.0
+                        + F.exp(
+                            -(F.col("n_chars") - CALIB_MID) / CALIB_SCALE
+                        )
+                    )
+                )
+                * 10
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    h = s.groupBy("bin").agg(
+        F.count("*").alias("c"), F.sum("y").alias("pos")
+    )
+    tot = h.agg(F.sum("pos").alias("np"))
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "bin",
+        F.sum("c").over(w).alias("pred_pos"),
+        F.sum("pos").over(w).alias("tp"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").alias("threshold_bin"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("pred_pos").cast("long").alias("pred_pos"),
+            (
+                F.expr(
+                    "(2 * tp * 1000000 + pred_pos) div (2 * pred_pos)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("precision_"),
+            (
+                F.expr("(2 * tp * 1000000 + np) div (2 * np)").cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("recall_"),
+        )
+        .orderBy("threshold_bin")
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+        WITH per AS (
+          SELECT o.o_totalprice AS x, count(l.l_orderkey) AS y
+          FROM orders o LEFT JOIN lineitem l
+            ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice),
+        cells AS (SELECT x, y, count(*) AS c FROM per GROUP BY x, y),
+        spine AS (
+          SELECT xs.x, ys.y
+          FROM (SELECT DISTINCT x FROM per) xs
+          CROSS JOIN (SELECT DISTINCT y FROM per) ys),
+        cum AS (
+          SELECT s.x, s.y,
+                 coalesce(sum(c.c) OVER (
+                   PARTITION BY s.y ORDER BY s.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS below,
+                 coalesce(c.c, 0) AS at_x,
+                 sum(coalesce(c.c, 0)) OVER (PARTITION BY s.y) AS tot
+          FROM spine s LEFT JOIN cells c
+            ON c.x = s.x AND c.y = s.y),
+        cd AS (
+          SELECT sum(ce.c * cu.below) AS conc,
+                 sum(ce.c * (cu.tot - cu.below - cu.at_x)) AS disc
+          FROM cells ce
+          JOIN cum cu ON cu.x = ce.x AND cu.y < ce.y),
+        tx AS (SELECT sum(cx * (cx - 1) // 2) AS t1
+               FROM (SELECT count(*) AS cx FROM per GROUP BY x)),
+        ty AS (SELECT sum(cy * (cy - 1) // 2) AS t2
+               FROM (SELECT count(*) AS cy FROM per GROUP BY y)),
+        nn AS (SELECT count(*) AS n FROM per)
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               round(CAST(conc - disc AS DOUBLE)
+                     / sqrt(CAST(n * (n - 1) // 2 - t1 AS DOUBLE)
+                            * CAST(n * (n - 1) // 2 - t2 AS DOUBLE)),
+                     6) AS tau_b
+        FROM cd, tx, ty, nn
+    """,
+    tags=("A5", "W4", "J2", "governance", "robust"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between order price and line-item count —
+    Spearman's companion rank statistic, but defined on CONCORDANT
+    vs DISCORDANT pairs, with the tau-b tie correction in both
+    margins. The naive definition is an all-pairs O(n^2) join; this
+    plan exploits the small y-domain (items per order) to count
+    pairs exactly in O(|x grain| * |y classes|): for each (x, y)
+    cell, every pair against a lower class is concordant when the
+    other order's price sits strictly below (the per-class exclusive
+    prefix "below"), discordant when strictly above (tot - below -
+    at_x) — so C and D are sums of cell-count x prefix-count
+    products, all exact bigints. The prefix table lives on a dense
+    x-spine per class (a gap in one class's histogram must still
+    expose its running count to the other classes' cells).
+
+    Determinism: everything is integer until the final
+    (C-D)/sqrt((T0-T1)(T0-T2)) — the factors are cast to double
+    BEFORE multiplying (their bigint product would overflow at
+    ~1e10 pairs) and the sqrt is irrational off the measure-zero
+    perfect-square case, so the 6-dp round never sits on an engine
+    disagreement.
+
+    Scale shape: the corpus-scale work is the per-order aggregate
+    (shared with q_spearman_corr); cells ~= n at the 2-dp price
+    grain, the spine is |distinct x| * |y classes| rows with
+    PARTITIONED windows per class, and the cell-to-class join fans
+    out by at most |y classes|.
+    """
+    per = (
+        scan(spark, sf_dir, "orders")
+        .join(
+            scan(spark, sf_dir, "lineitem").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("y"))
+        .select(F.col("o_totalprice").alias("x"), "y")
+    )
+    cells = per.groupBy("x", "y").agg(F.count("*").alias("c"))
+    spine = per.select("x").distinct().crossJoin(
+        F.broadcast(per.select("y").distinct())
+    )
+    belw = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totw = Window.partitionBy("y")
+    cum = (
+        spine.join(cells, ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.sum("c").over(belw), F.lit(0)).alias("below"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("at_x"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(totw).alias("tot"),
+        )
+    )
+    cu = cum.select(
+        F.col("x"),
+        F.col("y").alias("yi"),
+        "below",
+        "at_x",
+        "tot",
+    )
+    cd = (
+        cells.join(cu, (cells["x"] == cu["x"]) & (cu["yi"] < cells["y"]))
+        .agg(
+            F.sum(F.col("c") * F.col("below")).alias("conc"),
+            F.sum(
+                F.col("c") * (F.col("tot") - F.col("below") - F.col("at_x"))
+            ).alias("disc"),
+        )
+    )
+    t1 = (
+        per.groupBy("x")
+        .agg(F.count("*").alias("cx"))
+        .agg(F.sum(F.expr("cx * (cx - 1) div 2")).alias("t1"))
+    )
+    t2 = (
+        per.groupBy("y")
+        .agg(F.count("*").alias("cy"))
+        .agg(F.sum(F.expr("cy * (cy - 1) div 2")).alias("t2"))
+    )
+    nn = per.agg(F.count("*").alias("n"))
+    t0 = F.expr("n * (n - 1) div 2")
+    return (
+        cd.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (t0 - F.col("t1")).cast("double")
+                    * (t0 - F.col("t2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -1785,3 +1785,52 @@ def test_r6_wave35_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_r6_wave36_partition_invariant(spark):
+    """Split-invariance for the wave-36 rank statistics (AUC's
+    histogram rank-sum, the PR cumulation, Kendall's class-pair
+    dominance counts)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = ("q_auc_roc", "q_precision_recall_curve", "q_kendall_tau")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_kendall_pair_accounting_is_exhaustive(spark):
+    """C + D + xy-mixed-tie pairs must account for EVERY pair:
+    C + D = T0 - T1 - T2 + Txy (pairs tied in both margins are in
+    neither side and in both tie terms). Pins the dominance-count
+    join against double- or under-counting."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.sources.catalog import scan
+
+    row = load_registry()["q_kendall_tau"].fn(spark, SF001).collect()[0]
+    per = (
+        scan(spark, SF001, "orders")
+        .join(
+            scan(spark, SF001, "lineitem").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("y"))
+        .select(F.col("o_totalprice").alias("x"), "y")
+    ).toPandas()
+    n = len(per)
+    t0 = n * (n - 1) // 2
+    t1 = sum(c * (c - 1) // 2 for c in per.groupby("x").size())
+    t2 = sum(c * (c - 1) // 2 for c in per.groupby("y").size())
+    txy = sum(c * (c - 1) // 2 for c in per.groupby(["x", "y"]).size())
+    assert row.n_orders == n
+    assert row.concordant + row.discordant == t0 - t1 - t2 + txy
