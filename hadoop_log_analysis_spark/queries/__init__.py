@@ -228,6 +228,9 @@ _PRIORITY = (
     "q_auc_roc",
     "q_precision_recall_curve",
     "q_kendall_tau",
+    "q_rake_keywords",
+    "q_sql_group_by_all",
+    "q_log_loss",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

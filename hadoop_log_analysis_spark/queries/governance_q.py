@@ -3288,3 +3288,70 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+@query(
+    "q_log_loss",
+    oracle=f"""
+        WITH s AS (
+          SELECT 1.0 / (1.0 + exp(-(n_chars - {CALIB_MID})
+                                  / {CALIB_SCALE})) AS score,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(-(y * ln(score)
+                           + (1.0 - y) * ln(1.0 - score))), 6)
+                 AS log_loss,
+               round(-(avg(y) * ln(avg(y))
+                       + (1.0 - avg(y)) * ln(1.0 - avg(y))), 6)
+                 AS entropy_ref,
+               round(1.0 - avg(-(y * ln(score)
+                                 + (1.0 - y) * ln(1.0 - score)))
+                     / -(avg(y) * ln(avg(y))
+                         + (1.0 - avg(y)) * ln(1.0 - avg(y))), 6)
+                 AS skill
+        FROM s
+    """,
+    tags=("A2", "governance", "mleval"),
+)
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of the length-logistic classifier,
+    referenced against the label entropy (the log loss of always
+    predicting the base rate): skill = 1 - loss/H(p). Completes the
+    proper-scoring-rule pair with q_brier_score — Brier punishes
+    squared miscalibration, log loss punishes CONFIDENT mistakes
+    unboundedly, which is why corpus quality gates trained on it are
+    shy near 0/1.
+
+    Determinism: score and its ln() are per-row transcendentals of
+    identical operands (cross-engine libm agreement holds to far
+    below the 6-dp round — the q_calibration_bins argument); the
+    logistic never reaches 0/1 on bounded n_chars so ln() stays
+    finite. One global map-side-combinable aggregate.
+    """
+    s = scan(spark, sf_dir, "documents").select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(-(F.col("n_chars") - CALIB_MID) / CALIB_SCALE)
+            )
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    loss = F.avg(
+        -(
+            F.col("y") * F.log(F.col("score"))
+            + (1.0 - F.col("y")) * F.log(1.0 - F.col("score"))
+        )
+    )
+    ref = -(
+        F.avg("y") * F.log(F.avg("y"))
+        + (1.0 - F.avg("y")) * F.log(1.0 - F.avg("y"))
+    )
+    return s.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(loss, 6).alias("log_loss"),
+        F.round(ref, 6).alias("entropy_ref"),
+        F.round(1.0 - loss / ref, 6).alias("skill"),
+    )

@@ -3362,3 +3362,124 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fano"), "tok")
         .limit(15)
     )
+
+
+# RAKE delimiters: the fixture corpus's function words. Phrases are
+# maximal stopword-free runs, capped at 4 tokens (longer runs are
+# discarded, not truncated — a truncation choice would be arbitrary
+# and engine-order-sensitive).
+RAKE_STOPWORDS = ("a", "the")
+RAKE_MAX_LEN = 4
+RAKE_TOP_K = 15
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+               unnest(range(1, len(t) + 1)) AS u(i)),
+        runs AS (
+          SELECT doc_id, pos, tok,
+                 pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM toks
+          WHERE tok NOT IN {RAKE_STOPWORDS!r}),
+        phrases AS (
+          SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS plen
+          FROM runs GROUP BY doc_id, grp
+          HAVING count(*) <= {RAKE_MAX_LEN}),
+        words AS (
+          SELECT unnest(string_split(phrase, ' ')) AS w, plen
+          FROM phrases),
+        ws AS (
+          SELECT w, CAST(sum(plen) AS DOUBLE) / count(*) AS score
+          FROM words GROUP BY w),
+        ph AS (
+          SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase),
+        scored AS (
+          SELECT ph.phrase, ph.n_occ,
+                 round(sum(ws.score), 6) AS rake_score
+          FROM ph,
+               unnest(string_split(ph.phrase, ' ')) AS t(w)
+          JOIN ws ON ws.w = t.w
+          GROUP BY ph.phrase, ph.n_occ)
+        SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, rake_score
+        FROM scored
+        ORDER BY rake_score DESC, phrase
+        LIMIT {RAKE_TOP_K}
+    """,
+    tags=("L5", "W3", "A1", "text"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.'s Rapid Automatic Keyword
+    Extraction) over the corpus: candidate phrases are maximal
+    stopword-free token runs (the gaps-and-islands grouping pos -
+    row_number per document), each word scores degree/frequency
+    (degree = sum of lengths of phrases it appears in — co-occurring
+    inside long phrases raises it), and a phrase scores the sum of
+    its words' scores; top-15 phrases reported with occurrence
+    counts.
+
+    Determinism: the island grouping is integer; word scores are one
+    exact division (bigint degree / bigint freq); the per-phrase sum
+    of <=4 such doubles is hash-agg order-sensitive only at the
+    1e-16 level vs a 6-dp round (the repo's avg(double) precedent),
+    and the top-15 cut tie-breaks on the phrase text.
+
+    Scale shape: the islands window is PARTITIONED per document
+    (position-bounded); word stats shuffle on the vocabulary; the
+    phrase-to-word-score join fans each distinct phrase out by <=4
+    rows. No corpus-scale window, no cartesian.
+    """
+    toks = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.where(~F.col("tok").isin(*RAKE_STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("pos") - F.row_number().over(dw)).alias("grp"),
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= RAKE_MAX_LEN)
+    )
+    ws = (
+        phrases.select(
+            F.explode(F.split("phrase", " ")).alias("w"), "plen"
+        )
+        .groupBy("w")
+        .agg(
+            (F.sum("plen").cast("double") / F.count("*")).alias("score")
+        )
+    )
+    ph = phrases.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    scored = (
+        ph.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.round(F.sum("score"), 6).alias("rake_score"))
+    )
+    return (
+        scored.select(
+            "phrase", F.col("n_occ").cast("long").alias("n_occ"), "rake_score"
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+    )

@@ -299,3 +299,42 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY est_count DESC, tok
         """
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+        SELECT extract(year FROM o_orderdate) AS yr,
+               o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("A1", "O1", "dialect"),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 and DuckDB share the
+    dialect — the oracle here is literally the same statement): the
+    engine infers the grouping key as every non-aggregate select
+    item and the ordering as the full select list. Pure analysis-
+    time sugar — the resolved plan is the ordinary two-key hash
+    aggregate + sort, so pushdown/partial-agg posture is exactly
+    A1/O1's; what this query pins is that the INFERENCE (which
+    columns are grouping columns, which direction ORDER BY ALL
+    sorts) matches across engines, so a user porting ad-hoc DuckDB
+    analysis SQL onto the cluster gets identical results.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr,
+               o_orderpriority AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -747,6 +747,10 @@ def test_queries_survive_empty_input(spark, tmp_path):
         # empty-window bands, zero-edge graph
         "q_max_drawdown", "q_bollinger_breakouts",
         "q_holt_linear_forecast", "q_clustering_coefficient",
+        # waves 36-37: rank statistics on empty histograms, RAKE on
+        # zero documents, GROUP BY ALL / log loss on zero rows
+        "q_auc_roc", "q_precision_recall_curve", "q_kendall_tau",
+        "q_rake_keywords", "q_sql_group_by_all", "q_log_loss",
     )
     for name in names:
         rows = reg[name].fn(spark, empty).collect()  # must not raise
@@ -1834,3 +1838,22 @@ def test_kendall_pair_accounting_is_exhaustive(spark):
     txy = sum(c * (c - 1) // 2 for c in per.groupby(["x", "y"]).size())
     assert row.n_orders == n
     assert row.concordant + row.discordant == t0 - t1 - t2 + txy
+
+
+def test_r6_wave37_partition_invariant(spark):
+    """Split-invariance for wave 37: RAKE's islands grouping + <=4-
+    double phrase sums, the GROUP BY ALL inference, and log loss."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = ("q_rake_keywords", "q_sql_group_by_all", "q_log_loss")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
