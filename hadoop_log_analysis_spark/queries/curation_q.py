@@ -1725,3 +1725,138 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
         ).alias("allocated"),
     ).orderBy("source")
+
+
+# Logistic-IRLS hyperparameters: the feature is the standardized
+# document length ((n_chars - 300)/100, q_calibration_bins' scale),
+# the label "is English", and the solver runs a FIXED 3 Newton
+# steps from beta = 0 — enough to converge to ~1e-6 on a 1-D
+# logistic, and fixed so both engines execute the identical
+# recurrence. Per-iteration sufficient statistics are pinned to 9 dp
+# before the solve: the five sums are corpus-wide double
+# accumulations whose last ~3 bits depend on partition order; the
+# 9-dp grid sits ~4 orders above that noise and ~3 below anything
+# the 6-dp outputs can see (the q_embedding_covariance lesson).
+IRLS_STEPS = 3
+IRLS_MID = 300.0
+IRLS_SCALE = 100.0
+
+_IRLS_STEP_SQL = """
+{stats} AS (
+  SELECT round(sum(y - 1.0 / (1.0 + exp(-({b0} + {b1} * x)))), 9) AS g0,
+         round(sum(x * (y - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
+           AS g1,
+         round(sum((1.0 / (1.0 + exp(-({b0} + {b1} * x))))
+                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
+           AS h00,
+         round(sum(x * (1.0 / (1.0 + exp(-({b0} + {b1} * x))))
+                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
+           AS h01,
+         round(sum(x * x * (1.0 / (1.0 + exp(-({b0} + {b1} * x))))
+                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
+           AS h11
+  FROM d),
+{out} AS (
+  SELECT {b0} + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         {b1} + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM {stats})"""
+
+
+def _irls_oracle() -> str:
+    steps, prev = [], ("0.0", "0.0")
+    for i in range(IRLS_STEPS):
+        steps.append(
+            _IRLS_STEP_SQL.format(
+                stats=f"s{i}",
+                out=f"beta{i}",
+                b0=prev[0],
+                b1=prev[1],
+            )
+        )
+        prev = (
+            f"(SELECT b0 FROM beta{i})",
+            f"(SELECT b1 FROM beta{i})",
+        )
+    return f"""
+        WITH d AS (
+          SELECT (n_chars - {IRLS_MID}) / {IRLS_SCALE} AS x,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+        {",".join(steps)}
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+               round((SELECT b0 FROM beta{IRLS_STEPS - 1}), 6) AS beta0,
+               round((SELECT b1 FROM beta{IRLS_STEPS - 1}), 6) AS beta1,
+               round((SELECT avg(y * ln(1.0 / (1.0 + exp(
+                          -((SELECT b0 FROM beta{IRLS_STEPS - 1})
+                            + (SELECT b1 FROM beta{IRLS_STEPS - 1}) * x))))
+                        + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(
+                          -((SELECT b0 FROM beta{IRLS_STEPS - 1})
+                            + (SELECT b1 FROM beta{IRLS_STEPS - 1}) * x)))))
+                      FROM d), 6) AS avg_log_lik
+    """
+
+
+@query(
+    "q_logistic_irls",
+    oracle=_irls_oracle(),
+    tags=("A2", "iterative", "curation", "mltrain"),
+)
+def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING by IRLS/Newton: fit
+    P(lang='en' | doc length) with 3 exact Newton steps — the
+    actually-fitted counterpart of the fixed-coefficient classifier
+    the mleval tier (q_calibration_bins/q_auc_roc/q_log_loss)
+    evaluates. The pattern is the one that scales to 100 TB: each
+    iteration reduces the corpus to a d^2-sized sufficient-statistic
+    aggregate (here 5 doubles: gradient + symmetric 2x2 Hessian),
+    the driver does the d x d solve (closed-form for 2x2), and the
+    new coefficients re-enter as literals — compute stays on the
+    cluster, only O(d^2) state crosses the driver per step, exactly
+    like q_pagerank_tokens' rank vector or q_bpe_train's merge
+    table.
+
+    Determinism: sufficient statistics are rounded to 9 dp on both
+    engines before the solve (partition-order accumulation noise ~
+    1e-13 never reaches the 9-dp grid), so the per-step betas are
+    bit-identical; outputs round at 6 dp.
+    """
+    d = scan(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") - IRLS_MID) / IRLS_SCALE).alias("x"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    d = d.cache()
+    try:
+        b0, b1 = 0.0, 0.0
+        n_docs = None
+        for _ in range(IRLS_STEPS):
+            p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+            w = p * (1.0 - p)
+            row = d.agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("y") - p), 9).alias("g0"),
+                F.round(F.sum(F.col("x") * (F.col("y") - p)), 9).alias("g1"),
+                F.round(F.sum(w), 9).alias("h00"),
+                F.round(F.sum(F.col("x") * w), 9).alias("h01"),
+                F.round(F.sum(F.col("x") * F.col("x") * w), 9).alias("h11"),
+            ).collect()[0]
+            n_docs = row.n
+            det = row.h00 * row.h11 - row.h01 * row.h01
+            b0 = b0 + (row.h11 * row.g0 - row.h01 * row.g1) / det
+            b1 = b1 + (row.h00 * row.g1 - row.h01 * row.g0) / det
+        pf = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        out = d.agg(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.round(F.lit(b0), 6).alias("beta0"),
+            F.round(F.lit(b1), 6).alias("beta1"),
+            F.round(
+                F.avg(
+                    F.col("y") * F.log(pf)
+                    + (1.0 - F.col("y")) * F.log(1.0 - pf)
+                ),
+                6,
+            ).alias("avg_log_lik"),
+        )
+        out.collect()  # materialize before releasing the cache
+        return out
+    finally:
+        d.unpersist()

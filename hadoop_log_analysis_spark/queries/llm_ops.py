@@ -3483,3 +3483,85 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(RAKE_TOP_K)
     )
+
+
+# Feature-hashing dimensionality: tokens land in 2^6 = 64 signed
+# buckets via the repo's cross-engine multiplicative hash (Spark's
+# xxhash64 and DuckDB's hash() differ, so neither can appear in an
+# oracle-compared featurizer; the token code is the fingerprint
+# tier's ascii*31+length integerization).
+FH_BUCKETS = 64
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        coded AS (
+          SELECT t,
+                 ((ascii(substring(t, 1, 1)) * 31 + length(t))
+                  * 2654435761) % 1000003 AS h
+          FROM tok),
+        feat AS (
+          SELECT t, h % {FH_BUCKETS} AS bucket,
+                 CASE WHEN (h // {FH_BUCKETS}) % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM coded)
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_tokens,
+               CAST(sum(sgn) AS BIGINT) AS net_signed_count,
+               count(DISTINCT t) > 1 AS has_collision
+        FROM feat
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("L5", "A3", "curation", "featurize"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): project an unbounded
+    token vocabulary into 64 fixed signed buckets — the featurizer
+    that makes bag-of-words models trainable at 100 TB because the
+    feature space is FIXED-dimensional before any shuffle (no
+    vocabulary dictionary to build, broadcast, or keep consistent
+    across runs). The signed hash makes collisions cancel in
+    expectation (net_signed_count exposes the cancellation); the
+    per-bucket distinct-token count is the collision audit that
+    tells you when to raise the dimensionality.
+
+    Determinism: token code = ascii(first)*31 + length (the
+    fingerprint tier's integerization), bucket/sign from the shared
+    HASH_MULT/HASH_MOD multiplicative hash — all exact integers on
+    both engines; no engine-specific hash function appears.
+
+    Scale shape: per-row codegen hashing, ONE hash-agg into 64
+    buckets (map-side combinable; the distinct-token count
+    shuffles (bucket, token) pairs, vocabulary-bounded).
+    """
+    from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
+
+    tok = scan(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    code = (
+        F.ascii(F.substring("t", 1, 1)) * 31 + F.length("t")
+    ).cast("long")
+    h = (code * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+    feat = tok.select(
+        "t",
+        (h % FH_BUCKETS).alias("bucket"),
+        F.when(F.floor(h / FH_BUCKETS).cast("long") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        feat.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("t").cast("long").alias("n_distinct_tokens"),
+            F.sum("sgn").cast("long").alias("net_signed_count"),
+            (F.countDistinct("t") > 1).alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )
