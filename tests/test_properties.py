@@ -1074,16 +1074,18 @@ def test_curation_wave_partition_invariant(spark):
 
 
 def test_embedding_covariance_batch_and_partition_invariant(spark):
-    """The r5 driver FAIL reproduced and pinned: q_embedding_covariance
-    accumulates BLAS Gram partials in Arrow-batch order, so its raw
-    float sums depend on BOTH `spark.sql.shuffle.partitions` AND
+    """The r5/r6 driver FAILs reproduced and pinned:
+    q_embedding_covariance accumulates Gram partials in Arrow-batch
+    order, so a FLOAT accumulation would depend on BOTH
+    `spark.sql.shuffle.partitions` AND
     `spark.sql.execution.arrow.maxRecordsPerBatch` — session configs
-    the driver sets differently from the local gate. The rounded
-    output must NOT: at 4 dp (accumulation noise is ~1e-7, four
-    orders below the rounding grain) the result rows must be
-    byte-identical across a 4x batch-size and 6x partition-count
-    spread. Covers q_pca_components transitively (it eigensolves the
-    cached 4-dp matrix)."""
+    the driver sets differently from the local gate (decimal rounding
+    of such sums was falsified twice — VERDICT r6 #1). The r7 kernel
+    quantizes components to a 1e-4 integer grid and accumulates EXACT
+    integers, so the rows must be byte-identical across a 4x
+    batch-size and 6x partition-count spread — bit-exactness, not
+    noise-margin, is now the contract. Covers q_pca_components
+    transitively (it eigensolves the cached matrix)."""
     from hadoop_log_analysis_spark.queries import load_registry
 
     reg = load_registry()
