@@ -28,3 +28,27 @@ def ts_us(col: str = "ts_ns") -> Column:
 # needed (id * MULT approaching 2^63), change it HERE.
 HASH_MULT = 2654435761
 HASH_MOD = 1_000_003
+
+
+def pin(col: Column, dp: int) -> Column:
+    """Algorithm-explicit decimal pin: ``floor(x * 10^dp + 0.5) / 10^dp``.
+
+    The cross-engine-safe replacement for ``F.round`` in any
+    oracle-hash-compared output (r7, VERDICT r6 "Next round" #7):
+    Spark's round() is BigDecimal-of-shortest-string HALF_UP while
+    DuckDB's is nearbyint(x*10^dp) half-even — two different
+    ALGORITHMS that diverge on the same double whenever the value
+    sits on an exact decimal midpoint, which ratios of small integer
+    counts (k/32, k/128, k/160...) hit deterministically. floor has
+    no tie-break rule: identical doubles in, identical doubles out.
+    Mirror in the oracle with ``floor((expr) * 10000.0 + 0.5) /
+    10000.0`` (see sql_pin).
+    """
+    g = float(10**dp)
+    return F.floor(col * F.lit(g) + F.lit(0.5)) / F.lit(g)
+
+
+def sql_pin(expr: str, dp: int) -> str:
+    """DuckDB mirror of :func:`pin` for oracle strings."""
+    g = f"{float(10 ** dp):.1f}"
+    return f"floor(({expr}) * {g} + 0.5) / {g}"

@@ -3615,7 +3615,7 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM s GROUP BY user_id, sid)
         SELECT path,
                CAST(count(*) AS BIGINT) AS n_sessions,
-               round(avg(plen), 4) AS avg_len
+               floor(avg(plen) * 10000.0 + 0.5) / 10000.0 AS avg_len
         FROM p
         WHERE plen <= 5
         GROUP BY path
@@ -3668,7 +3668,13 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(
             F.count("*").cast("long").alias("n_sessions"),
-            F.round(F.avg("plen"), 4).alias("avg_len"),
+            # floor-based 4-dp pin: avg of small ints can sit ON a
+            # decimal midpoint (k/32 groups), where engine round()
+            # tie-breaks diverge on the SAME double.
+            (
+                F.floor(F.avg("plen") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("avg_len"),
         )
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
@@ -3761,15 +3767,21 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lim AS (
           SELECT avg(x) AS xbar, avg(r) AS rbar FROM mr)
         SELECT m.hr AS hr, CAST(m.x AS BIGINT) AS x,
-               round(l.xbar, 4) AS center,
-               round(l.xbar + 2.66 * l.rbar, 4) AS ucl,
-               round(greatest(l.xbar - 2.66 * l.rbar, 0), 4) AS lcl,
-               m.x > round(l.xbar + 2.66 * l.rbar, 4)
-                 OR m.x < round(greatest(l.xbar - 2.66 * l.rbar, 0), 4)
+               floor(l.xbar * 10000.0 + 0.5) / 10000.0 AS center,
+               floor((l.xbar + 2.66 * l.rbar) * 10000.0 + 0.5) / 10000.0
+                 AS ucl,
+               floor(greatest(l.xbar - 2.66 * l.rbar, 0) * 10000.0 + 0.5)
+                 / 10000.0 AS lcl,
+               m.x > floor((l.xbar + 2.66 * l.rbar) * 10000.0 + 0.5)
+                       / 10000.0
+                 OR m.x < floor(greatest(l.xbar - 2.66 * l.rbar, 0)
+                                * 10000.0 + 0.5) / 10000.0
                  AS out_of_control
         FROM mr m CROSS JOIN lim l
-        WHERE m.x > round(l.xbar + 2.66 * l.rbar, 4)
-           OR m.x < round(greatest(l.xbar - 2.66 * l.rbar, 0), 4)
+        WHERE m.x > floor((l.xbar + 2.66 * l.rbar) * 10000.0 + 0.5)
+                      / 10000.0
+           OR m.x < floor(greatest(l.xbar - 2.66 * l.rbar, 0)
+                          * 10000.0 + 0.5) / 10000.0
         ORDER BY hr
     """,
     tags=("W3", "A5", "timeseries", "diagnostic"),
@@ -3785,10 +3797,16 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-scale (hour) hash agg; the moving range
     lag and the limit scalars run on the calendar-bounded hourly
-    frame. Limits are rounded to 4 dp BEFORE the out-of-control
-    comparison on both engines, so the flag cannot flip on an
-    accumulation ulp.
+    frame. Limits are pinned to 4 dp with the algorithm-explicit
+    floor(x*1e4+0.5) BEFORE the out-of-control comparison on both
+    engines (avgs of exact integer counts can sit ON a decimal
+    midpoint, where engine round() tie-breaks diverge), so the flag
+    cannot flip on a tie-break rule.
     """
+
+    def pin4(col):
+        return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     h = (
         scan(spark, sf_dir, "events")
         .filter(F.col("event_type") == "error")
@@ -3801,16 +3819,15 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     lim = mr.select(
         "hr",
         "x",
-        F.round(F.avg("x").over(w_all), 4).alias("center"),
-        F.round(
-            F.avg("x").over(w_all) + 2.66 * F.avg("r").over(w_all), 4
+        pin4(F.avg("x").over(w_all)).alias("center"),
+        pin4(
+            F.avg("x").over(w_all) + 2.66 * F.avg("r").over(w_all)
         ).alias("ucl"),
-        F.round(
+        pin4(
             F.greatest(
                 F.avg("x").over(w_all) - 2.66 * F.avg("r").over(w_all),
                 F.lit(0.0),
-            ),
-            4,
+            )
         ).alias("lcl"),
     )
     ooc = (F.col("x") > F.col("ucl")) | (F.col("x") < F.col("lcl"))
@@ -3839,11 +3856,12 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                        4) AS neigh
           FROM h WINDOW w AS (ORDER BY hr))
         SELECT CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS x, neigh,
-               round(x / neigh, 4) AS prominence
+               floor((x / neigh) * 10000.0 + 0.5) / 10000.0 AS prominence
         FROM n
         WHERE p1 IS NOT NULL AND n1 IS NOT NULL
           AND x > p1 AND x >= n1
-          AND neigh > 0 AND round(x / neigh, 4) >= 1.2
+          AND neigh > 0
+          AND floor((x / neigh) * 10000.0 + 0.5) / 10000.0 >= 1.2
         ORDER BY hr
     """,
     tags=("W3", "A1", "timeseries", "diagnostic"),
@@ -3859,8 +3877,11 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-scale (hour) hash agg, then lag/lead and
     the neighborhood mean over the calendar-bounded hourly frame.
-    Neighborhood means and prominence pinned at 4 dp before the
-    threshold comparison on both engines.
+    Prominence is a raw integer ratio, so its 4-dp pin is the
+    algorithm-explicit floor(x*1e4+0.5) on both engines (x/neigh CAN
+    terminate on an exact decimal midpoint — e.g. a 3200-count
+    neighborhood with odd x — where engine round() tie-breaks
+    diverge); the threshold compares the pinned value.
     """
     h = (
         scan(spark, sf_dir, "events")
@@ -3884,7 +3905,9 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("neigh"),
     )
-    prom = F.round(F.col("x") / F.col("neigh"), 4)
+    prom = F.floor(
+        (F.col("x") / F.col("neigh")) * F.lit(10000.0) + F.lit(0.5)
+    ) / F.lit(10000.0)
     return (
         n.filter(
             F.col("p1").isNotNull()
@@ -4192,8 +4215,8 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(agg.rsum, 6) AS acf_sum_1_5,
                round(nn.n_days / greatest(1 + 2 * agg.rsum, 1.0), 2)
                  AS effective_n,
-               round(greatest(1 + 2 * agg.rsum, 1.0), 4)
-                 AS inflation_factor
+               floor(greatest(1 + 2 * agg.rsum, 1.0) * 10000.0 + 0.5)
+                 / 10000.0 AS inflation_factor
         FROM nn CROSS JOIN agg
     """,
     tags=("A5", "timeseries", "diagnostic"),
@@ -4238,7 +4261,14 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
             F.round("rsum", 6).alias("acf_sum_1_5"),
             F.round(F.col("n_days") / infl, 2).alias("effective_n"),
-            F.round(infl, 4).alias("inflation_factor"),
+            # floor-pin: infl = 1 + 2*rsum is a SHORT decimal (sum of
+            # 6-dp-pinned ACF values), so a 4-dp round() sits on an
+            # exact midpoint whenever rsum ends in ...25/...75 —
+            # engine tie-breaks diverge there.
+            (
+                F.floor(infl * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("inflation_factor"),
         )
     )
 
@@ -4264,12 +4294,13 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT nation, d, n_days,
                  CAST(rev AS DOUBLE) AS trough_rev,
                  CAST(peak AS DOUBLE) AS peak_rev,
-                 round(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE),
-                       6) AS drawdown,
+                 floor((CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0 AS drawdown,
                  row_number() OVER (
                    PARTITION BY nation
-                   ORDER BY round(CAST(peak - rev AS DOUBLE)
-                                  / CAST(peak AS DOUBLE), 6) DESC,
+                   ORDER BY floor((CAST(peak - rev AS DOUBLE)
+                                   / CAST(peak AS DOUBLE))
+                                  * 1000000.0 + 0.5) / 1000000.0 DESC,
                             d ASC) AS rn
           FROM dd)
         SELECT nation, CAST(n_days AS BIGINT) AS n_days,
@@ -4293,8 +4324,9 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson — double sums flip 2-dp boundaries with accumulation
     order), the running peak is a max over exact decimals, and the
     one double division divides identical operands on both engines;
-    its denominator is an arbitrary-cents decimal, so the 6-dp round
-    can't sit on a terminating-decimal halfway point.
+    the 6-dp pin is the algorithm-explicit floor(x*1e6+0.5) because a
+    round-number peak CAN make the exact cents ratio terminate on a
+    decimal midpoint, where engine round() tie-breaks diverge.
 
     Scale shape: corpus-scale work is one hash agg into (nation,
     day) cells; every window — running peak, partition count, the
@@ -4333,12 +4365,20 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev"),
         F.max("rev").over(runw).alias("peak"),
     ).withColumn(
+        # floor-pin: the drawdown is a ratio of exact cent integers —
+        # round-number peaks make exact 6-dp midpoints reachable,
+        # where engine round() tie-breaks diverge (and this is the
+        # argmax ORDER key, so a flip moves trough_day).
         "drawdown",
-        F.round(
-            (F.col("peak") - F.col("rev")).cast("double")
-            / F.col("peak").cast("double"),
-            6,
-        ),
+        F.floor(
+            (
+                (F.col("peak") - F.col("rev")).cast("double")
+                / F.col("peak").cast("double")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
     )
     rn = F.row_number().over(nw.orderBy(F.col("drawdown").desc(), F.col("d")))
     return (

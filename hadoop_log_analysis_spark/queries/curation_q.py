@@ -1220,8 +1220,10 @@ CONTAM_FRAC = 0.10  # flag a train doc when >=10% of its shingles are eval
                CAST(count(*) AS BIGINT) AS n_train_docs,
                CAST(sum(CASE WHEN n_hit * 1.0 / n_shingles >= {CONTAM_FRAC}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-               round(avg(n_hit * 1.0 / n_shingles), 6) AS avg_overlap,
-               round(max(n_hit * 1.0 / n_shingles), 6) AS max_overlap
+               floor(avg(n_hit * 1.0 / n_shingles) * 1000000.0 + 0.5)
+                 / 1000000.0 AS avg_overlap,
+               floor(max(n_hit * 1.0 / n_shingles) * 1000000.0 + 0.5)
+                 / 1000000.0 AS max_overlap
         FROM per_doc
         GROUP BY source
         ORDER BY source
@@ -1244,7 +1246,10 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream shuffle shape, same as q_crossdoc_ngram_coverage) probed
     by a broadcast left join, then ONE per-doc hash agg and a
     |sources|-row rollup. Nothing pairwise, nothing corpus x corpus.
-    Overlap fractions are ratios of exact integer counts (round 6).
+    Overlap fractions are ratios of exact integer counts, pinned at
+    6 dp with the algorithm-explicit floor(x*1e6+0.5) on both engines
+    (an exact small-denominator ratio can sit ON a decimal midpoint,
+    where engine round() tie-break rules diverge).
     """
     from hadoop_log_analysis_spark.operators.dedup import shingles
 
@@ -1274,8 +1279,19 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((overlap >= CONTAM_FRAC).cast("long"))
             .cast("long")
             .alias("n_contaminated"),
-            F.round(F.avg(overlap), 6).alias("avg_overlap"),
-            F.round(F.max(overlap), 6).alias("max_overlap"),
+            # floor-based 6-dp pin, not F.round: a per-doc ratio of
+            # small integers can be an EXACT decimal midpoint (e.g.
+            # n_shingles=128 -> 7-decimal binary fraction), where
+            # Spark HALF_UP and DuckDB half-even disagree on the SAME
+            # double; floor(x*1e6+0.5) is algorithm-identical on both.
+            (
+                F.floor(F.avg(overlap) * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("avg_overlap"),
+            (
+                F.floor(F.max(overlap) * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("max_overlap"),
         )
         .orderBy("source")
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
+from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT, pin
 from hadoop_log_analysis_spark.operators import text as TXT
 from hadoop_log_analysis_spark.operators.similarity import cosine
 from hadoop_log_analysis_spark.queries import query
@@ -2200,16 +2200,17 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events WHERE event_type = 'purchase'),
         mde AS (SELECT unnest([0.05, 0.10, 0.20]) AS rel_mde)
         SELECT round(mde.rel_mde, 2) AS rel_mde,
-               round(mde.rel_mde * m.mu, 4) AS abs_mde,
+               floor((mde.rel_mde * m.mu) * 10000.0 + 0.5) / 10000.0
+                 AS abs_mde,
                CAST(ceil(2 * m.s2 * (1.959964 + 0.841621)
                          * (1.959964 + 0.841621)
                          / (mde.rel_mde * m.mu * mde.rel_mde * m.mu))
                     AS BIGINT) AS n_per_arm,
-               round(2.0 * ceil(2 * m.s2 * (1.959964 + 0.841621)
-                                * (1.959964 + 0.841621)
-                                / (mde.rel_mde * m.mu
-                                   * mde.rel_mde * m.mu))
-                     / m.n, 4) AS runs_of_data
+               floor((2.0 * ceil(2 * m.s2 * (1.959964 + 0.841621)
+                                 * (1.959964 + 0.841621)
+                                 / (mde.rel_mde * m.mu
+                                    * mde.rel_mde * m.mu))
+                      / m.n) * 10000.0 + 0.5) / 10000.0 AS runs_of_data
         FROM mde CROSS JOIN m
         ORDER BY rel_mde
     """,
@@ -2227,7 +2228,9 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one moments aggregate over the metric stream, then a
     3-row MDE grid of within-row arithmetic against the broadcast
     scalars. ceil() of a ratio of pinned quantities is deterministic;
-    outputs round at 4 dp.
+    outputs floor-pinned at 4 dp (runs_of_data is a ratio of exact
+    integers — the decimal-midpoint shape where engine round()
+    tie-breaks diverge).
     """
     m = (
         scan(spark, sf_dir, "events")
@@ -2248,9 +2251,9 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.crossJoin(F.broadcast(m))
         .select(
             F.round("rel_mde", 2).alias("rel_mde"),
-            F.round(delta, 4).alias("abs_mde"),
+            pin(delta, 4).alias("abs_mde"),
             n_arm.cast("long").alias("n_per_arm"),
-            F.round(2.0 * n_arm / F.col("n"), 4).alias("runs_of_data"),
+            pin(2.0 * n_arm / F.col("n"), 4).alias("runs_of_data"),
         )
         .orderBy("rel_mde")
     )
@@ -2329,7 +2332,8 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
                        4) AS std_residual
           FROM marg)
         SELECT lang, source, CAST(o AS BIGINT) AS observed,
-               round(e, 4) AS expected, std_residual,
+               floor(e * 10000.0 + 0.5) / 10000.0 AS expected,
+               std_residual,
                abs(std_residual) > 2.0 AS anomalous
         FROM r
         WHERE abs(std_residual) > 2.0
@@ -2382,7 +2386,11 @@ def q_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.col("o").cast("long").alias("observed"),
-            F.round(e, 4).alias("expected"),
+            # floor-pin: expected = rl*rs/n is a ratio of exact ints —
+            # the decimal-midpoint shape where round() tie-breaks
+            # diverge; std_residual keeps round() (sqrt-valued, never
+            # an exact decimal midpoint).
+            pin(e, 4).alias("expected"),
             std_res.alias("std_residual"),
             (F.abs(std_res) > 2.0).alias("anomalous"),
         )
@@ -2604,9 +2612,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  max(CASE WHEN grp = '5-LOW' THEN x END) AS xb
           FROM g)
         SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
-               round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+               floor((CAST(xa AS DOUBLE) / na) * 1000000.0 + 0.5)
+                 / 1000000.0 AS rate_a,
                CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
-               round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+               floor((CAST(xb AS DOUBLE) / nb) * 1000000.0 + 0.5)
+                 / 1000000.0 AS rate_b,
                round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
                      / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
                             * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
@@ -2657,10 +2667,13 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("xa").cast("long").alias("x_a"),
-        F.round(ra, 6).alias("rate_a"),
+        # floor-pin the rates (exact integer ratios — the decimal-
+        # midpoint shape); z keeps round() (sqrt-valued, never an
+        # exact decimal midpoint, identical doubles on both engines).
+        pin(ra, 6).alias("rate_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.col("xb").cast("long").alias("x_b"),
-        F.round(rb, 6).alias("rate_b"),
+        pin(rb, 6).alias("rate_b"),
         F.round((ra - rb) / se, 6).alias("z"),
     )
 
@@ -2841,7 +2854,8 @@ CALIB_SCALE = 100.0
         SELECT bin,
                CAST(count(*) AS BIGINT) AS n,
                round(avg(score), 4) AS mean_score,
-               round(avg(CAST(y AS DOUBLE)), 4) AS frac_pos,
+               floor(avg(CAST(y AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                 AS frac_pos,
                round(abs(avg(score) - avg(CAST(y AS DOUBLE))), 4) AS gap
         FROM b
         GROUP BY bin
@@ -2889,7 +2903,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.round(F.avg("score"), 4).alias("mean_score"),
-            F.round(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
+            # floor-pin: frac_pos is a ratio of exact integer counts
+            # (k/32-shaped midpoint exposure); mean_score/gap keep
+            # round() (transcendental-valued, never a midpoint).
+            pin(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
             F.round(
                 F.abs(F.avg("score") - F.avg(F.col("y").cast("double"))), 4
             ).alias("gap"),

@@ -442,7 +442,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs AS (
           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                  count(*) AS common_orders,
-                 round(sum(1.0 / ln(s.n)), 6) AS aa_score
+                 CAST(sum(CAST(floor((1.0 / ln(s.n)) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS aa_score
           FROM basket a
           JOIN basket b ON b.l_orderkey = a.l_orderkey
                        AND b.l_partkey > a.l_partkey
@@ -472,9 +474,11 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, co-located — and the pair aggregate collapses map-side.
     The HAVING >= 2 prunes the singleton-pair tail (the vast majority)
     before the final top-k, which is a 20-row TakeOrdered, not a
-    global sort. Scores are rounded BEFORE the ORDER BY on both
-    engines so the top-20 cut compares identical values; ties break
-    on the pair key.
+    global sort. Determinism: each 1/ln(n) term is pinned to a 1e-6
+    integer grid per ROW (absorbing JVM-vs-DuckDB libm ln last-ulp
+    wobble) and summed exactly, so the score every engine sorts on is
+    bit-identical — the r7 exact-integer pattern, replacing the
+    fragile round-the-float-sum pin; ties break on the pair key.
     """
     basket = (
         scan(spark, sf_dir, "lineitem")
@@ -499,7 +503,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("common_orders"),
-            F.round(F.sum(1.0 / F.log(F.col("n"))), 6).alias("aa_score"),
+            (
+                F.sum(
+                    F.floor(
+                        (1.0 / F.log(F.col("n"))) * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("aa_score"),
         )
         .filter(F.col("common_orders") >= 2)
         .orderBy(F.desc("aa_score"), "part_a", "part_b")
@@ -729,11 +741,20 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT da.d AS dx, db.d AS dy
           FROM und u
           JOIN deg da ON da.p = u.p
-          JOIN deg db ON db.p = u.q)
-        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-               round(avg(dx), 4) AS mean_degree,
-               round(corr(dx, dy), 6) AS assortativity
-        FROM ed
+          JOIN deg db ON db.p = u.q),
+        s AS (
+          SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                 sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                 sum(dy * dy) AS syy
+          FROM ed)
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS mean_degree,
+               floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+        FROM s
     """,
     tags=("J8", "A5", "graph"),
 )
@@ -749,9 +770,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the basket-bounded pair generator; degrees
     are one hash agg; the edge-degree join is two broadcast-able
-    dimension joins (degree table is |parts|-bounded); corr() is a
-    one-pass sufficient-statistics aggregate. 6-dp rounding over
-    integer-valued inputs.
+    dimension joins (degree table is |parts|-bounded); the Pearson r
+    comes from five EXACT integer sufficient statistics (degrees are
+    integers, so n·Σxy−ΣxΣy etc. are order-free integer algebra —
+    engine-internal streaming corr() is order-sensitive), with the
+    one double division + IEEE-exact sqrt identical on both engines;
+    outputs are floor-pinned, not round()ed.
     """
     basket = (
         scan(spark, sf_dir, "lineitem")
@@ -781,10 +805,41 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("dy")),
               F.col("q") == F.col("p2"))
     )
-    return ed.agg(
-        (F.count("*") / 2).cast("long").alias("n_edges"),
-        F.round(F.avg("dx"), 4).alias("mean_degree"),
-        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ed.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy") * F.col("dy"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        (
+            F.floor(
+                (F.col("sx").cast("double") / F.col("n").cast("double"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("mean_degree"),
+        (
+            F.floor(
+                (num / (F.sqrt(varx) * F.sqrt(vary))) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("assortativity"),
     )
 
 
@@ -927,7 +982,8 @@ ITEM_CF_K = 5  # neighbors kept per item
           HAVING count(*) >= 2),
         scored AS (
           SELECT p.pa, p.pb, p.c,
-                 round(p.c / sqrt(da.n * db.n), 6) AS cosine
+                 floor((p.c / sqrt(da.n * db.n)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cosine
           FROM pairs p
           JOIN deg da ON da.l_partkey = p.pa
           JOIN deg db ON db.l_partkey = p.pb),
@@ -994,8 +1050,16 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pa",
             "pb",
             "c",
-            F.round(
-                F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6
+            # floor-pin: na=nb makes sqrt(na*nb) an integer, so the
+            # cosine is an exact integer ratio (midpoint-capable) AND
+            # the rank ORDER key — engine round() tie-breaks diverge.
+            (
+                F.floor(
+                    (F.col("c") / F.sqrt(F.col("na") * F.col("nb")))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("cosine"),
         )
     )
@@ -1030,7 +1094,8 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY pa, pb HAVING count(*) >= 2),
         scored AS (
           SELECT p.pa, p.pb,
-                 round(p.c / sqrt(da.n * db.n), 6) AS cosine
+                 floor((p.c / sqrt(da.n * db.n)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cosine
           FROM pairs p
           JOIN deg da ON da.l_partkey = p.pa
           JOIN deg db ON db.l_partkey = p.pb),
@@ -1053,10 +1118,11 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_lists,
                CAST((SELECT n_recommended FROM rec) AS BIGINT)
                  AS n_recommended,
-               round((SELECT n_recommended FROM rec) * 1.0
-                     / (SELECT n_parts FROM cat), 6) AS coverage,
-               round(avg(n_brands * 1.0 / k_actual), 6)
-                 AS avg_brand_diversity
+               floor(((SELECT n_recommended FROM rec) * 1.0
+                      / (SELECT n_parts FROM cat)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS coverage,
+               floor(avg(n_brands * 1.0 / k_actual) * 1000000.0 + 0.5)
+                 / 1000000.0 AS avg_brand_diversity
         FROM lists
     """,
     tags=("A1", "A3", "graph", "eval"),
@@ -1109,8 +1175,16 @@ def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pa",
             "pb",
-            F.round(
-                F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6
+            # floor-pin: na=nb makes sqrt(na*nb) an integer, so the
+            # cosine is an exact integer ratio (midpoint-capable) AND
+            # the rank ORDER key — engine round() tie-breaks diverge.
+            (
+                F.floor(
+                    (F.col("c") / F.sqrt(F.col("na") * F.col("nb")))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("cosine"),
         )
     )
@@ -1137,8 +1211,16 @@ def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lists.agg(
             F.count("*").cast("long").alias("n_lists"),
-            F.round(
-                F.avg(F.col("n_brands") * 1.0 / F.col("k_actual")), 6
+            # floor-pins: both metrics are exact-integer-ratio shapes
+            # (midpoint-capable), where engine round() tie-breaks
+            # diverge on the same double.
+            (
+                F.floor(
+                    F.avg(F.col("n_brands") * 1.0 / F.col("k_actual"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("avg_brand_diversity"),
         )
         .crossJoin(F.broadcast(cat))
@@ -1147,8 +1229,13 @@ def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_parts").cast("long").alias("catalog_size"),
             "n_lists",
             F.col("n_recommended").cast("long").alias("n_recommended"),
-            F.round(
-                F.col("n_recommended") * 1.0 / F.col("n_parts"), 6
+            (
+                F.floor(
+                    (F.col("n_recommended") * 1.0 / F.col("n_parts"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("coverage"),
             "avg_brand_diversity",
         )

@@ -3018,6 +3018,12 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     land ~32). Production swaps ONLY the body->pixels line of
     operators/multimodal.ahash64 for a real decoder.
 
+    Rows-only BY DESIGN (no oracle — binary-payload perceptual
+    hashing has no SQL analog); correctness story:
+    tests/test_llm_ops.py's pigeonhole-recall battery (banded recall
+    1.0 vs brute-force Hamming for d < bands, precision 1.0 by exact
+    verification) plus the partition-invariance battery.
+
     Scale shape: the binary column is touched ONCE by an Arrow-
     batched hash (64 bits out per image — the 100 TB payload column
     never shuffles); banding makes candidates O(dups) like every LSH
@@ -3052,15 +3058,21 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents),
         f AS (
           SELECT doc_id, lang, source, n,
-                 round(n_latin * 1.0 / n, 4) AS latin_frac,
-                 round(n_digit * 1.0 / n, 4) AS digit_frac,
-                 round(n_nonascii * 1.0 / n, 4) AS nonascii_frac
+                 floor((n_latin * 1.0 / n) * 10000.0 + 0.5) / 10000.0
+                   AS latin_frac,
+                 floor((n_digit * 1.0 / n) * 10000.0 + 0.5) / 10000.0
+                   AS digit_frac,
+                 floor((n_nonascii * 1.0 / n) * 10000.0 + 0.5) / 10000.0
+                   AS nonascii_frac
           FROM s WHERE n > 0)
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(latin_frac), 4) AS avg_latin,
-               round(avg(digit_frac), 4) AS avg_digit,
-               round(avg(nonascii_frac), 4) AS avg_nonascii,
+               floor(avg(latin_frac) * 10000.0 + 0.5) / 10000.0
+                 AS avg_latin,
+               floor(avg(digit_frac) * 10000.0 + 0.5) / 10000.0
+                 AS avg_digit,
+               floor(avg(nonascii_frac) * 10000.0 + 0.5) / 10000.0
+                 AS avg_nonascii,
                CAST(sum(CASE WHEN nonascii_frac > 0.05
                               AND latin_frac > 0.5
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
@@ -3082,9 +3094,15 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three regexp_replace counts are WITHIN-ROW codegen'd
     expressions (no Python); one |langs|-bounded hash agg. Fractions
     are exact integer ratios pinned at 4 dp BEFORE the mix-flag
-    comparison and the avg, so the 0.05/0.5 thresholds compare
-    identically on both engines.
+    comparison and the avg, with the algorithm-explicit
+    floor(x*1e4+0.5) on both engines — a k/32 or k/160 char ratio is
+    an EXACT decimal midpoint where engine round() tie-breaks
+    diverge — so the 0.05/0.5 thresholds compare identically.
     """
+
+    def pin4(col):
+        return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     t = F.col("text")
     s = scan(spark, sf_dir, "documents").select(
         "lang",
@@ -3095,17 +3113,19 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
     f = s.select(
         "lang",
-        F.round(F.col("n_latin") / F.col("n"), 4).alias("latin_frac"),
-        F.round(F.col("n_digit") / F.col("n"), 4).alias("digit_frac"),
-        F.round(F.col("n_nonascii") / F.col("n"), 4).alias("nonascii_frac"),
+        pin4(F.col("n_latin") * F.lit(1.0) / F.col("n")).alias("latin_frac"),
+        pin4(F.col("n_digit") * F.lit(1.0) / F.col("n")).alias("digit_frac"),
+        pin4(F.col("n_nonascii") * F.lit(1.0) / F.col("n")).alias(
+            "nonascii_frac"
+        ),
     )
     return (
         f.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("latin_frac"), 4).alias("avg_latin"),
-            F.round(F.avg("digit_frac"), 4).alias("avg_digit"),
-            F.round(F.avg("nonascii_frac"), 4).alias("avg_nonascii"),
+            pin4(F.avg("latin_frac")).alias("avg_latin"),
+            pin4(F.avg("digit_frac")).alias("avg_digit"),
+            pin4(F.avg("nonascii_frac")).alias("avg_nonascii"),
             F.sum(
                 (
                     (F.col("nonascii_frac") > 0.05)
@@ -3234,8 +3254,8 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ab)
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_vectors,
-               round(avg(s), 4) AS avg_silhouette,
-               round(min(s), 4) AS worst
+               floor(avg(s) * 10000.0 + 0.5) / 10000.0 AS avg_silhouette,
+               floor(min(s) * 10000.0 + 0.5) / 10000.0 AS worst
         FROM sil
         GROUP BY label
         ORDER BY label
@@ -3306,8 +3326,17 @@ def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
-            F.round(F.avg("s"), 4).alias("avg_silhouette"),
-            F.round(F.min("s"), 4).alias("worst"),
+            # floor-pins: s is a ratio of 6-dp-pinned distances (a
+            # short-decimal quotient can sit ON a 4-dp midpoint,
+            # where engine round() tie-breaks diverge).
+            (
+                F.floor(F.avg("s") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("avg_silhouette"),
+            (
+                F.floor(F.min("s") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("worst"),
         )
         .orderBy("label")
     )
@@ -3337,7 +3366,8 @@ TOKEN_BURST_BUCKETS = 10
           SELECT tok,
                  sum(c) AS total,
                  round(avg(c), 4) AS mean_c,
-                 round(var_samp(c) / avg(c), 4) AS fano
+                 floor((var_samp(c) / avg(c)) * 10000.0 + 0.5) / 10000.0
+                   AS fano
           FROM cnt GROUP BY tok
           HAVING sum(c) >= {TOKEN_BURST_BUCKETS})
         SELECT tok, CAST(total AS BIGINT) AS total, mean_c, fano,
@@ -3386,7 +3416,12 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
-    fano = F.round(F.var_samp("c") / F.avg("c"), 4)
+    # floor-pin: the Fano factor is a small-denominator rational of
+    # integer counts (midpoint-capable) AND the ORDER key + 2.0
+    # threshold input — engine round() tie-breaks diverge there.
+    fano = F.floor(
+        (F.var_samp("c") / F.avg("c")) * F.lit(10000.0) + F.lit(0.5)
+    ) / F.lit(10000.0)
     return (
         filled.groupBy("tok")
         .agg(

@@ -2355,24 +2355,38 @@ def q_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_loo_target_encoding",
     oracle="""
-        WITH g AS (
+        WITH c AS (
           SELECT l_returnflag AS cat,
-                 count(*) AS n,
-                 sum(l_discount) AS s,
-                 round(avg(l_discount), 6) AS naive_mean
-          FROM lineitem GROUP BY cat),
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        g AS (
+          SELECT cat, count(*) AS n, sum(y) AS s
+          FROM c GROUP BY cat),
         loo AS (
-          SELECT l.l_returnflag AS cat,
-                 round((g.s - l.l_discount) / (g.n - 1), 6) AS enc
-          FROM lineitem l JOIN g ON g.cat = l.l_returnflag)
-        SELECT loo.cat,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               round(avg(enc), 6) AS mean_encoding,
-               round(var_samp(enc), 10) AS var_encoding,
-               max(g.naive_mean) AS naive_mean
-        FROM loo JOIN g ON g.cat = loo.cat
-        GROUP BY loo.cat
-        ORDER BY loo.cat
+          SELECT c.cat, g.n, g.s,
+                 CAST(floor((CAST(g.s - c.y AS DOUBLE)
+                             / (CAST(g.n - 1 AS DOUBLE) * 100.0))
+                            * 1000000.0 + 0.5) AS BIGINT) AS e6
+          FROM c JOIN g ON g.cat = c.cat),
+        m AS (
+          SELECT cat, max(n) AS n, max(s) AS s,
+                 count(*) AS n_rows, sum(e6) AS se, sum(e6 * e6) AS se2
+          FROM loo GROUP BY cat)
+        SELECT cat,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               floor((CAST(se AS DOUBLE)
+                      / (CAST(n_rows AS DOUBLE) * 1000000.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_encoding,
+               floor((CAST(n_rows * se2 - se * se AS DOUBLE)
+                      / (CAST(n_rows AS DOUBLE)
+                         * CAST(n_rows - 1 AS DOUBLE) * 1e12))
+                     * 10000000000.0 + 0.5) / 10000000000.0
+                 AS var_encoding,
+               floor((CAST(s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * 100.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS naive_mean
+        FROM m
+        ORDER BY cat
     """,
     tags=("A1", "A5", "training-data", "pipeline"),
 )
@@ -2387,41 +2401,88 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-category (n, sum) aggregates broadcast back
     onto the fact stream; the LOO encoding is a within-row
-    expression, then ONE per-category audit agg. Encodings are
-    pinned at 6 dp before the audit moments; var_samp of the pinned
-    values rounds at 10 dp (its scale is the pinned-grid spacing).
+    expression, then ONE per-category audit agg.
+
+    Determinism is EXACT (the r7 integer pattern): discounts
+    integerize to cents, the per-row encoding is one identical
+    double division floor-pinned to a 1e-6 integer grid, and the
+    audit moments (mean, sample variance) compute from exact integer
+    sums of that grid — var_samp of near-constant pinned values
+    through engine-internal streaming moments was the one remaining
+    1e-10-grid fragility here, and n·Σe² − (Σe)² removes it.
     """
-    g = (
-        scan(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_returnflag").alias("cat"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("l_discount").alias("s"),
-            F.round(F.avg("l_discount"), 6).alias("naive_mean"),
-        )
+    c = scan(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("cat"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
     )
+    g = c.groupBy(F.col("cat").alias("gcat")).agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    e6 = F.floor(
+        (
+            (F.col("s") - F.col("y")).cast("double")
+            / ((F.col("n") - 1).cast("double") * F.lit(100.0))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     loo = (
-        scan(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_discount")
-        .join(F.broadcast(g), F.col("l_returnflag") == F.col("cat"))
-        .select(
-            "cat",
-            "naive_mean",
-            F.round(
-                (F.col("s") - F.col("l_discount")) / (F.col("n") - 1), 6
-            ).alias("enc"),
-        )
+        c.join(F.broadcast(g), F.col("cat") == F.col("gcat"))
+        .select("cat", "n", "s", e6.alias("e6"))
     )
-    return (
-        loo.groupBy("cat")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.round(F.avg("enc"), 6).alias("mean_encoding"),
-            F.round(F.var_samp("enc"), 10).alias("var_encoding"),
-            F.max("naive_mean").alias("naive_mean"),
-        )
-        .orderBy("cat")
+    m = loo.groupBy("cat").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("e6").cast("decimal(38,0)")).alias("se"),
+        F.sum((F.col("e6") * F.col("e6")).cast("decimal(38,0)")).alias(
+            "se2"
+        ),
     )
+    nr_d = F.col("n_rows").cast("double")
+    return m.select(
+        "cat",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.floor(
+                (F.col("se").cast("double") / (nr_d * F.lit(1000000.0)))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("mean_encoding"),
+        (
+            F.floor(
+                (
+                    (
+                        F.col("n_rows") * F.col("se2")
+                        - F.col("se") * F.col("se")
+                    ).cast("double")
+                    / (
+                        nr_d
+                        * (F.col("n_rows") - 1).cast("double")
+                        * F.lit(1e12)
+                    )
+                )
+                * F.lit(10000000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000000000.0)
+        ).alias("var_encoding"),
+        (
+            F.floor(
+                (
+                    F.col("s").cast("double")
+                    / (F.col("n").cast("double") * F.lit(100.0))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("naive_mean"),
+    ).orderBy("cat")
 
 
 # Thresholds shared with the training-set builder (analytics_q) — the
@@ -2484,18 +2545,22 @@ CHURN_RULE_H = 48  # predict churn when recency exceeds this (hours)
         SELECT CAST(a.n_pos + a.n_neg AS BIGINT) AS n_users,
                CAST(a.n_pos AS BIGINT) AS n_churned,
                CASE WHEN a.n_pos * a.n_neg > 0
-                    THEN round(a.u_stat / (a.n_pos * a.n_neg), 6)
+                    THEN floor((a.u_stat / (a.n_pos * a.n_neg))
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS auc,
                CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
                CAST(c.fn AS BIGINT) AS fn, CAST(c.tn AS BIGINT) AS tn,
                CASE WHEN c.tp + c.fp > 0
-                    THEN round(c.tp * 1.0 / (c.tp + c.fp), 6)
+                    THEN floor((c.tp * 1.0 / (c.tp + c.fp))
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS precision_,
                CASE WHEN c.tp + c.fn > 0
-                    THEN round(c.tp * 1.0 / (c.tp + c.fn), 6)
+                    THEN floor((c.tp * 1.0 / (c.tp + c.fn))
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS recall_,
                CASE WHEN 2 * c.tp + c.fp + c.fn > 0
-                    THEN round(2.0 * c.tp / (2.0 * c.tp + c.fp + c.fn), 6)
+                    THEN floor((2.0 * c.tp / (2.0 * c.tp + c.fp + c.fn))
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS f1
         FROM agg a CROSS JOIN conf c
     """,
@@ -2515,8 +2580,10 @@ def q_churn_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one conditional-aggregation pass builds the labeled
     frame (the q_churn_training_set plan); AUC runs on the distinct-
     recency histogram (value-grain window); the confusion is one more
-    bounded aggregate. All metrics are exact integer ratios rounded
-    at 6 dp.
+    bounded aggregate. All metrics are exact integer ratios, pinned
+    at 6 dp with the algorithm-explicit floor(x*1e6+0.5) on both
+    engines (integer-ratio midpoints are where engine round()
+    tie-breaks diverge).
     """
     b = scan(spark, sf_dir, "events").agg(F.min("ts_ns").alias("t0"))
     ev = scan(spark, sf_dir, "events").select("user_id", "ts_ns")
@@ -2580,9 +2647,12 @@ def q_churn_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pos").cast("long").alias("n_churned"),
             F.when(
                 F.col("n_pos") * F.col("n_neg") > 0,
-                F.round(
-                    F.col("u_stat") / (F.col("n_pos") * F.col("n_neg")), 6
-                ),
+                F.floor(
+                    (F.col("u_stat") / (F.col("n_pos") * F.col("n_neg")))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0),
             ).alias("auc"),
             F.col("tp").cast("long").alias("tp"),
             F.col("fp").cast("long").alias("fp"),
@@ -2590,19 +2660,33 @@ def q_churn_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tn").cast("long").alias("tn"),
             F.when(
                 F.col("tp") + F.col("fp") > 0,
-                F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+                F.floor(
+                    (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0),
             ).alias("precision_"),
             F.when(
                 F.col("tp") + F.col("fn") > 0,
-                F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6),
+                F.floor(
+                    (F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0),
             ).alias("recall_"),
             F.when(
                 2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
-                F.round(
-                    2.0 * F.col("tp")
-                    / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
-                    6,
-                ),
+                F.floor(
+                    (
+                        2.0 * F.col("tp")
+                        / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0),
             ).alias("f1"),
         )
     )

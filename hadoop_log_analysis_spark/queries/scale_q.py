@@ -640,7 +640,8 @@ TARGET_BYTES = 128_000  # target compacted file size at this scale
                CAST(min(day) AS BIGINT) AS day_from,
                CAST(max(day) AS BIGINT) AS day_to,
                CAST(sum(bytes) AS BIGINT) AS group_bytes,
-               round(sum(bytes) * 1.0 / {TARGET_BYTES}, 4) AS fill_ratio
+               floor((sum(bytes) * 1.0 / {TARGET_BYTES}) * 10000.0 + 0.5)
+                 / 10000.0 AS fill_ratio
         FROM small
         GROUP BY grp
         ORDER BY grp
@@ -681,9 +682,17 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").cast("long").alias("day_from"),
             F.max("day").cast("long").alias("day_to"),
             F.sum("bytes").cast("long").alias("group_bytes"),
-            F.round(F.sum("bytes") * 1.0 / TARGET_BYTES, 4).alias(
-                "fill_ratio"
-            ),
+            # floor-based 4-dp pin: an exact byte ratio can sit ON a
+            # decimal midpoint (sum/2^k denominators divide 10^5),
+            # where engine round() tie-breaks diverge.
+            (
+                F.floor(
+                    (F.sum("bytes") * 1.0 / TARGET_BYTES)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("fill_ratio"),
         )
         .orderBy("grp")
     )
