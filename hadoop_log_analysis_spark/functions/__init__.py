@@ -52,3 +52,33 @@ def sql_pin(expr: str, dp: int) -> str:
     """DuckDB mirror of :func:`pin` for oracle strings."""
     g = f"{float(10 ** dp):.1f}"
     return f"floor(({expr}) * {g} + 0.5) / {g}"
+
+
+def exact_avg(col: Column | str, dp: int) -> Column:
+    """Order-free cross-engine AVG of a double column (aggregate).
+
+    ``avg(x)`` over doubles is partition-order-dependent (float sums
+    don't commute), so even a pinned final avg pins two engines'
+    slightly-different doubles — the q_embedding_covariance r5/r6
+    lesson. This pins EACH ROW to the 1e-dp integer grid first
+    (identical per-row doubles -> identical grid ints), accumulates
+    as exact order-free int64, and performs ONE double division by
+    count * 10^dp — bit-identical on both engines by construction.
+    Mirror in the oracle with :func:`sql_exact_avg`. int64 headroom:
+    |x| * 10^dp * rows must stay < 2^63 (~9.2e18) — holds for
+    bounded ratios/scores at dp<=6 up to ~1e12 rows.
+    """
+    g = float(10**dp)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(g) + F.lit(0.5)).cast("long")).cast(
+        "double"
+    ) / (F.count("*").cast("double") * F.lit(g))
+
+
+def sql_exact_avg(expr: str, dp: int) -> str:
+    """DuckDB mirror of :func:`exact_avg` for oracle strings."""
+    g = f"{float(10 ** dp):.1f}"
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {g} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / (CAST(count(*) AS DOUBLE) * {g})"
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_log_analysis_spark.functions import exact_avg
 from hadoop_log_analysis_spark.operators.ranking import exact_rank
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -1220,8 +1221,9 @@ CONTAM_FRAC = 0.10  # flag a train doc when >=10% of its shingles are eval
                CAST(count(*) AS BIGINT) AS n_train_docs,
                CAST(sum(CASE WHEN n_hit * 1.0 / n_shingles >= {CONTAM_FRAC}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-               floor(avg(n_hit * 1.0 / n_shingles) * 1000000.0 + 0.5)
-                 / 1000000.0 AS avg_overlap,
+               CAST(sum(CAST(floor((n_hit * 1.0 / n_shingles)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_overlap,
                floor(max(n_hit * 1.0 / n_shingles) * 1000000.0 + 0.5)
                  / 1000000.0 AS max_overlap
         FROM per_doc
@@ -1279,15 +1281,15 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((overlap >= CONTAM_FRAC).cast("long"))
             .cast("long")
             .alias("n_contaminated"),
-            # floor-based 6-dp pin, not F.round: a per-doc ratio of
-            # small integers can be an EXACT decimal midpoint (e.g.
-            # n_shingles=128 -> 7-decimal binary fraction), where
-            # Spark HALF_UP and DuckDB half-even disagree on the SAME
-            # double; floor(x*1e6+0.5) is algorithm-identical on both.
-            (
-                F.floor(F.avg(overlap) * F.lit(1000000.0) + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("avg_overlap"),
+            # avg is pinned PER ROW to the 1e-6 grid and accumulated
+            # as exact int64 before ONE double division (exact_avg,
+            # the covariance/IRLS recipe): a float sum of per-doc
+            # ratios is partition-order-dependent, so pinning only
+            # the FINAL avg would pin two engines' slightly-different
+            # doubles. Per-row ratios are single divisions of
+            # identical ints -> identical doubles -> identical grid
+            # values -> order-free integer sum.
+            exact_avg(overlap, 6).alias("avg_overlap"),
             (
                 F.floor(F.max(overlap) * F.lit(1000000.0) + F.lit(0.5))
                 / F.lit(1000000.0)
@@ -1802,7 +1804,19 @@ def _irls_oracle() -> str:
             f"(SELECT b0 FROM beta{i})",
             f"(SELECT b1 FROM beta{i})",
         )
-    pf = _IRLS_P.format(b0=prev[0], b1=prev[1])
+    # Stable closed form: ll = -((1-y)*z + ln(1+exp(-z))) with the
+    # overflow-free split ln(1+exp(-z)) = max(-z,0) + ln(1+exp(-|z|)).
+    # The naive y*ln(p) + (1-y)*ln(1-p) breaks in the saturated tail:
+    # ln(1-p) amplifies a 1-ulp cross-engine difference in p without
+    # bound as |z| grows, and at p==1.0 exactly Spark's log(0) returns
+    # NULL (row silently dropped) while DuckDB's ln(0) errors. This
+    # form keeps every intermediate in [0, |z|+1] so the 1e-6 grid
+    # pin's ulp-absorption argument holds at ANY data scale.
+    zf = f"({prev[0]} + {prev[1]} * x)"
+    llf = (
+        f"-((1.0 - y) * {zf} + greatest(-{zf}, 0.0)"
+        f" + ln(1.0 + exp(-abs({zf}))))"
+    )
     return f"""
         WITH d AS (
           SELECT (n_chars - {IRLS_MID}) / {IRLS_SCALE} AS x,
@@ -1813,7 +1827,7 @@ def _irls_oracle() -> str:
                (SELECT b0 FROM beta{IRLS_STEPS - 1}) AS beta0,
                (SELECT b1 FROM beta{IRLS_STEPS - 1}) AS beta1,
                (SELECT CAST(sum(CAST(floor(
-                          (y * ln({pf}) + (1.0 - y) * ln(1.0 - {pf}))
+                          ({llf})
                           * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                        / (CAST(count(*) AS DOUBLE) * 1000000.0)
                   FROM d) AS avg_log_lik
@@ -1884,16 +1898,21 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             h11 = float(row.h11i) / 1000000.0
             b0 = b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
             b1 = b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)
-        pf = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        # stable closed form (mirrors the oracle token-for-token):
+        # -((1-y)*z + max(-z,0) + ln(1+exp(-|z|))) — no saturated-tail
+        # log(0) and no unbounded ulp amplification (see _irls_oracle)
+        z = F.lit(b0) + F.lit(b1) * F.col("x")
+        ll = -(
+            (F.lit(1.0) - F.col("y")) * z
+            + F.greatest(-z, F.lit(0.0))
+            + F.log(F.lit(1.0) + F.exp(-F.abs(z)))
+        )
         out = d.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.lit(b0).alias("beta0"),
             F.lit(b1).alias("beta1"),
             (
-                pin(
-                    F.col("y") * F.log(pf)
-                    + (1.0 - F.col("y")) * F.log(1.0 - pf)
-                ).cast("double")
+                pin(ll).cast("double")
                 / (F.count("*").cast("double") * F.lit(1000000.0))
             ).alias("avg_log_lik"),
         )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import exact_avg
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
@@ -1121,8 +1122,10 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(((SELECT n_recommended FROM rec) * 1.0
                       / (SELECT n_parts FROM cat)) * 1000000.0 + 0.5)
                  / 1000000.0 AS coverage,
-               floor(avg(n_brands * 1.0 / k_actual) * 1000000.0 + 0.5)
-                 / 1000000.0 AS avg_brand_diversity
+               CAST(sum(CAST(floor((n_brands * 1.0 / k_actual)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                 AS avg_brand_diversity
         FROM lists
     """,
     tags=("A1", "A3", "graph", "eval"),
@@ -1211,17 +1214,14 @@ def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lists.agg(
             F.count("*").cast("long").alias("n_lists"),
-            # floor-pins: both metrics are exact-integer-ratio shapes
-            # (midpoint-capable), where engine round() tie-breaks
-            # diverge on the same double.
-            (
-                F.floor(
-                    F.avg(F.col("n_brands") * 1.0 / F.col("k_actual"))
-                    * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("avg_brand_diversity"),
+            # exact_avg: per-list ratios of identical small ints pin
+            # to the 1e-6 grid per ROW, sum as exact int64, ONE
+            # double division — a float avg of the ratios would be
+            # partition-order-dependent, so pinning only the final
+            # avg pins two engines' slightly-different doubles.
+            exact_avg(F.col("n_brands") * 1.0 / F.col("k_actual"), 6).alias(
+                "avg_brand_diversity"
+            ),
         )
         .crossJoin(F.broadcast(cat))
         .crossJoin(F.broadcast(rec))

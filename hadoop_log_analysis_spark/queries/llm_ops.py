@@ -27,6 +27,7 @@ from hadoop_log_analysis_spark.operators.similarity import (
     ivf_build,
     ivf_probe,
 )
+from hadoop_log_analysis_spark.functions import exact_avg, pin, sql_pin
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 
@@ -3067,11 +3068,14 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s WHERE n > 0)
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
-               floor(avg(latin_frac) * 10000.0 + 0.5) / 10000.0
+               CAST(sum(CAST(floor(latin_frac * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
                  AS avg_latin,
-               floor(avg(digit_frac) * 10000.0 + 0.5) / 10000.0
+               CAST(sum(CAST(floor(digit_frac * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
                  AS avg_digit,
-               floor(avg(nonascii_frac) * 10000.0 + 0.5) / 10000.0
+               CAST(sum(CAST(floor(nonascii_frac * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
                  AS avg_nonascii,
                CAST(sum(CASE WHEN nonascii_frac > 0.05
                               AND latin_frac > 0.5
@@ -3123,9 +3127,14 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            pin4(F.avg("latin_frac")).alias("avg_latin"),
-            pin4(F.avg("digit_frac")).alias("avg_digit"),
-            pin4(F.avg("nonascii_frac")).alias("avg_nonascii"),
+            # per-row fracs sit ON the 1e-4 grid, so exact_avg's
+            # floor(frac*1e4+0.5) recovers the grid INTEGER exactly
+            # (representation error << 0.5) and sums it order-free;
+            # a float avg over the pinned doubles would still be
+            # partition-order-dependent at the 1e-16 level.
+            exact_avg("latin_frac", 4).alias("avg_latin"),
+            exact_avg("digit_frac", 4).alias("avg_digit"),
+            exact_avg("nonascii_frac", 4).alias("avg_nonascii"),
             F.sum(
                 (
                     (F.col("nonascii_frac") > 0.05)
@@ -3254,7 +3263,10 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ab)
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_vectors,
-               floor(avg(s) * 10000.0 + 0.5) / 10000.0 AS avg_silhouette,
+               CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                 AS avg_silhouette,
                floor(min(s) * 10000.0 + 0.5) / 10000.0 AS worst
         FROM sil
         GROUP BY label
@@ -3326,13 +3338,14 @@ def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
-            # floor-pins: s is a ratio of 6-dp-pinned distances (a
-            # short-decimal quotient can sit ON a 4-dp midpoint,
-            # where engine round() tie-breaks diverge).
-            (
-                F.floor(F.avg("s") * F.lit(10000.0) + F.lit(0.5))
-                / F.lit(10000.0)
-            ).alias("avg_silhouette"),
+            # avg: per-row 1e-6 grid pin + exact int64 sum + ONE
+            # double division (exact_avg, the covariance recipe) — a
+            # float sum of per-vector s doubles is partition-order-
+            # dependent, so pinning only the final avg would pin two
+            # engines' slightly-different doubles. min stays
+            # order-free over identical per-row doubles, 4-dp pin
+            # after.
+            exact_avg("s", 6).alias("avg_silhouette"),
             (
                 F.floor(F.min("s") * F.lit(10000.0) + F.lit(0.5))
                 / F.lit(10000.0)
@@ -3364,15 +3377,20 @@ TOKEN_BURST_BUCKETS = 10
           GROUP BY g.tok, g.bucket),
         f AS (
           SELECT tok,
-                 sum(c) AS total,
-                 round(avg(c), 4) AS mean_c,
-                 floor((var_samp(c) / avg(c)) * 10000.0 + 0.5) / 10000.0
-                   AS fano
+                 sum(c) AS s1,
+                 sum(c * c) AS s2
           FROM cnt GROUP BY tok
-          HAVING sum(c) >= {TOKEN_BURST_BUCKETS})
-        SELECT tok, CAST(total AS BIGINT) AS total, mean_c, fano,
-               fano > 2.0 AS bursty
-        FROM f
+          HAVING sum(c) >= {TOKEN_BURST_BUCKETS}),
+        r AS (
+          SELECT tok, CAST(s1 AS BIGINT) AS total,
+                 round(s1 / {float(TOKEN_BURST_BUCKETS)}, 4) AS mean_c,
+                 {sql_pin(
+                     f"CAST({TOKEN_BURST_BUCKETS} * s2 - s1 * s1 AS DOUBLE)"
+                     f" / CAST({TOKEN_BURST_BUCKETS - 1} * s1 AS DOUBLE)", 4)}
+                   AS fano
+          FROM f)
+        SELECT tok, total, mean_c, fano, fano > 2.0 AS bursty
+        FROM r
         ORDER BY fano DESC, tok
         LIMIT 15
     """,
@@ -3416,20 +3434,35 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
-    # floor-pin: the Fano factor is a small-denominator rational of
-    # integer counts (midpoint-capable) AND the ORDER key + 2.0
-    # threshold input — engine round() tie-breaks diverge there.
-    fano = F.floor(
-        (F.var_samp("c") / F.avg("c")) * F.lit(10000.0) + F.lit(0.5)
-    ) / F.lit(10000.0)
-    return (
+    # Fano = var_samp(c)/avg(c), but engine var_samp streams float
+    # partials in accumulation order, so its double is NOT guaranteed
+    # bit-identical across engines, and fano is the ORDER key + 2.0
+    # threshold input. Carry the EXACT integer sufficient statistics
+    # instead (the covariance/IRLS recipe): with n buckets,
+    #   fano = (n*Σc² − (Σc)²) / ((n−1)·Σc)
+    # — both sums are order-free int64, so both engines perform ONE
+    # identical double division and the pin sees identical inputs.
+    n = TOKEN_BURST_BUCKETS
+    stats = (
         filled.groupBy("tok")
         .agg(
-            F.sum("c").cast("long").alias("total"),
-            F.round(F.avg("c"), 4).alias("mean_c"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .filter(F.col("s1") >= n)
+    )
+    fano = pin(
+        (F.lit(n) * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.lit(n - 1) * F.col("s1")).cast("double"),
+        4,
+    )
+    return (
+        stats.select(
+            "tok",
+            F.col("s1").alias("total"),
+            F.round(F.col("s1") / F.lit(float(n)), 4).alias("mean_c"),
             fano.alias("fano"),
         )
-        .filter(F.col("total") >= TOKEN_BURST_BUCKETS)
         .select("tok", "total", "mean_c", "fano", (F.col("fano") > 2.0).alias("bursty"))
         .orderBy(F.desc("fano"), "tok")
         .limit(15)
