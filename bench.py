@@ -138,6 +138,18 @@ def main() -> None:
     # the drained result is identical either way (stream-batch parity
     # law), which tests/test_streaming.py continues to pin.
     os.environ.setdefault("HLA_STREAM_JOIN_DROP_FILES", "2")
+    # r8 drain-cost pass (VERDICT r7 item 4): the two remaining levers
+    # on the ~10.3 s streaming fixed cost. PSI's complete-mode agg has
+    # no watermark, so its drained result is batching-invariant — 2
+    # larger files collapse its 4 microbatches to 1 (3.5 -> 1.3 s).
+    # State-store TASK COUNT was still 8 per microbatch; the bench's
+    # state volume is a few MB, so 2 state partitions is the honest
+    # production sizing (join 7.0 -> 4.4 s; 5-microbatch floor stands:
+    # 2 data files + 3 watermark sentinels, maxFilesPerTrigger=1).
+    # Parity at THIS config re-verified vs the DuckDB oracle at sf0.1;
+    # parity tests keep the 8-file/8-partition defaults.
+    os.environ.setdefault("HLA_STREAM_PSI_DROP_FILES", "2")
+    os.environ.setdefault("HLA_STREAM_STATE_PARTITIONS", "2")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_registry()
     spark = get_spark(app_name="hla-bench")

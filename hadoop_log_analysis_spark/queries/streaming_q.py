@@ -858,7 +858,13 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         _psi_reference,
     )
 
-    drop = derive_drop_dir(spark, sf_dir)
+    # Complete-mode agg with no watermark: the drained result is
+    # batching-invariant, so the bench replays fewer/larger files to
+    # cut the fixed per-microbatch cost (HLA_STREAM_PSI_DROP_FILES=2
+    # -> 1 microbatch); parity tests keep the 8-file default where
+    # incremental state updates are the point.
+    n_files = int(os.environ.get("HLA_STREAM_PSI_DROP_FILES", "8"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
     ev = scan(spark, sf_dir, "events")
     b = _psi_reference(ev).localCheckpoint(eager=True)  # snapshot once
     cut = F.lit(_PSI_CUT).cast("timestamp")

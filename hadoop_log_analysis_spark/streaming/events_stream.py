@@ -191,7 +191,7 @@ def run_to_table(
     name: str,
     output_mode: str,
     timeout_sec: int = 300,
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame to completion; return the result.
 
@@ -212,6 +212,14 @@ def run_to_table(
     restored right after the drain; results are partition-count
     invariant (hash-parity is the oracle on every streaming query).
     """
+    # HLA_STREAM_STATE_PARTITIONS lets the bench size state tasks to
+    # its replay without touching query code; parity tests keep the
+    # default (results are partition-count invariant — hash-parity is
+    # the oracle on every streaming query).
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("HLA_STREAM_STATE_PARTITIONS", "8")
+        )
     spark = sdf.sparkSession
     # Session-unique checkpoint (r6: a concurrent pytest + sweep pair
     # raced rmtree against an in-flight batch-0 state write and died
