@@ -82,3 +82,76 @@ def sql_exact_avg(expr: str, dp: int) -> str:
         f"CAST(sum(CAST(floor(({expr}) * {g} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / (CAST(count(*) AS DOUBLE) * {g})"
     )
+
+
+def money(col: Column | str) -> Column:
+    """Exact DECIMAL(18,2) view of a 2-dp money double.
+
+    The fixtures' money columns (o_totalprice, l_extendedprice,
+    *_acctbal, events.value, l_discount/l_tax) are 2-dp decimals
+    stored as the nearest double; casting back to DECIMAL(18,2)
+    recovers the exact decimal identically on both engines (the
+    stored double is never ON a 2-dp midpoint — exact midpoints have
+    exact binary representations and exact casts). All downstream
+    arithmetic on the decimal is exact and order-free, eliminating
+    the round(sum(double)) fragility class the sf0.1 sweep falsified
+    in q_hhi_concentration (BASELINE.md r6 addendum 3). Mirror in
+    oracles with ``CAST(c AS DECIMAL(18,2))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def rate(col: Column | str) -> Column:
+    """Exact DECIMAL(5,2) view of a 2-dp rate double (discount/tax).
+
+    Use in revenue expressions: ``money(price) * (F.lit(1).cast(
+    "decimal(5,2)") - rate(disc))`` is exact DECIMAL(24,4) per line
+    (the q_hhi_concentration idiom). Mirror in oracles with
+    ``(1 - CAST(d AS DECIMAL(5,2)))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(5,2)")
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-free money total: exact DECIMAL sum displayed as double.
+
+    Replaces ``F.round(F.sum(money_double), 2)``: the double sum can
+    land within an ulp of a 2-dp boundary and flip with accumulation
+    order (observed at sf0.1); the decimal sum is exact, and the ONE
+    final decimal->double conversion is IEEE round-to-nearest of the
+    same exact rational on both engines. Mirror with
+    :func:`sql_money_sum`.
+    """
+    return F.sum(money(col)).cast("double")
+
+
+def sql_money_sum(expr: str) -> str:
+    """DuckDB mirror of :func:`money_sum` for oracle strings."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def exact_sum(col: Column | str, dp: int) -> Column:
+    """Order-free cross-engine SUM of computed double terms.
+
+    Per-row 1e-dp grid pin -> exact int64 accumulation -> ONE double
+    division by 10^dp (the :func:`exact_avg` recipe without the
+    count): for sums of per-row float expressions (log terms, scores)
+    whose engine float sum is partition-order-dependent. Mirror with
+    :func:`sql_exact_sum`. Same int64 headroom note as exact_avg.
+    """
+    g = float(10**dp)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(g) + F.lit(0.5)).cast("long")).cast(
+        "double"
+    ) / F.lit(g)
+
+
+def sql_exact_sum(expr: str, dp: int) -> str:
+    """DuckDB mirror of :func:`exact_sum` for oracle strings."""
+    g = f"{float(10 ** dp):.1f}"
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {g} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {g}"
+    )

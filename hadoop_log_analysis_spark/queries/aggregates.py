@@ -13,6 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import (
+    money,
+    money_sum,
+    pin,
+    rate,
+    sql_pin,
+)
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
@@ -22,13 +29,23 @@ from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
     "q_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                 AS sum_disc,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
+                 AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+                 / count(*) AS avg_disc,
                count(*) AS cnt
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -38,21 +55,32 @@ from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
     tags=("A1", "P2", "F2", "O1"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: TPC-H Q1-shaped grouped aggregate (the canonical batch rollup)."""
+    """A1: TPC-H Q1-shaped grouped aggregate (the canonical batch rollup).
+
+    Money arithmetic is exact DECIMAL end-to-end (functions.money —
+    the q_hhi precedent): double sums can land within an ulp of a
+    display boundary and flip with accumulation order. The avgs are
+    ONE double division of the exact decimal sum by the count —
+    identical operands on both engines, so no display rounding is
+    needed anywhere.
+    """
     li = scan(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(5,2)")
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    charge = disc_price * (one + rate("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base"),
+            F.sum(disc_price).cast("double").alias("sum_disc"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (money_sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (money_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (F.sum(rate("l_discount")).cast("double") / F.count("*")).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -63,10 +91,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_global_agg",
     oracle="""
         SELECT count(*) AS n,
-               round(sum(o_totalprice), 2) AS total,
-               round(avg(o_totalprice), 4) AS avg_price,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
         FROM orders
     """,
     tags=("A2",),
@@ -76,10 +106,13 @@ def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scan(spark, sf_dir, "orders")
     return orders.agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        money_sum("o_totalprice").alias("total"),
+        # ONE double division of the exact decimal sum — identical
+        # operands on both engines; min/max are order-free over
+        # identical per-row doubles, so neither needs rounding
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
     )
 
 
@@ -155,7 +188,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('day', ts) AS d, event_type,
                count(*) AS n,
-               round(sum(value), 2) AS total,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
                grouping(date_trunc('day', ts)) AS g_d,
                grouping(event_type) AS g_t
         FROM events
@@ -174,7 +207,7 @@ def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup("d", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum("value").alias("total"),
             F.grouping("d").cast("long").alias("g_d"),
             F.grouping("event_type").cast("long").alias("g_t"),
         )
@@ -236,7 +269,8 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_having",
     oracle="""
-        SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY user_id
         HAVING count(*) >= 70
@@ -249,7 +283,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = scan(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .filter(F.col("n") >= 70)
         .orderBy("user_id")
     )
@@ -292,8 +326,12 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_linestatus,
                count(*) FILTER (WHERE l_discount = 0) AS n_zero_div,
-               round(avg(CASE WHEN l_discount <> 0
-                              THEN l_extendedprice / l_discount END), 4)
+               CAST(sum(CAST(floor((CASE WHEN l_discount <> 0
+                                         THEN l_extendedprice / l_discount
+                                    END) * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                 / (CAST(count(CASE WHEN l_discount <> 0
+                                    THEN 1 END) AS DOUBLE) * 10000.0)
                  AS avg_ratio
         FROM lineitem
         GROUP BY l_linestatus
@@ -314,7 +352,16 @@ def q_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_linestatus")
         .agg(
             F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_div"),
-            F.round(F.avg(ratio), 4).alias("avg_ratio"),
+            # per-row 1e-4 grid pin + exact int64 sum + ONE division
+            # by the NON-NULL count (a float avg of per-row ratios is
+            # partition-order-dependent; NULL ratios drop out of both
+            # the pinned sum and the count, same as avg's null skip)
+            (
+                F.sum(
+                    F.floor(ratio * F.lit(10000.0) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / (F.count(ratio).cast("double") * F.lit(10000.0))
+            ).alias("avg_ratio"),
         )
         .orderBy("l_linestatus")
     )
@@ -323,7 +370,9 @@ def q_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_forecast_revenue_change",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+                 AS revenue_delta,
                count(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -347,20 +396,24 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        ),
+        F.sum(money("l_extendedprice") * rate("l_discount"))
+        .cast("double")
+        .alias("revenue_delta"),
         F.count("*").alias("n"),
     )
 
 
 @query(
     "q_promo_revenue",
-    oracle="""
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+    oracle=f"""
+        SELECT {sql_pin(
+            "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'"
+            " THEN CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(5,2)))"
+            " ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)", 4)}
+                 AS promo_pct,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -374,24 +427,29 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     through size-aware ``maybe_broadcast`` (part scales with SF, so at
     100 TB the partkey equi-join becomes a co-partitioned shuffle join
     instead of a forced-broadcast OOM);
-    the month filter prunes the fact scan; the ratio of two
-    independently-summed doubles is rounded at 4, far above the
-    summation-order noise floor.
+    the month filter prunes the fact scan; both revenue masses are
+    exact DECIMAL sums, so the pct is ONE double division of
+    identical operands, floor-pinned at 4 dp.
     """
     li = scan(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     part = scan(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(5,2)")
+    rev = money("l_extendedprice") * (one - rate("l_discount"))
     return li.join(
         maybe_broadcast(part, table_bytes(sf_dir, "part")),
         li["l_partkey"] == part["p_partkey"],
     ).agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+        pin(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(24,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_pct"),
         F.count("*").alias("n"),
@@ -516,15 +574,16 @@ def q_bitmap_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
           SELECT l_suppkey AS suppkey,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_rev
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS rev_d
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
             AND l_shipdate < TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey)
-        SELECT s.s_suppkey, s.s_name, r.total_rev
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.rev_d AS DOUBLE) AS total_rev
         FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
-        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        WHERE r.rev_d = (SELECT max(rev_d) FROM rev)
         ORDER BY s.s_suppkey
     """,
     tags=("A1", "A2", "J1", "tpch"),
@@ -539,10 +598,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|suppliers| rows before the shuffle); the max side reduces to ONE
     row that is broadcast into the equality filter, so the "subquery"
     costs one extra reduction, never a re-scan of lineitem rows per
-    supplier. Revenue is rounded to 2 dp BEFORE the max/equality on
-    both engines — comparing raw order-sensitive double sums for
-    equality would be partition-dependent.
+    supplier. Revenue is exact DECIMAL (functions.money), so the
+    max/EQUALITY compares exact values — an equality on rounded
+    double sums was the falsified fragility class (q_hhi precedent).
     """
+    one = F.lit(1).cast("decimal(5,2)")
     rev = (
         scan(spark, sf_dir, "lineitem")
         .filter(
@@ -551,39 +611,47 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_rev")
+            F.sum(
+                money("l_extendedprice") * (one - rate("l_discount"))
+            ).alias("rev_d")
         )
     )
-    top = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.agg(F.max("rev_d").alias("mx"))
     sup = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.crossJoin(F.broadcast(top))
-        .filter(F.col("total_rev") == F.col("mx"))
+        .filter(F.col("rev_d") == F.col("mx"))
         .join(
             maybe_broadcast(sup, table_bytes(sf_dir, "supplier")),
             F.col("suppkey") == F.col("s_suppkey"),
         )
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_d").cast("double").alias("total_rev"),
+        )
         .orderBy("s_suppkey")
     )
 
 
 @query(
     "q_important_parts_share",
-    oracle="""
+    oracle=f"""
         WITH pv AS (
           SELECT l_partkey AS partkey,
-                 sum(l_extendedprice * (1 - l_discount)) AS val
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS val
           FROM lineitem GROUP BY l_partkey),
         tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
         SELECT p.p_partkey, p.p_name,
-               round(pv.val, 2) AS part_value,
-               round(100.0 * pv.val / tot.t, 4) AS pct_of_total
+               CAST(pv.val AS DOUBLE) AS part_value,
+               {sql_pin(
+                   "100.0 * CAST(pv.val AS DOUBLE)"
+                   " / CAST(tot.t AS DOUBLE)", 4)} AS pct_of_total
         FROM pv JOIN part p ON p.p_partkey = pv.partkey
         CROSS JOIN tot
-        WHERE pv.val > 1.5 * tot.t / tot.np
+        WHERE CAST(pv.val AS DOUBLE)
+              > 1.5 * CAST(tot.t AS DOUBLE) / tot.np
         ORDER BY part_value DESC, p.p_partkey
     """,
     tags=("A1", "A2", "A8", "J1", "tpch"),
@@ -601,25 +669,29 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-part values and (via a second reduction over the ~|parts|
     aggregate, not the fact rows) the global total + part count; that
     is ONE broadcast row, so the threshold is a codegen'd filter, not
-    a correlated subquery. The threshold compares RAW sums on both
-    engines — the nearest part sits >2.7e-4 in share-ratio units from
-    the 1.5x boundary at every fixture SF (measured), ~9 orders above
-    double-accumulation noise; only the OUTPUT columns are rounded.
+    a correlated subquery. Revenue is exact DECIMAL end-to-end
+    (functions.money), so the 1.5x-mean threshold, the share ratio,
+    and the ORDER key all derive from identical exact values on both
+    engines via single double conversions.
     """
+    one = F.lit(1).cast("decimal(5,2)")
     pv = (
         scan(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "val"
-            )
+            F.sum(
+                money("l_extendedprice") * (one - rate("l_discount"))
+            ).alias("val")
         )
     )
     tot = pv.agg(F.sum("val").alias("t"), F.count("*").alias("np"))
     part = scan(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("val") > 1.5 * F.col("t") / F.col("np"))
+        .filter(
+            F.col("val").cast("double")
+            > F.lit(1.5) * F.col("t").cast("double") / F.col("np")
+        )
         .join(
             maybe_broadcast(part, table_bytes(sf_dir, "part")),
             F.col("partkey") == F.col("p_partkey"),
@@ -627,8 +699,13 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_name",
-            F.round(F.col("val"), 2).alias("part_value"),
-            F.round(100.0 * F.col("val") / F.col("t"), 4).alias("pct_of_total"),
+            F.col("val").cast("double").alias("part_value"),
+            pin(
+                F.lit(100.0)
+                * F.col("val").cast("double")
+                / F.col("t").cast("double"),
+                4,
+            ).alias("pct_of_total"),
         )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
@@ -636,11 +713,12 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_market_share",
-    oracle="""
+    oracle=f"""
         WITH rev AS (
           SELECT extract(year FROM o.o_orderdate) AS yr,
                  sn.n_name AS supp_nation,
-                 l.l_extendedprice * (1 - l.l_discount) AS volume
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(5,2))) AS volume
           FROM lineitem l
           JOIN orders o ON o.o_orderkey = l.l_orderkey
           JOIN customer c ON c.c_custkey = o.o_custkey
@@ -648,16 +726,17 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN region r ON r.r_regionkey = cn.n_regionkey
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-          WHERE r.r_name = 'AMERICA')
-        SELECT yr,
-               round(sum(CASE WHEN supp_nation = 'NATION_1'
-                              THEN volume ELSE 0 END), 2) AS nation_rev,
-               round(sum(volume), 2) AS market_rev,
-               round(round(sum(CASE WHEN supp_nation = 'NATION_1'
-                                    THEN volume ELSE 0 END), 2)
-                     / round(sum(volume), 2), 6) AS share
-        FROM rev
-        GROUP BY yr
+          WHERE r.r_name = 'AMERICA'),
+        agged AS (
+          SELECT yr,
+                 CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                   AS nation_rev,
+                 CAST(sum(volume) AS DOUBLE) AS market_rev
+          FROM rev GROUP BY yr)
+        SELECT yr, nation_rev, market_rev,
+               {sql_pin("nation_rev / market_rev", 6)} AS share
+        FROM agged
         ORDER BY yr
     """,
     tags=("A1", "J1", "J2", "tpch"),
@@ -673,13 +752,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, supplier, nation x2, region) is broadcast, and the
     region filter reaches the customer-nation side BEFORE the fact
     join via the broadcast hash lookup, so non-AMERICA customers'
-    rows never enter the big shuffle. The share divides the two
-    2-dp-rounded sums (then rounds to 6) so the compared value is
-    derived from already-pinned quantities, not raw FP accumulations.
+    rows never enter the big shuffle. Volume is exact DECIMAL
+    end-to-end (functions.money); the share is ONE double division
+    of the exact sums, floor-pinned at 6 dp.
     """
+    one = F.lit(1).cast("decimal(5,2)")
     li = scan(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        (money("l_extendedprice") * (one - rate("l_discount"))).alias(
+            "volume"
+        ),
     )
     orders = scan(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
@@ -707,7 +789,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation_vol = F.when(
         F.col("supp_nation") == "NATION_1", F.col("volume")
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(0).cast("decimal(24,4)"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -720,14 +802,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("yr")
         .agg(
-            F.round(F.sum(nation_vol), 2).alias("nation_rev"),
-            F.round(F.sum("volume"), 2).alias("market_rev"),
+            F.sum(nation_vol).cast("double").alias("nation_rev"),
+            F.sum("volume").cast("double").alias("market_rev"),
         )
         .select(
             "yr",
             "nation_rev",
             "market_rev",
-            F.round(F.col("nation_rev") / F.col("market_rev"), 6).alias("share"),
+            pin(F.col("nation_rev") / F.col("market_rev"), 6).alias("share"),
         )
         .orderBy("yr")
     )
@@ -739,7 +821,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH pa AS (
           SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
           FROM lineitem GROUP BY l_partkey)
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly,
                count(*) AS n_small_lines
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -785,7 +868,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # exact DECIMAL sum, then ONE identical double division
+            (money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
             F.count("*").alias("n_small_lines"),
         )
     )
@@ -947,7 +1031,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_price_volume_mix",
-    oracle="""
+    oracle=f"""
         WITH mm AS (
           SELECT min(extract(year FROM l_shipdate) * 12
                      + extract(month FROM l_shipdate)) AS m0
@@ -958,7 +1042,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                            + extract(month FROM l.l_shipdate) = b.m0
                       THEN 0 ELSE 1 END AS p,
                  sum(l.l_quantity) AS qty,
-                 sum(l.l_extendedprice) AS rev
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS rev
           FROM lineitem l CROSS JOIN mm b
           WHERE extract(year FROM l.l_shipdate) * 12
                 + extract(month FROM l.l_shipdate) IN (b.m0, b.m0 + 1)
@@ -971,14 +1056,14 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  max(CASE WHEN p = 1 THEN rev END) AS r1
           FROM per GROUP BY flag)
         SELECT flag,
-               round(r0, 2) AS rev_m0,
-               round(r1, 2) AS rev_m1,
-               round(r1 - r0, 2) AS delta,
-               round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
-               round(q1 * (r1 / q1 - r0 / q0), 2) AS price_effect,
-               round((r1 - r0)
-                     - ((q1 - q0) * (r0 / q0) + q1 * (r1 / q1 - r0 / q0)),
-                     2) AS residual
+               r0 AS rev_m0,
+               r1 AS rev_m1,
+               r1 - r0 AS delta,
+               {sql_pin("(q1 - q0) * (r0 / q0)", 2)} AS volume_effect,
+               {sql_pin("q1 * (r1 / q1 - r0 / q0)", 2)} AS price_effect,
+               {sql_pin(
+                   "(r1 - r0) - ((q1 - q0) * (r0 / q0)"
+                   " + q1 * (r1 / q1 - r0 / q0))", 2)} AS residual
         FROM w
         ORDER BY flag
     """,
@@ -1023,7 +1108,9 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("l_quantity").alias("qty"),
-            F.sum("l_extendedprice").alias("rev"),
+            # exact DECIMAL revenue -> ONE double conversion; the qty
+            # sums are integer-valued doubles (exact already)
+            money_sum("l_extendedprice").alias("rev"),
         )
     )
     w = per.groupBy("flag").agg(
@@ -1038,12 +1125,10 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.select(
         "flag",
-        F.round("r0", 2).alias("rev_m0"),
-        F.round("r1", 2).alias("rev_m1"),
-        F.round(F.col("r1") - F.col("r0"), 2).alias("delta"),
-        F.round(vol, 2).alias("volume_effect"),
-        F.round(prc, 2).alias("price_effect"),
-        F.round((F.col("r1") - F.col("r0")) - (vol + prc), 2).alias(
-            "residual"
-        ),
+        F.col("r0").alias("rev_m0"),
+        F.col("r1").alias("rev_m1"),
+        (F.col("r1") - F.col("r0")).alias("delta"),
+        pin(vol, 2).alias("volume_effect"),
+        pin(prc, 2).alias("price_effect"),
+        pin((F.col("r1") - F.col("r0")) - (vol + prc), 2).alias("residual"),
     ).orderBy("flag")

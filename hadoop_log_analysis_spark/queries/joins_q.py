@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import ts_us
+from hadoop_log_analysis_spark.functions import money, money_sum, rate, ts_us
 from hadoop_log_analysis_spark.operators.joins import asof_join
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
@@ -30,7 +30,8 @@ _NS = 1_000_000_000
 @query(
     "q_broadcast_join",
     oracle="""
-        SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        SELECT n_name, count(*) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -51,7 +52,9 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            # exact DECIMAL sum (functions.money_sum): a double sum
+            # can flip a 2-dp boundary with accumulation order
+            money_sum("s_acctbal").alias("total_bal"),
         )
         .orderBy("n_name")
     )
@@ -60,7 +63,10 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join5",
     oracle="""
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -111,7 +117,16 @@ def q_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact DECIMAL revenue (the q_hhi idiom): revenue is also the
+        # ORDER key, so the decimal sum makes the ordering exact too
+        .agg(
+            F.sum(
+                money("l_extendedprice")
+                * (F.lit(1).cast("decimal(5,2)") - rate("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -119,7 +134,8 @@ def q_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_fact_fact",
     oracle="""
-        SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS total
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -137,7 +153,7 @@ def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            money_sum("l_extendedprice").alias("total"),
         )
         .orderBy("o_orderpriority")
     )
@@ -336,7 +352,8 @@ def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
              o AS (SELECT (1704067200 + o_orderkey % 2592000) * 1000000 AS ots_us,
                           o_totalprice
                    FROM orders)
-        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        SELECT count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, o.o_totalprice
               FROM e ASOF JOIN o ON e.tus >= o.ots_us)
     """,
@@ -351,7 +368,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_ts = _orders_with_synth_ts(spark, sf_dir)
     joined = asof_join(ev, ord_ts, ts_col="tus", payload=["o_totalprice"])
     return joined.agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+        F.count("*").alias("n"), money_sum("o_totalprice").alias("s")
     )
 
 
@@ -361,7 +378,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tns FROM events),
              p AS (SELECT user_id, epoch_us(ts) AS tns, value FROM events
                    WHERE event_type = 'purchase')
-        SELECT count(*) AS n, round(sum(prior_purchase), 2) AS s
+        SELECT count(*) AS n,
+               CAST(sum(CAST(prior_purchase AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, p.value AS prior_purchase
               FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.tns >= p.tns)
     """,
@@ -380,7 +398,7 @@ def q_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, purchases, ts_col="tus", by=["user_id"], payload=["prior_purchase"]
     )
     return joined.agg(
-        F.count("*").alias("n"), F.round(F.sum("prior_purchase"), 2).alias("s")
+        F.count("*").alias("n"), money_sum("prior_purchase").alias("s")
     )
 
 
@@ -489,7 +507,8 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
         SELECT c.c_nationkey, count(*) AS numcust,
-               round(sum(c.c_acctbal), 2) AS totacctbal
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
         FROM customer c, a
         WHERE c.c_acctbal > a.ab
           AND NOT EXISTS (SELECT 1 FROM orders o
@@ -527,7 +546,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -585,7 +604,8 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS tus,
                           o_totalprice
                    FROM orders)
-        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+        SELECT count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, o.o_totalprice
               FROM e ASOF JOIN o ON e.tus <= o.tus)
     """,
@@ -610,7 +630,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join(ev, ord_ts, ts_col="tus", payload=["o_totalprice"])
     return joined.agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+        F.count("*").alias("n"), money_sum("o_totalprice").alias("s")
     )
 
 
@@ -632,8 +652,9 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_prior,
                CAST(sum(CASE WHEN tus - ptus <= 3600000000
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1h,
-               round(sum(CASE WHEN tus - ptus <= 3600000000
-                              THEN value ELSE 0 END), 2) AS s_within_1h
+               CAST(sum(CASE WHEN tus - ptus <= 3600000000
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS s_within_1h
         FROM m
         GROUP BY event_type
         ORDER BY event_type
@@ -705,9 +726,13 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_prior"),
             F.sum(F.when(within, 1).otherwise(0)).alias("n_within_1h"),
-            F.round(F.sum(F.when(within, F.col("pvalue")).otherwise(0.0)), 2).alias(
-                "s_within_1h"
-            ),
+            F.sum(
+                F.when(within, money("pvalue")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("s_within_1h"),
         )
         .orderBy("event_type")
     )
@@ -727,7 +752,8 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AND o.o_orderdate >= DATE '2000-01-01'))
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_custs,
-               round(sum(c_acctbal), 2) AS total_bal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_bal
         FROM cand
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -775,7 +801,7 @@ def q_rich_inactive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_sum("c_acctbal").alias("total_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -791,8 +817,9 @@ def q_rich_inactive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_type,
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(c.c_custkey) AS BIGINT) AS n_matched,
-               round(sum(CASE WHEN c.c_custkey IS NOT NULL
-                              THEN e.value ELSE 0 END), 2)
+               CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                             THEN CAST(e.value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE)
                  AS matched_value
         FROM e LEFT JOIN customer c ON e.buyer_key = c.c_custkey
         GROUP BY e.event_type
@@ -842,14 +869,13 @@ def q_null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.count("c_custkey").cast("long").alias("n_matched"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("c_custkey").isNotNull(), F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
-            ).alias("matched_value"),
+            F.sum(
+                F.when(
+                    F.col("c_custkey").isNotNull(), money("value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("matched_value"),
         )
         .orderBy("event_type")
     )
@@ -953,8 +979,9 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                extract(year FROM o.o_orderdate) AS yr,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                 AS volume
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(5,2))))
+                    AS DOUBLE) AS volume
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -980,8 +1007,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     key). The disjunctive nation pair predicate is applied as a
     post-join filter on two broadcast-joined name columns (Catalyst
     cannot split an OR across two dimension arms, but both arms are
-    already dimension-pruned to the two named nations). Revenue sums
-    are 2-dp-pinned.
+    already dimension-pruned to the two named nations). Revenue is
+    exact DECIMAL end-to-end (functions.money — no double sum can
+    flip a boundary with accumulation order).
     """
     nations = scan(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
@@ -1017,7 +1045,10 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = scan(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        (
+            money("l_extendedprice")
+            * (F.lit(1).cast("decimal(5,2)") - rate("l_discount"))
+        ).alias("vol"),
     )
     orders = scan(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
@@ -1037,7 +1068,7 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.round(F.sum("vol"), 2).alias("volume"))
+        .agg(F.sum("vol").cast("double").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
@@ -1046,8 +1077,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_revenue",
     oracle="""
         SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                 AS revenue,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(5,2))))
+                    AS DOUBLE) AS revenue,
                CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1069,17 +1101,19 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one fact-fact shuffle joins the filtered lineitem to orders on
     the order key; customer and nation broadcast; the per-customer
     aggregate is customer-bounded and the top-20 is a TakeOrdered
-    with a custkey tie-break, never a global sort. Revenue pinned at
-    2 dp before the ordering so the cut compares identical values.
+    with a custkey tie-break, never a global sort. Revenue is exact
+    DECIMAL end-to-end (functions.money), so the top-20 cut compares
+    identical exact values on both engines.
     """
     li = (
         scan(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .select(
             "l_orderkey",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "vol"
-            ),
+            (
+                money("l_extendedprice")
+                * (F.lit(1).cast("decimal(5,2)") - rate("l_discount"))
+            ).alias("vol"),
         )
     )
     orders = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1104,7 +1138,8 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "nation")
         .agg(
-            F.round(F.sum("vol"), 2).alias("revenue"),
+            # exact DECIMAL revenue is also the top-20 ORDER key
+            F.sum("vol").cast("double").alias("revenue"),
             F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")

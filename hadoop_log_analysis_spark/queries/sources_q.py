@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_log_analysis_spark.functions import money, money_sum
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 from hadoop_log_analysis_spark.sources.logs import (
@@ -77,7 +78,7 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_csv_roundtrip",
     oracle="""
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -101,7 +102,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("header", True).schema(schema).csv(path)
     return (
         back.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("o_totalprice").alias("total"))
         .orderBy("o_orderstatus")
     )
 
@@ -170,7 +171,7 @@ def q_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_orc_roundtrip",
     oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -192,7 +193,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return (
         back.groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .orderBy("event_type")
     )
 
@@ -200,7 +201,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_incremental_overwrite",
     oracle="""
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -245,7 +246,7 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum("o_totalprice").alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -254,7 +255,7 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_compact_small_files",
     oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -294,7 +295,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum("value").alias("total"),
         )
         .orderBy("event_type")
     )
@@ -304,7 +305,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_xml_roundtrip",
     oracle="""
         SELECT o_orderstatus, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -339,7 +340,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum("o_totalprice").alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -571,8 +572,9 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                               AND value IS NOT NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
-               round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                              THEN value ELSE 0 END), 2) AS value_sum
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS value_sum
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -634,9 +636,9 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_total"),
             F.count("value").cast("long").alias("n_with_value"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
-                "value_sum"
-            ),
+            F.coalesce(
+                F.sum(money("value")).cast("double"), F.lit(0.0)
+            ).alias("value_sum"),
         )
         .orderBy("event_type")
     )
@@ -647,7 +649,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 2) AS total
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-21'
         GROUP BY event_type
@@ -727,7 +729,7 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum("value").alias("total"),
         )
         .orderBy("event_type")
     )
@@ -811,7 +813,7 @@ def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-               round(sum(value), 2) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         WHERE user_id % 17 <> 3
         GROUP BY event_type
@@ -888,7 +890,7 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .orderBy("event_type")
     )
