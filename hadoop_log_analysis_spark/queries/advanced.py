@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import money_sum
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import register_views, scan
 
@@ -69,7 +70,8 @@ def q_pivot_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, 'n' AS metric, CAST(count(*) AS DOUBLE) AS val
         FROM orders GROUP BY o_orderstatus
         UNION ALL
-        SELECT o_orderstatus, 'total' AS metric, round(sum(o_totalprice), 2) AS val
+        SELECT o_orderstatus, 'total' AS metric,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
         FROM orders GROUP BY o_orderstatus
         ORDER BY o_orderstatus, metric
     """,
@@ -86,7 +88,7 @@ def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scan(spark, sf_dir, "orders")
     wide = orders.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
     return wide.unpivot(
         ["o_orderstatus"], ["n", "total"], "metric", "val"
@@ -99,7 +101,8 @@ def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL')   AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
@@ -120,7 +123,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL')   AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
@@ -299,10 +303,12 @@ def q_array_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_monthly_above_avg_cte",
     oracle="""
         WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
-                          round(sum(o_totalprice), 2) AS rev
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS rev
                    FROM orders GROUP BY 1)
         SELECT mon, rev FROM m
-        WHERE rev > (SELECT avg(rev) FROM m)
+        WHERE rev > (SELECT CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                            / count(*) FROM m)
         ORDER BY mon
     """,
     tags=("sql-path", "A1", "subquery"),
@@ -319,10 +325,12 @@ def q_monthly_above_avg_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
-                          round(sum(o_totalprice), 2) AS rev
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS rev
                    FROM orders GROUP BY 1)
         SELECT mon, rev FROM m
-        WHERE rev > (SELECT avg(rev) FROM m)
+        WHERE rev > (SELECT CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                            / count(*) FROM m)
         ORDER BY mon
         """
     )
@@ -332,8 +340,10 @@ def q_monthly_above_avg_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_deterministic_sample",
     oracle="""
         SELECT count(*) AS n,
-               round(sum(o_totalprice), 2) AS total,
-               round(avg(o_totalprice), 4) AS avg_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_price
         FROM orders
         WHERE o_orderkey % 20 = 0
     """,
@@ -351,8 +361,8 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scan(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey") % 20 == 0).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        money_sum("o_totalprice").alias("total"),
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_price"),
     )
 
 
@@ -423,13 +433,13 @@ def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_recursive_hierarchy_rollup",
     oracle="""
         WITH RECURSIVE totals AS (
-          SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id),
+          SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot FROM events GROUP BY user_id),
         anc(u, a) AS (
           SELECT user_id, user_id FROM totals
           UNION ALL
           SELECT u, a // 2 FROM anc WHERE a > 0)
         SELECT a AS node, count(DISTINCT u) AS n_users,
-               round(sum(t.tot), 2) AS subtree_value
+               CAST(sum(t.tot) AS DOUBLE) AS subtree_value
         FROM anc JOIN totals t ON anc.u = t.user_id
         WHERE a < 8
         GROUP BY a
@@ -457,13 +467,13 @@ def q_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH RECURSIVE totals AS (
-          SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id),
+          SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot FROM events GROUP BY user_id),
         anc(u, a) AS (
           SELECT user_id, user_id FROM totals
           UNION ALL
           SELECT u, a div 2 FROM anc WHERE a > 0)
         SELECT a AS node, count(DISTINCT u) AS n_users,
-               round(sum(t.tot), 2) AS subtree_value
+               CAST(sum(t.tot) AS DOUBLE) AS subtree_value
         FROM anc JOIN totals t ON anc.u = t.user_id
         WHERE a < 8
         GROUP BY a

@@ -4,8 +4,11 @@ Spark's HashAggregate automatically does partial (map-side) + final
 aggregation — the hand-written MapReduce combiner idiom, for free.
 At 100 TB the partial agg collapses each scan partition to ~|groups|
 rows before the shuffle, so these queries shuffle kilobytes, not
-terabytes. Float sums are rounded identically on both engine and
-oracle sides (addition order differs; FIXTURES.md rule 3).
+terabytes. Money sums are EXACT DECIMAL end-to-end (functions.money
+— double sums flip display boundaries with accumulation order, the
+fragility the sf0.1 sweep falsified); float-term sums use the
+per-row-grid exact_sum recipe; single divisions of exact operands
+need no rounding at all.
 """
 
 from __future__ import annotations
@@ -896,7 +899,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT segment,
                count(*) AS n_suppliers,
                CAST(sum(rev) AS DOUBLE) AS segment_rev,
-               round(sum(share * share), 6) AS hhi
+               CAST(sum(CAST(floor((share * share) * 100000000.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100000000.0 AS hhi
         FROM sh
         GROUP BY segment
         ORDER BY segment
@@ -951,7 +955,18 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_suppliers"),
             F.sum("rev").cast("double").alias("segment_rev"),
-            F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
+            # per-supplier share^2 terms are identical doubles (one
+            # division of exact decimals); their float sum is
+            # partition-order-dependent -> 1e-8 grid + exact int64 sum
+            (
+                F.sum(
+                    F.floor(
+                        F.pow(F.col("share"), 2) * F.lit(100000000.0)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(100000000.0)
+            ).alias("hhi"),
         )
         .orderBy("segment")
     )

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import ts_us
+from hadoop_log_analysis_spark.functions import (
+    exact_sum,
+    money,
+    money_sum,
+    pin,
+    ts_us,
+)
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.operators.ranking import exact_rank
@@ -537,7 +543,8 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hierarchical_rollup",
     oracle="""
         SELECT date_trunc('week', ts) AS w, event_type,
-               count(*) AS n, round(sum(value), 2) AS total
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY w, event_type
         ORDER BY w, event_type
@@ -572,7 +579,7 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("h"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(money("value")).alias("sum_value"))
     )
     hourly.write.mode("overwrite").parquet(hourly_path)
     materialized = spark.read.parquet(hourly_path)
@@ -582,7 +589,10 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("sum_value"), 2).alias("total"),
+            # re-aggregating exact DECIMAL hourly sums equals the
+            # direct weekly decimal sum EXACTLY (decimal addition is
+            # associative; double re-sums were not)
+            F.sum("sum_value").cast("double").alias("total"),
         )
         .orderBy("w", "event_type")
     )
@@ -592,8 +602,9 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_user_segments",
     oracle="""
         WITH u AS (SELECT user_id, count(*) AS n_events,
-                          round(sum(CASE WHEN event_type = 'purchase'
-                                         THEN value ELSE 0 END), 2) AS spend
+                          sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,2))
+                                   ELSE 0 END) AS spend
                    FROM events GROUP BY user_id),
              b AS (SELECT user_id, n_events, spend,
                           ntile(4) OVER (ORDER BY n_events DESC, user_id)
@@ -601,7 +612,7 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM u)
         SELECT quartile, count(*) AS n_users,
                CAST(sum(n_events) AS BIGINT) AS events,
-               round(sum(spend), 2) AS total_spend
+               CAST(sum(spend) AS DOUBLE) AS total_spend
         FROM b
         GROUP BY quartile
         ORDER BY quartile
@@ -633,13 +644,12 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # exact DECIMAL per-user spend, kept decimal through the
+            # tiling so the per-quartile total sums exactly
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", money("value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
             ).alias("spend"),
         )
     )
@@ -663,7 +673,7 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_users"),
             F.sum("n_events").alias("events"),
-            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.sum("spend").cast("double").alias("total_spend"),
         )
         .orderBy("quartile")
     )
@@ -792,7 +802,8 @@ def q_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT extract(hour FROM ts) AS hod, event_type,
                count(*) AS n,
-               CAST(round(round(sum(value) * 100) / count(*)) AS BIGINT)
+               CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                               AS DOUBLE) / count(*)) AS BIGINT)
                  AS avg_cents
         FROM events
         GROUP BY hod, event_type
@@ -827,7 +838,11 @@ def q_value_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
             # two and IEEE division is correctly rounded), and both
             # engines round exact halves away from zero — so the
             # rounded quotient is engine-identical.
-            F.round(F.round(F.sum("value") * 100, 0) / F.count("*"), 0)
+            F.round(
+                (F.sum(money("value")) * 100).cast("double")
+                / F.count("*"),
+                0,
+            )
             .cast("long")
             .alias("avg_cents"),
         )
@@ -931,7 +946,8 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_rollup",
     oracle="""
         SELECT date_trunc('day', ts) AS d, event_type,
-               count(*) AS n, round(sum(value), 2) AS total
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY d, event_type
         ORDER BY d, event_type
@@ -970,7 +986,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rollup(df):
         return df.groupBy(
             F.date_trunc("day", "ts").alias("d"), "event_type"
-        ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        ).agg(F.count("*").alias("n"), F.sum(money("value")).alias("s"))
 
     base = rollup(ev.filter(F.col("ts") < F.lit(cutover)))
     delta = rollup(ev.filter(F.col("ts") >= F.lit(cutover)))
@@ -988,11 +1004,12 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("b.n"), F.lit(0))
                 + F.coalesce(F.col("x.n"), F.lit(0))
             ).alias("n"),
-            F.round(
-                F.coalesce(F.col("b.s"), F.lit(0.0))
-                + F.coalesce(F.col("x.s"), F.lit(0.0)),
-                2,
-            ).alias("total"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(28,2)"))
+                + F.coalesce(F.col("x.s"), F.lit(0).cast("decimal(28,2)"))
+            )
+            .cast("double")
+            .alias("total"),
         )
     )
     return merged.orderBy("d", "event_type")
@@ -1013,9 +1030,13 @@ CUSUM_H_SD = 4.0  # decision threshold, in global stddev units
         WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
                        FROM events GROUP BY d)
         SELECT t.d, t.n,
-               round(sum(i.n * pow({EWMA_DECAY}, date_diff('day', i.d, t.d)))
-                     / sum(pow({EWMA_DECAY}, date_diff('day', i.d, t.d))),
-                     4) AS ewma
+               floor((CAST(sum(CAST(floor(i.n * pow({EWMA_DECAY},
+                                date_diff('day', i.d, t.d))
+                                * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / CAST(sum(CAST(floor(pow({EWMA_DECAY},
+                                date_diff('day', i.d, t.d))
+                                * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS ewma
         FROM daily t
         JOIN daily i ON i.d BETWEEN t.d - INTERVAL {EWMA_SPAN_DAYS} DAY AND t.d
         GROUP BY t.d, t.n
@@ -1055,8 +1076,20 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("t.d").alias("d"), F.col("t.n").alias("n"))
         .agg(
-            F.round(
-                F.sum(F.col("i.n") * w) / F.sum(w), 4
+            # per-term weights are identical doubles (pow of identical
+            # inputs up to libm ulp, absorbed by the 1e-6 grid); both
+            # the numerator and denominator accumulate as exact int64,
+            # then ONE division and a 4-dp floor pin
+            pin(
+                F.sum(
+                    F.floor(
+                        F.col("i.n") * w * F.lit(1000000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.sum(
+                    F.floor(w * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+                ).cast("double"),
+                4,
             ).alias("ewma")
         )
         .orderBy("d")
@@ -1475,7 +1508,8 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_join_maintenance",
     oracle="""
         SELECT o_orderpriority, count(*) AS n,
-               round(sum(l_extendedprice), 2) AS rev
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -1525,7 +1559,7 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         maintained.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            money_sum("l_extendedprice").alias("rev"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1858,7 +1892,7 @@ def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM p)
         SELECT coalesce(touch_type, 'none') AS touch_type,
                count(*) AS n_purchases,
-               round(sum(value), 2) AS revenue
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM m
         GROUP BY 1
         ORDER BY 1
@@ -1920,7 +1954,7 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("touch_type")
         .agg(
             F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("revenue"),
+            money_sum("value").alias("revenue"),
         )
         .orderBy("touch_type")
     )
@@ -2233,8 +2267,9 @@ def q_value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(floor((mx.m - max(epoch_us(ts))) / 3600000000)
                           AS BIGINT) AS rec_h,
                      count(*) AS freq,
-                     round(sum(CASE WHEN event_type = 'purchase'
-                                    THEN value ELSE 0 END), 2) AS mon
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE 0 END) AS mon
               FROM events CROSS JOIN mx
               GROUP BY user_id, mx.m),
         s AS (SELECT user_id, mon,
@@ -2247,7 +2282,7 @@ def q_value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM u)
         SELECT r || '-' || f || '-' || m AS segment,
                CAST(count(*) AS BIGINT) AS n_users,
-               round(sum(mon), 2) AS total_spend
+               CAST(sum(mon) AS DOUBLE) AS total_spend
         FROM s
         GROUP BY segment
         ORDER BY segment
@@ -2285,13 +2320,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rec_h"),
             F.count("*").alias("freq"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # exact DECIMAL spend: the 550/700 band edges then compare
+            # exact values, and the per-segment total sums exactly
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", money("value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
             ).alias("mon"),
         )
     )
@@ -2311,7 +2345,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("segment")
         .agg(
             F.count("*").cast("long").alias("n_users"),
-            F.round(F.sum("mon"), 2).alias("total_spend"),
+            F.sum("mon").cast("double").alias("total_spend"),
         )
         .orderBy("segment")
     )
@@ -2321,8 +2355,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gini_spend",
     oracle="""
         WITH u AS (SELECT user_id,
-                          round(sum(CASE WHEN event_type = 'purchase'
-                                         THEN value ELSE 0 END), 2) AS spend
+                          sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,2))
+                                   ELSE 0 END) AS spend
                    FROM events GROUP BY user_id),
         r AS (SELECT spend,
                      row_number() OVER (ORDER BY spend, user_id) AS rnk
@@ -2331,8 +2366,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sum(rnk * spend) AS six
               FROM r)
         SELECT CAST(n AS BIGINT) AS n_users,
-               round(sx, 2) AS total_spend,
-               round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS gini
+               CAST(sx AS DOUBLE) AS total_spend,
+               floor((2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                      - (n + 1.0) / n) * 10000.0 + 0.5) / 10000.0 AS gini
         FROM s
     """,
     tags=("A5", "W1", "diagnostic"),
@@ -2360,13 +2396,12 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # exact DECIMAL spend (functions.money): the rank order,
+            # decile sums, and shares all derive from exact values
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", money("value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
             ).alias("spend")
         )
     )
@@ -2375,12 +2410,14 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.round(F.sum("spend"), 2).alias("total_spend"),
-        F.round(
-            2.0
-            * F.sum(F.col("rnk") * F.col("spend"))
-            / (F.count("*") * F.sum("spend"))
-            - (F.count("*") + 1.0) / F.count("*"),
+        F.sum("spend").cast("double").alias("total_spend"),
+        # exact integer/decimal moments (six, sx, n) -> identically
+        # parenthesized double arithmetic -> 4-dp floor pin
+        pin(
+            F.lit(2.0)
+            * F.sum(F.col("rnk") * F.col("spend")).cast("double")
+            / (F.count("*") * F.sum("spend").cast("double"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
             4,
         ).alias("gini"),
     )
@@ -2390,11 +2427,11 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_snapshot_diff",
     oracle="""
         WITH a AS (SELECT o_custkey, count(*) AS n_orders,
-                          round(sum(o_totalprice), 2) AS total
+                          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
                    FROM orders WHERE o_orderdate < DATE '1999-01-01'
                    GROUP BY o_custkey),
         b AS (SELECT o_custkey, count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS total
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
               FROM orders GROUP BY o_custkey),
         d AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
                      CASE WHEN a.o_custkey IS NULL THEN 'added'
@@ -2406,7 +2443,7 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM a FULL JOIN b ON a.o_custkey = b.o_custkey)
         SELECT status,
                CAST(count(*) AS BIGINT) AS n_keys,
-               round(sum(delta), 2) AS total_delta
+               CAST(sum(delta) AS DOUBLE) AS total_delta
         FROM d
         GROUP BY status
         ORDER BY status
@@ -2434,9 +2471,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scan(spark, sf_dir, "orders")
 
     def snap(df: DataFrame) -> DataFrame:
+        # exact DECIMAL totals: the 'unchanged' classification does an
+        # EQUALITY compare on them — the falsified rounded-double class
         return df.groupBy("o_custkey").agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(money("o_totalprice")).alias("total"),
         )
 
     a = snap(
@@ -2456,15 +2495,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
         (
-            F.coalesce(F.col("b.total"), F.lit(0.0))
-            - F.coalesce(F.col("a.total"), F.lit(0.0))
+            F.coalesce(F.col("b.total"), F.lit(0).cast("decimal(28,2)"))
+            - F.coalesce(F.col("a.total"), F.lit(0).cast("decimal(28,2)"))
         ).alias("delta"),
     )
     return (
         d.groupBy("status")
         .agg(
             F.count("*").cast("long").alias("n_keys"),
-            F.round(F.sum("delta"), 2).alias("total_delta"),
+            F.sum("delta").cast("double").alias("total_delta"),
         )
         .orderBy("status")
     )
@@ -2522,7 +2561,8 @@ def q_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(CASE WHEN ft.ft_us < p.pus
                              THEN ft.touch_type END, 'none') AS touch_type,
                CAST(count(*) AS BIGINT) AS n_purchases,
-               round(sum(p.value), 2) AS attributed_value
+               CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS attributed_value
         FROM p LEFT JOIN ft ON ft.user_id = p.user_id
         GROUP BY 1
         ORDER BY touch_type
@@ -2575,7 +2615,7 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("touch_type")
         .agg(
             F.count("*").cast("long").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            money_sum("value").alias("attributed_value"),
         )
         .orderBy("touch_type")
     )
@@ -2669,8 +2709,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lorenz_curve",
     oracle="""
         WITH u AS (SELECT user_id,
-                          round(sum(CASE WHEN event_type = 'purchase'
-                                         THEN value ELSE 0 END), 2) AS spend
+                          sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,2))
+                                   ELSE 0 END) AS spend
                    FROM events GROUP BY user_id),
         r AS (SELECT spend,
                      row_number() OVER (ORDER BY spend, user_id) AS rnk
@@ -2683,8 +2724,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM b GROUP BY decile)
         SELECT d.decile,
                CAST(sum(d2.dn) AS BIGINT) AS cum_users,
-               round(sum(d2.ds), 2) AS cum_spend,
-               round(sum(d2.ds) / t.sx, 4) AS cum_share
+               CAST(sum(d2.ds) AS DOUBLE) AS cum_spend,
+               floor((CAST(sum(d2.ds) AS DOUBLE) / CAST(t.sx AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS cum_share
         FROM d JOIN d d2 ON d2.decile <= d.decile CROSS JOIN t
         GROUP BY d.decile, t.sx
         ORDER BY d.decile
@@ -2709,13 +2751,12 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
-                2,
+            # exact DECIMAL spend: rank order, decile sums, and the
+            # cumulative shares all derive from exact values
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", money("value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
             ).alias("spend")
         )
     )
@@ -2738,8 +2779,11 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d1.decile").alias("decile"), F.col("sx"))
         .agg(
             F.sum("d2.dn").cast("long").alias("cum_users"),
-            F.round(F.sum("d2.ds"), 2).alias("cum_spend"),
-            F.round(F.sum("d2.ds") / F.col("sx"), 4).alias("cum_share"),
+            F.sum("d2.ds").cast("double").alias("cum_spend"),
+            pin(
+                F.sum("d2.ds").cast("double") / F.col("sx").cast("double"),
+                4,
+            ).alias("cum_share"),
         )
         .drop("sx")
         .orderBy("decile")
@@ -3022,10 +3066,11 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH monthly AS (
           SELECT (extract(year FROM o_orderdate) * 12
                   + extract(month FROM o_orderdate)) AS idx,
-                 round(sum(o_totalprice), 2) AS rev
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
           FROM orders GROUP BY idx),
         slopes AS (
-          SELECT round((b.rev - a.rev) / (b.idx - a.idx), 6) AS slope,
+          SELECT round(CAST(b.rev - a.rev AS DOUBLE)
+                       / (b.idx - a.idx), 6) AS slope,
                  CASE WHEN b.rev > a.rev THEN 1
                       WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
           FROM monthly a JOIN monthly b ON b.idx > a.idx),
@@ -3067,12 +3112,16 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
     )
     a, b = monthly.alias("a"), monthly.alias("b")
     slopes = a.join(b, F.col("b.idx") > F.col("a.idx")).select(
+        # exact DECIMAL revenue difference -> ONE identical double
+        # division per pair; the slope multiset is then identical on
+        # both engines before the median interpolation
         F.round(
-            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.idx") - F.col("a.idx")),
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.idx") - F.col("a.idx")),
             6,
         ).alias("slope"),
         F.signum(F.col("b.rev") - F.col("a.rev")).cast("long").alias("sgn"),
@@ -3274,8 +3323,9 @@ def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE e.event_type IN ('click', 'purchase'))
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(v), 2) AS raw_score,
-               round(sum(dv), 4) AS decayed_score
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS raw_score,
+               CAST(sum(CAST(floor(dv * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS decayed_score
         FROM s
         GROUP BY user_id
         ORDER BY decayed_score DESC, user_id
@@ -3308,10 +3358,14 @@ def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("raw_score"),
-            F.round(
-                F.sum(F.col("value") * F.exp(-0.05 * age_days)), 4
-            ).alias("decayed_score"),
+            money_sum("value").alias("raw_score"),
+            # decayed_score is the ORDER key and a float-term sum —
+            # per-row 1e-6 grid pin + exact int64 accumulation
+            # (functions.exact_sum); the grid also absorbs the exp()
+            # libm last-ulp difference between engines
+            exact_sum(F.col("value") * F.exp(-0.05 * age_days), 6).alias(
+                "decayed_score"
+            ),
         )
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(25)
@@ -3424,7 +3478,8 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(max(value), 2) AS high,
                  round(min(value), 2) AS low,
                  CAST(count(*) AS BIGINT) AS n_trades,
-                 round(sum(value), 2) AS volume
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS volume
           FROM p GROUP BY hr)
         SELECT a.hr AS hr,
                round(max(CASE WHEN p.k = a.k_open THEN p.value END), 2)
@@ -3473,7 +3528,7 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.expr("max_by(value, k)"), 2).alias("close"),
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            money_sum("value").alias("volume"),
         )
         .orderBy("hr")
     )
@@ -3502,8 +3557,9 @@ CHURN_LABEL_DAYS = 10  # label window (t0+20d, t0+30d]
                  count(DISTINCT CASE WHEN ns <= cutoff
                                      THEN ns // 86400000000000 END)
                    AS days_active,
-                 round(sum(CASE WHEN ns <= cutoff THEN value END), 2)
-                   AS value_sum,
+                 CAST(sum(CASE WHEN ns <= cutoff
+                               THEN CAST(value AS DECIMAL(18,2)) END)
+                      AS DOUBLE) AS value_sum,
                  CAST((max(cutoff) - max(CASE WHEN ns <= cutoff
                                               THEN ns END))
                       // 3600000000000 AS BIGINT) AS recency_h,
@@ -3572,7 +3628,7 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("days_active"),
-            F.round(F.sum(F.when(in_f, F.col("value"))), 2).alias(
+            F.sum(F.when(in_f, money("value"))).cast("double").alias(
                 "value_sum"
             ),
             F.expr(
@@ -3700,7 +3756,9 @@ ATTR_WINDOW_H = 24  # attribution lookback window (hours)
                        AND t.ns < p.pns
                        AND t.ns >= p.pns - {ATTR_WINDOW_H} * 3600000000000)
         SELECT event_type AS channel,
-               round(sum(value * 1.0 / n_touch), 2) AS credited_revenue,
+               CAST(sum(CAST(floor((value * 1.0 / n_touch)
+                                   * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS credited_revenue,
                CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases
         FROM m
         GROUP BY channel
@@ -3745,7 +3803,10 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.groupBy("channel")
         .agg(
-            F.round(F.sum(F.col("value") * 1.0 / F.col("n_touch")), 2).alias(
+            # per-row fractional credits are identical doubles (one
+            # division of a 2-dp value by an integer); their float sum
+            # is order-dependent -> 1e-6 grid pin + exact int64 sum
+            exact_sum(F.col("value") * 1.0 / F.col("n_touch"), 6).alias(
                 "credited_revenue"
             ),
             F.countDistinct("event_id").cast("long").alias("n_purchases"),

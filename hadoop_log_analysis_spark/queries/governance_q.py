@@ -257,7 +257,9 @@ _PSI_ORACLE = """
         SELECT event_type,
                CAST(n_ref AS BIGINT) AS n_ref,
                CAST(n_cur AS BIGINT) AS n_cur,
-               round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+               CAST(sum(CAST(floor((pc - pr) * ln(pc / pr)
+                                   * 100000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100000000.0 AS psi
         FROM terms
         GROUP BY event_type, n_ref, n_cur
         ORDER BY event_type
@@ -336,7 +338,20 @@ def _psi_assemble(b: DataFrame, rb: DataFrame, cb: DataFrame) -> DataFrame:
     pr = (F.col("cr") + 0.5) / (F.col("n_ref") + 5.0)
     return (
         grid.groupBy("event_type", "n_ref", "n_cur")
-        .agg(F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"))
+        # per-bin terms are identical doubles (exact counts + one ln,
+        # whose libm ulp the 1e-8 grid absorbs); the 10-term float sum
+        # is order-dependent -> per-row grid pin + exact int64 sum
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (pc - pr) * F.log(pc / pr) * F.lit(100000000.0)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(100000000.0)
+            ).alias("psi")
+        )
         .orderBy("event_type")
     )
 
@@ -1299,7 +1314,9 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rl.rn * cs.cn * 1.0 / n.t AS exp
           FROM rl CROSS JOIN cs CROSS JOIN n
           LEFT JOIN o ON o.lang = rl.lang AND o.source = cs.source)
-        SELECT round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+        SELECT CAST(sum(CAST(floor(((obs - exp) * (obs - exp) / exp)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 AS chi2,
                CAST((count(DISTINCT lang) - 1)
                     * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
                CAST(count(*) AS BIGINT) AS n_cells,
@@ -1347,7 +1364,17 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (F.col("obs") - F.col("exp"))
     return cells.agg(
-        F.round(F.sum(d * d / F.col("exp")), 4).alias("chi2"),
+        # per-cell terms are identical doubles (integer margins, one
+        # division); the cell sum is order-dependent -> 1e-6 grid pin
+        # + exact int64 accumulation, ONE division at display
+        (
+            F.sum(
+                F.floor(
+                    (d * d / F.col("exp")) * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("chi2"),
         (
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("long").alias("dof"),

@@ -27,7 +27,12 @@ from hadoop_log_analysis_spark.operators.similarity import (
     ivf_build,
     ivf_probe,
 )
-from hadoop_log_analysis_spark.functions import exact_avg, pin, sql_pin
+from hadoop_log_analysis_spark.functions import (
+    exact_avg,
+    exact_sum,
+    pin,
+    sql_pin,
+)
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 
@@ -1632,8 +1637,10 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM documents)
         SELECT n_channels, sample_rate, count(*) AS n,
                CAST(sum(data_bytes) AS BIGINT) AS total_bytes,
-               round(sum(data_bytes * 1000.0
-                         / (sample_rate * n_channels * 2)), 3) AS total_ms
+               CAST(sum(CAST(floor((data_bytes * 1000.0
+                                    / (sample_rate * n_channels * 2))
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 AS total_ms
         FROM m
         GROUP BY n_channels, sample_rate
         ORDER BY n_channels, sample_rate
@@ -1662,7 +1669,10 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("data_bytes").alias("total_bytes"),
-            F.round(F.sum(F.col("duration_ms")), 3).alias("total_ms"),
+            # per-row durations are identical doubles (one division of
+            # exact ints); the float sum is order-dependent -> 1e-6
+            # grid pin + exact int64 accumulation (exact_sum recipe)
+            exact_sum(F.col("duration_ms"), 6).alias("total_ms"),
         )
         .orderBy("n_channels", "sample_rate")
     )
@@ -1904,10 +1914,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUP BY 1, 2)
         SELECT lw.lang,
                CAST(sum(lw.nlw) AS BIGINT) AS n_tokens,
-               round(sum(lw.nlw * len(string_split(s3.seq, ' ')) * 1.0)
-                     / sum(lw.nlw), 6) AS fertility,
-               round(sum(lw.nlw * len(s3.word) * 1.0)
-                     / sum(lw.nlw * len(string_split(s3.seq, ' '))), 6)
+               floor((sum(lw.nlw * len(string_split(s3.seq, ' ')) * 1.0)
+                      / sum(lw.nlw)) * 1000000.0 + 0.5) / 1000000.0
+                 AS fertility,
+               floor((sum(lw.nlw * len(s3.word) * 1.0)
+                      / sum(lw.nlw * len(string_split(s3.seq, ' '))))
+                     * 1000000.0 + 0.5) / 1000000.0
                  AS avg_subword_chars
         FROM lw JOIN s3 USING (word)
         GROUP BY lw.lang
@@ -1948,8 +1960,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("lang")
         .agg(
             F.sum("nlw").alias("n_tokens"),
-            F.round(F.sum("w_syms") / F.sum("nlw"), 6).alias("fertility"),
-            F.round(F.sum("w_chars") / F.sum("w_syms"), 6).alias(
+            # integer-valued double sums are exact; the ratios are ONE
+            # identical division, floor-pinned (round() tie-breaks
+            # diverge on exact-rational repr midpoints)
+            pin(F.sum("w_syms") / F.sum("nlw"), 6).alias("fertility"),
+            pin(F.sum("w_chars") / F.sum("w_syms"), 6).alias(
                 "avg_subword_chars"
             ),
         )
@@ -3507,7 +3522,9 @@ RAKE_TOP_K = 15
           SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase),
         scored AS (
           SELECT ph.phrase, ph.n_occ,
-                 round(sum(ws.score), 6) AS rake_score
+                 CAST(sum(CAST(floor(ws.score * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS rake_score
           FROM ph,
                unnest(string_split(ph.phrase, ' ')) AS t(w)
           JOIN ws ON ws.w = t.w
@@ -3579,7 +3596,10 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
         .join(F.broadcast(ws), "w")
         .groupBy("phrase", "n_occ")
-        .agg(F.round(F.sum("score"), 6).alias("rake_score"))
+        # per-word degree/freq scores are identical doubles (exact
+        # integer ratios); the <=4-term float sum is order-dependent
+        # AND rake_score is the ORDER key -> 1e-6 grid pin + exact sum
+        .agg(exact_sum("score", 6).alias("rake_score"))
     )
     return (
         scored.select(

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import query
-from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
+from hadoop_log_analysis_spark.functions import (
+    HASH_MOD,
+    HASH_MULT,
+    exact_sum,
+    money,
+    rate,
+)
 from hadoop_log_analysis_spark.operators import similarity as SIM
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
 from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
@@ -86,9 +92,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
              s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t)
         SELECT doc_id,
-               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               CAST(sum(CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                          * (tf * ({BM25_K1} + 1))
-                         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))), 4)
+                         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))
+                         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
                  AS bm25,
                count(*) AS n_terms
         FROM tf JOIN dfreq USING (tok), s
@@ -135,7 +142,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("term_score", term_score)
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("term_score"), 4).alias("bm25"),
+            # per-term scores are identical doubles (exact integer tf/df
+            # + the one shared avgdl division); the 1-3-term float sum is
+            # still order-sensitive AND bm25 is the ORDER key -> per-row
+            # 1e-6 grid pin + exact int sum (functions.exact_sum)
+            exact_sum("term_score", 6).alias("bm25"),
             F.count("*").alias("n_terms"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
@@ -491,12 +502,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_merge_upsert",
     oracle="""
         WITH upd AS (SELECT o_orderkey, 'X' AS o_orderstatus,
-                            o_totalprice * 1.05 AS o_totalprice
+                            CAST(o_totalprice AS DECIMAL(18,2)) * 1.05
+                              AS o_totalprice
                      FROM orders WHERE o_orderkey % 7 = 0),
-             merged AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             merged AS (SELECT o_orderkey, o_orderstatus,
+                               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    AS DECIMAL(22,4)) AS o_totalprice
                         FROM orders WHERE o_orderkey % 7 <> 0
                         UNION ALL SELECT * FROM upd)
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(o_totalprice) AS DOUBLE) AS total
         FROM merged
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -513,21 +528,31 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a bucketed base table (see q_bucketed_join) it is shuffle-free
     on the base side.
     """
+    # exact DECIMAL money: the 1.05 repricing is a DECIMAL(18,2) x
+    # DECIMAL(3,2) product (exact 4-dp), both union branches carry
+    # DECIMAL(22,4), and the rollup sum is exact (functions.money)
     base = scan(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey",
+        "o_orderstatus",
+        money("o_totalprice").cast("decimal(22,4)").alias("o_totalprice"),
     )
     upd = (
         base.filter(F.col("o_orderkey") % 7 == 0)
         .select(
             "o_orderkey",
             F.lit("X").alias("o_orderstatus"),
-            (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+            (F.col("o_totalprice") * F.lit("1.05").cast("decimal(3,2)"))
+            .cast("decimal(22,4)")
+            .alias("o_totalprice"),
         )
     )
     merged = base.join(upd, "o_orderkey", "left_anti").unionByName(upd)
     return (
         merged.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -624,7 +649,9 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     oracle="""
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                 AS revenue,
                date_trunc('day', o_orderdate) AS odate
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -675,9 +702,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.date_trunc("day", "o_orderdate").alias("odate")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                money("l_extendedprice")
+                * (F.lit(1).cast("decimal(5,2)") - rate("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("o_orderkey", "revenue", "odate")
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -1480,10 +1510,13 @@ def _scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
              s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
              lex AS (
                SELECT doc_id,
-                      round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                      CAST(sum(CAST(floor(
+                            (ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                                 * (tf * ({BM25_K1} + 1))
                                 / (tf + {BM25_K1} * (1 - {BM25_B}
-                                   + {BM25_B} * dl / avgdl))), 4) AS bm25
+                                   + {BM25_B} * dl / avgdl)))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 1000000.0 AS bm25
                FROM tf JOIN dfreq USING (tok), s
                GROUP BY doc_id
                ORDER BY bm25 DESC, doc_id
@@ -1566,7 +1599,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .withColumn("ts_", term_score)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("ts_"), 4).alias("bm25"))
+        .agg(exact_sum("ts_", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(50)
     )
@@ -2303,15 +2336,18 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
           SELECT epoch_ns(ts) // 86400000000000 AS day,
-                 round(sum(value), 2) AS rev
+                 sum(CAST(value AS DECIMAL(18,2))) AS rev_d
           FROM events WHERE event_type = 'purchase' GROUP BY day),
         f AS (
-          SELECT day, rev,
-                 lag(rev, 1) OVER w AS lag1,
-                 lag(rev, 7) OVER w AS lag7,
-                 round(avg(rev) OVER (ORDER BY day
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
-                 round(rev - lag(rev, 1) OVER w, 2) AS diff1
+          SELECT day,
+                 CAST(rev_d AS DOUBLE) AS rev,
+                 CAST(lag(rev_d, 1) OVER w AS DOUBLE) AS lag1,
+                 CAST(lag(rev_d, 7) OVER w AS DOUBLE) AS lag7,
+                 CAST(sum(rev_d) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(rev_d) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+                 CAST(rev_d - lag(rev_d, 1) OVER w AS DOUBLE) AS diff1
           FROM d WINDOW w AS (ORDER BY day))
         SELECT CAST(day AS BIGINT) AS day, rev, lag1, lag7, ma7, diff1
         FROM f
@@ -2337,17 +2373,25 @@ def q_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.expr("ts_ns div 86400000000000").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("rev"))
+        .agg(F.sum(money("value")).alias("rev_d"))
     )
     w = Window.orderBy("day")
     w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    # every feature derives from the exact DECIMAL daily revenue via
+    # single decimal->double conversions (the ma7 is ONE division of
+    # the exact 7-day decimal sum) — no rounded-double arithmetic
     f = d.select(
         F.col("day").cast("long").alias("day"),
-        "rev",
-        F.lag("rev", 1).over(w).alias("lag1"),
-        F.lag("rev", 7).over(w).alias("lag7"),
-        F.round(F.avg("rev").over(w7), 4).alias("ma7"),
-        F.round(F.col("rev") - F.lag("rev", 1).over(w), 2).alias("diff1"),
+        F.col("rev_d").cast("double").alias("rev"),
+        F.lag("rev_d", 1).over(w).cast("double").alias("lag1"),
+        F.lag("rev_d", 7).over(w).cast("double").alias("lag7"),
+        (
+            F.sum("rev_d").over(w7).cast("double")
+            / F.count("rev_d").over(w7)
+        ).alias("ma7"),
+        (F.col("rev_d") - F.lag("rev_d", 1).over(w))
+        .cast("double")
+        .alias("diff1"),
     )
     return f.filter(F.col("lag7").isNotNull()).orderBy("day")
 

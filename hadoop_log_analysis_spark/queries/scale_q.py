@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import money, money_sum, rate
 from hadoop_log_analysis_spark.operators.skew import salted_agg, salted_join
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -23,7 +24,8 @@ from hadoop_log_analysis_spark.sources.catalog import scan
 @query(
     "q_salted_agg",
     oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -34,7 +36,11 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5 hot event_type keys —
     identical answer to the plain GROUP BY (the oracle), but the
     partial phase spreads each hot key over 16 salt groups."""
-    events = scan(spark, sf_dir, "events")
+    # value cast to exact DECIMAL BEFORE the two-phase salted sum, so
+    # both the partial per-salt sums and the final merge are exact
+    events = scan(spark, sf_dir, "events").withColumn(
+        "value", money("value")
+    )
     out = salted_agg(
         events,
         keys=["event_type"],
@@ -43,14 +49,15 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"n": "count:*", "total": "sum:value"},
     )
     return out.select(
-        "event_type", "n", F.round("total", 2).alias("total")
+        "event_type", "n", F.col("total").cast("double").alias("total")
     ).orderBy("event_type")
 
 
 @query(
     "q_salted_join",
     oracle="""
-        SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -67,7 +74,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .orderBy("c_mktsegment")
     )
 
@@ -75,7 +82,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_bucketed_join",
     oracle="""
-        SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -128,7 +136,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            money_sum("l_extendedprice").alias("rev"),
         )
         .orderBy("o_orderpriority")
     )
@@ -343,7 +351,9 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                 AS revenue
         FROM lineitem
         WHERE l_partkey IN (SELECT p_partkey FROM part
                             WHERE p_type = 'ECONOMY')
@@ -385,9 +395,12 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                money("l_extendedprice")
+                * (F.lit(1).cast("decimal(5,2)") - rate("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("l_returnflag")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_log_analysis_spark.functions import money_sum
 from hadoop_log_analysis_spark.operators.windows import topk_per_group
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -38,7 +39,7 @@ def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_users",
     oracle="""
-        SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id
@@ -53,7 +54,7 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .orderBy(F.col("total").desc(), "user_id")
         .limit(10)
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_log_analysis_spark.functions import money_sum
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 from hadoop_log_analysis_spark.streaming.events_stream import (
@@ -242,7 +243,8 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_sink_parquet",
     oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -271,7 +273,7 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(sink_schema).parquet(out_dir)
     return (
         back.groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .orderBy("event_type")
     )
 
@@ -990,7 +992,7 @@ def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(min(value), 2) AS low,
                round(arg_max(value, k), 2) AS close,
                CAST(count(*) AS BIGINT) AS n_trades,
-               round(sum(value), 2) AS volume
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         FROM p
         GROUP BY hr_us
         ORDER BY hr_us
@@ -1028,7 +1030,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.expr("max_by(value, k)"), 2).alias("close"),
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            money_sum("value").alias("volume"),
         )
     )
     out = run_to_table(agg, "t1_ohlc", "complete")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import ts_us
+from hadoop_log_analysis_spark.functions import money, money_sum, ts_us
 from hadoop_log_analysis_spark.operators.windows import sessionize, topk_per_group
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -103,12 +103,19 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_aggs",
     oracle="""
         SELECT user_id, event_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                      ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
-               round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS sum_1h
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(value)
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS sum_1h
         FROM events
         ORDER BY user_id, event_id
     """,
@@ -130,9 +137,16 @@ def q_running_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.round(F.sum("value").over(w_cum), 2).alias("cum_value"),
-            F.round(F.avg("value").over(w_ma5), 4).alias("ma5"),
-            F.round(F.sum("value").over(w_1h), 2).alias("sum_1h"),
+            # exact DECIMAL window sums: DuckDB's segment-tree window
+            # aggregation associates float additions differently from
+            # Spark's running accumulation, so a rounded double window
+            # sum can flip a boundary; decimal sums are order-free.
+            F.sum(money("value")).over(w_cum).cast("double").alias("cum_value"),
+            (
+                F.sum(money("value")).over(w_ma5).cast("double")
+                / F.count("value").over(w_ma5)
+            ).alias("ma5"),
+            F.sum(money("value")).over(w_1h).cast("double").alias("sum_1h"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -236,7 +250,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g
         )
         SELECT user_id, min(tus) AS start_us, count(*) AS n,
-               round(sum(value), 2) AS total
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM s
         GROUP BY user_id, sid
         ORDER BY user_id, start_us
@@ -260,7 +274,7 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("w")
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
@@ -286,7 +300,8 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(carried) AS BIGINT) AS n_carried,
-               round(sum(carried), 2) AS s_carried
+               CAST(sum(CAST(carried AS DECIMAL(18,2))) AS DOUBLE)
+                 AS s_carried
         FROM o
         GROUP BY event_type
         ORDER BY event_type
@@ -324,7 +339,7 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.count("carried").alias("n_carried"),
-            F.round(F.sum("carried"), 2).alias("s_carried"),
+            F.sum(money("carried")).cast("double").alias("s_carried"),
         )
         .orderBy("event_type")
     )

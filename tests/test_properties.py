@@ -1859,3 +1859,43 @@ def test_r6_wave37_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_money_helpers_are_exact_and_order_free(spark):
+    """r8 determinism helpers (functions.money/money_sum/exact_sum/
+    exact_avg): the DECIMAL view must recover the 2-dp values exactly
+    (bit-equal total to Python's Decimal sum), and every helper must
+    be partition-count invariant — the property the raw double sums
+    they replaced did NOT have."""
+    from decimal import Decimal
+
+    from hadoop_log_analysis_spark.functions import (
+        exact_avg,
+        exact_sum,
+        money_sum,
+    )
+    from hadoop_log_analysis_spark.sources.catalog import scan
+
+    ev = scan(spark, SF001, "events").select("value")
+    truth = sum(
+        Decimal(f"{r.value:.2f}") for r in ev.collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts, n_input in (("32", 64), ("5", 3)):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            row = (
+                ev.repartition(n_input)
+                .agg(
+                    money_sum("value").alias("total"),
+                    exact_sum(F.col("value") / 3.0, 6).alias("es"),
+                    exact_avg(F.col("value") / 3.0, 6).alias("ea"),
+                )
+                .collect()[0]
+            )
+            results.append((row.total, row.es, row.ea))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1], "helpers are partition-sensitive"
+    assert results[0][0] == float(truth), "decimal sum != exact truth"
