@@ -29,8 +29,10 @@ from hadoop_log_analysis_spark.sources.catalog import register_views
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue,
-               round(avg(o_totalprice), 4) AS avg_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_price
         FROM orders
         WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority
@@ -57,8 +59,10 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         |> WHERE o_orderstatus <> 'F'
         |> AGGREGATE count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS revenue,
-                     round(avg(o_totalprice), 4) AS avg_price
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*) AS avg_price
            GROUP BY o_orderpriority
         |> WHERE n_orders > 10
         |> ORDER BY o_orderpriority
@@ -177,7 +181,8 @@ def q_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_brand,
                count(*) AS n_parts,
-               round(sum(p_retailprice), 2) AS total_price
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
         FROM part
         WHERE lower(p_type) = 'economy'
         GROUP BY p_brand
@@ -208,7 +213,8 @@ def q_collated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_brand,
                count(*) AS n_parts,
-               round(sum(p_retailprice), 2) AS total_price
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
         FROM part
         WHERE p_type = 'economy' COLLATE UTF8_LCASE
         GROUP BY p_brand
@@ -307,7 +313,8 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT extract(year FROM o_orderdate) AS yr,
                o_orderpriority AS priority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
         FROM orders
         GROUP BY ALL
         ORDER BY ALL
@@ -332,7 +339,8 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT year(o_orderdate) AS yr,
                o_orderpriority AS priority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
         FROM orders
         GROUP BY ALL
         ORDER BY ALL
