@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import money_sum
+from hadoop_log_analysis_spark.functions import exact_avg, money, money_sum
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import register_views, scan
 
@@ -393,12 +393,12 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_range_window",
     oracle="""
         SELECT event_id,
-               round(avg(value) OVER (
-                   PARTITION BY user_id
-                   ORDER BY epoch_ns(ts) // 1000000000
-                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-               ), 4) AS avg_1h
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w AS avg_1h
         FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts) // 1000000000
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
     """,
     tags=("W4", "F2", "timeseries"),
@@ -423,8 +423,14 @@ def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3600, Window.currentRow)
     )
     return (
+        # exact DECIMAL window sum / window count: a windowed float avg
+        # differs across engines (DuckDB segment-tree association)
         ev.select(
-            "event_id", F.round(F.avg("value").over(w), 4).alias("avg_1h")
+            "event_id",
+            (
+                F.sum(money("value")).over(w).cast("double")
+                / F.count("value").over(w)
+            ).alias("avg_1h"),
         ).orderBy("event_id")
     )
 
@@ -534,8 +540,11 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_clipped,
-               round(avg(least(greatest(value, lo), hi)), 4) AS wins_avg,
-               round(avg(value), 4) AS raw_avg
+               CAST(sum(CAST(floor(least(greatest(value, lo), hi)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS wins_avg,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS raw_avg
         FROM events e JOIN b USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
@@ -573,8 +582,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_clipped"),
-            F.round(F.avg(clipped), 4).alias("wins_avg"),
-            F.round(F.avg("value"), 4).alias("raw_avg"),
+            # per-row clamps can differ by the percentile-interpolation
+            # ulp between engines — the 1e-6 grid pin absorbs it; the
+            # raw avg is ONE division of the exact DECIMAL sum
+            exact_avg(clipped, 6).alias("wins_avg"),
+            (money_sum("value") / F.count("*")).alias("raw_avg"),
         )
         .orderBy("event_type")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    exact_avg,
     exact_sum,
     money,
     money_sum,
@@ -1819,8 +1820,10 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events GROUP BY 1, 2)
         SELECT a.event_type,
                count(*) AS n_days,
-               round(avg(abs(a.n - b.n)), 4) AS mae,
-               round(avg(abs(a.n - b.n) * 2.0 / (a.n + b.n)), 6) AS smape
+               sum(abs(a.n - b.n)) * 1.0 / count(*) AS mae,
+               CAST(sum(CAST(floor((abs(a.n - b.n) * 2.0 / (a.n + b.n))
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS smape
         FROM c a
         JOIN c b ON b.event_type = a.event_type
                AND b.d = a.d - INTERVAL 7 DAY
@@ -1856,13 +1859,17 @@ def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_days"),
-            F.round(F.avg(F.abs(F.col("n") - F.col("n_pred"))), 4).alias("mae"),
-            F.round(
-                F.avg(
-                    F.abs(F.col("n") - F.col("n_pred"))
-                    * 2.0
-                    / (F.col("n") + F.col("n_pred"))
-                ),
+            # exact integer |error| sum -> ONE double division; sMAPE's
+            # per-pair ratios are identical doubles -> 1e-6 grid pin +
+            # exact int64 sum (exact_avg recipe)
+            (
+                F.sum(F.abs(F.col("n") - F.col("n_pred"))) * F.lit(1.0)
+                / F.count("*")
+            ).alias("mae"),
+            exact_avg(
+                F.abs(F.col("n") - F.col("n_pred"))
+                * 2.0
+                / (F.col("n") + F.col("n_pred")),
                 6,
             ).alias("smape"),
         )
@@ -2514,7 +2521,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(value), 4) AS avg_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_value
         FROM events
         GROUP BY dow, hr
         ORDER BY dow, hr
@@ -2539,7 +2547,7 @@ def q_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (money_sum("value") / F.count("*")).alias("avg_value"),
         )
         .orderBy("dow", "hr")
     )
@@ -2796,14 +2804,19 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
                           count(*) AS n
                    FROM events GROUP BY 1, 2)
+        , m AS (SELECT event_type, count(*) AS c,
+                       sum(n) AS s1, sum(n * n) AS s2
+                FROM h GROUP BY event_type)
         SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n_hours,
-               round(avg(n), 4) AS mean_per_hour,
-               round(var_pop(n), 4) AS var_per_hour,
-               round(var_pop(n) / avg(n), 4) AS fano,
-               var_pop(n) / avg(n) > 1.5 AS bursty
-        FROM h
-        GROUP BY event_type
+               CAST(c AS BIGINT) AS n_hours,
+               s1 * 1.0 / c AS mean_per_hour,
+               CAST(c * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(c * c AS DOUBLE) AS var_per_hour,
+               CAST(c * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(c * s1 AS DOUBLE) AS fano,
+               CAST(c * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(c * s1 AS DOUBLE) > 1.5 AS bursty
+        FROM m
         ORDER BY event_type
     """,
     tags=("A5", "F2", "diagnostic"),
@@ -2829,17 +2842,31 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
         .agg(F.count("*").alias("n"))
     )
-    return (
-        h.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_hours"),
-            F.round(F.avg("n"), 4).alias("mean_per_hour"),
-            F.round(F.var_pop("n"), 4).alias("var_per_hour"),
-            F.round(F.var_pop("n") / F.avg("n"), 4).alias("fano"),
-            (F.var_pop("n") / F.avg("n") > 1.5).alias("bursty"),
-        )
-        .orderBy("event_type")
+    # exact integer sufficient statistics (the q_token_burstiness
+    # recipe): engine var_pop streams float partials in accumulation
+    # order, so its double is not bit-identical across engines; with
+    # m hours, var = (m*S2 - S1^2)/m^2 and fano = (m*S2 - S1^2)/(m*S1)
+    # are single double divisions of order-free int64 sums.
+    m = h.groupBy("event_type").agg(
+        F.count("*").alias("c"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
+    num = (F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type",
+        F.col("c").cast("long").alias("n_hours"),
+        (F.col("s1") * F.lit(1.0) / F.col("c")).alias("mean_per_hour"),
+        (num / (F.col("c") * F.col("c")).cast("double")).alias(
+            "var_per_hour"
+        ),
+        (num / (F.col("c") * F.col("s1")).cast("double")).alias("fano"),
+        (num / (F.col("c") * F.col("s1")).cast("double") > 1.5).alias(
+            "bursty"
+        ),
+    ).orderBy("event_type")
 
 
 @query(
@@ -3866,7 +3893,7 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def pin4(col):
-        return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+        return pin(col, 4)  # shared floor-pin (functions.pin)
 
     h = (
         scan(spark, sf_dir, "events")

@@ -659,16 +659,19 @@ def q_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUP BY doc_id, lang),
         ent AS (
           SELECT cf.doc_id, cf.lang,
-                 round(-sum((cf.n * 1.0 / dl.tot)
-                            * log2(cf.n * 1.0 / dl.tot)), 4) AS h
+                 -(CAST(sum(CAST(floor((cf.n * 1.0 / dl.tot)
+                                       * log2(cf.n * 1.0 / dl.tot)
+                                       * 100000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100000000.0) AS h
           FROM cf JOIN dl ON cf.doc_id = dl.doc_id
           GROUP BY cf.doc_id, cf.lang)
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN h >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_kept,
-               round(avg(h), 4) AS avg_entropy,
-               round(min(h), 4) AS min_entropy
+               CAST(sum(CAST(floor(h * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_entropy,
+               min(h) AS min_entropy
         FROM ent
         GROUP BY lang
         ORDER BY lang
@@ -704,10 +707,26 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = ch.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("n"))
     dl = cf.groupBy("doc_id").agg(F.sum("n").alias("tot"))
     p = F.col("n") / F.col("tot")
+    # per-char entropy terms are identical doubles (one division +
+    # log2, whose libm ulp the 1e-8 grid absorbs); the per-doc sum
+    # accumulates as exact int64 (the exact_sum recipe), so h — the
+    # 4.0 threshold input — is bit-identical across engines, and the
+    # per-lang avg re-pins h onto a 1e-4 grid before an exact sum.
     ent = (
         cf.join(dl, "doc_id")
         .groupBy("doc_id", "lang")
-        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("h"))
+        .agg(
+            (
+                -(
+                    F.sum(
+                        F.floor(
+                            p * F.log2(p) * F.lit(100000000.0) + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(100000000.0)
+                )
+            ).alias("h")
+        )
     )
     return (
         ent.groupBy("lang")
@@ -716,8 +735,8 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("h") >= 4.0, 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
-            F.round(F.avg("h"), 4).alias("avg_entropy"),
-            F.round(F.min("h"), 4).alias("min_entropy"),
+            exact_avg("h", 4).alias("avg_entropy"),
+            F.min("h").alias("min_entropy"),
         )
         .orderBy("lang")
     )

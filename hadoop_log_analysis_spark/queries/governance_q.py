@@ -1175,11 +1175,13 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-                        round(avg(len(toks)), 4) AS mean_doc_tokens,
+                        sum(len(toks)) * 1.0 / count(*)
+                          AS mean_doc_tokens,
                         round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
-                        round(avg(CASE WHEN 1.0 - len(list_distinct(toks))
-                                            * 1.0 / len(toks) <= 0.4
-                                       THEN 1.0 ELSE 0.0 END), 4)
+                        floor((sum(CASE WHEN 1.0 - len(list_distinct(toks))
+                                             * 1.0 / len(toks) <= 0.4
+                                        THEN 1 ELSE 0 END) * 1.0 / count(*))
+                              * 10000.0 + 0.5) / 10000.0
                           AS repetition_pass_rate
                  FROM t),
         tk AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
@@ -1214,10 +1216,15 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
-        F.round(F.avg(F.size(toks)), 4).alias("mean_doc_tokens"),
+        # exact integer token sum -> ONE identical double division
+        (F.sum(F.size(toks)) * F.lit(1.0) / F.count("*")).alias(
+            "mean_doc_tokens"
+        ),
         F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
-        F.round(
-            F.avg(F.when(rep_pass, F.lit(1.0)).otherwise(0.0)), 4
+        pin(
+            F.sum(F.when(rep_pass, 1).otherwise(0)) * F.lit(1.0)
+            / F.count("*"),
+            4,
         ).alias("repetition_pass_rate"),
     )
     tk = docs.select(F.explode(toks).alias("tok")).agg(
@@ -2878,14 +2885,19 @@ CALIB_SCALE = 100.0
           SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
                  score, y
           FROM s)
+        , m AS (
+          SELECT bin, count(*) AS n, sum(y) AS sy,
+                 sum(CAST(floor(score * 100000000.0 + 0.5) AS BIGINT)) AS sg
+          FROM b GROUP BY bin)
         SELECT bin,
-               CAST(count(*) AS BIGINT) AS n,
-               round(avg(score), 4) AS mean_score,
-               floor(avg(CAST(y AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
-                 AS frac_pos,
-               round(abs(avg(score) - avg(CAST(y AS DOUBLE))), 4) AS gap
-        FROM b
-        GROUP BY bin
+               CAST(n AS BIGINT) AS n,
+               floor((CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0))
+                     * 10000.0 + 0.5) / 10000.0 AS mean_score,
+               floor((sy * 1.0 / n) * 10000.0 + 0.5) / 10000.0 AS frac_pos,
+               floor(abs(CAST(sg AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 100000000.0)
+                         - sy * 1.0 / n) * 10000.0 + 0.5) / 10000.0 AS gap
+        FROM m
         ORDER BY bin
     """,
     tags=("A1", "governance", "mleval"),
@@ -2929,13 +2941,32 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("score"), 4).alias("mean_score"),
-            # floor-pin: frac_pos is a ratio of exact integer counts
-            # (k/32-shaped midpoint exposure); mean_score/gap keep
-            # round() (transcendental-valued, never a midpoint).
-            pin(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
-            F.round(
-                F.abs(F.avg("score") - F.avg(F.col("y").cast("double"))), 4
+            F.sum("y").alias("sy"),
+            # per-row scores are identical doubles up to exp() libm
+            # ulp, absorbed by the 1e-8 grid; the sums are order-free
+            # exact int64 (the exact_avg recipe)
+            F.sum(
+                F.floor(
+                    F.col("score") * F.lit(100000000.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("sg"),
+        )
+        .select(
+            "bin",
+            "n",
+            pin(
+                F.col("sg").cast("double")
+                / (F.col("n").cast("double") * F.lit(100000000.0)),
+                4,
+            ).alias("mean_score"),
+            pin(F.col("sy") * F.lit(1.0) / F.col("n"), 4).alias("frac_pos"),
+            pin(
+                F.abs(
+                    F.col("sg").cast("double")
+                    / (F.col("n").cast("double") * F.lit(100000000.0))
+                    - F.col("sy") * F.lit(1.0) / F.col("n")
+                ),
+                4,
             ).alias("gap"),
         )
         .orderBy("bin")
@@ -2950,13 +2981,22 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / {CALIB_SCALE})) AS score,
                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
           FROM documents)
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(y), 6) AS base_rate,
-               round(avg((score - y) * (score - y)), 6) AS brier,
-               round(avg(y) * (1.0 - avg(y)), 6) AS brier_ref,
-               round(1.0 - avg((score - y) * (score - y))
-                     / (avg(y) * (1.0 - avg(y))), 6) AS skill
-        FROM s
+        , m AS (
+          SELECT count(*) AS n, sum(y) AS sy,
+                 sum(CAST(floor((score - y) * (score - y)
+                                * 100000000.0 + 0.5) AS BIGINT)) AS sq
+          FROM s)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               floor((sy / n) * 1000000.0 + 0.5) / 1000000.0 AS base_rate,
+               floor((CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS brier,
+               floor(((sy / n) * (1.0 - sy / n)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS brier_ref,
+               floor((1.0 - CAST(sq AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 100000000.0)
+                            / ((sy / n) * (1.0 - sy / n)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS skill
+        FROM m
     """,
     tags=("A2", "governance", "mleval"),
 )
@@ -2982,14 +3022,29 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
+    # y sums are exact (0/1 doubles); per-row squared errors are
+    # identical doubles up to the exp() libm ulp, absorbed by the
+    # 1e-8 grid before an order-free int64 sum; every output is then
+    # identically parenthesized double arithmetic, 6-dp floor-pinned.
     sq = (F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))
-    return s.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("y"), 6).alias("base_rate"),
-        F.round(F.avg(sq), 6).alias("brier"),
-        F.round(F.avg("y") * (1.0 - F.avg("y")), 6).alias("brier_ref"),
-        F.round(
-            1.0 - F.avg(sq) / (F.avg("y") * (1.0 - F.avg("y"))), 6
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.floor(sq * F.lit(100000000.0) + F.lit(0.5)).cast("long")
+        ).alias("sq"),
+    )
+    br = F.col("sy") / F.col("n")
+    brier_raw = F.col("sq").cast("double") / (
+        F.col("n").cast("double") * F.lit(100000000.0)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        pin(br, 6).alias("base_rate"),
+        pin(brier_raw, 6).alias("brier"),
+        pin(br * (F.lit(1.0) - br), 6).alias("brier_ref"),
+        pin(
+            F.lit(1.0) - brier_raw / (br * (F.lit(1.0) - br)), 6
         ).alias("skill"),
     )
 

@@ -507,8 +507,8 @@ def q_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
                count(*) AS n,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               round(avg((doc_id % 16 + 1) * 64), 2) AS avg_w,
-               round(avg((doc_id % 9 + 1) * 64), 2) AS avg_h
+               sum((doc_id % 16 + 1) * 64) * 1.0 / count(*) AS avg_w,
+               sum((doc_id % 9 + 1) * 64) * 1.0 / count(*) AS avg_h
         FROM documents
         GROUP BY fmt
         ORDER BY fmt
@@ -538,8 +538,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("width"), 2).alias("avg_w"),
-            F.round(F.avg("height"), 2).alias("avg_h"),
+            (F.sum("width") * F.lit(1.0) / F.count("*")).alias("avg_w"),
+            (F.sum("height") * F.lit(1.0) / F.count("*")).alias("avg_h"),
         )
         .orderBy("fmt")
     )
@@ -3120,7 +3120,7 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def pin4(col):
-        return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+        return pin(col, 4)  # shared floor-pin (functions.pin)
 
     t = F.col("text")
     s = scan(spark, sf_dir, "documents").select(

@@ -17,6 +17,7 @@ from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.functions import (
     HASH_MOD,
     HASH_MULT,
+    exact_avg,
     exact_sum,
     money,
     rate,
@@ -343,7 +344,11 @@ def q_inverted_index_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS code
                    FROM pe JOIN mm USING (pos))
         SELECT vec_id,
-               round(avg(abs(x - (mn + (code + 0.5) * (mx - mn) / 255.0))), 6) AS q_err
+               CAST(sum(CAST(floor(abs(x - (mn + (code + 0.5)
+                                            * (mx - mn) / 255.0))
+                                   * 100000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 100000000.0) AS q_err
         FROM j
         GROUP BY vec_id
         ORDER BY vec_id
@@ -376,7 +381,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.join(F.broadcast(mm), "pos")
         .withColumn("code", code)
         .groupBy("vec_id")
-        .agg(F.round(F.avg(F.abs(F.col("x") - dequant)), 6).alias("q_err"))
+        # per-component errors are identical doubles; the per-vector
+        # float avg is order-dependent -> 1e-8 grid + exact int64 sum
+        .agg(exact_avg(F.abs(F.col("x") - dequant), 8).alias("q_err"))
         .orderBy("vec_id")
     )
 

@@ -188,7 +188,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                count(*) FILTER (WHERE event_type = 'error') AS n_errors,
-               round(avg(value), 4) AS avg_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS avg_value
         FROM events
     """,
     tags=("diagnostic", "A2"),
@@ -208,7 +209,7 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (money_sum("value") / F.count(F.lit(1))).alias("avg_value"),
     )
     ev.write.format("noop").mode("overwrite").save()  # one real action
     m = obs.get
@@ -885,7 +886,8 @@ def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
                round(min(l_quantity), 2) AS min_v,
                round(max(l_quantity), 2) AS max_v,
-               round(avg(l_quantity), 4) AS mean_v
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_quantity) AS mean_v
         FROM lineitem
         UNION ALL
         SELECT 'l_discount',
@@ -893,7 +895,8 @@ def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(l_discount) AS BIGINT),
                CAST(count(DISTINCT l_discount) AS BIGINT),
                round(min(l_discount), 2), round(max(l_discount), 2),
-               round(avg(l_discount), 4)
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_discount)
         FROM lineitem
         UNION ALL
         SELECT 'l_extendedprice',
@@ -902,7 +905,8 @@ def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT l_extendedprice) AS BIGINT),
                round(min(l_extendedprice), 2),
                round(max(l_extendedprice), 2),
-               round(avg(l_extendedprice), 4)
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice)
         FROM lineitem
         ORDER BY col
     """,
@@ -932,7 +936,8 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
             F.round(F.min(c), 2).alias(f"{c}__min"),
             F.round(F.max(c), 2).alias(f"{c}__max"),
-            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            # exact DECIMAL sum / non-null count: ONE identical division
+            (money_sum(c) / F.count(c)).alias(f"{c}__mean"),
         ]
     wide = li.agg(*aggs)
     stack = ", ".join(

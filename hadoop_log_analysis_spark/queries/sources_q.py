@@ -478,8 +478,8 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
                count(*) AS n_files,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS body_bytes,
-               round(avg((doc_id % 16 + 1) * 64), 2) AS avg_w,
-               round(avg((doc_id % 9 + 1) * 64), 2) AS avg_h
+               sum((doc_id % 16 + 1) * 64) * 1.0 / count(*) AS avg_w,
+               sum((doc_id % 9 + 1) * 64) * 1.0 / count(*) AS avg_h
         FROM documents
         WHERE doc_id < 200
         GROUP BY fmt
@@ -557,8 +557,8 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             F.sum("n_bytes").alias("body_bytes"),
-            F.round(F.avg("width"), 2).alias("avg_w"),
-            F.round(F.avg("height"), 2).alias("avg_h"),
+            (F.sum("width") * F.lit(1.0) / F.count("*")).alias("avg_w"),
+            (F.sum("height") * F.lit(1.0) / F.count("*")).alias("avg_h"),
         )
         .orderBy("fmt")
     )
@@ -740,7 +740,7 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(n_chars), 2) AS avg_chars,
+               sum(n_chars) * 1.0 / count(*) AS avg_chars,
                TRUE AS audit_passed
         FROM documents
         WHERE n_chars >= 100
@@ -800,7 +800,9 @@ def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            (F.sum("n_chars") * F.lit(1.0) / F.count("*")).alias(
+                "avg_chars"
+            ),
         )
         .withColumn("audit_passed", F.lit(True))
         .orderBy("lang")

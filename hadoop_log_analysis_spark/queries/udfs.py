@@ -172,17 +172,22 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udtf_polymorphic",
     oracle="""
         SELECT 'o_totalprice' AS col_name,
-               round(avg(o_totalprice), 4) AS mean_val,
-               round(min(o_totalprice), 4) AS min_val,
-               round(max(o_totalprice), 4) AS max_val
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS mean_val,
+               min(o_totalprice) AS min_val,
+               max(o_totalprice) AS max_val
         FROM orders
         UNION ALL
-        SELECT 'p_retailprice', round(avg(p_retailprice), 4),
-               round(min(p_retailprice), 4), round(max(p_retailprice), 4)
+        SELECT 'p_retailprice',
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*),
+               min(p_retailprice), max(p_retailprice)
         FROM part
         UNION ALL
-        SELECT 'p_size', round(avg(p_size), 4),
-               round(min(p_size), 4), round(max(p_size), 4)
+        SELECT 'p_size',
+               CAST(sum(CAST(p_size AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*),
+               CAST(min(p_size) AS DOUBLE), CAST(max(p_size) AS DOUBLE)
         FROM part
         ORDER BY col_name
     """,
@@ -231,9 +236,15 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         melted.groupBy("col_name")
         .agg(
-            F.round(F.avg("val"), 4).alias("mean_val"),
-            F.round(F.min("val"), 4).alias("min_val"),
-            F.round(F.max("val"), 4).alias("max_val"),
+            # vals are 2-dp money / small ints melted to double: the
+            # exact DECIMAL view sums them exactly; min/max are
+            # order-free over identical doubles
+            (
+                F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
         )
         .orderBy("col_name")
     )
