@@ -4291,18 +4291,26 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events GROUP BY 1),
         l AS (SELECT unnest(generate_series(1, 5)) AS lag),
         acf AS (
-          SELECT l.lag, round(corr(a.n, b.n), 6) AS r
+          SELECT l.lag,
+                 CAST(floor(((count(*) * sum(a.n * b.n)
+                              - sum(a.n) * sum(b.n))
+                             / sqrt(CAST(count(*) * sum(a.n * a.n)
+                                         - sum(a.n) * sum(a.n) AS DOUBLE)
+                                    * CAST(count(*) * sum(b.n * b.n)
+                                           - sum(b.n) * sum(b.n)
+                                           AS DOUBLE)))
+                            * 1000000.0 + 0.5) AS BIGINT) AS r6
           FROM l
           CROSS JOIN c a
           JOIN c b ON b.d = a.d - CAST(l.lag AS INTEGER)
           GROUP BY l.lag),
         agg AS (
-          SELECT sum(r) AS rsum FROM acf),
+          SELECT CAST(sum(r6) AS DOUBLE) / 1000000.0 AS rsum FROM acf),
         nn AS (SELECT count(*) AS n_days FROM c)
         SELECT CAST(nn.n_days AS BIGINT) AS n_days,
-               round(agg.rsum, 6) AS acf_sum_1_5,
-               round(nn.n_days / greatest(1 + 2 * agg.rsum, 1.0), 2)
-                 AS effective_n,
+               agg.rsum AS acf_sum_1_5,
+               floor((nn.n_days / greatest(1 + 2 * agg.rsum, 1.0))
+                     * 100.0 + 0.5) / 100.0 AS effective_n,
                floor(greatest(1 + 2 * agg.rsum, 1.0) * 10000.0 + 0.5)
                  / 10000.0 AS inflation_factor
         FROM nn CROSS JOIN agg
@@ -4335,28 +4343,42 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_now"),
     )
     prev = c.select(F.col("d").alias("d_prev"), F.col("n").alias("n_prev"))
+    # per-lag correlations from exact integer moments (engine corr()
+    # streams float co-moments in accumulation order): with m pairs,
+    # r = (m*Sxy - Sx*Sy)/sqrt((m*Sxx - Sx^2)*(m*Syy - Sy^2)) over
+    # order-free exact sums, floor-pinned onto a 1e-6 INTEGER grid so
+    # the 5-lag sum is itself an exact integer sum.
+    x, y = F.col("n_now"), F.col("n_prev")
+    mcnt = F.count("*")
+    rnum = mcnt * F.sum(x * y) - F.sum(x) * F.sum(y)
+    # each variance numerator is an exact int64 (< 2^53, so the
+    # double conversion is exact); cast BEFORE the product, whose
+    # int64 form would overflow at larger scale factors
+    rden = F.sqrt(
+        (mcnt * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double")
+        * (mcnt * F.sum(y * y) - F.sum(y) * F.sum(y)).cast("double")
+    )
     acf = (
         probe.join(prev, "d_prev")
         .groupBy("lag")
-        .agg(F.round(F.corr("n_now", "n_prev"), 6).alias("r"))
+        .agg(
+            F.floor(rnum / rden * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("r6")
+        )
     )
-    agg = acf.agg(F.sum("r").alias("rsum"))
+    agg = acf.agg(
+        (F.sum("r6").cast("double") / F.lit(1000000.0)).alias("rsum")
+    )
     nn = c.agg(F.count("*").alias("n_days"))
     infl = F.greatest(1 + 2 * F.col("rsum"), F.lit(1.0))
     return (
         nn.crossJoin(F.broadcast(agg))
         .select(
             F.col("n_days").cast("long").alias("n_days"),
-            F.round("rsum", 6).alias("acf_sum_1_5"),
-            F.round(F.col("n_days") / infl, 2).alias("effective_n"),
-            # floor-pin: infl = 1 + 2*rsum is a SHORT decimal (sum of
-            # 6-dp-pinned ACF values), so a 4-dp round() sits on an
-            # exact midpoint whenever rsum ends in ...25/...75 —
-            # engine tie-breaks diverge there.
-            (
-                F.floor(infl * F.lit(10000.0) + F.lit(0.5))
-                / F.lit(10000.0)
-            ).alias("inflation_factor"),
+            F.col("rsum").alias("acf_sum_1_5"),
+            pin(F.col("n_days") / infl, 2).alias("effective_n"),
+            pin(infl, 4).alias("inflation_factor"),
         )
     )
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hadoop_log_analysis_spark.functions import exact_avg
+from hadoop_log_analysis_spark.functions import exact_avg, pin
 from hadoop_log_analysis_spark.operators.ranking import exact_rank
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -1671,7 +1671,13 @@ NEYMAN_BUDGET = 500  # docs to sample across sources, optimally
     oracle=f"""
         WITH src AS (
           SELECT source, count(*) AS n,
-                 round(coalesce(stddev_samp(n_chars), 0), 4) AS sd
+                 CASE WHEN count(*) > 1
+                      THEN floor(sqrt(CAST(count(*) * sum(n_chars * n_chars)
+                                           - sum(n_chars) * sum(n_chars)
+                                           AS DOUBLE)
+                                      / (count(*) * (count(*) - 1.0)))
+                                 * 10000.0 + 0.5) / 10000.0
+                      ELSE 0 END AS sd
           FROM documents GROUP BY source),
         w AS (
           SELECT source, n, sd, n * sd AS wgt,
@@ -1720,9 +1726,26 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0)), 4
-            ).alias("sd"),
+            # exact integer sufficient statistics (engine stddev_samp
+            # streams float partials; sd feeds the weights, remainder
+            # ranks, and INTEGER allocation): sqrt of one identical
+            # double from order-free int64 sums, floor-pinned at 4 dp
+            F.when(
+                F.count("*") > 1,
+                pin(
+                    F.sqrt(
+                        (
+                            F.count("*")
+                            * F.sum(F.col("n_chars") * F.col("n_chars"))
+                            - F.sum("n_chars") * F.sum("n_chars")
+                        ).cast("double")
+                        / (F.count("*") * (F.count("*") - F.lit(1.0)))
+                    ),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sd"),
         )
     )
     w_all = Window.partitionBy()

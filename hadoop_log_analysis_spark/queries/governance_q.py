@@ -2228,10 +2228,18 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ab_power_calc",
     oracle="""
-        WITH m AS (
-          SELECT var_samp(value) AS s2, avg(value) AS mu,
-                 count(*) AS n
+        WITH ms AS (
+          SELECT count(*) AS n,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sc,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                     * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sc2
           FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT n,
+                 CAST(sc AS DOUBLE) / (n * 100.0) AS mu,
+                 CAST(n * sc2 - sc * sc AS DOUBLE)
+                   / (n * (n - 1.0)) / 10000.0 AS s2
+          FROM ms),
         mde AS (SELECT unnest([0.05, 0.10, 0.20]) AS rel_mde)
         SELECT round(mde.rel_mde, 2) AS rel_mde,
                floor((mde.rel_mde * m.mu) * 10000.0 + 0.5) / 10000.0
@@ -2266,14 +2274,31 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — the decimal-midpoint shape where engine round()
     tie-breaks diverge).
     """
-    m = (
+    # exact integer-cent sufficient statistics (engine var_samp/avg
+    # stream float partials; n_per_arm is an INTEGER ceil that a
+    # 1-ulp wobble could flip): mu and s2 derive from order-free
+    # int64 cent sums through identically parenthesized doubles.
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    ms = (
         scan(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .agg(
-            F.var_samp("value").alias("s2"),
-            F.avg("value").alias("mu"),
             F.count("*").alias("n"),
+            F.sum(cents).alias("sc"),
+            F.sum(cents * cents).alias("sc2"),
         )
+    )
+    nn = F.col("n")
+    m = ms.select(
+        "n",
+        (F.col("sc").cast("double") / (nn * F.lit(100.0))).alias("mu"),
+        (
+            (nn * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double")
+            / (nn * (nn - F.lit(1.0)))
+            / F.lit(10000.0)
+        ).alias("s2"),
     )
     mde = spark.createDataFrame(
         [(0.05,), (0.10,), (0.20,)], "rel_mde double"
@@ -2439,31 +2464,46 @@ def q_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH u AS (
           SELECT user_id,
                  sum(CASE WHEN event_type = 'purchase'
-                          THEN value ELSE 0 END) AS x,
+                          THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS xc,
                  count(*) AS y
           FROM events GROUP BY user_id),
+        ms AS (
+          SELECT count(*) AS n, sum(xc) AS sx, sum(y) AS sy,
+                 sum(xc * xc) AS sxx, sum(y * y) AS syy,
+                 sum(xc * y) AS sxy
+          FROM u),
         m AS (
-          SELECT count(*) AS n,
-                 avg(x) AS mx, avg(y) AS my,
-                 var_samp(x) AS vx, var_samp(y) AS vy,
-                 covar_samp(x, y) AS cxy
-          FROM u)
+          SELECT n,
+                 CAST(sx AS DOUBLE) / (n * 100.0) AS mx,
+                 sy * 1.0 / n AS my,
+                 CAST(n * sxx - sx * sx AS DOUBLE)
+                   / (n * (n - 1.0)) / 10000.0 AS vx,
+                 CAST(n * syy - sy * sy AS DOUBLE)
+                   / (n * (n - 1.0)) AS vy,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * (n - 1.0)) / 100.0 AS cxy
+          FROM ms)
         SELECT CAST(n AS BIGINT) AS n_users,
-               round(mx / my, 6) AS ratio,
-               round((vx - 2 * (mx / my) * cxy
-                      + (mx / my) * (mx / my) * vy)
-                     / (my * my) / n, 10) AS var_ratio,
-               round(sqrt((vx - 2 * (mx / my) * cxy
+               floor((mx / my) * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+               floor(((vx - 2 * (mx / my) * cxy
+                       + (mx / my) * (mx / my) * vy)
+                      / (my * my) / n) * 10000000000.0 + 0.5)
+                 / 10000000000.0 AS var_ratio,
+               floor(sqrt((vx - 2 * (mx / my) * cxy
                            + (mx / my) * (mx / my) * vy)
-                          / (my * my) / n), 6) AS se_ratio,
-               round(mx / my - 1.959964
-                     * sqrt((vx - 2 * (mx / my) * cxy
-                             + (mx / my) * (mx / my) * vy)
-                            / (my * my) / n), 6) AS ci_lo,
-               round(mx / my + 1.959964
-                     * sqrt((vx - 2 * (mx / my) * cxy
-                             + (mx / my) * (mx / my) * vy)
-                            / (my * my) / n), 6) AS ci_hi
+                          / (my * my) / n) * 1000000.0 + 0.5)
+                 / 1000000.0 AS se_ratio,
+               floor((mx / my - 1.959964
+                      * sqrt((vx - 2 * (mx / my) * cxy
+                              + (mx / my) * (mx / my) * vy)
+                             / (my * my) / n)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS ci_lo,
+               floor((mx / my + 1.959964
+                      * sqrt((vx - 2 * (mx / my) * cxy
+                              + (mx / my) * (mx / my) * vy)
+                             / (my * my) / n)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS ci_hi
         FROM m
     """,
     tags=("A5", "governance", "robust"),
@@ -2482,24 +2522,54 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     and closed-form scalar algebra. The z constant matches
     q_ab_power_calc's literal. Outputs round at 6/10 dp.
     """
+    # exact integer-cent sufficient statistics (the covariance
+    # recipe): engine avg/var_samp/covar_samp stream float partials
+    # in accumulation order; here every moment derives from order-free
+    # int64 sums through identically parenthesized double algebra.
+    # int64 headroom: sx^2 ~ (users * max-cents)^2 stays < 2^63 at
+    # fixture scales; carry the sums as DECIMAL beyond ~1e9 users.
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
     u = (
         scan(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.sum(
-                F.when(F.col("event_type") == "purchase", F.col("value"))
-                .otherwise(0.0)
-            ).alias("x"),
+                F.when(F.col("event_type") == "purchase", cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("xc"),
             F.count("*").alias("y"),
         )
     )
-    m = u.agg(
+    ms = u.agg(
         F.count("*").alias("n"),
-        F.avg("x").alias("mx"),
-        F.avg("y").alias("my"),
-        F.var_samp("x").alias("vx"),
-        F.var_samp("y").alias("vy"),
-        F.covar_samp("x", "y").alias("cxy"),
+        F.sum("xc").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n")
+    m = ms.select(
+        "n",
+        (F.col("sx").cast("double") / (nn * F.lit(100.0))).alias("mx"),
+        (F.col("sy") * F.lit(1.0) / nn).alias("my"),
+        (
+            (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (nn * (nn - F.lit(1.0)))
+            / F.lit(10000.0)
+        ).alias("vx"),
+        (
+            (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            / (nn * (nn - F.lit(1.0)))
+        ).alias("vy"),
+        (
+            (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (nn * (nn - F.lit(1.0)))
+            / F.lit(100.0)
+        ).alias("cxy"),
     )
     r = F.col("mx") / F.col("my")
     var_r = (
@@ -2510,11 +2580,11 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = F.sqrt(var_r)
     return m.select(
         F.col("n").cast("long").alias("n_users"),
-        F.round(r, 6).alias("ratio"),
-        F.round(var_r, 10).alias("var_ratio"),
-        F.round(se, 6).alias("se_ratio"),
-        F.round(r - 1.959964 * se, 6).alias("ci_lo"),
-        F.round(r + 1.959964 * se, 6).alias("ci_hi"),
+        pin(r, 6).alias("ratio"),
+        pin(var_r, 10).alias("var_ratio"),
+        pin(se, 6).alias("se_ratio"),
+        pin(r - 1.959964 * se, 6).alias("ci_lo"),
+        pin(r + 1.959964 * se, 6).alias("ci_hi"),
     )
 
 
@@ -3397,19 +3467,25 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / {CALIB_SCALE})) AS score,
                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
           FROM documents)
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(-(y * ln(score)
-                           + (1.0 - y) * ln(1.0 - score))), 6)
-                 AS log_loss,
-               round(-(avg(y) * ln(avg(y))
-                       + (1.0 - avg(y)) * ln(1.0 - avg(y))), 6)
-                 AS entropy_ref,
-               round(1.0 - avg(-(y * ln(score)
-                                 + (1.0 - y) * ln(1.0 - score)))
-                     / -(avg(y) * ln(avg(y))
-                         + (1.0 - avg(y)) * ln(1.0 - avg(y))), 6)
+        , m AS (
+          SELECT count(*) AS n, sum(y) AS sy,
+                 sum(CAST(floor(-(y * ln(score)
+                                  + (1.0 - y) * ln(1.0 - score))
+                                * 100000000.0 + 0.5) AS BIGINT)) AS sll
+          FROM s),
+        r AS (
+          SELECT n,
+                 CAST(sll AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+                   AS loss,
+                 -((sy / n) * ln(sy / n)
+                   + (1.0 - sy / n) * ln(1.0 - sy / n)) AS ref
+          FROM m)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               floor(loss * 1000000.0 + 0.5) / 1000000.0 AS log_loss,
+               floor(ref * 1000000.0 + 0.5) / 1000000.0 AS entropy_ref,
+               floor((1.0 - loss / ref) * 1000000.0 + 0.5) / 1000000.0
                  AS skill
-        FROM s
+        FROM r
     """,
     tags=("A2", "governance", "mleval"),
 )
@@ -3438,19 +3514,29 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
-    loss = F.avg(
-        -(
-            F.col("y") * F.log(F.col("score"))
-            + (1.0 - F.col("y")) * F.log(1.0 - F.col("score"))
-        )
+    # per-row loss terms are identical doubles up to ln() libm ulp,
+    # absorbed by the 1e-8 grid; the sum is order-free int64 and the
+    # label sum is exact, so loss/ref/skill are identically
+    # parenthesized doubles, floor-pinned at 6 dp.
+    term = -(
+        F.col("y") * F.log(F.col("score"))
+        + (1.0 - F.col("y")) * F.log(1.0 - F.col("score"))
     )
-    ref = -(
-        F.avg("y") * F.log(F.avg("y"))
-        + (1.0 - F.avg("y")) * F.log(1.0 - F.avg("y"))
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.floor(term * F.lit(100000000.0) + F.lit(0.5)).cast("long")
+        ).alias("sll"),
     )
-    return s.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(loss, 6).alias("log_loss"),
-        F.round(ref, 6).alias("entropy_ref"),
-        F.round(1.0 - loss / ref, 6).alias("skill"),
+    br = F.col("sy") / F.col("n")
+    loss = F.col("sll").cast("double") / (
+        F.col("n").cast("double") * F.lit(100000000.0)
+    )
+    ref = -(br * F.log(br) + (F.lit(1.0) - br) * F.log(F.lit(1.0) - br))
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        pin(loss, 6).alias("log_loss"),
+        pin(ref, 6).alias("entropy_ref"),
+        pin(F.lit(1.0) - loss / ref, 6).alias("skill"),
     )

@@ -3170,19 +3170,25 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, lang, n_chars * 1.0 AS x,
                  len(string_split(text, ' ')) * 1.0 AS y
           FROM documents),
-        m AS (
-          SELECT avg(x) AS mx, avg(y) AS my,
-                 var_samp(x) AS sxx, var_samp(y) AS syy,
-                 covar_samp(x, y) AS sxy
+        ms AS (
+          SELECT count(*) AS n, sum(x) AS sx_, sum(y) AS sy_,
+                 sum(x * x) AS sxx_, sum(y * y) AS syy_,
+                 sum(x * y) AS sxy_
           FROM f),
+        m AS (
+          SELECT sx_ / n AS mx, sy_ / n AS my,
+                 (n * sxx_ - sx_ * sx_) / (n * (n - 1.0)) AS sxx,
+                 (n * syy_ - sy_ * sy_) / (n * (n - 1.0)) AS syy,
+                 (n * sxy_ - sx_ * sy_) / (n * (n - 1.0)) AS sxy
+          FROM ms),
         d AS (
           SELECT f.doc_id, f.lang, f.x, f.y,
-                 round(
-                   ((f.x - m.mx) * (f.x - m.mx) * m.syy
-                    - 2 * (f.x - m.mx) * (f.y - m.my) * m.sxy
-                    + (f.y - m.my) * (f.y - m.my) * m.sxx)
-                   / (m.sxx * m.syy - m.sxy * m.sxy),
-                   4) AS d2
+                 floor(
+                   (((f.x - m.mx) * (f.x - m.mx) * m.syy
+                     - 2 * (f.x - m.mx) * (f.y - m.my) * m.sxy
+                     + (f.y - m.my) * (f.y - m.my) * m.sxx)
+                    / (m.sxx * m.syy - m.sxy * m.sxy))
+                   * 10000.0 + 0.5) / 10000.0 AS d2
           FROM f CROSS JOIN m)
         SELECT doc_id, lang,
                CAST(x AS BIGINT) AS n_chars,
@@ -3216,17 +3222,40 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 1.0).alias("x"),
         (F.size(F.split("text", " ")) * 1.0).alias("y"),
     )
-    m = f.agg(
-        F.avg("x").alias("mx"),
-        F.avg("y").alias("my"),
-        F.var_samp("x").alias("sxx"),
-        F.var_samp("y").alias("syy"),
-        F.covar_samp("x", "y").alias("sxy"),
+    # exact integer sufficient statistics (the covariance recipe):
+    # engine var_samp/covar_samp stream float partials in accumulation
+    # order, and d2 is the ORDER key — the moments instead derive from
+    # order-free exact sums of integer-valued doubles through
+    # identically parenthesized double algebra, and d2 is floor-pinned.
+    ms = f.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx_"),
+        F.sum("y").alias("sy_"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_"),
+    )
+    nn = F.col("n")
+    m = ms.select(
+        (F.col("sx_") / nn).alias("mx"),
+        (F.col("sy_") / nn).alias("my"),
+        (
+            (nn * F.col("sxx_") - F.col("sx_") * F.col("sx_"))
+            / (nn * (nn - F.lit(1.0)))
+        ).alias("sxx"),
+        (
+            (nn * F.col("syy_") - F.col("sy_") * F.col("sy_"))
+            / (nn * (nn - F.lit(1.0)))
+        ).alias("syy"),
+        (
+            (nn * F.col("sxy_") - F.col("sx_") * F.col("sy_"))
+            / (nn * (nn - F.lit(1.0)))
+        ).alias("sxy"),
     )
     dx = F.col("x") - F.col("mx")
     dy = F.col("y") - F.col("my")
     det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
-    d2 = F.round(
+    d2 = pin(
         (
             dx * dx * F.col("syy")
             - 2 * dx * dy * F.col("sxy")
