@@ -30,6 +30,19 @@ HASH_MULT = 2654435761
 HASH_MOD = 1_000_003
 
 
+def subus_key(ts_us_col: Column, id_col: str = "event_id") -> Column:
+    """Collision-proof sub-microsecond ordering key: ``µs*100 + id%100``.
+
+    Truncating ns timestamps to µs can collapse two events onto one
+    instant, where argmin/argmax/as-of tie-breaks would diverge
+    across engines; folding the low id digits into the sub-µs slot
+    makes the key unique per event while preserving time order.
+    Safe range: epoch-µs ~1.7e15 * 100 = 1.7e17 < 2^63. Mirror in
+    oracles with ``epoch_us(ts) * 100 + event_id % 100``.
+    """
+    return ts_us_col * 100 + F.col(id_col) % 100
+
+
 def pin(col: Column, dp: int) -> Column:
     """Algorithm-explicit decimal pin: ``floor(x * 10^dp + 0.5) / 10^dp``.
 

@@ -24,6 +24,7 @@ from hadoop_log_analysis_spark.functions import (
     money,
     money_sum,
     pin,
+    subus_key,
     ts_us,
 )
 from hadoop_log_analysis_spark.queries import query
@@ -2600,7 +2601,7 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(
                 F.struct(
-                    (ts_us() * 100 + F.col("event_id") % 100).alias("k"),
+                    subus_key(ts_us()).alias("k"),
                     F.col("event_type").alias("t"),
                 )
             ).alias("m"),
@@ -3542,7 +3543,7 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr("ts_ns div 3600000000000").alias("hr"),
             (
-                F.expr("(ts_ns div 1000)") * 100 + F.col("event_id") % 100
+                subus_key(F.expr("(ts_ns div 1000)"))
             ).alias("k"),
             "value",
         )

@@ -21,6 +21,7 @@ from hadoop_log_analysis_spark.functions import (
     exact_sum,
     money,
     rate,
+    subus_key,
 )
 from hadoop_log_analysis_spark.operators import similarity as SIM
 from hadoop_log_analysis_spark.operators.partitioning import maybe_broadcast
@@ -2315,7 +2316,7 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "cutoff_day",
             (
-                F.expr("(ts_ns div 1000)") * 100 + F.col("event_id") % 100
+                subus_key(F.expr("(ts_ns div 1000)"))
             ).alias("last_key"),
             "value",
         )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hadoop_log_analysis_spark.functions import money_sum
+from hadoop_log_analysis_spark.functions import money_sum, subus_key
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
 from hadoop_log_analysis_spark.streaming.events_stream import (
@@ -1019,7 +1019,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     drop = derive_drop_dir(spark, sf_dir)
     events = read_events_stream(spark, drop)
-    k = F.unix_micros(F.col("ts")) * 100 + F.col("event_id") % 100
+    k = subus_key(F.unix_micros(F.col("ts")))
     agg = (
         events.filter(F.col("event_type") == "purchase")
         .withColumn("k", k)
