@@ -158,13 +158,29 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stats_agg",
     oracle="""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+                 user_id AS u, value
+          FROM events)
         SELECT event_type,
-               round(stddev_samp(value), 4) AS sd,
-               round(var_samp(value), 4) AS var,
-               round(corr(value, user_id), 6) AS c,
+               floor(sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)
+                               AS DOUBLE)
+                          / (count(*) * (count(*) - 1.0)) / 10000.0)
+                     * 10000.0 + 0.5) / 10000.0 AS sd,
+               floor((CAST(count(*) * sum(v * v) - sum(v) * sum(v)
+                           AS DOUBLE)
+                      / (count(*) * (count(*) - 1.0)) / 10000.0)
+                     * 10000.0 + 0.5) / 10000.0 AS var,
+               floor(((count(*) * sum(v * u) - sum(v) * sum(u))
+                      / sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)
+                                  AS DOUBLE)
+                             * CAST(count(*) * sum(u * u) - sum(u) * sum(u)
+                                    AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS c,
                round(quantile_cont(value, 0.5), 4) AS p50,
                round(quantile_cont(value, 0.9), 4) AS p90
-        FROM events
+        FROM c
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -172,13 +188,34 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: statistical aggregates (stddev/variance/corr/exact percentile)."""
-    ev = scan(spark, sf_dir, "events")
+    # exact integer-cent sufficient statistics (engine stddev/var/corr
+    # stream float partials in accumulation order): sd/var/c are
+    # identical double chains from order-free int64 sums, floor-pinned;
+    # the cent scale cancels in the correlation and divides out of the
+    # variance once. Percentiles interpolate an identical multiset.
+    ev = scan(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.col("user_id").alias("u"),
+        "value",
+    )
+    v, u = F.col("v"), F.col("u")
+    mcnt = F.count("*")
+    var_raw = (mcnt * F.sum(v * v) - F.sum(v) * F.sum(v)).cast("double") / (
+        mcnt * (mcnt - F.lit(1.0))
+    ) / F.lit(10000.0)
+    corr_raw = (mcnt * F.sum(v * u) - F.sum(v) * F.sum(u)) / F.sqrt(
+        (mcnt * F.sum(v * v) - F.sum(v) * F.sum(v)).cast("double")
+        * (mcnt * F.sum(u * u) - F.sum(u) * F.sum(u)).cast("double")
+    )
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.stddev_samp("value"), 4).alias("sd"),
-            F.round(F.var_samp("value"), 4).alias("var"),
-            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("c"),
+            pin(F.sqrt(var_raw), 4).alias("sd"),
+            pin(var_raw, 4).alias("var"),
+            pin(corr_raw, 6).alias("c"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         )

@@ -43,6 +43,21 @@ ANOMALY_Z = 2.0
 LARGE_ORDER_QTY = 300
 
 
+def _exact_corr(x, y, dp):
+    """Pearson r of two integer columns from exact int64 sufficient
+    statistics, floor-pinned at dp (engine corr() streams float
+    co-moments in accumulation order, so its double is not
+    bit-identical across engines). The variance numerators are cast
+    to double BEFORE their product (int64 overflow headroom)."""
+    mcnt = F.count("*")
+    num = mcnt * F.sum(x * y) - F.sum(x) * F.sum(y)
+    den = F.sqrt(
+        (mcnt * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double")
+        * (mcnt * F.sum(y * y) - F.sum(y) * F.sum(y)).cast("double")
+    )
+    return pin(num / den, dp)
+
+
 @query(
     "q_cohort_retention",
     oracle="""
@@ -91,21 +106,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
                    FROM events WHERE event_type = 'error' GROUP BY hr),
-             w AS (SELECT hr, n,
-                          avg(n) OVER win AS mu,
-                          stddev_samp(n) OVER win AS sd,
-                          count(*) OVER win AS n_hist
+             ms AS (SELECT hr, n,
+                          sum(n) OVER win AS s1,
+                          sum(n * n) OVER win AS s2,
+                          count(*) OVER win AS m
                    FROM h
                    WINDOW win AS (ORDER BY hr
-                                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        SELECT hr, n,
+                                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             w AS (SELECT hr, n, m AS n_hist,
+                          s1 * 1.0 / m AS mu,
+                          sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)
+                               / (m * (m - 1.0))) AS sd
+                   FROM ms WHERE m > 1)
+        SELECT h.hr, h.n,
                CASE WHEN n_hist >= {ANOMALY_MIN_HOURS} AND sd > 1e-9
-                    THEN round((n - mu) / sd, 3) END AS z,
+                    THEN floor(((h.n - mu) / sd) * 1000.0 + 0.5) / 1000.0
+               END AS z,
                CASE WHEN n_hist >= {ANOMALY_MIN_HOURS} AND sd > 1e-9
-                         AND (n - mu) / sd > {ANOMALY_Z}
+                         AND (h.n - mu) / sd > {ANOMALY_Z}
                     THEN 1 ELSE 0 END AS is_burst
-        FROM w
-        ORDER BY hr
+        FROM h LEFT JOIN w USING (hr)
+        ORDER BY h.hr
     """,
     tags=("W4", "A5", "F2", "anomaly", "timeseries"),
 )
@@ -126,20 +147,42 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("hr"))
         .agg(F.count("*").alias("n"))
     )
+    # trailing moments from exact integer window sums (engine windowed
+    # stddev differs across engines — DuckDB evaluates window aggs on
+    # a segment tree, Spark by running accumulation): with m history
+    # hours, sd = sqrt((m*S2 - S1^2)/(m*(m-1))) over exact ints, so z
+    # (the burst-threshold input AND an output) is one identical
+    # double chain, floor-pinned at 3 dp.
     win = Window.orderBy("hr").rowsBetween(-24, -1)
-    w = hourly.select(
+    ms = hourly.select(
         "hr",
         "n",
-        F.avg("n").over(win).alias("mu"),
-        F.stddev_samp("n").over(win).alias("sd"),
+        F.sum("n").over(win).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("s2"),
         F.count("*").over(win).alias("n_hist"),
     )
-    ok = (F.col("n_hist") >= ANOMALY_MIN_HOURS) & (F.col("sd") > 1e-9)
+    mm = F.col("n_hist")
+    # guard m <= 1 (empty/1-row history) — ANSI mode errors on the
+    # division even for rows the filter would later drop
+    mu = F.when(mm > 1, F.col("s1") * F.lit(1.0) / mm)
+    sd = F.when(
+        mm > 1,
+        F.sqrt(
+            (mm * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (mm * (mm - F.lit(1.0)))
+        ),
+    )
+    w = ms.select("hr", "n", "n_hist", mu.alias("mu"), sd.alias("sd"))
+    ok = (
+        (F.col("n_hist") >= ANOMALY_MIN_HOURS)
+        & (F.col("n_hist") > 1)
+        & (F.col("sd") > 1e-9)
+    )
     zexpr = (F.col("n") - F.col("mu")) / F.col("sd")
     return w.select(
         "hr",
         "n",
-        F.when(ok, F.round(zexpr, 3)).alias("z"),
+        F.when(ok, pin(zexpr, 3)).alias("z"),
         F.when(ok & (zexpr > ANOMALY_Z), F.lit(1)).otherwise(F.lit(0)).alias(
             "is_burst"
         ),
@@ -1103,17 +1146,23 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
                    FROM events GROUP BY hr),
-         g AS (SELECT hr, n, avg(n) OVER () AS mu,
-                      stddev_samp(n) OVER () AS sd
-               FROM h),
+         st AS (SELECT count(*) AS m, sum(n) AS s1, sum(n * n) AS s2
+                FROM h),
+         g AS (SELECT hr, n,
+                      s1 * 1.0 / m AS mu,
+                      sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)
+                           / (m * (m - 1.0))) AS sd
+               FROM h CROSS JOIN st),
          c AS (SELECT hr, n, sd,
-                      sum(n - mu - {CUSUM_SLACK_SD} * sd)
-                          OVER (ORDER BY hr) AS cum
+                      CAST(sum(CAST(floor((n - mu - {CUSUM_SLACK_SD} * sd)
+                                          * 1000000.0 + 0.5) AS BIGINT))
+                          OVER (ORDER BY hr) AS DOUBLE) / 1000000.0 AS cum
                FROM g),
          s AS (SELECT hr, n, sd,
                       cum - least(min(cum) OVER (ORDER BY hr), 0) AS s
                FROM c)
-        SELECT hr, n, round(s, 3) AS cusum,
+        SELECT hr, n,
+               floor(s * 1000.0 + 0.5) / 1000.0 AS cusum,
                CASE WHEN s > {CUSUM_H_SD} * sd THEN 1 ELSE 0 END AS is_shift
         FROM s
         ORDER BY hr
@@ -1141,14 +1190,34 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("hr"))
         .agg(F.count("*").alias("n"))
     )
-    stats = hourly.agg(
-        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    # global mu/sd from exact integer moments, and the prefix sums
+    # accumulate PINNED per-row terms as exact int64 over the running
+    # window (a float running sum is engine-order-dependent — DuckDB
+    # uses a segment tree) so cum/s/the 4-sd threshold see identical
+    # doubles on both engines.
+    st = hourly.agg(
+        F.count("*").alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mm = F.col("m")
+    stats = st.select(
+        (F.col("s1") * F.lit(1.0) / mm).alias("mu"),
+        F.sqrt(
+            (mm * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (mm * (mm - F.lit(1.0)))
+        ).alias("sd"),
     )
     g = hourly.crossJoin(F.broadcast(stats))
     run = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(
-        F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK_SD) * F.col("sd")
-    ).over(run)
+    term = F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK_SD) * F.col("sd")
+    cum = (
+        F.sum(
+            F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).over(run)
+        .cast("double")
+        / F.lit(1000000.0)
+    )
     c = g.select("hr", "n", "sd", cum.alias("cum"))
     s = c.select(
         "hr",
@@ -1161,7 +1230,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "hr",
         "n",
-        F.round("s", 3).alias("cusum"),
+        pin(F.col("s"), 3).alias("cusum"),
         F.when(F.col("s") > F.lit(CUSUM_H_SD) * F.col("sd"), 1)
         .otherwise(0)
         .alias("is_shift"),
@@ -1297,7 +1366,13 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                           count(*) AS n
                    FROM events GROUP BY d, event_type)
         SELECT a.event_type AS m1, b.event_type AS m2,
-               round(corr(a.n, b.n), 4) AS r
+               floor(((count(*) * sum(a.n * b.n) - sum(a.n) * sum(b.n))
+                      / sqrt(CAST(count(*) * sum(a.n * a.n)
+                                  - sum(a.n) * sum(a.n) AS DOUBLE)
+                             * CAST(count(*) * sum(b.n * b.n)
+                                    - sum(b.n) * sum(b.n)
+                                    AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS r
         FROM d a JOIN d b ON a.d = b.d AND a.event_type < b.event_type
         GROUP BY m1, m2
         ORDER BY m1, m2
@@ -1335,7 +1410,9 @@ def q_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("m1"),
             F.col("b.event_type").alias("m2"),
         )
-        .agg(F.round(F.corr("a.n", "b.n"), 4).alias("r"))
+        # exact correlation from integer sufficient statistics (engine
+        # corr() streams float co-moments in accumulation order)
+        .agg(_exact_corr(F.col("a.n"), F.col("b.n"), 4).alias("r"))
         .orderBy("m1", "m2")
     )
 
@@ -1576,7 +1653,13 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         l AS (SELECT unnest(generate_series(1, 7)) AS lag)
         SELECT l.lag,
                count(*) AS n_pairs,
-               round(corr(a.n, b.n), 6) AS acf
+               floor(((count(*) * sum(a.n * b.n) - sum(a.n) * sum(b.n))
+                      / sqrt(CAST(count(*) * sum(a.n * a.n)
+                                  - sum(a.n) * sum(a.n) AS DOUBLE)
+                             * CAST(count(*) * sum(b.n * b.n)
+                                    - sum(b.n) * sum(b.n)
+                                    AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS acf
         FROM l
         CROSS JOIN c a
         JOIN c b ON b.d = a.d - CAST(l.lag AS INTEGER)
@@ -1613,7 +1696,7 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.corr("n_now", "n_prev"), 6).alias("acf"),
+            _exact_corr(F.col("n_now"), F.col("n_prev"), 6).alias("acf"),
         )
         .orderBy("lag")
     )

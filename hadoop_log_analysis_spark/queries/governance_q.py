@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT, pin
+from hadoop_log_analysis_spark.functions import (
+    HASH_MOD,
+    HASH_MULT,
+    money_sum,
+    pin,
+)
 from hadoop_log_analysis_spark.operators import text as TXT
 from hadoop_log_analysis_spark.operators.similarity import cosine
 from hadoop_log_analysis_spark.queries import query
@@ -637,18 +642,32 @@ _BOOT_ORACLE = f"""
                        AS wt
               FROM u),
         means AS (SELECT event_type, r,
-                         sum(wt * value) / sum(wt) AS m
+                         CAST(sum(wt * CAST(floor(value * 100.0 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                           / (sum(wt) * 100.0) AS m
                   FROM w GROUP BY event_type, r
                   HAVING sum(wt) > 0),
-        pt AS (SELECT event_type, avg(value) AS point_mean
+        g AS (SELECT event_type, m,
+                     CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS m6
+              FROM means),
+        pt AS (SELECT event_type,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*) AS point_mean
                FROM events GROUP BY event_type)
         SELECT pt.event_type,
-               round(pt.point_mean, 4) AS point_mean,
-               round(quantile_cont(m, 0.025), 4) AS ci_lo,
-               round(quantile_cont(m, 0.975), 4) AS ci_hi,
-               round(stddev_samp(m), 4) AS boot_se,
+               floor(pt.point_mean * 10000.0 + 0.5) / 10000.0
+                 AS point_mean,
+               floor(quantile_cont(m, 0.025) * 10000.0 + 0.5) / 10000.0
+                 AS ci_lo,
+               floor(quantile_cont(m, 0.975) * 10000.0 + 0.5) / 10000.0
+                 AS ci_hi,
+               floor(sqrt(CAST(count(*) * sum(m6 * m6) - sum(m6) * sum(m6)
+                               AS DOUBLE)
+                          / (count(*) * (count(*) - 1.0))
+                          / 1000000000000.0)
+                     * 10000.0 + 0.5) / 10000.0 AS boot_se,
                CAST(count(*) AS BIGINT) AS b
-        FROM means JOIN pt USING (event_type)
+        FROM g JOIN pt USING (event_type)
         GROUP BY pt.event_type, pt.point_mean
         ORDER BY pt.event_type
 """
@@ -701,29 +720,59 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = sum(
         F.when(F.col("unit") > float(t), 1).otherwise(0) for t in _POIS1_CDF
     )
+    # replicate means from exact integer cents (a float sum of
+    # wt*value is partition-order-dependent): one identical double
+    # division per (type, replicate); the SE then derives from exact
+    # 1e-6-grid moments of the replicate means.
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
     means = (
-        u.select("event_type", "value", "r", wt.alias("wt"))
+        u.select("event_type", "r", wt.alias("wt"), cents.alias("vc"))
         .groupBy("event_type", "r")
         .agg(
-            F.sum(F.col("wt") * F.col("value")).alias("sw"),
+            F.sum(F.col("wt") * F.col("vc")).alias("sw"),
             F.sum("wt").alias("w"),
         )
         .filter(F.col("w") > 0)
-        .select("event_type", "r", (F.col("sw") / F.col("w")).alias("m"))
+        .select(
+            "event_type",
+            "r",
+            (
+                F.col("sw").cast("double") / (F.col("w") * F.lit(100.0))
+            ).alias("m"),
+        )
+        .withColumn(
+            "m6",
+            F.floor(F.col("m") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
     )
-    pt = ev.groupBy("event_type").agg(F.avg("value").alias("point_mean"))
+    pt = ev.groupBy("event_type").agg(
+        (money_sum("value") / F.count("*")).alias("point_mean")
+    )
+    bb = F.count("*")
+    se = F.sqrt(
+        (
+            bb * F.sum(F.col("m6") * F.col("m6"))
+            - F.sum("m6") * F.sum("m6")
+        ).cast("double")
+        / (bb * (bb - F.lit(1.0)))
+        / F.lit(1000000000000.0)
+    )
     return (
         means.groupBy("event_type")
         .agg(
-            F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
-            F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
-            F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+            pin(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+            pin(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+            pin(se, 4).alias("boot_se"),
             F.count("*").alias("b"),
         )
         .join(pt, "event_type")
         .select(
             "event_type",
-            F.round("point_mean", 4).alias("point_mean"),
+            pin(F.col("point_mean"), 4).alias("point_mean"),
             "ci_lo",
             "ci_hi",
             "boot_se",
@@ -1579,22 +1628,31 @@ BH_ALPHA = 0.05
                  CASE WHEN d.day <= b.mid THEN 1 ELSE 2 END AS h,
                  d.c
           FROM daily d CROSS JOIN bounds b),
-        st AS (
+        sm AS (
           SELECT event_type,
                  count(CASE WHEN h = 1 THEN 1 END) AS n1,
                  count(CASE WHEN h = 2 THEN 1 END) AS n2,
-                 avg(CASE WHEN h = 1 THEN c END) AS m1,
-                 avg(CASE WHEN h = 2 THEN c END) AS m2,
-                 var_samp(CASE WHEN h = 1 THEN c END) AS v1,
-                 var_samp(CASE WHEN h = 2 THEN c END) AS v2
+                 sum(CASE WHEN h = 1 THEN c END) AS a1,
+                 sum(CASE WHEN h = 2 THEN c END) AS a2,
+                 sum(CASE WHEN h = 1 THEN c * c END) AS q1,
+                 sum(CASE WHEN h = 2 THEN c * c END) AS q2
           FROM halves GROUP BY event_type),
+        st AS (
+          SELECT event_type, n1, n2,
+                 a1 * 1.0 / n1 AS m1, a2 * 1.0 / n2 AS m2,
+                 CAST(n1 * q1 - a1 * a1 AS DOUBLE)
+                   / (n1 * (n1 - 1.0)) AS v1,
+                 CAST(n2 * q2 - a2 * a2 AS DOUBLE)
+                   / (n2 * (n2 - 1.0)) AS v2
+          FROM sm),
         zt AS (
           SELECT event_type, n1, n2,
-                 round(abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6) AS za
+                 floor((abs(m2 - m1) / sqrt(v1 / n1 + v2 / n2))
+                       * 1000000.0 + 0.5) / 1000000.0 AS za
           FROM st),
         pt AS (
           SELECT event_type, n1, n2, za,
-                 round(2 * (exp(-za * za / 2) / 2.506628274631)
+                 floor((2 * (exp(-za * za / 2) / 2.506628274631)
                        * ((1.0 / (1 + 0.2316419 * za))
                           * (0.319381530
                              + (1.0 / (1 + 0.2316419 * za))
@@ -1604,8 +1662,8 @@ BH_ALPHA = 0.05
                                        + (1.0 / (1 + 0.2316419 * za))
                                          * (-1.821255978
                                             + (1.0 / (1 + 0.2316419 * za))
-                                              * 1.330274429))))),
-                       6) AS p_value
+                                              * 1.330274429))))))
+                       * 1000000.0 + 0.5) / 1000000.0 AS p_value
           FROM zt),
         ranked AS (
           SELECT *,
@@ -1663,17 +1721,39 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("h"),
         "c",
     )
+    # exact integer sufficient statistics per half (engine avg/var_samp
+    # stream float partials; za is 6-dp-pinned and p_value is the BH
+    # RANK key, so a 1-ulp wobble could reorder the FDR cut)
     c1 = F.when(F.col("h") == 1, F.col("c"))
     c2 = F.when(F.col("h") == 2, F.col("c"))
-    st = halves.groupBy("event_type").agg(
+    sm = halves.groupBy("event_type").agg(
         F.count(c1).alias("n1"),
         F.count(c2).alias("n2"),
-        F.avg(c1).alias("m1"),
-        F.avg(c2).alias("m2"),
-        F.var_samp(c1).alias("v1"),
-        F.var_samp(c2).alias("v2"),
+        F.sum(c1).alias("a1"),
+        F.sum(c2).alias("a2"),
+        F.sum(c1 * c1).alias("q1"),
+        F.sum(c2 * c2).alias("q2"),
     )
-    za = F.round(
+    st = sm.select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("a1") * F.lit(1.0) / F.col("n1")).alias("m1"),
+        (F.col("a2") * F.lit(1.0) / F.col("n2")).alias("m2"),
+        (
+            (F.col("n1") * F.col("q1") - F.col("a1") * F.col("a1")).cast(
+                "double"
+            )
+            / (F.col("n1") * (F.col("n1") - F.lit(1.0)))
+        ).alias("v1"),
+        (
+            (F.col("n2") * F.col("q2") - F.col("a2") * F.col("a2")).cast(
+                "double"
+            )
+            / (F.col("n2") * (F.col("n2") - F.lit(1.0)))
+        ).alias("v2"),
+    )
+    za = pin(
         F.abs(F.col("m2") - F.col("m1"))
         / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
         6,
@@ -1683,7 +1763,7 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.319381530
         + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
     )
-    p = F.round(
+    p = pin(
         2 * (F.exp(-F.col("za") * F.col("za") / 2) / 2.506628274631) * poly,
         6,
     )
@@ -1913,24 +1993,32 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anova_doclen",
     oracle="""
         WITH g AS (
-          SELECT source, count(*) AS n, avg(n_chars) AS m,
-                 var_samp(n_chars) AS v
+          SELECT source, count(*) AS n,
+                 sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
           FROM documents GROUP BY source),
         tot AS (
           SELECT sum(n) AS nn, count(*) AS k,
-                 sum(n * m) / sum(n) AS gm
+                 CAST(sum(s1) AS DOUBLE) / sum(n) AS gm
           FROM g),
         ss AS (
-          SELECT sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
-                 sum((g.n - 1) * g.v) AS ssw,
+          SELECT CAST(sum(CAST(floor((g.n * (((s1 * 1.0 / g.n) - t.gm)
+                                             * ((s1 * 1.0 / g.n) - t.gm)))
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS ssb,
+                 CAST(sum(s2) AS DOUBLE)
+                 - CAST(sum(CAST(floor((CAST(s1 AS DOUBLE) * s1 / g.n)
+                                       * 10000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS ssw,
                  max(t.k) AS k, max(t.nn) AS nn
           FROM g CROSS JOIN tot t)
         SELECT CAST(k AS BIGINT) AS n_groups,
                CAST(nn AS BIGINT) AS n_docs,
-               round(ssb / (k - 1), 2) AS ms_between,
-               round(ssw / (nn - k), 2) AS ms_within,
-               round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
-               round(ssb / (ssb + ssw), 6) AS eta_sq
+               floor((ssb / (k - 1)) * 100.0 + 0.5) / 100.0 AS ms_between,
+               floor((ssw / (nn - k)) * 100.0 + 0.5) / 100.0 AS ms_within,
+               floor(((ssb / (k - 1)) / (ssw / (nn - k)))
+                     * 10000.0 + 0.5) / 10000.0 AS f_stat,
+               floor((ssb / (ssb + ssw)) * 1000000.0 + 0.5) / 1000000.0
+                 AS eta_sq
         FROM ss
     """,
     tags=("A5", "governance", "diagnostic"),
@@ -1950,48 +2038,64 @@ def q_anova_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer so group means/variances carry ~1e-12 relative noise;
     outputs round at 2/4/6 dp, far above it.
     """
+    # exact integer sufficient statistics per source (engine avg /
+    # var_samp stream float partials): every group mean is one
+    # identical division, the |sources|-row SSB/within-term sums
+    # accumulate on a 1e-4 integer grid (order-free), SSW's Sx^2 part
+    # is an exact integer sum, and the F/eta algebra runs once on
+    # identical doubles, floor-pinned.
     g = (
         scan(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
             F.count("*").alias("n"),
-            F.avg("n_chars").alias("m"),
-            F.var_samp("n_chars").alias("v"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
         )
     )
     w_all = Window.partitionBy()
     g = g.select(
         "n",
-        "m",
-        "v",
+        "s1",
+        "s2",
         F.sum("n").over(w_all).alias("nn"),
         F.count("*").over(w_all).alias("k"),
-        (F.sum(F.col("n") * F.col("m")).over(w_all)
-         / F.sum("n").over(w_all)).alias("gm"),
+        (
+            F.sum("s1").over(w_all).cast("double")
+            / F.sum("n").over(w_all)
+        ).alias("gm"),
     )
+    mg = F.col("s1") * F.lit(1.0) / F.col("n")
+    ssb_t = F.col("n") * ((mg - F.col("gm")) * (mg - F.col("gm")))
+    with_t = F.col("s1").cast("double") * F.col("s1") / F.col("n")
     ss = g.agg(
-        F.sum(
-            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        (
+            F.sum(
+                F.floor(ssb_t * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(10000.0)
         ).alias("ssb"),
-        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        (
+            F.sum("s2").cast("double")
+            - F.sum(
+                F.floor(with_t * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("ssw"),
         F.max("k").alias("k"),
         F.max("nn").alias("nn"),
     )
     return ss.select(
         F.col("k").cast("long").alias("n_groups"),
         F.col("nn").cast("long").alias("n_docs"),
-        F.round(F.col("ssb") / (F.col("k") - 1), 2).alias("ms_between"),
-        F.round(F.col("ssw") / (F.col("nn") - F.col("k")), 2).alias(
-            "ms_within"
-        ),
-        F.round(
+        pin(F.col("ssb") / (F.col("k") - 1), 2).alias("ms_between"),
+        pin(F.col("ssw") / (F.col("nn") - F.col("k")), 2).alias("ms_within"),
+        pin(
             (F.col("ssb") / (F.col("k") - 1))
             / (F.col("ssw") / (F.col("nn") - F.col("k"))),
             4,
         ).alias("f_stat"),
-        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
-            "eta_sq"
-        ),
+        pin(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
     )
 
 
@@ -2087,10 +2191,18 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                    AS x
           FROM events GROUP BY user_id),
-        r AS (SELECT user_id, n, x, x * 1.0 / n AS raw FROM u),
+        r AS (SELECT user_id, n, x, x * 1.0 / n AS raw,
+                     CAST(floor((x * 1.0 / n) * 1000000.0 + 0.5) AS BIGINT)
+                       AS r6
+              FROM u),
+        ms AS (SELECT count(*) AS c, sum(r6) AS s1,
+                      sum(r6 * r6) AS s2i
+               FROM r),
         mom AS (
-          SELECT avg(raw) AS mu, var_samp(raw) AS s2, avg(n) AS nbar
-          FROM r),
+          SELECT CAST(s1 AS DOUBLE) / (c * 1000000.0) AS mu,
+                 CAST(c * s2i - s1 * s1 AS DOUBLE)
+                   / (c * (c - 1.0)) / 1000000000000.0 AS s2
+          FROM ms),
         ab AS (
           SELECT mu, s2,
                  mu * (mu * (1 - mu) / s2 - 1) AS alpha,
@@ -2099,9 +2211,9 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.user_id,
                CAST(r.n AS BIGINT) AS n_events,
                CAST(r.x AS BIGINT) AS n_errors,
-               round(r.raw, 6) AS raw_rate,
-               round((r.x + ab.alpha) / (r.n + ab.alpha + ab.beta), 6)
-                 AS shrunk_rate
+               floor(r.raw * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+               floor(((r.x + ab.alpha) / (r.n + ab.alpha + ab.beta))
+                     * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate
         FROM r CROSS JOIN ab
         ORDER BY shrunk_rate DESC, r.user_id
         LIMIT 20
@@ -2130,9 +2242,29 @@ def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "error").cast("long")).alias("x"),
         )
     )
-    r = u.withColumn("raw", F.col("x") * 1.0 / F.col("n"))
-    mom = r.agg(
-        F.avg("raw").alias("mu"), F.var_samp("raw").alias("s2")
+    # prior moments from exact grid-integer sufficient statistics
+    # (engine avg/var_samp stream float partials; shrunk_rate is the
+    # ORDER key): per-user rates pin onto a 1e-6 integer grid, the
+    # sums are order-free int64 (r6^2 <= 1e12 keeps Σ under 2^63 up
+    # to ~1e6 users — escalate to DECIMAL(38,0) beyond), and mu/s2
+    # are identically parenthesized double algebra.
+    r = u.withColumn("raw", F.col("x") * 1.0 / F.col("n")).withColumn(
+        "r6",
+        F.floor(F.col("raw") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    ms = r.agg(
+        F.count("*").alias("c"),
+        F.sum("r6").alias("s1"),
+        F.sum(F.col("r6") * F.col("r6")).alias("s2i"),
+    )
+    cc = F.col("c")
+    mom = ms.select(
+        (F.col("s1").cast("double") / (cc * F.lit(1000000.0))).alias("mu"),
+        (
+            (cc * F.col("s2i") - F.col("s1") * F.col("s1")).cast("double")
+            / (cc * (cc - F.lit(1.0)))
+            / F.lit(1000000000000.0)
+        ).alias("s2"),
     )
     ab = mom.select(
         (F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("s2") - 1)
@@ -2147,8 +2279,8 @@ def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("n").cast("long").alias("n_events"),
             F.col("x").cast("long").alias("n_errors"),
-            F.round("raw", 6).alias("raw_rate"),
-            F.round(
+            pin(F.col("raw"), 6).alias("raw_rate"),
+            pin(
                 (F.col("x") + F.col("alpha"))
                 / (F.col("n") + F.col("alpha") + F.col("beta")),
                 6,
@@ -2162,16 +2294,31 @@ def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_simpson_check",
     oracle="""
-        WITH pooled AS (
-          SELECT 'ALL' AS stratum,
-                 round(corr(l_discount, l_quantity), 6) AS corr_dq,
-                 CAST(count(*) AS BIGINT) AS n
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+                 CAST(l_quantity AS BIGINT) AS q
           FROM lineitem),
+        pooled AS (
+          SELECT 'ALL' AS stratum,
+                 floor(((count(*) * sum(d * q) - sum(d) * sum(q))
+                        / sqrt(CAST(count(*) * sum(d * d)
+                                    - sum(d) * sum(d) AS DOUBLE)
+                               * CAST(count(*) * sum(q * q)
+                                      - sum(q) * sum(q) AS DOUBLE)))
+                       * 1000000.0 + 0.5) / 1000000.0 AS corr_dq,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c),
         strata AS (
           SELECT l_returnflag AS stratum,
-                 round(corr(l_discount, l_quantity), 6) AS corr_dq,
+                 floor(((count(*) * sum(d * q) - sum(d) * sum(q))
+                        / sqrt(CAST(count(*) * sum(d * d)
+                                    - sum(d) * sum(d) AS DOUBLE)
+                               * CAST(count(*) * sum(q * q)
+                                      - sum(q) * sum(q) AS DOUBLE)))
+                       * 1000000.0 + 0.5) / 1000000.0 AS corr_dq,
                  CAST(count(*) AS BIGINT) AS n
-          FROM lineitem GROUP BY l_returnflag)
+          FROM c GROUP BY l_returnflag)
         SELECT s.stratum, s.corr_dq, s.n,
                p.corr_dq AS pooled_corr,
                CASE WHEN s.corr_dq = 0 OR p.corr_dq = 0 THEN false
@@ -2198,15 +2345,34 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     |strata|-row algebra against a broadcast scalar. Correlations are
     rounded at 6 dp BEFORE sign comparison on both engines.
     """
+    # exact correlation from integer-cent sufficient statistics
+    # (engine corr() streams float co-moments in accumulation order,
+    # and the correlations feed the SIGN comparison): the cent/unit
+    # scale factors cancel in r, the sums are order-free int64, and
+    # each r is ONE identical double chain, floor-pinned at 6 dp.
     li = scan(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_discount", "l_quantity"
+        "l_returnflag",
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    d, q = F.col("d"), F.col("q")
+    mcnt = F.count("*")
+    rr = pin(
+        (mcnt * F.sum(d * q) - F.sum(d) * F.sum(q))
+        / F.sqrt(
+            (mcnt * F.sum(d * d) - F.sum(d) * F.sum(d)).cast("double")
+            * (mcnt * F.sum(q * q) - F.sum(q) * F.sum(q)).cast("double")
+        ),
+        6,
     )
     pooled = li.agg(
-        F.round(F.corr("l_discount", "l_quantity"), 6).alias("pooled_corr"),
+        rr.alias("pooled_corr"),
         F.count("*").cast("long").alias("pn"),
     )
     strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
-        F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_dq"),
+        rr.alias("corr_dq"),
         F.count("*").cast("long").alias("n"),
     )
     flips = F.when(
