@@ -2067,12 +2067,16 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c),
         full_tr AS (SELECT * FROM tr WHERE w = 7),
         seas AS (
-          SELECT dow, avg(n - trend) AS seasonal
+          SELECT dow,
+                 CAST(sum(CAST(floor((n - trend) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000.0) AS seasonal
           FROM full_tr GROUP BY dow)
         SELECT f.d AS day, f.n,
-               round(f.trend, 4) AS trend,
-               round(s.seasonal, 4) AS seasonal,
-               round(f.n - f.trend - s.seasonal, 4) AS remainder
+               floor(f.trend * 10000.0 + 0.5) / 10000.0 AS trend,
+               floor(s.seasonal * 10000.0 + 0.5) / 10000.0 AS seasonal,
+               floor((f.n - f.trend - s.seasonal) * 10000.0 + 0.5)
+                 / 10000.0 AS remainder
         FROM full_tr f JOIN seas s USING (dow)
         ORDER BY day
     """,
@@ -2105,17 +2109,20 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n").over(w7).alias("trend"),
         F.count("*").over(w7).alias("w"),
     ).where(F.col("w") == 7)
+    # trend (windowed avg of INTEGER counts) is exact on both engines;
+    # the per-dow seasonal avg is a float sum of identical detrended
+    # doubles -> per-row 1e-6 grid + exact int64 sum (exact_avg)
     seas = tr.groupBy("dow").agg(
-        F.avg(F.col("n") - F.col("trend")).alias("seasonal")
+        exact_avg(F.col("n") - F.col("trend"), 6).alias("seasonal")
     )
     return (
         tr.join(F.broadcast(seas), "dow")
         .select(
             F.col("d").alias("day"),
             "n",
-            F.round("trend", 4).alias("trend"),
-            F.round("seasonal", 4).alias("seasonal"),
-            F.round(
+            pin(F.col("trend"), 4).alias("trend"),
+            pin(F.col("seasonal"), 4).alias("seasonal"),
+            pin(
                 F.col("n") - F.col("trend") - F.col("seasonal"), 4
             ).alias("remainder"),
         )

@@ -913,7 +913,9 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                           m.e, m.pass
                    FROM m CROSS JOIN b),
         agg AS (SELECT bin, count(*) AS n_docs,
-                       avg(e) AS avg_e,
+                       CAST(sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT))
+                            AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_e,
                        sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
                 FROM binned GROUP BY bin),
         spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
@@ -924,12 +926,14 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM spine LEFT JOIN agg USING (bin))
         SELECT bin,
                CAST(n_docs AS BIGINT) AS n_docs,
-               round(avg_e, 4) AS avg_entropy,
+               floor(avg_e * 10000.0 + 0.5) / 10000.0 AS avg_entropy,
                CASE WHEN n_docs > 0
-                    THEN round(n_pass * 1.0 / n_docs, 4) END AS pass_rate,
+                    THEN floor((n_pass * 1.0 / n_docs) * 10000.0 + 0.5)
+                         / 10000.0 END AS pass_rate,
                CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
-               round(sum(n_pass) OVER w * 1.0
-                     / greatest(sum(n_docs) OVER w, 1), 4) AS cum_pass_rate
+               floor((sum(n_pass) OVER w * 1.0
+                      / greatest(sum(n_docs) OVER w, 1)) * 10000.0 + 0.5)
+                 / 10000.0 AS cum_pass_rate
         FROM g
         WINDOW w AS (ORDER BY bin
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -991,7 +995,16 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_docs"),
-            F.avg("e").alias("avg_e"),
+            # per-doc entropies are identical grid doubles; the bin avg
+            # accumulates on a 1e-6 integer grid (order-free)
+            (
+                F.sum(
+                    F.floor(
+                        F.col("e") * F.lit(1000000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / (F.count("*").cast("double") * F.lit(1000000.0))
+            ).alias("avg_e"),
             F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
         )
     )
@@ -1015,13 +1028,13 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select(
             "bin",
             "n_docs",
-            F.round("avg_e", 4).alias("avg_entropy"),
+            pin(F.col("avg_e"), 4).alias("avg_entropy"),
             F.when(
                 F.col("n_docs") > 0,
-                F.round(F.col("n_pass") * F.lit(1.0) / F.col("n_docs"), 4),
+                pin(F.col("n_pass") * F.lit(1.0) / F.col("n_docs"), 4),
             ).alias("pass_rate"),
             F.sum("n_docs").over(w).alias("cum_docs"),
-            F.round(
+            pin(
                 F.sum("n_pass").over(w)
                 * F.lit(1.0)
                 / F.greatest(F.sum("n_docs").over(w), F.lit(1)),

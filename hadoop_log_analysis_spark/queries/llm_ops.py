@@ -1161,7 +1161,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              c_a  AS (SELECT a, count(*) AS na FROM bg GROUP BY a)
         SELECT bg.doc_id,
                count(*) AS n_bigrams,
-               round(avg(ln(CAST(na AS DOUBLE) / nab)), 4) AS avg_nll
+               CAST(sum(CAST(floor(ln(CAST(na AS DOUBLE) / nab)
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_nll
         FROM bg JOIN c_ab USING (a, b) JOIN c_a USING (a)
         GROUP BY bg.doc_id
         ORDER BY bg.doc_id
@@ -1208,8 +1210,11 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(F.log(F.col("na").cast("double") / F.col("nab"))), 4
+            # per-bigram NLL terms are identical doubles up to the ln
+            # libm ulp (absorbed by the 1e-6 grid); the per-doc float
+            # avg is order-dependent -> exact_avg
+            exact_avg(
+                F.log(F.col("na").cast("double") / F.col("nab")), 6
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")
