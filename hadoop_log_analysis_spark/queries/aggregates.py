@@ -146,7 +146,8 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: approx count-distinct (HyperLogLog++) — the 100 TB-scale twin
-    of A3; rsd 1%. Exactness is instead unit-tested against A3 bounds."""
+    of A3; rsd 1%. Approximate, so rows-only by design (no SQL oracle);
+    exactness is instead unit-tested against A3 bounds."""
     ev = scan(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
