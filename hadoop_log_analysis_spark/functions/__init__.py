@@ -31,12 +31,17 @@ HASH_MOD = 1_000_003
 
 
 def subus_key(ts_us_col: Column, id_col: str = "event_id") -> Column:
-    """Collision-proof sub-microsecond ordering key: ``µs*100 + id%100``.
+    """Collision-RESISTANT sub-microsecond ordering key: ``µs*100 + id%100``.
 
     Truncating ns timestamps to µs can collapse two events onto one
     instant, where argmin/argmax/as-of tie-breaks would diverge
     across engines; folding the low id digits into the sub-µs slot
-    makes the key unique per event while preserving time order.
+    disambiguates them while preserving time order. NOT absolutely
+    unique (r8 review): two events in the same truncated µs whose ids
+    are congruent mod 100 still collide — the residual risk is
+    P(same µs) x P(id≡ mod 100), verified absent in the fixtures by
+    tests/test_properties.py::test_subus_key_unique_in_fixtures; any
+    comparison keyed on this MUST keep that test green at new SFs.
     Safe range: epoch-µs ~1.7e15 * 100 = 1.7e17 < 2^63. Mirror in
     oracles with ``epoch_us(ts) * 100 + event_id % 100``.
     """
@@ -80,12 +85,16 @@ def exact_avg(col: Column | str, dp: int) -> Column:
     Mirror in the oracle with :func:`sql_exact_avg`. int64 headroom:
     |x| * 10^dp * rows must stay < 2^63 (~9.2e18) — holds for
     bounded ratios/scores at dp<=6 up to ~1e12 rows.
+
+    NULL semantics match AVG (r9 ADVICE fix): the divisor is the
+    NON-NULL count of the column, so NULL terms are skipped from both
+    the sum and the count rather than silently deflating the mean.
     """
     g = float(10**dp)
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(F.floor(c * F.lit(g) + F.lit(0.5)).cast("long")).cast(
         "double"
-    ) / (F.count("*").cast("double") * F.lit(g))
+    ) / (F.count(c).cast("double") * F.lit(g))
 
 
 def sql_exact_avg(expr: str, dp: int) -> str:
@@ -93,7 +102,7 @@ def sql_exact_avg(expr: str, dp: int) -> str:
     g = f"{float(10 ** dp):.1f}"
     return (
         f"CAST(sum(CAST(floor(({expr}) * {g} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / (CAST(count(*) AS DOUBLE) * {g})"
+        f" / (CAST(count({expr}) AS DOUBLE) * {g})"
     )
 
 
@@ -168,3 +177,75 @@ def sql_exact_sum(expr: str, dp: int) -> str:
         f"CAST(sum(CAST(floor(({expr}) * {g} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {g}"
     )
+
+
+# --- exact second-moment sufficient statistics (DECIMAL tier) ---------
+#
+# The int64 shape n*sum(x*x) - sum(x)^2 overflows QUADRATICALLY in group
+# size (r8 ADVICE: ~2e16 at sf0.1 leaves only ~460x headroom — binds
+# near sf2-10, nowhere near the linear exact_sum bound). Worse, DuckDB
+# silently promotes sum(BIGINT) to HUGEINT (exact to ~1.7e38) while
+# Spark's long sum wraps, so past the bound the engines DIVERGE instead
+# of failing together. These helpers keep the Spark side exact to ~1e38
+# by casting per-row terms to DECIMAL(18,0) before the product (per-row
+# squares of count-valued columns — daily counts ~1e9 at 100 TB — are
+# themselves near the long limit) and accumulating/multiplying in
+# DECIMAL: sum(DECIMAL(37,0)) -> DECIMAL(38,0); the n*S2 and S1*S1
+# products cap at precision 38 and hold exactly while the VALUE stays
+# under 1e38 (n*S2 <= 1e12 rows * (1e6 cents)^2 * 1e12 ~ 1e36 — same
+# order DuckDB's HUGEINT binds, so both engines now share one bound).
+# Oracle strings need NO change: DuckDB was already exact. The final
+# cast-to-double of the same exact integer is IEEE round-to-nearest on
+# both engines — bit-identical by construction.
+
+_DEC18 = "decimal(18,0)"
+
+
+def dsum(col: Column) -> Column:
+    """Exact DECIMAL sum of an integer-valued column (first moment S1).
+
+    ``sum(long)`` wraps at 2^63; DuckDB's promotes to HUGEINT. Casting
+    per-row to DECIMAL(18,0) makes Spark's sum DECIMAL(28,0)-exact.
+    """
+    return F.sum(col.cast(_DEC18))
+
+
+def dsum2(x: Column, y: Column | None = None) -> Column:
+    """Exact DECIMAL sum of a product (second moment S2 / co-moment Sxy).
+
+    Operands are cast to DECIMAL(18,0) BEFORE the multiply — per-row
+    squares of count-valued columns overflow long on their own at
+    extreme scale — giving DECIMAL(37,0) per row, DECIMAL(38,0) sum.
+    """
+    y = x if y is None else y
+    return F.sum(x.cast(_DEC18) * y.cast(_DEC18))
+
+
+def exact_comoment(x: Column, y: Column | None = None) -> Column:
+    """Exact ``n*sum(x*y) - sum(x)*sum(y)`` as a DECIMAL aggregate.
+
+    The shared numerator of variance (y=x), covariance, and Pearson r
+    over integer-valued columns. Cast to double ONCE at the use site;
+    mirror in oracles with the plain int64 SQL shape
+    ``count(*) * sum(x*y) - sum(x) * sum(y)`` (DuckDB accumulates it
+    in HUGEINT — already exact, no oracle change needed).
+    """
+    y = x if y is None else y
+    n = F.count("*").cast("decimal(14,0)")
+    return n * dsum2(x, y) - dsum(x) * dsum(y)
+
+
+def exact_corr(x: Column, y: Column, dp: int) -> Column:
+    """Pearson r of two integer-valued columns from exact DECIMAL
+    sufficient statistics, floor-pinned at dp (aggregate expression).
+
+    Engine ``corr()`` streams float co-moments in accumulation order,
+    so its double is not bit-identical across engines; this derives r
+    from order-free exact integer sums through ONE identical double
+    chain. Any common scale factor on x or y cancels in r.
+    """
+    num = exact_comoment(x, y).cast("double")
+    den = F.sqrt(
+        exact_comoment(x).cast("double") * exact_comoment(y).cast("double")
+    )
+    return pin(num / den, dp)

@@ -583,8 +583,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_clipped"),
             # per-row clamps can differ by the percentile-interpolation
-            # ulp between engines — the 1e-6 grid pin absorbs it; the
-            # raw avg is ONE division of the exact DECIMAL sum
+            # ulp between engines — the 1e-6 grid pin SHRINKS that to
+            # a ~1e-10 per-row boundary-flip probability (floor still
+            # flips within one ulp of a grid line — residual, not
+            # eliminated); the raw avg is ONE division of the exact
+            # DECIMAL sum
             exact_avg(clipped, 6).alias("wins_avg"),
             (money_sum("value") / F.count("*")).alias("raw_avg"),
         )

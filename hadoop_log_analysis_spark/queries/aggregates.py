@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    exact_comoment,
     money,
     money_sum,
     pin,
@@ -204,12 +205,13 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v, u = F.col("v"), F.col("u")
     mcnt = F.count("*")
-    var_raw = (mcnt * F.sum(v * v) - F.sum(v) * F.sum(v)).cast("double") / (
+    # second moments in the shared DECIMAL tier (functions.exact_comoment):
+    # the int64 n*S2 - S1^2 shape overflows quadratically in group size
+    var_raw = exact_comoment(v).cast("double") / (
         mcnt * (mcnt - F.lit(1.0))
     ) / F.lit(10000.0)
-    corr_raw = (mcnt * F.sum(v * u) - F.sum(v) * F.sum(u)) / F.sqrt(
-        (mcnt * F.sum(v * v) - F.sum(v) * F.sum(v)).cast("double")
-        * (mcnt * F.sum(u * u) - F.sum(u) * F.sum(u)).cast("double")
+    corr_raw = exact_comoment(v, u).cast("double") / F.sqrt(
+        exact_comoment(v).cast("double") * exact_comoment(u).cast("double")
     )
     return (
         ev.groupBy("event_type")

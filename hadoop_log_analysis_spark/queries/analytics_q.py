@@ -15,11 +15,16 @@ post-aggregate that is already heavy-hitter-sized.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    dsum,
+    dsum2,
     exact_avg,
+    exact_corr,
     exact_sum,
     money,
     money_sum,
@@ -43,19 +48,10 @@ ANOMALY_Z = 2.0
 LARGE_ORDER_QTY = 300
 
 
-def _exact_corr(x, y, dp):
-    """Pearson r of two integer columns from exact int64 sufficient
-    statistics, floor-pinned at dp (engine corr() streams float
-    co-moments in accumulation order, so its double is not
-    bit-identical across engines). The variance numerators are cast
-    to double BEFORE their product (int64 overflow headroom)."""
-    mcnt = F.count("*")
-    num = mcnt * F.sum(x * y) - F.sum(x) * F.sum(y)
-    den = F.sqrt(
-        (mcnt * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double")
-        * (mcnt * F.sum(y * y) - F.sum(y) * F.sum(y)).cast("double")
-    )
-    return pin(num / den, dp)
+# Pearson r from exact sufficient statistics moved to the shared
+# DECIMAL tier (functions.exact_corr) in r9: the int64 shape's
+# n*S2 - S1^2 products overflow quadratically in group size.
+_exact_corr = exact_corr
 
 
 @query(
@@ -154,21 +150,24 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the burst-threshold input AND an output) is one identical
     # double chain, floor-pinned at 3 dp.
     win = Window.orderBy("hr").rowsBetween(-24, -1)
+    # window S1/S2 in the shared DECIMAL tier (r9): hourly counts scale
+    # with volume, so squared sums outgrow int64 at large SF
     ms = hourly.select(
         "hr",
         "n",
-        F.sum("n").over(win).alias("s1"),
-        F.sum(F.col("n") * F.col("n")).over(win).alias("s2"),
+        dsum(F.col("n")).over(win).alias("s1"),
+        dsum2(F.col("n")).over(win).alias("s2"),
         F.count("*").over(win).alias("n_hist"),
     )
     mm = F.col("n_hist")
     # guard m <= 1 (empty/1-row history) — ANSI mode errors on the
     # division even for rows the filter would later drop
-    mu = F.when(mm > 1, F.col("s1") * F.lit(1.0) / mm)
+    mu = F.when(mm > 1, F.col("s1").cast("double") / mm)
     sd = F.when(
         mm > 1,
         F.sqrt(
-            (mm * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            (mm.cast("decimal(14,0)") * F.col("s2")
+             - F.col("s1") * F.col("s1")).cast("double")
             / (mm * (mm - F.lit(1.0)))
         ),
     )
@@ -1065,6 +1064,19 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_DECAY = 0.7  # per-day retention; alpha = 1 - EWMA_DECAY
 EWMA_SPAN_DAYS = 9  # trailing window (plus the current day)
 
+# Exact integer weight table: w6[k] = floor(0.7^k * 1e6 + 1/2) computed
+# in EXACT rational arithmetic (7^k / 10^k via Fraction) at import time.
+# r9 (ADVICE): the previous per-row floor(pow(decay, age) * 1e6 + 0.5)
+# pinned an ENGINE-computed transcendental — floor flips by 1 whenever
+# libm/JVM pow land within an ulp of a grid boundary, so the grid
+# shrinks but does not eliminate the cross-engine risk. Literal integer
+# weights shared by both plans eliminate it: no pow() anywhere.
+_EWMA_W6 = [
+    int(Fraction(7, 10) ** k * 10**6 + Fraction(1, 2))
+    for k in range(EWMA_SPAN_DAYS + 1)
+]
+_EWMA_W6_SQL = "[" + ", ".join(str(w) for w in _EWMA_W6) + "]"
+
 CUSUM_SLACK_SD = 0.5  # slack k in the one-sided CUSUM recursion
 CUSUM_H_SD = 4.0  # decision threshold, in global stddev units
 
@@ -1075,12 +1087,10 @@ CUSUM_H_SD = 4.0  # decision threshold, in global stddev units
         WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
                        FROM events GROUP BY d)
         SELECT t.d, t.n,
-               floor((CAST(sum(CAST(floor(i.n * pow({EWMA_DECAY},
-                                date_diff('day', i.d, t.d))
-                                * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / CAST(sum(CAST(floor(pow({EWMA_DECAY},
-                                date_diff('day', i.d, t.d))
-                                * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE))
+               floor((CAST(sum(i.n * ({_EWMA_W6_SQL}[
+                                date_diff('day', i.d, t.d) + 1])) AS DOUBLE)
+                      / CAST(sum({_EWMA_W6_SQL}[
+                                date_diff('day', i.d, t.d) + 1]) AS DOUBLE))
                      * 10000.0 + 0.5) / 10000.0 AS ewma
         FROM daily t
         JOIN daily i ON i.d BETWEEN t.d - INTERVAL {EWMA_SPAN_DAYS} DAY AND t.d
@@ -1096,8 +1106,11 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion — so it is window-free, embarrassingly parallel, and
     identical SQL runs on both engines.
 
-    Determinism: each EWMA is a <=10-term weighted mean with identical
-    IEEE pow/sum inputs on both sides; round(4) output.
+    Determinism: each EWMA is a <=10-term weighted mean whose weights
+    are LITERAL integers (_EWMA_W6, exact-rational 0.7^age on a 1e-6
+    grid, computed once at import) — no engine pow() anywhere, so
+    there is no libm-ulp boundary risk to absorb; both engines sum
+    the same exact int64 terms and perform ONE double division.
 
     Scale shape: the band join runs over the DAILY aggregate (|days|
     rows), so its cost is independent of event volume; a per-entity
@@ -1111,7 +1124,10 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t, i = daily.alias("t"), daily.alias("i")
     age = F.datediff(F.col("t.d"), F.col("i.d"))
-    w = F.pow(F.lit(EWMA_DECAY), age)
+    # exact integer weight: literal table lookup, 1-indexed like the
+    # DuckDB list subscript in the oracle. int64 headroom: daily count
+    # n <= ~1e10 (100 TB) x w6 <= 1e6 -> 1e16/term x 10 terms < 2^63.
+    w6 = F.element_at(F.array(*[F.lit(w) for w in _EWMA_W6]), age + 1)
     return (
         t.join(
             i,
@@ -1121,19 +1137,11 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("t.d").alias("d"), F.col("t.n").alias("n"))
         .agg(
-            # per-term weights are identical doubles (pow of identical
-            # inputs up to libm ulp, absorbed by the 1e-6 grid); both
-            # the numerator and denominator accumulate as exact int64,
-            # then ONE division and a 4-dp floor pin
+            # numerator and denominator are exact int64 sums of
+            # literal-weight products, then ONE division + 4-dp pin
             pin(
-                F.sum(
-                    F.floor(
-                        F.col("i.n") * w * F.lit(1000000.0) + F.lit(0.5)
-                    ).cast("long")
-                ).cast("double")
-                / F.sum(
-                    F.floor(w * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-                ).cast("double"),
+                F.sum(F.col("i.n") * w6).cast("double")
+                / F.sum(w6).cast("double"),
                 4,
             ).alias("ewma")
         )
@@ -1197,14 +1205,17 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles on both engines.
     st = hourly.agg(
         F.count("*").alias("m"),
-        F.sum("n").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        dsum(F.col("n")).alias("s1"),
+        dsum2(F.col("n")).alias("s2"),
     )
     mm = F.col("m")
+    # moments in the shared DECIMAL tier (r9): hourly counts scale with
+    # volume, so the int64 m*S2 - S1^2 shape outgrows 2^63 at large SF
     stats = st.select(
-        (F.col("s1") * F.lit(1.0) / mm).alias("mu"),
+        (F.col("s1").cast("double") / mm).alias("mu"),
         F.sqrt(
-            (mm * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            (mm.cast("decimal(14,0)") * F.col("s2")
+             - F.col("s1") * F.col("s1")).cast("double")
             / (mm * (mm - F.lit(1.0)))
         ).alias("sd"),
     )
@@ -2938,18 +2949,21 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order, so its double is not bit-identical across engines; with
     # m hours, var = (m*S2 - S1^2)/m^2 and fano = (m*S2 - S1^2)/(m*S1)
     # are single double divisions of order-free int64 sums.
+    # S1/S2 in the shared DECIMAL tier (r9): hourly counts scale with
+    # volume, so the int64 m*S2 - S1^2 shape outgrows 2^63 at large SF
     m = h.groupBy("event_type").agg(
         F.count("*").alias("c"),
-        F.sum("n").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        dsum(F.col("n")).alias("s1"),
+        dsum2(F.col("n")).alias("s2"),
     )
-    num = (F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    )
+    num = (
+        F.col("c").cast("decimal(14,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    ).cast("double")
     return m.select(
         "event_type",
         F.col("c").cast("long").alias("n_hours"),
-        (F.col("s1") * F.lit(1.0) / F.col("c")).alias("mean_per_hour"),
+        (F.col("s1").cast("double") / F.col("c")).alias("mean_per_hour"),
         (num / (F.col("c") * F.col("c")).cast("double")).alias(
             "var_per_hour"
         ),
@@ -3479,8 +3493,10 @@ def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("raw_score"),
             # decayed_score is the ORDER key and a float-term sum —
             # per-row 1e-6 grid pin + exact int64 accumulation
-            # (functions.exact_sum); the grid also absorbs the exp()
-            # libm last-ulp difference between engines
+            # (functions.exact_sum). The grid SHRINKS (not eliminates)
+            # the exp() libm-ulp risk: floor still flips when a term
+            # lands within one ulp of a grid boundary, ~1e-16 wobble
+            # vs 1e-6 grid -> per-row flip probability ~1e-10
             exact_sum(F.col("value") * F.exp(-0.05 * age_days), 6).alias(
                 "decayed_score"
             ),
@@ -4440,14 +4456,14 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-free exact sums, floor-pinned onto a 1e-6 INTEGER grid so
     # the 5-lag sum is itself an exact integer sum.
     x, y = F.col("n_now"), F.col("n_prev")
-    mcnt = F.count("*")
-    rnum = mcnt * F.sum(x * y) - F.sum(x) * F.sum(y)
-    # each variance numerator is an exact int64 (< 2^53, so the
-    # double conversion is exact); cast BEFORE the product, whose
-    # int64 form would overflow at larger scale factors
+    # moments in the shared DECIMAL tier (functions.dsum/dsum2): daily
+    # counts scale with data volume, so the int64 n*S2 - S1^2 shape
+    # overflows quadratically at larger scale factors
+    mcnt = F.count("*").cast("decimal(14,0)")
+    rnum = (mcnt * dsum2(x, y) - dsum(x) * dsum(y)).cast("double")
     rden = F.sqrt(
-        (mcnt * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double")
-        * (mcnt * F.sum(y * y) - F.sum(y) * F.sum(y)).cast("double")
+        (mcnt * dsum2(x) - dsum(x) * dsum(x)).cast("double")
+        * (mcnt * dsum2(y) - dsum(y) * dsum(y)).cast("double")
     )
     acf = (
         probe.join(prev, "d_prev")

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hadoop_log_analysis_spark.functions import exact_avg, pin
+from hadoop_log_analysis_spark.functions import exact_avg, exact_comoment, pin
 from hadoop_log_analysis_spark.operators.ranking import exact_rank
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import scan
@@ -708,7 +708,8 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = cf.groupBy("doc_id").agg(F.sum("n").alias("tot"))
     p = F.col("n") / F.col("tot")
     # per-char entropy terms are identical doubles (one division +
-    # log2, whose libm ulp the 1e-8 grid absorbs); the per-doc sum
+    # log2, whose libm ulp the 1e-8 grid shrinks to a ~1e-8 per-term
+    # boundary-flip probability — residual, not eliminated); the per-doc sum
     # accumulates as exact int64 (the exact_sum recipe), so h — the
     # 4.0 threshold input — is bit-identical across engines, and the
     # per-lang avg re-pins h onto a 1e-4 grid before an exact sum.
@@ -1734,11 +1735,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*") > 1,
                 pin(
                     F.sqrt(
-                        (
-                            F.count("*")
-                            * F.sum(F.col("n_chars") * F.col("n_chars"))
-                            - F.sum("n_chars") * F.sum("n_chars")
-                        ).cast("double")
+                        exact_comoment(F.col("n_chars")).cast("double")
                         / (F.count("*") * (F.count("*") - F.lit(1.0)))
                     ),
                     4,

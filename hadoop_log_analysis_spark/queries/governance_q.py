@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from hadoop_log_analysis_spark.functions import (
     HASH_MOD,
     HASH_MULT,
+    dsum,
+    dsum2,
+    exact_comoment,
     money_sum,
     pin,
 )
@@ -344,8 +347,10 @@ def _psi_assemble(b: DataFrame, rb: DataFrame, cb: DataFrame) -> DataFrame:
     return (
         grid.groupBy("event_type", "n_ref", "n_cur")
         # per-bin terms are identical doubles (exact counts + one ln,
-        # whose libm ulp the 1e-8 grid absorbs); the 10-term float sum
-        # is order-dependent -> per-row grid pin + exact int64 sum
+        # whose libm ulp the 1e-8 grid shrinks to a ~1e-8 per-bin
+        # boundary-flip probability — residual, not eliminated); the
+        # 10-term float sum is order-dependent -> per-row grid pin +
+        # exact int64 sum
         .agg(
             (
                 F.sum(
@@ -753,11 +758,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (money_sum("value") / F.count("*")).alias("point_mean")
     )
     bb = F.count("*")
+    # DECIMAL second moments: per-row m6^2 alone nears the long limit
+    # for large grid-pinned means (shared r9 tier, functions.dsum2)
     se = F.sqrt(
-        (
-            bb * F.sum(F.col("m6") * F.col("m6"))
-            - F.sum("m6") * F.sum("m6")
-        ).cast("double")
+        exact_comoment(F.col("m6")).cast("double")
         / (bb * (bb - F.lit(1.0)))
         / F.lit(1000000000000.0)
     )
@@ -1739,30 +1743,30 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RANK key, so a 1-ulp wobble could reorder the FDR cut)
     c1 = F.when(F.col("h") == 1, F.col("c"))
     c2 = F.when(F.col("h") == 2, F.col("c"))
+    # S1/S2 accumulate in the shared DECIMAL tier (daily counts scale
+    # with data volume; int64 n*S2 - S1^2 overflows quadratically)
     sm = halves.groupBy("event_type").agg(
         F.count(c1).alias("n1"),
         F.count(c2).alias("n2"),
-        F.sum(c1).alias("a1"),
-        F.sum(c2).alias("a2"),
-        F.sum(c1 * c1).alias("q1"),
-        F.sum(c2 * c2).alias("q2"),
+        dsum(c1).alias("a1"),
+        dsum(c2).alias("a2"),
+        dsum2(c1).alias("q1"),
+        dsum2(c2).alias("q2"),
     )
     st = sm.select(
         "event_type",
         "n1",
         "n2",
-        (F.col("a1") * F.lit(1.0) / F.col("n1")).alias("m1"),
-        (F.col("a2") * F.lit(1.0) / F.col("n2")).alias("m2"),
+        (F.col("a1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("a2").cast("double") / F.col("n2")).alias("m2"),
         (
-            (F.col("n1") * F.col("q1") - F.col("a1") * F.col("a1")).cast(
-                "double"
-            )
+            (F.col("n1").cast("decimal(14,0)") * F.col("q1")
+             - F.col("a1") * F.col("a1")).cast("double")
             / (F.col("n1") * (F.col("n1") - F.lit(1.0)))
         ).alias("v1"),
         (
-            (F.col("n2") * F.col("q2") - F.col("a2") * F.col("a2")).cast(
-                "double"
-            )
+            (F.col("n2").cast("decimal(14,0)") * F.col("q2")
+             - F.col("a2") * F.col("a2")).cast("double")
             / (F.col("n2") * (F.col("n2") - F.lit(1.0)))
         ).alias("v2"),
     )
@@ -2062,8 +2066,8 @@ def q_anova_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n"),
-            F.sum("n_chars").alias("s1"),
-            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+            dsum(F.col("n_chars")).alias("s1"),
+            dsum2(F.col("n_chars")).alias("s2"),
         )
     )
     w_all = Window.partitionBy()
@@ -2257,24 +2261,25 @@ def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # prior moments from exact grid-integer sufficient statistics
     # (engine avg/var_samp stream float partials; shrunk_rate is the
-    # ORDER key): per-user rates pin onto a 1e-6 integer grid, the
-    # sums are order-free int64 (r6^2 <= 1e12 keeps Σ under 2^63 up
-    # to ~1e6 users — escalate to DECIMAL(38,0) beyond), and mu/s2
-    # are identically parenthesized double algebra.
+    # ORDER key): per-user rates pin onto a 1e-6 integer grid and the
+    # moments accumulate in the shared DECIMAL tier (the int64 shape
+    # bound at ~1e6 users; DECIMAL holds to ~1e38 — r9 conversion),
+    # and mu/s2 are identically parenthesized double algebra.
     r = u.withColumn("raw", F.col("x") * 1.0 / F.col("n")).withColumn(
         "r6",
         F.floor(F.col("raw") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
     )
     ms = r.agg(
         F.count("*").alias("c"),
-        F.sum("r6").alias("s1"),
-        F.sum(F.col("r6") * F.col("r6")).alias("s2i"),
+        dsum(F.col("r6")).alias("s1"),
+        dsum2(F.col("r6")).alias("s2i"),
     )
     cc = F.col("c")
     mom = ms.select(
         (F.col("s1").cast("double") / (cc * F.lit(1000000.0))).alias("mu"),
         (
-            (cc * F.col("s2i") - F.col("s1") * F.col("s1")).cast("double")
+            (cc.cast("decimal(14,0)") * F.col("s2i")
+             - F.col("s1") * F.col("s1")).cast("double")
             / (cc * (cc - F.lit(1.0)))
             / F.lit(1000000000000.0)
         ).alias("s2"),
@@ -2371,12 +2376,13 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     d, q = F.col("d"), F.col("q")
-    mcnt = F.count("*")
+    # shared DECIMAL second-moment tier: the int64 n*S2 - S1^2 shape
+    # overflows quadratically in stratum size (r9 ADVICE fix)
     rr = pin(
-        (mcnt * F.sum(d * q) - F.sum(d) * F.sum(q))
+        exact_comoment(d, q).cast("double")
         / F.sqrt(
-            (mcnt * F.sum(d * d) - F.sum(d) * F.sum(d)).cast("double")
-            * (mcnt * F.sum(q * q) - F.sum(q) * F.sum(q)).cast("double")
+            exact_comoment(d).cast("double")
+            * exact_comoment(q).cast("double")
         ),
         6,
     )
@@ -2465,16 +2471,19 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .agg(
             F.count("*").alias("n"),
-            F.sum(cents).alias("sc"),
-            F.sum(cents * cents).alias("sc2"),
+            dsum(cents).alias("sc"),
+            dsum2(cents).alias("sc2"),
         )
     )
     nn = F.col("n")
+    # n*sc2 - sc*sc runs in DECIMAL (sc/sc2 accumulate exact to ~1e38;
+    # the int64 shape overflows quadratically in n — r9 ADVICE fix)
     m = ms.select(
         "n",
         (F.col("sc").cast("double") / (nn * F.lit(100.0))).alias("mu"),
         (
-            (nn * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double")
+            (nn.cast("decimal(14,0)") * F.col("sc2")
+             - F.col("sc") * F.col("sc")).cast("double")
             / (nn * (nn - F.lit(1.0)))
             / F.lit(10000.0)
         ).alias("s2"),
@@ -2722,30 +2731,34 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("y"),
         )
     )
+    # moments in the shared DECIMAL tier: per-user cent sums square to
+    # ~1e12 per row, so the int64 n*S2 - S1^2 shape overflows
+    # quadratically in the user count (r9 ADVICE fix)
     ms = u.agg(
         F.count("*").alias("n"),
-        F.sum("xc").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+        dsum(F.col("xc")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum2(F.col("xc")).alias("sxx"),
+        dsum2(F.col("y")).alias("syy"),
+        dsum2(F.col("xc"), F.col("y")).alias("sxy"),
     )
     nn = F.col("n")
+    nd = nn.cast("decimal(14,0)")
     m = ms.select(
         "n",
         (F.col("sx").cast("double") / (nn * F.lit(100.0))).alias("mx"),
-        (F.col("sy") * F.lit(1.0) / nn).alias("my"),
+        (F.col("sy").cast("double") / nn).alias("my"),
         (
-            (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
             / (nn * (nn - F.lit(1.0)))
             / F.lit(10000.0)
         ).alias("vx"),
         (
-            (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
             / (nn * (nn - F.lit(1.0)))
         ).alias("vy"),
         (
-            (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (nn * (nn - F.lit(1.0)))
             / F.lit(100.0)
         ).alias("cxy"),
@@ -2860,11 +2873,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r2_y") - (F.col("n") + 1)).alias("dy"),
         )
     )
+    # DECIMAL second moments: double-ranks scale with the row count, so
+    # per-row dx*dy products alone outgrow int64 (r9 shared tier)
     s = rk.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        dsum2(F.col("dx"), F.col("dy")).alias("sxy"),
+        dsum2(F.col("dx")).alias("sxx"),
+        dsum2(F.col("dy")).alias("syy"),
     )
     return s.select(
         F.col("n").cast("long").alias("n_orders"),

@@ -28,6 +28,8 @@ from hadoop_log_analysis_spark.operators.similarity import (
     ivf_probe,
 )
 from hadoop_log_analysis_spark.functions import (
+    dsum,
+    dsum2,
     exact_avg,
     exact_sum,
     pin,
@@ -3172,8 +3174,8 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mahalanobis_outliers",
     oracle="""
         WITH f AS (
-          SELECT doc_id, lang, n_chars * 1.0 AS x,
-                 len(string_split(text, ' ')) * 1.0 AS y
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS y
           FROM documents),
         ms AS (
           SELECT count(*) AS n, sum(x) AS sx_, sum(y) AS sy_,
@@ -3181,10 +3183,14 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(x * y) AS sxy_
           FROM f),
         m AS (
-          SELECT sx_ / n AS mx, sy_ / n AS my,
-                 (n * sxx_ - sx_ * sx_) / (n * (n - 1.0)) AS sxx,
-                 (n * syy_ - sy_ * sy_) / (n * (n - 1.0)) AS syy,
-                 (n * sxy_ - sx_ * sy_) / (n * (n - 1.0)) AS sxy
+          SELECT CAST(sx_ AS DOUBLE) / n AS mx,
+                 CAST(sy_ AS DOUBLE) / n AS my,
+                 CAST(n * sxx_ - sx_ * sx_ AS DOUBLE)
+                   / (n * (n - 1.0)) AS sxx,
+                 CAST(n * syy_ - sy_ * sy_ AS DOUBLE)
+                   / (n * (n - 1.0)) AS syy,
+                 CAST(n * sxy_ - sx_ * sy_ AS DOUBLE)
+                   / (n * (n - 1.0)) AS sxy
           FROM ms),
         d AS (
           SELECT f.doc_id, f.lang, f.x, f.y,
@@ -3224,36 +3230,39 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = scan(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        (F.col("n_chars") * 1.0).alias("x"),
-        (F.size(F.split("text", " ")) * 1.0).alias("y"),
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
     )
     # exact integer sufficient statistics (the covariance recipe):
     # engine var_samp/covar_samp stream float partials in accumulation
-    # order, and d2 is the ORDER key — the moments instead derive from
-    # order-free exact sums of integer-valued doubles through
-    # identically parenthesized double algebra, and d2 is floor-pinned.
+    # order, and d2 is the ORDER key — the moments instead accumulate
+    # in the shared DECIMAL tier (r9: the previous integer-valued
+    # double sums bound at 2^53, far below the linear exact_sum rule)
+    # and feed identically parenthesized double algebra; d2 is
+    # floor-pinned.
     ms = f.agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx_"),
-        F.sum("y").alias("sy_"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx_"),
-        F.sum(F.col("y") * F.col("y")).alias("syy_"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy_"),
+        dsum(F.col("x")).alias("sx_"),
+        dsum(F.col("y")).alias("sy_"),
+        dsum2(F.col("x")).alias("sxx_"),
+        dsum2(F.col("y")).alias("syy_"),
+        dsum2(F.col("x"), F.col("y")).alias("sxy_"),
     )
     nn = F.col("n")
+    nd = nn.cast("decimal(14,0)")
     m = ms.select(
-        (F.col("sx_") / nn).alias("mx"),
-        (F.col("sy_") / nn).alias("my"),
+        (F.col("sx_").cast("double") / nn).alias("mx"),
+        (F.col("sy_").cast("double") / nn).alias("my"),
         (
-            (nn * F.col("sxx_") - F.col("sx_") * F.col("sx_"))
+            (nd * F.col("sxx_") - F.col("sx_") * F.col("sx_")).cast("double")
             / (nn * (nn - F.lit(1.0)))
         ).alias("sxx"),
         (
-            (nn * F.col("syy_") - F.col("sy_") * F.col("sy_"))
+            (nd * F.col("syy_") - F.col("sy_") * F.col("sy_")).cast("double")
             / (nn * (nn - F.lit(1.0)))
         ).alias("syy"),
         (
-            (nn * F.col("sxy_") - F.col("sx_") * F.col("sy_"))
+            (nd * F.col("sxy_") - F.col("sx_") * F.col("sy_")).cast("double")
             / (nn * (nn - F.lit(1.0)))
         ).alias("sxy"),
     )
@@ -3492,11 +3501,13 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — both sums are order-free int64, so both engines perform ONE
     # identical double division and the pin sees identical inputs.
     n = TOKEN_BURST_BUCKETS
+    # S1/S2 in the shared DECIMAL tier (r9): s1^2 outgrows int64 once a
+    # token's corpus count passes ~3e9
     stats = (
         filled.groupBy("tok")
         .agg(
-            F.sum("c").cast("long").alias("s1"),
-            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+            dsum(F.col("c")).alias("s1"),
+            dsum2(F.col("c")).alias("s2"),
         )
         .filter(F.col("s1") >= n)
     )
@@ -3508,8 +3519,8 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.select(
             "tok",
-            F.col("s1").alias("total"),
-            F.round(F.col("s1") / F.lit(float(n)), 4).alias("mean_c"),
+            F.col("s1").cast("long").alias("total"),
+            F.round(F.col("s1").cast("double") / F.lit(float(n)), 4).alias("mean_c"),
             fano.alias("fano"),
         )
         .select("tok", "total", "mean_c", "fano", (F.col("fano") > 2.0).alias("bursty"))

@@ -1899,3 +1899,91 @@ def test_money_helpers_are_exact_and_order_free(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results[0] == results[1], "helpers are partition-sensitive"
     assert results[0][0] == float(truth), "decimal sum != exact truth"
+
+
+def test_decimal_moment_helpers_exact_and_order_free(spark):
+    """r9 second-moment tier (functions.dsum/dsum2/exact_comoment/
+    exact_corr): the DECIMAL accumulation must equal Python's
+    unbounded-int arithmetic exactly and be partition-count invariant.
+    The int64 shape these replaced (n*sum(x*x) - sum(x)^2 in long)
+    overflows QUADRATICALLY in group size — ~460x headroom left at
+    sf0.1 (r8 review) — and past the bound DuckDB promotes to HUGEINT
+    while Spark's long wraps, so the engines would diverge rather
+    than fail together."""
+    from hadoop_log_analysis_spark.functions import (
+        dsum,
+        dsum2,
+        exact_comoment,
+        exact_corr,
+    )
+
+    ev = scan(spark, SF001, "events").select(
+        F.col("user_id").alias("x"),
+        (F.col("event_id") % 977).alias("y"),
+    )
+    rows = [(r.x, r.y) for r in ev.collect()]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    com_xx = n * sxx - sx * sx  # exact unbounded ints
+    com_yy = n * syy - sy * sy
+    com_xy = n * sxy - sx * sy
+    import math
+
+    want_r = math.floor(
+        (float(com_xy) / math.sqrt(float(com_xx) * float(com_yy))) * 1e6
+        + 0.5
+    ) / 1e6
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts, n_input in (("32", 64), ("5", 3)):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            row = (
+                ev.repartition(n_input)
+                .agg(
+                    dsum(F.col("x")).alias("s1"),
+                    dsum2(F.col("x")).alias("s2"),
+                    exact_comoment(F.col("x")).alias("cxx"),
+                    exact_comoment(F.col("x"), F.col("y")).alias("cxy"),
+                    exact_corr(F.col("x"), F.col("y"), 6).alias("r"),
+                )
+                .collect()[0]
+            )
+            results.append(
+                (int(row.s1), int(row.s2), int(row.cxx), int(row.cxy), row.r)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1], "DECIMAL moments are partition-sensitive"
+    got = results[0]
+    assert got[0] == sx and got[1] == sxx, "first/second moment inexact"
+    assert got[2] == com_xx and got[3] == com_xy, "comoment inexact"
+    assert got[4] == want_r, "exact_corr != Python-exact pinned r"
+
+
+def test_subus_key_unique_in_fixtures(spark):
+    """subus_key is collision-RESISTANT, not collision-proof (r8
+    review): two events in one truncated µs with ids congruent mod
+    100 would share a key and argmax/as-of tie-breaks could diverge
+    across engines. Every comparison keyed on it relies on the
+    fixtures being collision-free — assert that, at every generated
+    SF, so a regenerated fixture that violates it fails loudly here
+    instead of as an opaque driver hash mismatch."""
+    from tests.conftest import SF0001, SF01
+
+    for sf in (SF0001, SF001, SF01):
+        ev = scan(spark, sf, "events").select(
+            (
+                F.expr("ts_ns div 1000") * 100 + F.col("event_id") % 100
+            ).alias("k")
+        )
+        n, d = ev.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("k").alias("d"),
+        ).collect()[0]
+        assert n == d, f"subus_key collides in {sf}: {n} rows, {d} keys"
