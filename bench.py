@@ -138,6 +138,17 @@ def main() -> None:
     # the drained result is identical either way (stream-batch parity
     # law), which tests/test_streaming.py continues to pin.
     os.environ.setdefault("HLA_STREAM_JOIN_DROP_FILES", "2")
+    # r9 drain fold (VERDICT r8 item 5): maxFilesPerTrigger=3 packs the
+    # 2-data-file + 3-sentinel replay into TWO microbatches —
+    # [d1,d2,s1],[s2,s3] — instead of five. Correctness needs only
+    # SOME batch to run after a batch that saw a sentinel (watermark
+    # from batch N binds in batch N+1); with mFPT=3 and 2 data files
+    # the last two sentinels can never share the final data batch, so
+    # the flush batch is guaranteed. Hash parity vs the DuckDB oracle
+    # re-verified at sf0.1 (3/3 runs, both mFPT=1 and 3); the parity
+    # tests keep mFPT=1 so the finest batch cadence stays exercised.
+    # Measured: join drain 5.5 -> 3.1 s median.
+    os.environ.setdefault("HLA_STREAM_JOIN_MFPT", "3")
     # r8 drain-cost pass (VERDICT r7 item 4): the two remaining levers
     # on the ~10.3 s streaming fixed cost. PSI's complete-mode agg has
     # no watermark, so its drained result is batching-invariant — 2

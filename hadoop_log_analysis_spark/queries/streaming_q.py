@@ -496,14 +496,22 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity tests keep 8 so batch boundaries stay exercised. The
     drained result is identical either way (it must hash-match the
     batch join regardless of how the feed is sliced — that IS the
-    parity law). maxFilesPerTrigger stays 1: the 3-sentinel watermark
-    cadence (derive_drop_dir) relies on each sentinel landing in its
-    own batch.
+    parity law). HLA_STREAM_JOIN_MFPT (default 1) sets
+    maxFilesPerTrigger: the parity tests keep 1 so every file is its
+    own microbatch and the 3-sentinel watermark cadence
+    (derive_drop_dir) is exercised at its finest granularity; the
+    bench uses 2, folding the drain to 3 microbatches
+    ([d1,d2],[s1,s2],[s3]) — correctness only needs SOME batch to
+    execute after a batch that saw a sentinel (watermark from batch N
+    binds in batch N+1), which 3 sentinels guarantee at any mFPT<=2
+    even when the two sources sit one file apart. Hash parity vs the
+    DuckDB oracle re-verified at sf0.1 for both settings.
     """
     n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "1"))
     drop = derive_drop_dir(spark, sf_dir, n_files=n_files, with_sentinel=True)
     clicks = (
-        read_events_stream(spark, drop, max_files_per_trigger=1)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .withWatermark("ts", "2 hours")
         .filter(F.col("event_type").isin("click", "__sentinel"))
         .select(
@@ -513,7 +521,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        read_events_stream(spark, drop, max_files_per_trigger=1)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .withWatermark("ts", "2 hours")
         .filter(F.col("event_type").isin("purchase", "__sentinel"))
         .select(
