@@ -1894,8 +1894,10 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism is exact (see the hyperparameter block comment):
     per-row terms are pinned to a 1e-6 integer grid before the sum
-    (absorbing both partition order AND JVM-vs-DuckDB libm exp/ln
-    last-ulp wobble), the sums are exact integer accumulations, and
+    (eliminating partition-order dependence outright; JVM-vs-DuckDB
+    libm exp/ln last-ulp wobble shrinks to a ~1e-10 per-row
+    boundary-flip residual), the sums are exact integer
+    accumulations, and
     the betas evolve through identically-parenthesized double
     arithmetic — bit-equal on both engines, no display rounding.
     """

@@ -3207,8 +3207,9 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum("y").alias("sy"),
             # per-row scores are identical doubles up to exp() libm
-            # ulp, absorbed by the 1e-8 grid; the sums are order-free
-            # exact int64 (the exact_avg recipe)
+            # ulp (the 1e-8 grid leaves a ~1e-8 per-row boundary-flip
+            # residual — shrunk, not eliminated); the sums are
+            # order-free exact int64 (the exact_avg recipe)
             F.sum(
                 F.floor(
                     F.col("score") * F.lit(100000000.0) + F.lit(0.5)
@@ -3287,8 +3288,9 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
     # y sums are exact (0/1 doubles); per-row squared errors are
-    # identical doubles up to the exp() libm ulp, absorbed by the
-    # 1e-8 grid before an order-free int64 sum; every output is then
+    # identical doubles up to the exp() libm ulp (the 1e-8 grid
+    # leaves a ~1e-8 per-row boundary-flip residual) before an
+    # order-free int64 sum; every output is then
     # identically parenthesized double arithmetic, 6-dp floor-pinned.
     sq = (F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))
     m = s.agg(
@@ -3708,8 +3710,9 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
-    # per-row loss terms are identical doubles up to ln() libm ulp,
-    # absorbed by the 1e-8 grid; the sum is order-free int64 and the
+    # per-row loss terms are identical doubles up to ln() libm ulp
+    # (the 1e-8 grid leaves a ~1e-8 per-row boundary-flip residual);
+    # the sum is order-free int64 and the
     # label sum is exact, so loss/ref/skill are identically
     # parenthesized doubles, floor-pinned at 6 dp.
     term = -(

@@ -476,8 +476,10 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING >= 2 prunes the singleton-pair tail (the vast majority)
     before the final top-k, which is a 20-row TakeOrdered, not a
     global sort. Determinism: each 1/ln(n) term is pinned to a 1e-6
-    integer grid per ROW (absorbing JVM-vs-DuckDB libm ln last-ulp
-    wobble) and summed exactly, so the score every engine sorts on is
+    integer grid per ROW (shrinking JVM-vs-DuckDB libm ln last-ulp
+    wobble to a ~1e-10 per-row boundary-flip residual — floor still
+    flips within one ulp of a grid line) and summed exactly, so the
+    score every engine sorts on is
     bit-identical — the r7 exact-integer pattern, replacing the
     fragile round-the-float-sum pin; ties break on the pair key.
     """

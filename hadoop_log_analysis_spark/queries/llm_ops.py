@@ -1213,8 +1213,9 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_bigrams"),
             # per-bigram NLL terms are identical doubles up to the ln
-            # libm ulp (absorbed by the 1e-6 grid); the per-doc float
-            # avg is order-dependent -> exact_avg
+            # libm ulp (the 1e-6 grid leaves a ~1e-10 per-row
+            # boundary-flip residual); the per-doc float avg is
+            # order-dependent -> exact_avg
             exact_avg(
                 F.log(F.col("na").cast("double") / F.col("nab")), 6
             ).alias("avg_nll"),

@@ -1,0 +1,234 @@
+"""Mechanical int64-grid headroom gate (VERDICT r8 "What's wrong" #3).
+
+Every ``exact_sum``/``exact_avg`` call site accumulates per-row
+``floor(term * 10^dp + 0.5)`` into an int64, whose contract is
+|term| * 10^dp * rows_in_group < 2^63. Until r9 that bound lived only
+in comments — an overflow at a new SF would be a silent wrong sum on
+BOTH engines (bit-identical, and identically wrong). This module makes
+it mechanical:
+
+1. **Completeness** — an AST walk over the package discovers every
+   call site; each must have a ``HEADROOM_REGISTRY`` entry (keyed by
+   (file, helper, normalized-first-arg-source, dp)) and vice versa. A
+   NEW call site without a registry entry fails here, as does a stale
+   entry after a refactor.
+2. **Margin** — per entry, a DuckDB probe observes the site's
+   max|term| and worst-group row count at the LARGEST generated
+   fixture (sf0.1), and the product max|term| * 10^dp * rows must sit
+   >= 3 orders of magnitude under 2^63. Claimed (static) bounds are
+   used only where the term is provably range-limited (ratios in
+   [0,1], sMAPE in [0,2]); everything else is observed.
+
+Escalation path when a site nears the bound: DECIMAL(38,0)
+accumulation (the q_logistic_irls / functions.dsum2 pattern).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+import pytest
+
+from hadoop_log_analysis_spark.oracle import duckdb_connection
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "hadoop_log_analysis_spark")
+PROBE_SF = os.environ.get("HLA_HEADROOM_SF", "/root/testdata/sf0.1")
+TWO63 = 2.0**63
+MARGIN = 1e3  # require >= 3 orders of magnitude headroom at fixture scale
+
+# Worst-group row-count probes, shared across entries. Each returns one
+# row (rows,). Group keys mirror the call site's groupBy.
+_ROWS_BY_LANG = ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+                 "FROM documents GROUP BY lang) g")
+_ROWS_BY_SOURCE = ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+                   "FROM documents GROUP BY source) g")
+_ROWS_ALL_DOCS = "SELECT count(*) FROM documents"
+_MAX_TOKENS_PER_DOC = ("SELECT max(len(string_split(text, ' '))) "
+                       "FROM documents")
+
+# Registry: (relpath, helper, normalized arg source, dp) ->
+#   term_sql: probe for max|term| (None -> use static term_bound only)
+#   term_bound: static claim when the term is range-limited by algebra
+#   rows_sql: probe for the worst accumulation-group row count
+HEADROOM_REGISTRY = {
+    # q_winsorized_stats: value clamped to [p01, p99] -> |term| <= max|value|
+    ("queries/advanced.py", "exact_avg", 'clipped', 6): {
+        "term_sql": "SELECT max(abs(value)) FROM events",
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+                     "FROM events GROUP BY event_type) g"),
+    },
+    # q_stl_decompose: |n - trend(7-day avg)| <= max daily-dow count
+    ("queries/analytics_q.py", "exact_avg", 'F.col("n") - F.col("trend")', 6): {
+        "term_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM events "
+                     "GROUP BY date_trunc('day', ts), dayofweek(ts)) g"),
+        "rows_sql": ("SELECT count(*) FROM (SELECT DISTINCT "
+                     "date_trunc('day', ts) FROM events) d"),
+    },
+    # q_seasonal_naive_error: sMAPE term 2|x-y|/(x+y) in [0, 2] (counts >= 1)
+    ("queries/analytics_q.py", "exact_avg",
+     'F.abs(F.col("n") - F.col("n_pred")) * 2.0 / (F.col("n") + F.col("n_pred"))', 6): {
+        "term_bound": 2.0,
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT event_type, count(*) AS cnt "
+                     "FROM (SELECT event_type, date_trunc('day', ts) AS d "
+                     "FROM events GROUP BY 1, 2) s GROUP BY event_type) g"),
+    },
+    # q_linear_attribution: |value / n_touch| <= max|value|; worst channel
+    # group = matched (purchase, touch) pairs within the 24 h window
+    ("queries/analytics_q.py", "exact_sum",
+     'F.col("value") * 1.0 / F.col("n_touch")', 6): {
+        "term_sql": "SELECT max(abs(value)) FROM events",
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT t.event_type, count(*) AS cnt "
+                     "FROM events p JOIN events t ON t.user_id = p.user_id "
+                     "AND t.event_type IN ('click', 'view') "
+                     "AND p.event_type = 'purchase' AND t.ts < p.ts "
+                     "AND t.ts >= p.ts - INTERVAL 24 HOUR "
+                     "GROUP BY t.event_type) g"),
+    },
+    # q_decayed_user_score: |value * exp(-0.05 age)| <= max|value|; per-user
+    ("queries/analytics_q.py", "exact_sum",
+     'F.col("value") * F.exp(-0.05 * age_days)', 6): {
+        "term_sql": "SELECT max(abs(value)) FROM events",
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM events "
+                     "WHERE event_type IN ('click', 'purchase') "
+                     "GROUP BY user_id) g"),
+    },
+    # q_char_entropy_filter: Shannon entropy <= log2(distinct chars) <= 16
+    ("queries/curation_q.py", "exact_avg", '"h"', 4): {
+        "term_bound": 16.0,
+        "rows_sql": _ROWS_BY_LANG,
+    },
+    # q_eval_contamination: shingle-overlap ratio in [0, 1]
+    ("queries/curation_q.py", "exact_avg", 'overlap', 6): {
+        "term_bound": 1.0,
+        "rows_sql": _ROWS_BY_SOURCE,
+    },
+    # q_rec_eval: n_brands <= k_actual -> ratio in (0, 1]
+    ("queries/graph_q.py", "exact_avg",
+     'F.col("n_brands") * 1.0 / F.col("k_actual")', 6): {
+        "term_bound": 1.0,
+        "rows_sql": "SELECT count(*) FROM customer",
+    },
+    # q_rake_keywords: per-word degree/freq score <= max words in any
+    # phrase <= max tokens in any doc; group = words per phrase (same cap)
+    ("queries/llm_ops.py", "exact_sum", '"score"', 6): {
+        "term_sql": _MAX_TOKENS_PER_DOC,
+        "rows_sql": _MAX_TOKENS_PER_DOC,
+    },
+    # q_bigram_lm_score: NLL = ln(na/nab) <= ln(total bigram occurrences)
+    ("queries/llm_ops.py", "exact_avg",
+     'F.log(F.col("na").cast("double") / F.col("nab"))', 6): {
+        "term_sql": ("SELECT ln(sum(greatest(len(string_split(text, ' ')) - 1, 1)))"
+                     " FROM documents"),
+        "rows_sql": _MAX_TOKENS_PER_DOC,
+    },
+    # q_audio_inventory: duration_ms = data_bytes*1000/byte_rate,
+    # byte_rate >= 16000 -> <= utf8 length / 16
+    ("queries/llm_ops.py", "exact_sum", 'F.col("duration_ms")', 6): {
+        "term_sql": ("SELECT max(octet_length(encode(text))) / 16.0 "
+                     "FROM documents"),
+        "rows_sql": _ROWS_ALL_DOCS,
+    },
+    # q_script_mix: character-class fractions in [0, 1]
+    ("queries/llm_ops.py", "exact_avg", '"latin_frac"', 4): {
+        "term_bound": 1.0, "rows_sql": _ROWS_BY_LANG,
+    },
+    ("queries/llm_ops.py", "exact_avg", '"digit_frac"', 4): {
+        "term_bound": 1.0, "rows_sql": _ROWS_BY_LANG,
+    },
+    ("queries/llm_ops.py", "exact_avg", '"nonascii_frac"', 4): {
+        "term_bound": 1.0, "rows_sql": _ROWS_BY_LANG,
+    },
+    # q_silhouette_simplified: silhouette coefficient in [-1, 1]
+    ("queries/llm_ops.py", "exact_avg", '"s"', 6): {
+        "term_bound": 1.0,
+        "rows_sql": "SELECT count(*) FROM embeddings",
+    },
+    # q_embedding_quantize: |x - dequant| <= component range; group = dims
+    ("queries/pipeline_q.py", "exact_avg", 'F.abs(F.col("x") - dequant)', 8): {
+        "term_sql": ("SELECT 2 * max(abs(v)) FROM (SELECT unnest(embedding) "
+                     "AS v FROM embeddings) u"),
+        "rows_sql": "SELECT max(len(embedding)) FROM embeddings",
+    },
+    # q_bm25 / q_hybrid_retrieval: term_score <= idf_max * (k1+1) <=
+    # (ln(n_docs + 1) + 1) * 2.2 -- ln(n_docs) dominates; group = terms/doc
+    ("queries/pipeline_q.py", "exact_sum", '"term_score"', 6): {
+        "term_sql": ("SELECT (ln(count(*) + 1) + 1) * 2.2 FROM documents"),
+        "rows_sql": _MAX_TOKENS_PER_DOC,
+    },
+    ("queries/pipeline_q.py", "exact_sum", '"ts_"', 6): {
+        "term_sql": ("SELECT (ln(count(*) + 1) + 1) * 2.2 FROM documents"),
+        "rows_sql": _MAX_TOKENS_PER_DOC,
+    },
+}
+
+
+def discover_call_sites() -> set[tuple[str, str, str, int]]:
+    """AST-walk the package for exact_sum/exact_avg calls."""
+    sites = set()
+    for dirpath, _, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, PKG)
+            if rel == os.path.join("functions", "__init__.py"):
+                continue  # the definitions themselves
+            src = open(path).read()
+            for node in ast.walk(ast.parse(src)):
+                if not isinstance(node, ast.Call):
+                    continue
+                name = getattr(node.func, "id",
+                               getattr(node.func, "attr", ""))
+                if name not in ("exact_sum", "exact_avg"):
+                    continue
+                arg = " ".join(
+                    ast.get_source_segment(src, node.args[0]).split()
+                )
+                dp = node.args[1].value
+                sites.add((rel.replace(os.sep, "/"), name, arg, dp))
+    return sites
+
+
+def test_registry_is_complete_and_current():
+    """Every call site registered; every entry matches a live site."""
+    sites = discover_call_sites()
+    registered = set(HEADROOM_REGISTRY)
+    missing = sites - registered
+    stale = registered - sites
+    assert not missing, (
+        "exact_sum/exact_avg call sites without a HEADROOM_REGISTRY "
+        f"entry (add one with a term/rows probe): {sorted(missing)}"
+    )
+    assert not stale, f"stale HEADROOM_REGISTRY entries: {sorted(stale)}"
+
+
+@pytest.mark.parametrize(
+    "key", sorted(HEADROOM_REGISTRY), ids=lambda k: f"{k[0]}:{k[2][:30]}"
+)
+def test_fixture_scale_headroom(key):
+    """max|term| * 10^dp * worst-group rows >= 3 orders under 2^63."""
+    entry = HEADROOM_REGISTRY[key]
+    _, _, _, dp = key
+    con = duckdb_connection(PROBE_SF)
+    try:
+        if entry.get("term_sql"):
+            term = float(con.execute(entry["term_sql"]).fetchone()[0])
+            claimed = entry.get("term_bound")
+            if claimed is not None:
+                assert term <= claimed, (
+                    f"{key}: observed max|term| {term} exceeds the "
+                    f"registered claim {claimed}"
+                )
+        else:
+            term = float(entry["term_bound"])
+        rows = float(con.execute(entry["rows_sql"]).fetchone()[0])
+    finally:
+        con.close()
+    product = term * (10.0**dp) * rows
+    assert product < TWO63 / MARGIN, (
+        f"{key}: |term|*10^dp*rows = {term:.3g} * 1e{dp} * {rows:.3g} = "
+        f"{product:.3g} is within {MARGIN:.0e} of 2^63 — escalate this "
+        "site to DECIMAL(38,0) accumulation (functions.dsum2 pattern)"
+    )
