@@ -235,6 +235,59 @@ def exact_comoment(x: Column, y: Column | None = None) -> Column:
     return n * dsum2(x, y) - dsum(x) * dsum(y)
 
 
+def equal_width_bin(
+    v: Column, lo: Column, hi: Column, nb: int
+) -> Column:
+    """Clamped equal-width bin id over broadcast [lo, hi] bounds:
+    ``least(nb-1, greatest(0, floor((v - lo) * nb / (hi - lo))))``,
+    with a degenerate-range (hi <= lo) guard to bin 0. The shared
+    banding idiom behind the PSI monitor pair and the quality-gate
+    gains table (r9 consolidation — divergent-copies hazard, r4
+    review). Equal-width (not quantile) banding keeps both engines on
+    identical closed-form arithmetic; callers mirror in SQL with the
+    same least/greatest/floor chain. Scale shape: bounds come from a
+    broadcast 1-row aggregate, the bin id is per-row codegen — no
+    shuffle beyond the count that follows.
+    """
+    return (
+        F.when(
+            hi > lo,
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0), F.floor((v - lo) * float(nb) / (hi - lo))
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+
+
+def dec_comoment(n: Column, sxy: Column, sx: Column, sy: Column | None = None) -> Column:
+    """``n*Sxy - Sx*Sy`` as ONE double, from already-aggregated DECIMAL
+    sufficient-statistic COLUMNS (post-``agg`` select context — the
+    sibling of :func:`exact_comoment`, which builds the same numerator
+    inside a single ``agg``). ``n`` is the group count column; ``sxy``
+    /``sx``/``sy`` are :func:`dsum2`/:func:`dsum` outputs. The product
+    runs in DECIMAL (precision 38, exact to ~1e38 — the r9 tier) and
+    casts to double once.
+    """
+    sy = sx if sy is None else sy
+    return (n.cast("decimal(14,0)") * sxy - sx * sy).cast("double")
+
+
+def dec_var(n: Column, sxy: Column, sx: Column, sy: Column | None = None) -> Column:
+    """Sample (co)variance ``(n*Sxy - Sx*Sy) / (n*(n-1))`` from
+    aggregated DECIMAL sufficient-statistic columns: exact DECIMAL
+    numerator (:func:`dec_comoment`), then identical double algebra on
+    both engines. Callers divide by their grid scale (e.g. 1e12 for
+    1e-6-grid terms) at the use site. Guard ``n > 1`` at the call site
+    where ANSI mode could see a zero denominator.
+    """
+    return dec_comoment(n, sxy, sx, sy) / (n * (n - F.lit(1.0)))
+
+
 def exact_corr(x: Column, y: Column, dp: int) -> Column:
     """Pearson r of two integer-valued columns from exact DECIMAL
     sufficient statistics, floor-pinned at dp (aggregate expression).

@@ -21,9 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    dec_comoment,
+    dec_var,
     dsum,
     dsum2,
     exact_avg,
+    exact_comoment,
     exact_corr,
     exact_sum,
     money,
@@ -165,11 +168,7 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.when(mm > 1, F.col("s1").cast("double") / mm)
     sd = F.when(
         mm > 1,
-        F.sqrt(
-            (mm.cast("decimal(14,0)") * F.col("s2")
-             - F.col("s1") * F.col("s1")).cast("double")
-            / (mm * (mm - F.lit(1.0)))
-        ),
+        F.sqrt(dec_var(mm, F.col("s2"), F.col("s1"))),
     )
     w = ms.select("hr", "n", "n_hist", mu.alias("mu"), sd.alias("sd"))
     ok = (
@@ -1213,11 +1212,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume, so the int64 m*S2 - S1^2 shape outgrows 2^63 at large SF
     stats = st.select(
         (F.col("s1").cast("double") / mm).alias("mu"),
-        F.sqrt(
-            (mm.cast("decimal(14,0)") * F.col("s2")
-             - F.col("s1") * F.col("s1")).cast("double")
-            / (mm * (mm - F.lit(1.0)))
-        ).alias("sd"),
+        F.sqrt(dec_var(mm, F.col("s2"), F.col("s1"))).alias("sd"),
     )
     g = hourly.crossJoin(F.broadcast(stats))
     run = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
@@ -2956,10 +2951,7 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("n")).alias("s1"),
         dsum2(F.col("n")).alias("s2"),
     )
-    num = (
-        F.col("c").cast("decimal(14,0)") * F.col("s2")
-        - F.col("s1") * F.col("s1")
-    ).cast("double")
+    num = dec_comoment(F.col("c"), F.col("s2"), F.col("s1"))
     return m.select(
         "event_type",
         F.col("c").cast("long").alias("n_hours"),
@@ -4456,14 +4448,12 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-free exact sums, floor-pinned onto a 1e-6 INTEGER grid so
     # the 5-lag sum is itself an exact integer sum.
     x, y = F.col("n_now"), F.col("n_prev")
-    # moments in the shared DECIMAL tier (functions.dsum/dsum2): daily
-    # counts scale with data volume, so the int64 n*S2 - S1^2 shape
-    # overflows quadratically at larger scale factors
-    mcnt = F.count("*").cast("decimal(14,0)")
-    rnum = (mcnt * dsum2(x, y) - dsum(x) * dsum(y)).cast("double")
+    # moments in the shared DECIMAL tier (functions.exact_comoment):
+    # daily counts scale with data volume, so the int64 n*S2 - S1^2
+    # shape overflows quadratically at larger scale factors
+    rnum = exact_comoment(x, y).cast("double")
     rden = F.sqrt(
-        (mcnt * dsum2(x) - dsum(x) * dsum(x)).cast("double")
-        * (mcnt * dsum2(y) - dsum(y) * dsum(y)).cast("double")
+        exact_comoment(x).cast("double") * exact_comoment(y).cast("double")
     )
     acf = (
         probe.join(prev, "d_prev")

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from hadoop_log_analysis_spark.functions import (
     HASH_MOD,
     HASH_MULT,
+    dec_var,
     dsum,
+    equal_width_bin,
     dsum2,
     exact_comoment,
     money_sum,
@@ -296,20 +298,12 @@ def _psi_binned(side: DataFrame, b: DataFrame) -> DataFrame:
     equal-width bins -> (event_type, bin, c) counts. Works unchanged
     on a STREAMING side (broadcast stream-static join + bounded-state
     aggregation)."""
-    v = F.col("value").cast("double")
-    bin_expr = F.when(
-        F.col("hi") > F.col("lo"),
-        F.least(
-            F.lit(9),
-            F.greatest(
-                F.lit(0),
-                F.floor((v - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
-            ),
-        ),
-    ).otherwise(0)
+    bin_expr = equal_width_bin(
+        F.col("value").cast("double"), F.col("lo"), F.col("hi"), 10
+    )
     return (
         side.join(F.broadcast(b.select("event_type", "lo", "hi")), "event_type")
-        .select("event_type", bin_expr.cast("int").alias("bin"))
+        .select("event_type", bin_expr.alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count("*").alias("c"))
     )
@@ -980,19 +974,16 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = docs.select("doc_id", (TXT.dup_token_frac() <= 0.4).alias("pass"))
     m = ent.join(lbl, "doc_id")
     b = m.agg(F.min("e").alias("lo"), F.max("e").alias("hi"))
-    bin_expr = F.when(
-        F.col("hi") > F.col("lo"),
-        F.lit(9)
-        - F.least(
-            F.lit(9),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("e") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))
-                ),
-            ),
-        ).cast("int"),
-    ).otherwise(0)
+    # tier 0 = HIGHEST entropy: reverse the shared equal-width bin id.
+    # NOTE the 9 - x sits OUTSIDE the degenerate-range guard in the
+    # original; equal_width_bin returns 0 on hi <= lo, and 9 - 0 = 9
+    # would flip the degenerate tier, so guard the reversal too.
+    ew = equal_width_bin(F.col("e"), F.col("lo"), F.col("hi"), 10)
+    bin_expr = (
+        F.when(F.col("hi") > F.col("lo"), F.lit(9) - ew)
+        .otherwise(0)
+        .cast("int")
+    )
     agg = (
         m.crossJoin(F.broadcast(b))
         .select(bin_expr.alias("bin"), "e", "pass")
@@ -1759,16 +1750,8 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         (F.col("a1").cast("double") / F.col("n1")).alias("m1"),
         (F.col("a2").cast("double") / F.col("n2")).alias("m2"),
-        (
-            (F.col("n1").cast("decimal(14,0)") * F.col("q1")
-             - F.col("a1") * F.col("a1")).cast("double")
-            / (F.col("n1") * (F.col("n1") - F.lit(1.0)))
-        ).alias("v1"),
-        (
-            (F.col("n2").cast("decimal(14,0)") * F.col("q2")
-             - F.col("a2") * F.col("a2")).cast("double")
-            / (F.col("n2") * (F.col("n2") - F.lit(1.0)))
-        ).alias("v2"),
+        dec_var(F.col("n1"), F.col("q1"), F.col("a1")).alias("v1"),
+        dec_var(F.col("n2"), F.col("q2"), F.col("a2")).alias("v2"),
     )
     za = pin(
         F.abs(F.col("m2") - F.col("m1"))
@@ -2278,9 +2261,7 @@ def q_empirical_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = ms.select(
         (F.col("s1").cast("double") / (cc * F.lit(1000000.0))).alias("mu"),
         (
-            (cc.cast("decimal(14,0)") * F.col("s2i")
-             - F.col("s1") * F.col("s1")).cast("double")
-            / (cc * (cc - F.lit(1.0)))
+            dec_var(cc, F.col("s2i"), F.col("s1"))
             / F.lit(1000000000000.0)
         ).alias("s2"),
     )
@@ -2482,10 +2463,7 @@ def q_ab_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("sc").cast("double") / (nn * F.lit(100.0))).alias("mu"),
         (
-            (nn.cast("decimal(14,0)") * F.col("sc2")
-             - F.col("sc") * F.col("sc")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-            / F.lit(10000.0)
+            dec_var(nn, F.col("sc2"), F.col("sc")) / F.lit(10000.0)
         ).alias("s2"),
     )
     mde = spark.createDataFrame(
@@ -2743,23 +2721,16 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum2(F.col("xc"), F.col("y")).alias("sxy"),
     )
     nn = F.col("n")
-    nd = nn.cast("decimal(14,0)")
     m = ms.select(
         "n",
         (F.col("sx").cast("double") / (nn * F.lit(100.0))).alias("mx"),
         (F.col("sy").cast("double") / nn).alias("my"),
         (
-            (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-            / F.lit(10000.0)
+            dec_var(nn, F.col("sxx"), F.col("sx")) / F.lit(10000.0)
         ).alias("vx"),
+        dec_var(nn, F.col("syy"), F.col("sy")).alias("vy"),
         (
-            (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-        ).alias("vy"),
-        (
-            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
+            dec_var(nn, F.col("sxy"), F.col("sx"), F.col("sy"))
             / F.lit(100.0)
         ).alias("cxy"),
     )

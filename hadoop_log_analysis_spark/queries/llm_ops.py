@@ -28,6 +28,8 @@ from hadoop_log_analysis_spark.operators.similarity import (
     ivf_probe,
 )
 from hadoop_log_analysis_spark.functions import (
+    dec_comoment,
+    dec_var,
     dsum,
     dsum2,
     exact_avg,
@@ -3250,22 +3252,12 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum2(F.col("x"), F.col("y")).alias("sxy_"),
     )
     nn = F.col("n")
-    nd = nn.cast("decimal(14,0)")
     m = ms.select(
         (F.col("sx_").cast("double") / nn).alias("mx"),
         (F.col("sy_").cast("double") / nn).alias("my"),
-        (
-            (nd * F.col("sxx_") - F.col("sx_") * F.col("sx_")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-        ).alias("sxx"),
-        (
-            (nd * F.col("syy_") - F.col("sy_") * F.col("sy_")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-        ).alias("syy"),
-        (
-            (nd * F.col("sxy_") - F.col("sx_") * F.col("sy_")).cast("double")
-            / (nn * (nn - F.lit(1.0)))
-        ).alias("sxy"),
+        dec_var(nn, F.col("sxx_"), F.col("sx_")).alias("sxx"),
+        dec_var(nn, F.col("syy_"), F.col("sy_")).alias("syy"),
+        dec_var(nn, F.col("sxy_"), F.col("sx_"), F.col("sy_")).alias("sxy"),
     )
     dx = F.col("x") - F.col("mx")
     dy = F.col("y") - F.col("my")
@@ -3513,7 +3505,7 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s1") >= n)
     )
     fano = pin(
-        (F.lit(n) * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        dec_comoment(F.lit(n), F.col("s2"), F.col("s1"))
         / (F.lit(n - 1) * F.col("s1")).cast("double"),
         4,
     )

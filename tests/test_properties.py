@@ -1987,3 +1987,62 @@ def test_subus_key_unique_in_fixtures(spark):
             F.countDistinct("k").alias("d"),
         ).collect()[0]
         assert n == d, f"subus_key collides in {sf}: {n} rows, {d} keys"
+
+
+def test_dec_var_and_equal_width_bin_match_python_truth(spark):
+    """r9 consolidation helpers: dec_var/dec_comoment (post-agg DECIMAL
+    moment algebra) must equal Python unbounded-int truth through one
+    double cast, and equal_width_bin must reproduce the closed-form
+    clamp bin-by-bin."""
+    import math
+
+    from hadoop_log_analysis_spark.functions import (
+        dec_comoment,
+        dec_var,
+        dsum,
+        dsum2,
+        equal_width_bin,
+    )
+
+    ev = scan(spark, SF001, "events").select(
+        F.col("user_id").alias("x"), "value"
+    )
+    xs = [r.x for r in ev.select("x").collect()]
+    n = len(xs)
+    com = n * sum(x * x for x in xs) - sum(xs) ** 2
+    want_var = float(com) / (n * (n - 1.0))
+
+    row = (
+        ev.agg(
+            F.count("*").alias("n"),
+            dsum(F.col("x")).alias("s1"),
+            dsum2(F.col("x")).alias("s2"),
+        )
+        .select(
+            dec_comoment(F.col("n"), F.col("s2"), F.col("s1")).alias("c"),
+            dec_var(F.col("n"), F.col("s2"), F.col("s1")).alias("v"),
+        )
+        .collect()[0]
+    )
+    assert row.c == float(com) and row.v == want_var
+
+    vals = [r.value for r in ev.select("value").collect()]
+    lo, hi = min(vals), max(vals)
+    got = (
+        ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .crossJoin(ev.select("value"))
+        .select(
+            "value",
+            equal_width_bin(
+                F.col("value"), F.col("lo"), F.col("hi"), 10
+            ).alias("bin"),
+        )
+        .collect()
+    )
+    for r in got:
+        want = (
+            0
+            if hi <= lo
+            else min(9, max(0, math.floor((r.value - lo) * 10.0 / (hi - lo))))
+        )
+        assert r.bin == want, (r.value, r.bin, want)
