@@ -75,16 +75,21 @@ def connected_components(
     # accumulator), so each iteration runs ONE job, not a checkpoint
     # job plus a separate 1-row aggregate action — at 100 TB that is
     # one full pass over the label table saved per iteration.
+    #
+    # The seed label table stays LAZY (no eager checkpoint, no initial
+    # sum): iteration 1 recomputes the cheap distinct-over-checkpointed-
+    # edges plan once and prev_sum=None skips the first convergence
+    # compare — the loop then needs one confirming pass like any other
+    # fixed-point check, but saves a whole eager-checkpoint job per
+    # call (r9: ~0.3-0.5 s of the semantic-dedup drain was this seed
+    # job; at 100 TB it is one full label-table pass saved).
     sum_metric = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    obs0 = Observation()
     labels = (
         adj.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .observe(obs0, sum_metric)
-        .localCheckpoint(eager=True)
     )
-    prev_sum = obs0.get["s"]
+    prev_sum = None
     changed = 0
     for _ in range(max_iter):
         # Each node's candidate label: min over its own and neighbors'.
@@ -101,7 +106,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         new_sum = obs.get["s"]
-        changed = int(new_sum != prev_sum)
+        changed = 1 if prev_sum is None else int(new_sum != prev_sum)
         prev_sum = new_sum
         labels = new_labels
         if changed == 0:

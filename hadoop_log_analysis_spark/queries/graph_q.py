@@ -22,7 +22,7 @@ observed-metrics certificate from operators/clustering.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import exact_avg
@@ -327,21 +327,33 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
 
+    # The seed is a 1-row LOCAL frame (no lineage to cut) and dist is
+    # only ever a union of per-level checkpointed blocks — union adds
+    # breadth, not lineage depth, so checkpointing the union re-wrote
+    # already-checkpointed blocks for nothing (r9: 1 eager job per
+    # level + 1 for the seed removed; each job is pure fixed cost at
+    # bench scale and one full distance-table pass at 100 TB).
     seed = spark.createDataFrame([("spark", 0)], "tok string, hops int")
-    dist = seed.localCheckpoint(eager=True)
-    frontier = dist
+    dist = seed
+    frontier = seed
     for depth in range(1, 11):
+        # frontier-drained check rides the checkpoint job as an
+        # OBSERVED metric (the connected_components certificate
+        # pattern) instead of a separate isEmpty() take-job: one job
+        # per level, not two.
+        obs = Observation()
         nxt = (
             frontier.join(edges, frontier["tok"] == edges["u"])
             .select(F.col("v").alias("tok"))
             .distinct()
             .join(dist, "tok", "left_anti")
             .withColumn("hops", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.orderBy("hops", "tok")
 
