@@ -97,6 +97,25 @@ def exact_avg(col: Column | str, dp: int) -> Column:
     ) / (F.count(c).cast("double") * F.lit(g))
 
 
+def exact_avg_wide(col: Column | str, dp: int) -> Column:
+    """:func:`exact_avg` with DECIMAL(38,0) accumulation — the
+    headroom-gate escalation path for terms whose |term| * 10^dp *
+    rows product nears 2^63 (tests/test_headroom.py flags those; the
+    first real case was q_try_divide's price/discount ratios, max
+    ~1.05e7 at dp=4 over 3e5-row groups = 3.2e16). The per-row grid
+    integer is exact in double (< 2^53) and exact in the DECIMAL cast;
+    the sum then holds to ~1e38. Oracle strings need NO change from
+    :func:`sql_exact_avg` — DuckDB already promotes sum(BIGINT) to
+    HUGEINT, so it was exact all along; this brings the Spark side to
+    the same bound instead of wrapping at 2^63.
+    """
+    g = float(10**dp)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(
+        F.floor(c * F.lit(g) + F.lit(0.5)).cast("decimal(38,0)")
+    ).cast("double") / (F.count(c).cast("double") * F.lit(g))
+
+
 def sql_exact_avg(expr: str, dp: int) -> str:
     """DuckDB mirror of :func:`exact_avg` for oracle strings."""
     g = f"{float(10 ** dp):.1f}"

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    exact_avg_wide,
     exact_comoment,
     money,
     money_sum,
@@ -395,16 +396,16 @@ def q_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_linestatus")
         .agg(
             F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_div"),
-            # per-row 1e-4 grid pin + exact int64 sum + ONE division
-            # by the NON-NULL count (a float avg of per-row ratios is
-            # partition-order-dependent; NULL ratios drop out of both
-            # the pinned sum and the count, same as avg's null skip)
-            (
-                F.sum(
-                    F.floor(ratio * F.lit(10000.0) + F.lit(0.5)).cast("long")
-                ).cast("double")
-                / (F.count(ratio).cast("double") * F.lit(10000.0))
-            ).alias("avg_ratio"),
+            # exact_avg has AVG NULL semantics since r9 (divides by the
+            # NON-NULL count), so the hand-rolled NULL-aware variant
+            # this site carried is just the helper now — in the WIDE
+            # (DECIMAL-accumulating) form: converting this site ran it
+            # through the headroom gate, which flagged the product
+            # max|ratio| * 1e4 * rows = 3.2e16 at sf0.1 as within 300x
+            # of 2^63 (price/discount ratios reach 1.05e7). DuckDB's
+            # HUGEINT promotion was already exact; exact_avg_wide
+            # matches that bound on the Spark side.
+            exact_avg_wide(ratio, 4).alias("avg_ratio"),
         )
         .orderBy("l_linestatus")
     )

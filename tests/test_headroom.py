@@ -161,6 +161,17 @@ HEADROOM_REGISTRY = {
         "term_sql": ("SELECT (ln(count(*) + 1) + 1) * 2.2 FROM documents"),
         "rows_sql": _MAX_TOKENS_PER_DOC,
     },
+    # q_try_divide: price/discount ratios reach ~1.05e7, and at dp=4
+    # over 3e5-row groups the int64 product is 3.2e16 — within 300x of
+    # 2^63, which is exactly why this site uses exact_avg_WIDE
+    # (DECIMAL(38,0) accumulation; bound 1e38, margin ~1e21). The
+    # first site this gate escalated.
+    ("queries/aggregates.py", "exact_avg_wide", 'ratio', 4): {
+        "term_sql": ("SELECT max(l_extendedprice / l_discount) "
+                     "FROM lineitem WHERE l_discount <> 0"),
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+                     "FROM lineitem GROUP BY l_linestatus) g"),
+    },
 }
 
 
@@ -181,7 +192,7 @@ def discover_call_sites() -> set[tuple[str, str, str, int]]:
                     continue
                 name = getattr(node.func, "id",
                                getattr(node.func, "attr", ""))
-                if name not in ("exact_sum", "exact_avg"):
+                if name not in ("exact_sum", "exact_avg", "exact_avg_wide"):
                     continue
                 arg = " ".join(
                     ast.get_source_segment(src, node.args[0]).split()
@@ -210,7 +221,10 @@ def test_registry_is_complete_and_current():
 def test_fixture_scale_headroom(key):
     """max|term| * 10^dp * worst-group rows >= 3 orders under 2^63."""
     entry = HEADROOM_REGISTRY[key]
-    _, _, _, dp = key
+    _, helper, _, dp = key
+    # _wide helpers accumulate in DECIMAL(38,0): their bound is 1e38,
+    # not 2^63 (DuckDB's HUGEINT matches — see functions.exact_avg_wide)
+    limit = 1e38 if helper.endswith("_wide") else TWO63
     con = duckdb_connection(PROBE_SF)
     try:
         if entry.get("term_sql"):
@@ -227,8 +241,9 @@ def test_fixture_scale_headroom(key):
     finally:
         con.close()
     product = term * (10.0**dp) * rows
-    assert product < TWO63 / MARGIN, (
+    assert product < limit / MARGIN, (
         f"{key}: |term|*10^dp*rows = {term:.3g} * 1e{dp} * {rows:.3g} = "
-        f"{product:.3g} is within {MARGIN:.0e} of 2^63 — escalate this "
-        "site to DECIMAL(38,0) accumulation (functions.dsum2 pattern)"
+        f"{product:.3g} is within {MARGIN:.0e} of the accumulator bound "
+        f"{limit:.3g} — escalate this site to DECIMAL(38,0) accumulation "
+        "(functions.exact_avg_wide / dsum2 pattern)"
     )
