@@ -172,11 +172,126 @@ HEADROOM_REGISTRY = {
         "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
                      "FROM lineitem GROUP BY l_linestatus) g"),
     },
+    # --- inline grid-pin sums (the shapes the helpers can't express
+    # because the caller keeps the grid integer or windows over it) ---
+    # q_hhi_concentration: share^2 in [0, 1]; group = segment suppliers
+    ("queries/aggregates.py", "inline_sum",
+     'F.sum( F.floor( F.pow(F.col("share"), 2) * F.lit(100000000.0) + F.lit(0.', 8): {
+        "term_bound": 1.0,
+        "rows_sql": "SELECT count(*) FROM supplier",
+    },
+    # q_cusum_shift: |n - mu - k*sd| <= ~2x max hourly count; windowed
+    # cumulation over the hourly calendar
+    ("queries/analytics_q.py", "inline_sum",
+     'F.sum( F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long") )', 6): {
+        "term_sql": ("SELECT 2 * max(cnt) FROM (SELECT count(*) AS cnt "
+                     "FROM events GROUP BY date_trunc('hour', ts)) g"),
+        "rows_sql": ("SELECT count(DISTINCT date_trunc('hour', ts)) "
+                     "FROM events"),
+    },
+    # q_char_entropy_filter: |p*log2(p)| <= 1/(e*ln2) ~ 0.531; group =
+    # per-doc alphabet (<= 256 distinct chars)
+    ("queries/curation_q.py", "inline_sum",
+     'F.sum( F.floor( p * F.log2(p) * F.lit(100000000.0) + F.lit(0.5) ).cast("', 8): {
+        "term_bound": 0.54,
+        "rows_sql": "SELECT 256",
+    },
+    # q_chi2_independence: max observed (obs-exp)^2/exp cell stat;
+    # group = |langs| x |sources| contingency cells
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor( (d * d / F.col("exp")) * F.lit(1000000.0) + F.lit(0.5) )', 6): {
+        "term_sql": ("""
+            WITH o AS (SELECT lang, source, count(*) AS obs
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, sum(obs) AS rn FROM o GROUP BY lang),
+            c AS (SELECT source, sum(obs) AS cn FROM o GROUP BY source),
+            t AS (SELECT sum(obs) AS t FROM o)
+            SELECT max(pow(coalesce(o.obs, 0) - r.rn * c.cn / t.t, 2)
+                       / (r.rn * c.cn / t.t))
+            FROM r CROSS JOIN c CROSS JOIN t
+            LEFT JOIN o ON o.lang = r.lang AND o.source = c.source"""),
+        "rows_sql": ("SELECT count(DISTINCT lang) * count(DISTINCT source) "
+                     "FROM documents"),
+    },
+    # q_ks_drift PSI term: |(pc-pr) ln(pc/pr)| with Laplace-smoothed
+    # probabilities -> bounded by ~|ln(smallest smoothed p)| ~ 20
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor( (pc - pr) * F.log(pc / pr) * F.lit(100000000.0) + F.lit(', 8): {
+        "term_bound": 32.0,
+        "rows_sql": "SELECT 10",  # fixed 10-bin grid per event_type
+    },
+    # q_quality_gate_gains: entropy e <= log2(|alphabet|) <= 16;
+    # group = docs per tier
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor( F.col("e") * F.lit(1000000.0) + F.lit(0.5) ).cast("long"', 6): {
+        "term_bound": 16.0,
+        "rows_sql": _ROWS_ALL_DOCS,
+    },
+    # q_calibration_bins: sigmoid score in [0, 1]; group = docs per bin
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor( F.col("score") * F.lit(100000000.0) + F.lit(0.5) ).cast(', 8): {
+        "term_bound": 1.0,
+        "rows_sql": _ROWS_ALL_DOCS,
+    },
+    # q_brier_score: (score - y)^2 in [0, 1]; global over docs
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor(sq * F.lit(100000000.0) + F.lit(0.5)).cast("long") )', 8): {
+        "term_bound": 1.0,
+        "rows_sql": _ROWS_ALL_DOCS,
+    },
+    # q_anova_doclen between-group term n*(mean - grand_mean)^2
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor(ssb_t * F.lit(10000.0) + F.lit(0.5)).cast("long") )', 4): {
+        "term_sql": ("""
+            WITH g AS (SELECT source, count(*) AS n, sum(n_chars) AS s1
+                       FROM documents GROUP BY source),
+            a AS (SELECT sum(s1) * 1.0 / sum(n) AS gm FROM g)
+            SELECT max(n * pow(s1 * 1.0 / n - gm, 2)) FROM g, a"""),
+        "rows_sql": "SELECT count(DISTINCT source) FROM documents",
+    },
+    # q_log_loss: per-doc loss <= ln(1+exp(|z|)) ~ |z|+1,
+    # z = (n_chars - 300)/100
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor(term * F.lit(100000000.0) + F.lit(0.5)).cast("long") )', 8): {
+        "term_sql": ("SELECT max(abs(n_chars - 300.0)) / 100.0 + 1 "
+                     "FROM documents"),
+        "rows_sql": _ROWS_ALL_DOCS,
+    },
+    # q_anova_doclen within-group subtrahend s1^2/n (grows ~linearly
+    # with docs/source — the closest non-wide site to the margin; the
+    # gate is the tripwire that forces DECIMAL escalation at larger SF)
+    ("queries/governance_q.py", "inline_sum",
+     'F.sum( F.floor(with_t * F.lit(10000.0) + F.lit(0.5)).cast("long") )', 4): {
+        "term_sql": ("SELECT max(pow(s1, 2) * 1.0 / n) FROM "
+                     "(SELECT count(*) AS n, sum(n_chars) AS s1 "
+                     "FROM documents GROUP BY source) g"),
+        "rows_sql": "SELECT count(DISTINCT source) FROM documents",
+    },
 }
 
 
+import math
+import re
+
+
+def _inline_dp(segment: str) -> int | None:
+    """Grid exponent of an inline pin: the largest F.lit(10^k) in the
+    expression (the +0.5 rounding literal is < 10 and ignored)."""
+    gs = [float(m) for m in re.findall(r"F\.lit\((\d+(?:\.\d+)?)\)", segment)]
+    gs = [g for g in gs if g >= 10]
+    if not gs:
+        return None
+    return round(math.log10(max(gs)))
+
+
 def discover_call_sites() -> set[tuple[str, str, str, int]]:
-    """AST-walk the package for exact_sum/exact_avg calls."""
+    """AST-walk the package for every int64 grid accumulation: calls to
+    the exact_sum/exact_avg helper family PLUS inline
+    ``F.sum(F.floor(term * lit(g) + 0.5).cast("long"))`` shapes (the
+    form the helpers can't express because the caller keeps the grid
+    integer — q_cusum_shift's windowed cumulation, chi-square's display
+    division). Inline sites key on the normalized source prefix, so
+    editing the term forces a registry touch."""
     sites = set()
     for dirpath, _, files in os.walk(PKG):
         for fname in files:
@@ -192,13 +307,23 @@ def discover_call_sites() -> set[tuple[str, str, str, int]]:
                     continue
                 name = getattr(node.func, "id",
                                getattr(node.func, "attr", ""))
-                if name not in ("exact_sum", "exact_avg", "exact_avg_wide"):
-                    continue
-                arg = " ".join(
-                    ast.get_source_segment(src, node.args[0]).split()
-                )
-                dp = node.args[1].value
-                sites.add((rel.replace(os.sep, "/"), name, arg, dp))
+                if name in ("exact_sum", "exact_avg", "exact_avg_wide"):
+                    arg = " ".join(
+                        ast.get_source_segment(src, node.args[0]).split()
+                    )
+                    dp = node.args[1].value
+                    sites.add((rel.replace(os.sep, "/"), name, arg, dp))
+                elif name == "sum":
+                    seg = " ".join(
+                        (ast.get_source_segment(src, node) or "").split()
+                    )
+                    if "floor(" in seg and '.cast("long")' in seg:
+                        dp = _inline_dp(seg)
+                        if dp is not None:
+                            sites.add(
+                                (rel.replace(os.sep, "/"), "inline_sum",
+                                 seg[:72], dp)
+                            )
     return sites
 
 
