@@ -2046,3 +2046,29 @@ def test_dec_var_and_equal_width_bin_match_python_truth(spark):
             else min(9, max(0, math.floor((r.value - lo) * 10.0 / (hi - lo))))
         )
         assert r.bin == want, (r.value, r.bin, want)
+
+
+def test_connected_components_edge_cases(spark):
+    """r9 lazy-seed loop (prev_sum=None skips the first convergence
+    compare): empty edge list, an already-min-labeled graph, and
+    max_iter exhaustion must all terminate and return sane labels."""
+    from hadoop_log_analysis_spark.operators.clustering import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(empty).count() == 0
+
+    one = spark.createDataFrame([(1, 2)], ["a_id", "b_id"])
+    got = {r.id: r.component for r in connected_components(one).collect()}
+    assert got == {1: 1, 2: 1}
+
+    # budget exhaustion: 1 iteration over an 8-node chain cannot reach
+    # the fixed point — must return (with the documented warning), and
+    # every label must still be a valid reachable-node id
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["a_id", "b_id"]
+    )
+    out = connected_components(chain, max_iter=1).collect()
+    assert len(out) == 8
+    assert all(1 <= r.component <= r.id for r in out)
