@@ -166,6 +166,11 @@ def main() -> None:
     spark = get_spark(app_name="hla-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # 1/5/15-min load average at suite start: per-query times move
+    # together with session load (the r2/r6/r7/r8 drift diagnosis), so
+    # the record needs the contention context to separate environment
+    # from regression without a re-measure round-trip.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     rerun: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -219,6 +224,8 @@ def main() -> None:
             "queries_spread": spread,
             "n_runs": N_RUNS,
             "sf": _sf_of(sf_dir),
+            "load_avg_start": load_start,
+            "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         }
     )
     # The driver captures only the LAST 2,000 chars of stdout — the
@@ -235,6 +242,9 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(t, 3) for n, t in timings.items()},
             "sf": _sf_of(sf_dir),
+            # contention context (~30 chars): the drift-vs-regression
+            # question every round starts with "what else was running?"
+            "load_avg_start": load_start,
         },
         separators=(",", ":"),
     )
