@@ -1432,3 +1432,13 @@ def test_calibration_single_exchange(spark):
     assert plan.count("- Exchange") <= 2  # agg shuffle + output sort
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_ewma_plan_has_no_transcendentals(spark):
+    """r9: q_ewma_daily's decay^age weights are exact-rational integer
+    LITERALS (analytics_q._EWMA_W6) shared by both engines — no pow()
+    anywhere, so there is no libm-ulp boundary to pin. This test keeps
+    a refactor from quietly reintroducing an engine-computed
+    transcendental into the weight path."""
+    plan = _formatted(REGISTRY["q_ewma_daily"].fn(spark, SF001))
+    assert "POWER" not in plan and "pow(" not in plan.lower(), plan[:800]
