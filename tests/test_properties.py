@@ -2072,3 +2072,31 @@ def test_connected_components_edge_cases(spark):
     out = connected_components(chain, max_iter=1).collect()
     assert len(out) == 8
     assert all(1 <= r.component <= r.id for r in out)
+
+
+def test_decimal_tier_queries_partition_invariant(spark):
+    """Split-invariance for the r9 DECIMAL-second-moment conversions:
+    variance/correlation/Mahalanobis outputs must be IDENTICAL over 32
+    vs 5 shuffle partitions — the property the exact sufficient-
+    statistics design guarantees by construction, asserted here at the
+    full-query level (bit-equal rows, not approximate)."""
+    from hadoop_log_analysis_spark.queries import load_registry
+
+    reg = load_registry()
+    names = (
+        "q_stats_agg",
+        "q_spearman_corr",
+        "q_mahalanobis_outliers",
+        "q_ratio_delta_method",
+        "q_try_divide",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = {n: [tuple(r) for r in reg[n].fn(spark, SF001).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} is partition-sensitive"
