@@ -365,7 +365,16 @@ def test_fixture_scale_headroom(key):
         rows = float(con.execute(entry["rows_sql"]).fetchone()[0])
     finally:
         con.close()
-    product = term * (10.0**dp) * rows
+    # the PER-ROW grid value must be exactly representable in double
+    # (floor computes in double on BOTH engines before any cast): a
+    # term*10^dp past 2^53 quantizes identically-but-wrongly on both
+    # sides — consistent, yet no longer the grid the comment promises
+    per_row = term * (10.0**dp)
+    assert per_row < 2.0**53 / 10, (
+        f"{key}: per-row grid value {per_row:.3g} nears 2^53 — the "
+        "double floor is no longer integer-exact; lower dp"
+    )
+    product = per_row * rows
     assert product < limit / MARGIN, (
         f"{key}: |term|*10^dp*rows = {term:.3g} * 1e{dp} * {rows:.3g} = "
         f"{product:.3g} is within {MARGIN:.0e} of the accumulator bound "
