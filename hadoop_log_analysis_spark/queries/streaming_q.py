@@ -500,12 +500,13 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger: the parity tests keep 1 so every file is its
     own microbatch and the 3-sentinel watermark cadence
     (derive_drop_dir) is exercised at its finest granularity; the
-    bench uses 2, folding the drain to 3 microbatches
-    ([d1,d2],[s1,s2],[s3]) — correctness only needs SOME batch to
+    bench uses 3, folding the 2-data-file replay to TWO microbatches
+    ([d1,d2,s1],[s2,s3]) — correctness only needs SOME batch to
     execute after a batch that saw a sentinel (watermark from batch N
-    binds in batch N+1), which 3 sentinels guarantee at any mFPT<=2
-    even when the two sources sit one file apart. Hash parity vs the
-    DuckDB oracle re-verified at sf0.1 for both settings.
+    binds in batch N+1), and with 2 data files at mFPT=3 the last two
+    sentinels can never share the final data batch, so the flush
+    batch is guaranteed. Hash parity vs the DuckDB oracle re-verified
+    at sf0.1 for mFPT 1, 2, and 3 (3 runs each).
     """
     n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
     mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "1"))
