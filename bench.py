@@ -166,10 +166,19 @@ def main() -> None:
     spark = get_spark(app_name="hla-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # 1/5/15-min load average at suite start: per-query times move
-    # together with session load (the r2/r6/r7/r8 drift diagnosis), so
-    # the record needs the contention context to separate environment
-    # from regression without a re-measure round-trip.
+    # Measurement hygiene: per-query times move together with session
+    # load (the r2/r6/r7/r8 drift diagnosis — driver-session benches
+    # ran ~1.2x the dedicated-session numbers with nothing in the plan
+    # changed). Wait briefly — bounded, and RECORDED in the JSON — for
+    # the 1-min load to drain below a quarter of the cores before
+    # timing, exactly what the isolation protocol does by hand.
+    waited = 0.0
+    quiet = os.cpu_count() / 4.0
+    while os.getloadavg()[0] > quiet and waited < 120.0:
+        time.sleep(5.0)
+        waited += 5.0
+    # 1/5/15-min load average at suite start: the contention context
+    # needed to separate environment from regression after the fact.
     load_start = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     rerun: dict[str, float] = {}
@@ -226,6 +235,7 @@ def main() -> None:
             "sf": _sf_of(sf_dir),
             "load_avg_start": load_start,
             "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            "waited_for_quiet_sec": waited,
         }
     )
     # The driver captures only the LAST 2,000 chars of stdout — the
@@ -242,9 +252,10 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(t, 3) for n, t in timings.items()},
             "sf": _sf_of(sf_dir),
-            # contention context (~30 chars): the drift-vs-regression
+            # contention context (~45 chars): the drift-vs-regression
             # question every round starts with "what else was running?"
             "load_avg_start": load_start,
+            "waited_for_quiet_sec": waited,
         },
         separators=(",", ":"),
     )
