@@ -38,6 +38,14 @@ def connected_components(
     changes (a 1-row aggregate the driver checks). Near-dup graphs have
     tiny diameters, so 2-4 iterations typically suffice; ``max_iter``
     bounds adversarial chains.
+
+    Budget semantics (ADVICE r9): the lazy seed means the FIRST pass is
+    an unconditional confirming pass (``prev_sum=None`` forces
+    ``changed=1``), so a graph whose true fixed point needs k label-
+    moving passes converges CERTIFIED after k+1 iterations — the
+    effective certification budget is ``max_iter - 1``. ``max_iter``
+    must be >= 2: with 1, even an already-converged label table exits
+    through the spurious hit-max_iter warning.
     """
     # Undirected: materialize both directions once. The checkpoint is
     # load-bearing twice over — (a) the edge list is the output of the
@@ -50,6 +58,12 @@ def connected_components(
     # at 100 TB.
     from pyspark.sql import Observation
 
+    if max_iter < 2:
+        raise ValueError(
+            "connected_components needs max_iter >= 2: the lazy seed "
+            "spends iteration 1 as an unconditional confirming pass, so "
+            f"max_iter={max_iter} could never certify convergence"
+        )
     fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     adj = fwd.unionByName(rev).localCheckpoint(eager=True)

@@ -542,7 +542,8 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_clipped,
                CAST(sum(CAST(floor(least(greatest(value, lo), hi)
                                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS wins_avg,
+                 / (CAST(count(least(greatest(value, lo), hi)) AS DOUBLE)
+                    * 1000000.0) AS wins_avg,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*) AS raw_avg
         FROM events e JOIN b USING (event_type)

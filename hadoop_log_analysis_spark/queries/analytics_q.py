@@ -1913,7 +1913,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(abs(a.n - b.n)) * 1.0 / count(*) AS mae,
                CAST(sum(CAST(floor((abs(a.n - b.n) * 2.0 / (a.n + b.n))
                                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS smape
+                 / (CAST(count(abs(a.n - b.n) * 2.0 / (a.n + b.n))
+                         AS DOUBLE) * 1000000.0) AS smape
         FROM c a
         JOIN c b ON b.event_type = a.event_type
                AND b.d = a.d - INTERVAL 7 DAY
@@ -2076,7 +2077,8 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT dow,
                  CAST(sum(CAST(floor((n - trend) * 1000000.0 + 0.5)
                                AS BIGINT)) AS DOUBLE)
-                   / (CAST(count(*) AS DOUBLE) * 1000000.0) AS seasonal
+                   / (CAST(count(n - trend) AS DOUBLE) * 1000000.0)
+                   AS seasonal
           FROM full_tr GROUP BY dow)
         SELECT f.d AS day, f.n,
                floor(f.trend * 10000.0 + 0.5) / 10000.0 AS trend,

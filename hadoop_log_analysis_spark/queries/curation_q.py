@@ -670,7 +670,7 @@ def q_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN h >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_kept,
                CAST(sum(CAST(floor(h * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_entropy,
+                 / (CAST(count(h) AS DOUBLE) * 10000.0) AS avg_entropy,
                min(h) AS min_entropy
         FROM ent
         GROUP BY lang
@@ -1243,7 +1243,8 @@ CONTAM_FRAC = 0.10  # flag a train doc when >=10% of its shingles are eval
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
                CAST(sum(CAST(floor((n_hit * 1.0 / n_shingles)
                                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_overlap,
+                 / (CAST(count(n_hit * 1.0 / n_shingles) AS DOUBLE)
+                    * 1000000.0) AS avg_overlap,
                floor(max(n_hit * 1.0 / n_shingles) * 1000000.0 + 0.5)
                  / 1000000.0 AS max_overlap
         FROM per_doc

@@ -22,6 +22,8 @@ observed-metrics certificate from operators/clustering.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -329,14 +331,20 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The seed is a 1-row LOCAL frame (no lineage to cut): its eager
     # checkpoint was a wasted job. The per-level dist re-checkpoint is
-    # KEPT after an A/B (r9, 7-run medians at sf0.1: eager 1.58 s,
-    # lazy 1.76 s, no-checkpoint 2.03 s — per-level planning over a
-    # growing k-way union of blocks costs more locally than the cheap
-    # rewrite of the tiny distance table). At true scale the trade
-    # reverses for deep graphs (the rewrite is a full distance-table
-    # pass per level while union-of-blocks is append-only I/O) —
-    # that variant is one flag away, but bounded-diameter support
-    # graphs never reach the depth where it wins.
+    # KEPT as the default after an A/B (r9, 7-run medians at sf0.1:
+    # eager 1.58 s, lazy 1.76 s, no-checkpoint 2.03 s — per-level
+    # planning over a growing k-way union of blocks costs more locally
+    # than the cheap rewrite of the tiny distance table). At true
+    # scale the trade reverses for DEEP graphs (the rewrite is a full
+    # distance-table pass per level while union-of-blocks is
+    # append-only I/O): HLA_BFS_CHECKPOINT_EVERY_K (default 1 = the
+    # per-level rewrite) re-checkpoints dist only every k levels —
+    # between checkpoints dist stays a lazy union of the per-level
+    # frontier blocks, each of which IS eagerly checkpointed (the
+    # observation rides that job), so plans stay flat either way.
+    # k=2 output proven hash-identical by
+    # tests/test_properties.py::test_bfs_checkpoint_cadence_invariant.
+    ckpt_every = int(os.environ.get("HLA_BFS_CHECKPOINT_EVERY_K", "1"))
     seed = spark.createDataFrame([("spark", 0)], "tok string, hops int")
     dist = seed
     frontier = seed
@@ -357,7 +365,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if obs.get["n"] == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
+        if depth % ckpt_every == 0:
+            dist = dist.localCheckpoint(eager=True)
         frontier = nxt
     return dist.orderBy("hops", "tok")
 
@@ -1142,7 +1152,8 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0 AS coverage,
                CAST(sum(CAST(floor((n_brands * 1.0 / k_actual)
                                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                 / (CAST(count(n_brands * 1.0 / k_actual) AS DOUBLE)
+                    * 1000000.0)
                  AS avg_brand_diversity
         FROM lists
     """,

@@ -1167,7 +1167,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_bigrams,
                CAST(sum(CAST(floor(ln(CAST(na AS DOUBLE) / nab)
                                    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_nll
+                 / (CAST(count(ln(CAST(na AS DOUBLE) / nab)) AS DOUBLE)
+                    * 1000000.0) AS avg_nll
         FROM bg JOIN c_ab USING (a, b) JOIN c_a USING (a)
         GROUP BY bg.doc_id
         ORDER BY bg.doc_id
@@ -3094,13 +3095,14 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CAST(floor(latin_frac * 10000.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
+                    AS DOUBLE) / (CAST(count(latin_frac) AS DOUBLE) * 10000.0)
                  AS avg_latin,
                CAST(sum(CAST(floor(digit_frac * 10000.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
+                    AS DOUBLE) / (CAST(count(digit_frac) AS DOUBLE) * 10000.0)
                  AS avg_digit,
                CAST(sum(CAST(floor(nonascii_frac * 10000.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
+                    AS DOUBLE)
+                 / (CAST(count(nonascii_frac) AS DOUBLE) * 10000.0)
                  AS avg_nonascii,
                CAST(sum(CASE WHEN nonascii_frac > 0.05
                               AND latin_frac > 0.5
@@ -3316,7 +3318,7 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_vectors,
                CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT))
                     AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                 / (CAST(count(s) AS DOUBLE) * 1000000.0)
                  AS avg_silhouette,
                floor(min(s) * 10000.0 + 0.5) / 10000.0 AS worst
         FROM sil

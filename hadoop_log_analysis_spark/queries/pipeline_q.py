@@ -349,7 +349,9 @@ def q_inverted_index_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             * (mx - mn) / 255.0))
                                    * 100000000.0 + 0.5) AS BIGINT))
                     AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 100000000.0) AS q_err
+                 / (CAST(count(abs(x - (mn + (code + 0.5)
+                                        * (mx - mn) / 255.0))) AS DOUBLE)
+                    * 100000000.0) AS q_err
         FROM j
         GROUP BY vec_id
         ORDER BY vec_id

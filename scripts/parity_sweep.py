@@ -7,7 +7,21 @@ exact comparator) and prints one line per rows-only/FAIL query plus a
 final `DONE: <n> mismatches over <m> queries` summary.
 
 Usage:
-    python scripts/parity_sweep.py [sf_dir]     # default sf0.1
+    python scripts/parity_sweep.py [sf_dir] [query_name ...]
+
+With no query names the FULL registry is swept and two extra gates run
+first:
+
+* ``SMOKE entry()`` — the driver's smoke call at sf0.001 (a fresh
+  bare-ish session must self-repair the events nanos conf / timezone);
+* ``subus_key uniqueness`` at the swept SF — every comparison that
+  tie-breaks on ``µs*100 + event_id%100`` (functions.subus_key) relies
+  on the events fixture being collision-free under that fold; a NEW or
+  DERIVED fixture (e.g. the sf1 scale probe) that violates it must
+  fail here loudly, not as an opaque downstream hash mismatch
+  (VERDICT r9 "What's wrong" #1 — the fixture test in
+  tests/test_properties.py pins only the driver-generated SFs; this
+  check runs against whatever dir is being swept).
 
 Notes (learned the hard way):
 - 24 GiB driver heap: sf0.1's largest result (q_containment_join,
@@ -24,13 +38,30 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle  # noqa: E402
+from hadoop_log_analysis_spark.sources.catalog import scan  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def check_subus_unique(spark: SparkSession, sf: str) -> bool:
+    """True iff subus_key (µs*100 + event_id%100) is unique over events at sf."""
+    ev = scan(spark, sf, "events").select(
+        (F.expr("ts_ns div 1000") * 100 + F.col("event_id") % 100).alias("k")
+    )
+    n, d = ev.agg(
+        F.count("*").alias("n"), F.countDistinct("k").alias("d")
+    ).collect()[0]
+    print(f"subus_key uniqueness at {sf}: {n} rows, {d} keys", flush=True)
+    return n == d
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:]
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("parity-sweep")
@@ -42,7 +73,16 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     bad = 0
-    for name, fn in queries.items():
+    if not names:
+        smoke = entrymod.entry(spark)
+        print(f"SMOKE entry(): {smoke.count()} rows, schema={smoke.columns}",
+              flush=True)
+        if not check_subus_unique(spark, sf):
+            bad += 1
+            print(f"FAIL subus_key-uniqueness at {sf}", flush=True)
+    todo = names or list(queries)
+    for name in todo:
+        fn = queries[name]
         try:
             spdf = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001 — record and continue
@@ -63,7 +103,7 @@ def main() -> int:
         if problems:
             bad += 1
             print(f"FAIL {name}: " + " | ".join(problems), flush=True)
-    print(f"DONE: {bad} mismatches over {len(queries)} queries")
+    print(f"DONE: {bad} mismatches over {len(todo)} queries")
     spark.stop()
     return 1 if bad else 0
 

@@ -2063,15 +2063,22 @@ def test_connected_components_edge_cases(spark):
     got = {r.id: r.component for r in connected_components(one).collect()}
     assert got == {1: 1, 2: 1}
 
-    # budget exhaustion: 1 iteration over an 8-node chain cannot reach
-    # the fixed point — must return (with the documented warning), and
-    # every label must still be a valid reachable-node id
+    # budget exhaustion: 2 iterations over an 8-node chain cannot reach
+    # the CERTIFIED fixed point (effective budget is max_iter-1 — the
+    # lazy seed spends iteration 1 confirming) — must return (with the
+    # documented warning), every label a valid reachable-node id
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], ["a_id", "b_id"]
     )
-    out = connected_components(chain, max_iter=1).collect()
+    out = connected_components(chain, max_iter=2).collect()
     assert len(out) == 8
     assert all(1 <= r.component <= r.id for r in out)
+
+    # max_iter=1 can never certify convergence -> rejected up-front
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iter >= 2"):
+        connected_components(chain, max_iter=1)
 
 
 def test_decimal_tier_queries_partition_invariant(spark):
@@ -2100,3 +2107,19 @@ def test_decimal_tier_queries_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert wide[n] == narrow[n], f"{n} is partition-sensitive"
+
+
+def test_bfs_checkpoint_cadence_invariant(spark, monkeypatch):
+    """HLA_BFS_CHECKPOINT_EVERY_K (VERDICT r9 "What's wrong" #4): the
+    deep-graph checkpoint cadence — re-checkpoint the distance table
+    every k levels, union-of-blocks between — must be output-invariant.
+    k=2 rows must be IDENTICAL to the default k=1 per-level rewrite."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from tests.conftest import SF0001
+
+    fn = load_registry()["q_bfs_hops"].fn
+    monkeypatch.delenv("HLA_BFS_CHECKPOINT_EVERY_K", raising=False)
+    base = [tuple(r) for r in fn(spark, SF0001).collect()]
+    monkeypatch.setenv("HLA_BFS_CHECKPOINT_EVERY_K", "2")
+    k2 = [tuple(r) for r in fn(spark, SF0001).collect()]
+    assert base and base == k2

@@ -107,3 +107,23 @@ def test_watermark_drops_late_row_exact_count(spark):
     out = run_to_table(agg, "t4_latecase", "append")
     emitted = {(r["w"].start.isoformat(), r.n) for r in out.collect()}
     assert emitted == {("2024-01-01T00:00:00", 2)}
+
+
+def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch):
+    """T8 at the BENCH drain config (ADVICE r9 bench.py:151): the
+    folded drain — HLA_STREAM_JOIN_MFPT=3 over 2 drop files packs the
+    replay into two microbatches, and correctness then rests on Spark
+    scheduling a no-data flush batch after the final sentinel-carrying
+    batch. Until now that path was covered only by manual sf0.1
+    re-verification; this pins it in CI with the driver's exact
+    comparator, so a Spark-version change in no-data-batch triggering
+    desyncs the benched path LOUDLY instead of silently."""
+    from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
+
+    monkeypatch.setenv("HLA_STREAM_JOIN_DROP_FILES", "2")
+    monkeypatch.setenv("HLA_STREAM_JOIN_MFPT", "3")
+    spec = REGISTRY["q_stream_stream_left_join"]
+    got = spec.fn(spark, SF001).toPandas()
+    want = run_oracle(spec.oracle, SF001)
+    problems = compare_frames(got, want)
+    assert not problems, f"bench-config drain desynced from oracle: {problems}"
