@@ -116,6 +116,71 @@ HEADLINE = (
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Rotating annex (VERDICT r9 "What's missing" #3): the headline suite
+# is a FIXED 35-row series so rounds stay comparable, which left ~350
+# registry queries with no timing history at all — a heavy non-suite
+# query could regress 5x and no artifact would show it. Each bench run
+# additionally times ANNEX_WINDOW of these non-headline heavyweights,
+# chosen by a deterministic rotation keyed on how many driver bench
+# rounds exist (BENCH_r*.json count), and reports them under the
+# separate "annex" key — NEVER added to value/value_batch_only, so the
+# headline series stays comparable while the annex accumulates a
+# timing history for the heavy tail over successive rounds.
+ANNEX_ROTATION = (
+    # the pair-generating / corpus-scale heavyweights first (the ones
+    # whose silent regression would hurt most at scale)
+    "q_containment_join",
+    "q_crossdoc_ngram_coverage",
+    "q_eval_contamination",
+    "q_set_similarity_join",
+    "q_ngram_jaccard_pairs",
+    "q_pmi_collocations",
+    "q_embedding_near_dups",
+    "q_simhash_pairs",
+    "q_ann_ivf",
+    "q_kmeans_ivf",
+    "q_pca_components",
+    "q_tfidf",
+    "q_inverted_index_chunked",
+    "q_rake_keywords",
+    "q_logistic_irls",
+    "q_embedding_covariance",
+    "q_rouge2_eval",
+    "q_chi2_independence",
+    "q_anova_doclen",
+    "q_ks_drift",
+    "q_mahalanobis_outliers",
+    "q_spearman_corr",
+    "q_gdpr_erasure",
+    "q_stratified_sample",
+    "q_silhouette_simplified",
+    "q_cusum_shift",
+    "q_multimodal_features",
+    "q_quality_score",
+    "q_lang_quality_filter",
+    "q_gopher_rules",
+    "q_winsorized_stats",
+    "q_stats_agg",
+    "q_hhi_concentration",
+)
+ANNEX_WINDOW = 5
+# BENCH_r*.json count when the annex landed (r10): window 0 runs when
+# exactly this many driver bench rounds exist, window 1 the next, ...
+ANNEX_BASE = 9
+
+
+def annex_names() -> list[str]:
+    """The 5 annex queries for THIS round: a deterministic rotating
+    window over ANNEX_ROTATION keyed on how many BENCH_r*.json files
+    the driver has recorded — self-advancing, no state file."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    start = ((k - ANNEX_BASE) * ANNEX_WINDOW) % len(ANNEX_ROTATION)
+    doubled = ANNEX_ROTATION + ANNEX_ROTATION
+    return list(doubled[start:start + ANNEX_WINDOW])
+
 # Streaming drains replay ~24 microbatches at ~1.3 s fixed overhead
 # each (~35 s per execution at sf0.1) — median-of-3 would triple the
 # suite's wall time to re-measure a number dominated by deterministic
@@ -215,6 +280,24 @@ def main() -> None:
         rerun[name] = round(statistics.median(reruns), 4)
         spread[name] = [round(min(fresh), 4), round(max(fresh), 4)]
 
+    # Annex rows: timed via .count() (full plan execution without
+    # fetching multi-million-row results into the driver — the
+    # containment join's 8.28M rows OOM'd a default-heap JVM once),
+    # 1 warm + median of N_RUNS fresh plans. The annex series is
+    # internally consistent round-over-round (always count-based) but
+    # not comparable to the collect-based headline rows.
+    spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+    annex: dict[str, float] = {}
+    for name in annex_names():
+        fn = registry[name].fn
+        fn(spark, sf_dir).count()  # warm
+        fresh = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            fresh.append(time.perf_counter() - t0)
+        annex[name] = round(statistics.median(fresh), 4)
+
     total = round(sum(timings.values()), 4)
     # The streaming drain is ~24 microbatches of ~1.3 s deterministic
     # per-batch overhead — a different cost regime from the batch
@@ -229,6 +312,7 @@ def main() -> None:
             "value_batch_only": batch_only,
             "unit": "sec",
             "queries": timings,
+            "annex": annex,
             "queries_rerun_baseline_methodology": rerun,
             "queries_spread": spread,
             "n_runs": N_RUNS,
@@ -251,6 +335,7 @@ def main() -> None:
             "value_batch_only": batch_only,
             "unit": "sec",
             "queries": {n: round(t, 3) for n, t in timings.items()},
+            "annex": {n: round(t, 3) for n, t in annex.items()},
             "sf": _sf_of(sf_dir),
             # contention context (~45 chars): the drift-vs-regression
             # question every round starts with "what else was running?"

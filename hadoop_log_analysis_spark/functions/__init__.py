@@ -155,6 +155,42 @@ def rate(col: Column | str) -> Column:
     return c.cast("decimal(5,2)")
 
 
+def dec_sum_double(term: Column, dp: int) -> Column:
+    """Exact-decimal sum emitted as double WITHOUT the 2^53 cast cliff.
+
+    ``F.sum(decimal).cast("double")`` and DuckDB's
+    ``CAST(sum(decimal) AS DOUBLE)`` agree only while the sum's integer
+    significand (value * 10^dp) stays under 2^53: Spark's cast is a
+    correctly-rounded BigDecimal->double, DuckDB's goes
+    significand->double then / 10^scale — two roundings. First
+    falsified by the sf1 scale probe on q_pricing_summary's 6-dp
+    sum_charge (significand 2.79e16; sf0.1's 2.8e15 sat just under the
+    cliff): Spark 27864155010.94159 vs DuckDB ...941593.
+
+    This emission makes BOTH engines take the identical two-step path:
+    accumulate the exact integer significand in DECIMAL(38,0) /
+    HUGEINT (both exact to ~1e38), convert int->double (IEEE
+    round-to-nearest on both), then divide by 10^dp in double
+    (identical operands, identical IEEE division). Identical by
+    construction at ANY scale, and bit-identical to the direct cast
+    below 2^53 (where int->double is exact and the single division is
+    the correctly-rounded quotient). ``term`` must be an exact decimal
+    of scale <= dp. Mirror with :func:`sql_dec_sum_double`.
+    """
+    g = 10**dp
+    return F.sum(
+        (term * F.lit(g)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(float(g))
+
+
+def sql_dec_sum_double(expr: str, dp: int) -> str:
+    """DuckDB mirror of :func:`dec_sum_double` for oracle strings."""
+    g = 10**dp
+    return (
+        f"CAST(sum(CAST(({expr}) * {g} AS HUGEINT)) AS DOUBLE) / {g}.0"
+    )
+
+
 def money_sum(col: Column | str) -> Column:
     """Order-free money total: exact DECIMAL sum displayed as double.
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.functions import (
+    dec_sum_double,
     exact_avg_wide,
     exact_comoment,
     money,
@@ -38,12 +39,14 @@ from hadoop_log_analysis_spark.sources.catalog import scan, table_bytes
                  AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_base,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                             * 10000 AS HUGEINT)) AS DOUBLE) / 10000.0
                  AS sum_disc,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(5,2)))
-                        * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                             * (1 + CAST(l_tax AS DECIMAL(5,2)))
+                             * 1000000 AS HUGEINT)) AS DOUBLE) / 1000000.0
                  AS sum_charge,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*) AS avg_qty,
@@ -68,6 +71,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE double division of the exact decimal sum by the count —
     identical operands on both engines, so no display rounding is
     needed anywhere.
+
+    sum_disc/sum_charge (4-/6-dp decimal sums) emit through
+    functions.dec_sum_double: their integer significands cross 2^53
+    first (sum_charge did at the sf1 probe — 2.79e16 — where Spark's
+    correctly-rounded decimal->double cast and DuckDB's
+    significand-then-divide cast disagree by 1 ulp). The 2-dp
+    money_sum emissions keep the direct cast: their significands reach
+    2^53 only around sf~300 (SCALE.md "sf1 scale probe").
     """
     li = scan(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(5,2)")
@@ -79,8 +90,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum("l_quantity").alias("sum_qty"),
             money_sum("l_extendedprice").alias("sum_base"),
-            F.sum(disc_price).cast("double").alias("sum_disc"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            dec_sum_double(disc_price, 4).alias("sum_disc"),
+            dec_sum_double(charge, 6).alias("sum_charge"),
             (money_sum("l_quantity") / F.count("*")).alias("avg_qty"),
             (money_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
             (F.sum(rate("l_discount")).cast("double") / F.count("*")).alias(

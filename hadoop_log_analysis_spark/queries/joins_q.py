@@ -337,11 +337,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic order timestamps (µs) in the events time range (BASELINE.md)."""
+    """Synthetic order timestamps (µs) in the events time range
+    (BASELINE.md), deduplicated per timestamp.
+
+    The ``o_orderkey % 2_592_000`` fold is collision-free at the
+    driver SFs (max orderkey < 2 592 000) but collides at larger key
+    ranges (first observed on the sf1 scale probe: 1.5M keys spanning
+    10 replicas → ~29 % slot fill → thousands of tied timestamps, and
+    an as-of tie is oracle-UNDEFINED — DuckDB's ASOF picks an
+    arbitrary row; q_asof_join's sum diverged by 1e5). Same fix as
+    q_asof_tolerance's r4 discipline: the as-of right side is made
+    key-unique BY CONSTRUCTION with a deterministic arg-max —
+    simultaneous orders resolve to the highest orderkey (coalesce
+    before the struct so a NULL price cannot split the engines).
+    Mirror in oracles with
+    ``SELECT ots, arg_max(coalesce(o_totalprice, 0.0), o_orderkey)
+    ... GROUP BY ots``.
+    """
     orders = scan(spark, sf_dir, "orders")
-    return orders.select(
-        ((F.lit(_EPOCH_2024) + F.col("o_orderkey") % 2_592_000) * 1_000_000).alias("tus"),
-        "o_totalprice",
+    return (
+        orders.groupBy(
+            (
+                (F.lit(_EPOCH_2024) + F.col("o_orderkey") % 2_592_000)
+                * 1_000_000
+            ).alias("tus")
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("v"),
+                )
+            ).alias("m")
+        )
+        .select("tus", F.col("m.v").alias("o_totalprice"))
     )
 
 
@@ -350,8 +379,10 @@ def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
              o AS (SELECT (1704067200 + o_orderkey % 2592000) * 1000000 AS ots_us,
-                          o_totalprice
-                   FROM orders)
+                          arg_max(coalesce(o_totalprice, 0.0), o_orderkey)
+                            AS o_totalprice
+                   FROM orders
+                   GROUP BY (1704067200 + o_orderkey % 2592000) * 1000000)
         SELECT count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, o.o_totalprice
@@ -376,8 +407,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_asof_by_user",
     oracle="""
         WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tns FROM events),
-             p AS (SELECT user_id, epoch_us(ts) AS tns, value FROM events
-                   WHERE event_type = 'purchase')
+             p AS (SELECT user_id, epoch_us(ts) AS tns,
+                          arg_max(coalesce(value, 0.0), event_id) AS value
+                   FROM events
+                   WHERE event_type = 'purchase'
+                   GROUP BY user_id, epoch_us(ts))
         SELECT count(*) AS n,
                CAST(sum(CAST(prior_purchase AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, p.value AS prior_purchase
@@ -388,11 +422,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: keyed as-of join — each event annotated with the user's most
     recent purchase value at that time (inner: events before the first
-    purchase drop)."""
+    purchase drop).
+
+    The right side is deduplicated per (user_id, µs) with the
+    deterministic arg-max-by-event_id (q_asof_tolerance's r4
+    discipline): a user with two purchases in one truncated µs would
+    otherwise be an oracle-undefined as-of tie — unobserved at the
+    driver SFs, but the class the sf1 probe falsified for
+    q_asof_join."""
     ev = scan(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", ts_us().alias("tus"))
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", ts_us().alias("tus"), F.col("value").alias("prior_purchase")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ts_us().alias("tus"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("event_id").alias("i"),
+                    F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+                )
+            ).alias("m")
+        )
+        .select("user_id", "tus", F.col("m.v").alias("prior_purchase"))
     )
     joined = asof_join(
         left, purchases, ts_col="tus", by=["user_id"], payload=["prior_purchase"]
@@ -602,8 +653,10 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
              o AS (SELECT (1704067200 + o_orderkey % 2592000) * 1000000
                             AS tus,
-                          o_totalprice
-                   FROM orders)
+                          arg_max(coalesce(o_totalprice, 0.0), o_orderkey)
+                            AS o_totalprice
+                   FROM orders
+                   GROUP BY (1704067200 + o_orderkey % 2592000) * 1000000)
         SELECT count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM (SELECT e.event_id, o.o_totalprice

@@ -115,7 +115,13 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_simhash_pairs", oracle=None, tags=("L2",))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: SimHash fingerprint near-dup candidates (Hamming <= 8 over
-    banded 16-bit chunks)."""
+    banded 16-bit chunks).
+
+    Rows-only BY DESIGN (no oracle — the engine-specific xxhash64
+    fingerprint has no SQL analog); correctness story: the banded
+    recall-1.0 and Hamming-verify properties are unit-tested in
+    tests/test_llm_ops.py, and the exact twins (q_ngram_jaccard_pairs,
+    q_set_similarity_join) are fully oracled."""
     docs = scan(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs).orderBy("a_id", "b_id")
 
@@ -262,9 +268,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: approximate top-10 via a PERSISTED IVF index — the coarse
     quantizer is built once per corpus (ivf_build: centroids +
     bucket-partitioned assignments on disk) and every probe reads only
-    the n_probe pruned partitions. Recall vs q_cosine_knn is
-    unit-tested; the probe plan (no posexplode, no full scan) is
-    plan-tested."""
+    the n_probe pruned partitions.
+
+    Rows-only BY DESIGN (approximate operator, no SQL oracle);
+    correctness story: recall vs the fully-oracled exact q_cosine_knn
+    is unit-tested (recall floor + n_probe monotonicity), and the
+    probe plan (no posexplode, no full scan) is plan-tested."""
     import os
 
     emb = scan(spark, sf_dir, "embeddings")

@@ -140,8 +140,13 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-minute watermark over the time-ordered drop: append only emits
     a window once the watermark passes its end, so the result is the
     set of closed windows; the final in-flight window is withheld.
-    Late rows behind the watermark are dropped by the aggregation
-    (parity with batch on closed windows is unit-tested)."""
+    Late rows behind the watermark are dropped by the aggregation.
+
+    Rows-only BY DESIGN (no oracle — DuckDB has no
+    watermark/append-mode analog); correctness story: closed-window
+    parity with batch plus exact late-drop accounting are pinned by
+    tests/test_streaming.py (every emitted window carries the exact
+    batch count; a deterministic hand-built late row is dropped)."""
     drop = derive_drop_dir(spark, sf_dir)
     events = read_events_stream(spark, drop, max_files_per_trigger=1)
     agg = (

@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Derive an sf1-class scale probe from sf0.1 by key-shifted replication.
+
+VERDICT r9 "What's missing" #2: every 100 TB claim rests on plan-shape
+arguments plus margins measured at sf0.1 (~17 MB) — nothing has ever
+executed above bench scale. This script synthesizes a 10x dataset in a
+SCRATCH dir (the read-only /root/testdata is never touched) so the
+parity sweep, the headroom gate, and the heavy-query timings can all be
+re-measured at 10x (see SCALE.md "sf1 scale probe" for the results).
+
+Replication design (factor F replicas, replica i = 0..F-1):
+
+* region/nation: copied unchanged (shared dimensions — a real 10x
+  corpus has the same 25 nations).
+* customer/supplier/part/orders/lineitem: every key column shifted by
+  i * 1e9, consistently across tables, so each replica is internally
+  FK-consistent and joins stay 1:1 with sf0.1 semantics (no accidental
+  cross-replica fan-out). Dates/amounts unchanged -> per-group row
+  counts (l_returnflag, event_type, calendar day...) grow 10x: exactly
+  the densification that stresses accumulator headroom.
+* events: event_id += i*1e9; ts shifted by i * (span + 25 h) so the
+  replicas occupy DISJOINT time windows — this GUARANTEES the
+  subus_key fold (µs*100 + event_id%100) stays collision-free at the
+  probe scale (an id-offset-only scheme can collide two replicas in a
+  shared µs). user_id is NOT shifted: per-user event counts grow 10x
+  (the realistic densification) while windowed self-joins can't cross
+  the 25 h inter-replica gap.
+* documents: doc_id += i*1e9; text passed through a per-replica Caesar
+  rotation of [a-zA-Z] (translate — length-preserving, so n_chars
+  stays consistent). Within a replica every dedup/similarity
+  relationship of sf0.1 is preserved exactly (bijective char map);
+  across replicas token overlap collapses to digits/punctuation, so
+  near-dup candidate pairs scale ~linearly (10x) instead of
+  quadratically (100x identical-clone pairs) — the honest shape of a
+  10x corpus, and the difference between a feasible and an OOM'd
+  probe for the pair-generating queries.
+* embeddings: vec_id += i*1e9 (keeps any vec_id<->doc_id relationship
+  replica-consistent); the vector is cyclically rotated by i
+  components — norms and within-replica distances are preserved
+  exactly, cross-replica cosine collapses to noise (identical clones
+  would make every ANN/near-dup output quadratic in F).
+
+Usage:
+    python scripts/make_scale_probe.py [--src DIR] [--out DIR] [--factor N]
+
+Defaults: src /root/testdata/sf0.1, out <repo>/.tmp/sf1, factor 10.
+Idempotent: skips tables whose output already exists (delete the out
+dir to regenerate). DuckDB does the generation (single files, same
+physical parquet shape the fixtures use: timestamp[us], FLOAT[] lists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import string
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+KEY_OFF = 1_000_000_000  # replica i shifts every key by i * KEY_OFF
+
+# key columns shifted per table (all by the same i * KEY_OFF so FKs
+# stay consistent within a replica)
+SHIFTED_KEYS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+COPIED = ("region", "nation")
+
+
+def caesar_maps(i: int) -> tuple[str, str]:
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    rot = i % 26
+    return lo + up, lo[rot:] + lo[:rot] + up[rot:] + up[:rot]
+
+
+def replica_select(table: str, cols: list[str], src: str, i: int,
+                   span_gap_us: int) -> str:
+    exprs = []
+    for c in cols:
+        if c in SHIFTED_KEYS.get(table, ()):
+            exprs.append(f"{c} + {i * KEY_OFF} AS {c}")
+        elif table == "events" and c == "ts":
+            exprs.append(
+                f"ts + INTERVAL ({i} * {span_gap_us}) MICROSECOND AS ts"
+            )
+        elif table == "documents" and c == "text":
+            frm, to = caesar_maps(i)
+            exprs.append(f"translate(text, '{frm}', '{to}') AS text")
+        elif table == "embeddings" and c == "embedding" and i % 16 != 0:
+            r = i % 16  # fixture dim is 16; rotation by dim = identity
+            exprs.append(
+                f"list_concat(embedding[{r + 1}:], embedding[1:{r}])"
+                f"::FLOAT[] AS embedding"
+            )
+        else:
+            exprs.append(c)
+    return f"SELECT {', '.join(exprs)} FROM read_parquet('{src}')"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(REPO, ".tmp", "sf1"))
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    ev_src = f"{args.src}/events.parquet"
+    span_us, = con.execute(
+        "SELECT epoch_us(max(ts)) - epoch_us(min(ts)) "
+        f"FROM read_parquet('{ev_src}')"
+    ).fetchone()
+    span_gap_us = int(span_us) + 25 * 3600 * 1_000_000  # span + 25 h
+
+    for table in COPIED + tuple(SHIFTED_KEYS):
+        src = f"{args.src}/{table}.parquet"
+        dst = f"{args.out}/{table}.parquet"
+        if os.path.exists(dst):
+            print(f"skip {table}: exists", flush=True)
+            continue
+        if table in COPIED:
+            sql = f"SELECT * FROM read_parquet('{src}')"
+        else:
+            parts = [
+                replica_select(
+                    table,
+                    [d[0] for d in con.execute(
+                        f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+                    ).fetchall()],
+                    src, i, span_gap_us,
+                )
+                for i in range(args.factor)
+            ]
+            sql = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        n, = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')"
+        ).fetchone()
+        print(f"wrote {table}: {n} rows", flush=True)
+
+    # sanity: the subus_key fold must be collision-free at the probe
+    # scale (the disjoint time windows guarantee it; verify anyway)
+    n, d = con.execute(
+        "SELECT count(*), count(DISTINCT epoch_us(ts) * 100 + event_id % 100)"
+        f" FROM read_parquet('{args.out}/events.parquet')"
+    ).fetchone()
+    print(f"subus_key uniqueness: {n} rows, {d} keys", flush=True)
+    return 0 if n == d else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2123,3 +2123,44 @@ def test_bfs_checkpoint_cadence_invariant(spark, monkeypatch):
     monkeypatch.setenv("HLA_BFS_CHECKPOINT_EVERY_K", "2")
     k2 = [tuple(r) for r in fn(spark, SF0001).collect()]
     assert base and base == k2
+
+
+def test_dec_sum_double_crosses_2_53_identically(spark):
+    """functions.dec_sum_double (r10, sf1-probe finding): the emission
+    must match DuckDB's sql_dec_sum_double mirror EXACTLY even when
+    the sum's integer significand exceeds 2^53 — the regime where the
+    naive decimal->double casts of the two engines diverge by 1 ulp
+    (Spark correctly-rounded, DuckDB significand-then-divide)."""
+    import duckdb
+
+    from hadoop_log_analysis_spark.functions import (
+        dec_sum_double,
+        sql_dec_sum_double,
+    )
+
+    # 4M rows of 6-dp decimals up to ~9.6e5 -> sum ~1.9e12, integer
+    # significand ~1.9e18: past 2^53 (the q_pricing_summary sf1
+    # regime) and within DECIMAL(38,0)/HUGEINT exactness.
+    n = 4_000_000
+    df = spark.range(n).select(
+        (
+            (F.col("id") % 97 * 10000 + F.col("id") % 101)
+            .cast("decimal(18,0)")
+            * F.lit(1).cast("decimal(12,6)")
+            / F.lit(1)
+        ).alias("v")
+    )
+    # v is decimal with scale 6, magnitude up to 9.6e5; sum ~ 1.9e12;
+    # significand 1.9e18 > 2^53 (and < 2^63 — also beyond long-double
+    # exactness), exactly the cliff regime.
+    got = df.agg(dec_sum_double(F.col("v"), 6).alias("s")).collect()[0].s
+    want = duckdb.sql(
+        "SELECT "
+        + sql_dec_sum_double(
+            "CAST(i % 97 * 10000 + i % 101 AS DECIMAL(18,0))"
+            " * CAST(1 AS DECIMAL(12,6))",
+            6,
+        )
+        + f" AS s FROM (SELECT unnest(range({n})) AS i)"
+    ).fetchone()[0]
+    assert repr(got) == repr(want), (got, want)
