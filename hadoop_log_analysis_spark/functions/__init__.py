@@ -24,8 +24,13 @@ def ts_us(col: str = "ts_ns") -> Column:
 # functions, so neither may appear in an oracle-checked sampler).
 # SINGLE definition — q_weighted_sample, q_train_val_test_split, and
 # q_bootstrap_ci all alias these (r4 review: three divergent copies
-# risked a fix landing in one site only). If a larger modulus is ever
-# needed (id * MULT approaching 2^63), change it HERE.
+# risked a fix landing in one site only).
+# DISCIPLINE (r10, sf1-probe finding): ALWAYS reduce the id mod
+# HASH_MOD BEFORE multiplying — `id % HASH_MOD * HASH_MULT` is
+# congruent to `id * HASH_MULT` under the final % HASH_MOD (identical
+# values wherever both compute), but the unreduced form wraps int64
+# once ids pass 2^63 / HASH_MULT ~ 3.5e9 (q_bootstrap_ci raised
+# ARITHMETIC_OVERFLOW on the sf1 probe's shifted event_ids).
 HASH_MULT = 2654435761
 HASH_MOD = 1_000_003
 

@@ -533,8 +533,8 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_winsorized_stats",
     oracle="""
         WITH b AS (SELECT event_type,
-                          quantile_cont(value, 0.05) AS lo,
-                          quantile_cont(value, 0.95) AS hi
+                          quantile_disc(value, 0.05) AS lo,
+                          quantile_disc(value, 0.95) AS hi
                    FROM events GROUP BY event_type)
         SELECT e.event_type,
                count(*) AS n,
@@ -558,6 +558,18 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics/curation pipeline reports next to the raw mean, plus the
     clipped-row count (how heavy the tails were).
 
+    The band uses DISCRETE (nearest-rank ANSI percentile_disc)
+    percentiles, not interpolated ones (r10, sf1-probe finding): an
+    interpolated percentile is an engine-COMPUTED double, and the two
+    engines' interpolations differ by an ulp at some group sizes — at
+    sf1, where replicated values sit exactly ON the boundary, 50 rows
+    classified differently (the "grid-pin boundary flip" residual the
+    r9 README documents, finally observed). A discrete percentile is
+    an actual data value selected from the same sorted multiset, so
+    the clamp bounds are bit-identical on both engines BY CONSTRUCTION
+    (verified equal at sf0.01/0.1/sf1) and the residual class is
+    eliminated for this query, not just shrunk.
+
     Scale shape: the percentile bounds are one bounded-cardinality
     aggregate (|groups| rows) broadcast back onto the stream; the clip
     itself is least/greatest map arithmetic and the final stats get
@@ -567,8 +579,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = scan(spark, sf_dir, "events").select("event_type", "value")
     bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
@@ -583,12 +595,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_clipped"),
-            # per-row clamps can differ by the percentile-interpolation
-            # ulp between engines — the 1e-6 grid pin SHRINKS that to
-            # a ~1e-10 per-row boundary-flip probability (floor still
-            # flips within one ulp of a grid line — residual, not
-            # eliminated); the raw avg is ONE division of the exact
-            # DECIMAL sum
+            # the clamp bounds are discrete percentiles (actual data
+            # values, bit-identical cross-engine), so the clipped term
+            # is identical per row; the grid pin remains for the
+            # order-free exact average, and the raw avg is ONE
+            # division of the exact DECIMAL sum
             exact_avg(clipped, 6).alias("wins_avg"),
             (money_sum("value") / F.count("*")).alias("raw_avg"),
         )

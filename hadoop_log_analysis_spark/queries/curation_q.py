@@ -1141,7 +1141,7 @@ NEG_ANCHOR_MOD = 50  # doc_id % MOD == 0 marks the anchor set
           FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = 0),
         cand AS (
           SELECT a.anchor_id, d.doc_id AS neg_id, d.source AS neg_source,
-                 (d.doc_id * 2654435761 + a.anchor_id) % 1000003 AS h
+                 (d.doc_id % 1000003 * 2654435761 + a.anchor_id) % 1000003 AS h
           FROM anchors a
           JOIN documents d ON d.source <> a.anchor_source),
         ranked AS (
@@ -1170,9 +1170,10 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_bottom_k — two hash-agg phases bounded per reducer by one
     (anchor, input-partition) slice — NEVER a window sorting every
     candidate through |anchors| partitions. The k * |anchors| survivors
-    get their final rank from a window over that k-bounded frame. Hash
-    values stay < 2^53: doc_id * 2654435761 fits a BIGINT for any
-    realistic doc count.
+    get their final rank from a window over that k-bounded frame. The
+    hash reduces doc_id mod HASH_MOD BEFORE the multiply (r10 sf1-probe
+    class: id * 2654435761 wraps int64 once ids pass ~3.5e9 — the
+    congruent pre-reduction is value-identical and never overflows).
     """
     from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
 
@@ -1187,8 +1188,8 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         F.col("doc_id").alias("neg_id"),
         F.col("source").alias("neg_source"),
-        ((F.col("doc_id") * F.lit(2654435761).cast("long") + F.col("anchor_id"))
-         % 1000003).alias("h"),
+        ((F.col("doc_id") % 1000003 * F.lit(2654435761).cast("long")
+          + F.col("anchor_id")) % 1000003).alias("h"),
     )
     top = grouped_bottom_k(
         cand,
@@ -1325,7 +1326,7 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (SELECT doc_id, source,
                           len(string_split(text, ' ')) AS n_tok,
-                          ((doc_id * 2654435761) % 1000003) / 1000003.0
+                          ((doc_id % 1000003 * 2654435761) % 1000003) / 1000003.0
                             AS u
                    FROM documents),
         src AS (SELECT source, sum(n_tok) AS toks FROM d GROUP BY source),
@@ -1381,7 +1382,7 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).alias("n_tok"),
         (
-            ((F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000003)
+            ((F.col("doc_id") % 1000003 * F.lit(2654435761).cast("long")) % 1000003)
             / F.lit(1000003.0)
         ).alias("u"),
     )
@@ -1519,7 +1520,7 @@ STRAT_K = 8  # docs kept per source
     oracle=f"""
         WITH h AS (
           SELECT doc_id, source,
-                 (doc_id * 2654435761) % 1000003 AS hk
+                 (doc_id % 1000003 * 2654435761) % 1000003 AS hk
           FROM documents),
         r AS (
           SELECT doc_id, source, hk,
@@ -1555,9 +1556,8 @@ def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        ((F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000003).alias(
-            "hk"
-        ),
+        ((F.col("doc_id") % 1000003 * F.lit(2654435761).cast("long"))
+         % 1000003).alias("hk"),
     )
     top = grouped_bottom_k(
         docs,

@@ -632,7 +632,8 @@ _BOOT_MOD = HASH_MOD
 _BOOT_ORACLE = f"""
         WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS r),
         u AS (SELECT e.event_type, e.value, reps.r,
-                     (CAST((e.event_id * {_BOOT_MULT} + reps.r * {_BOOT_STEP})
+                     (CAST((e.event_id % {_BOOT_MOD} * {_BOOT_MULT}
+                            + reps.r * {_BOOT_STEP})
                            % {_BOOT_MOD} AS DOUBLE) + 1.0)
                        / {_BOOT_MOD + 1}.0 AS unit
               FROM events e CROSS JOIN reps),
@@ -705,7 +706,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         (
             (
-                ((F.col("event_id") * _BOOT_MULT + F.col("r") * _BOOT_STEP))
+                (F.col("event_id") % _BOOT_MOD * _BOOT_MULT
+                 + F.col("r") * _BOOT_STEP)
                 % _BOOT_MOD
             ).cast("double")
             + F.lit(1.0)
@@ -1044,7 +1046,7 @@ def q_quality_gate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ab_test_report",
     oracle=f"""
         WITH u AS (SELECT user_id,
-                          (user_id * {HASH_MULT}) % {HASH_MOD} % 2 AS arm,
+                          (user_id % {HASH_MOD} * {HASH_MULT}) % {HASH_MOD} % 2 AS arm,
                           max(CASE WHEN event_type = 'purchase'
                                         AND value > 300
                                    THEN 1 ELSE 0 END) AS converted
@@ -1107,7 +1109,7 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("converted")
     ).select(
-        ((F.col("user_id") * HASH_MULT) % HASH_MOD % 2).alias("arm"),
+        ((F.col("user_id") % HASH_MOD * HASH_MULT) % HASH_MOD % 2).alias("arm"),
         "converted",
     )
     a = u.groupBy("arm").agg(

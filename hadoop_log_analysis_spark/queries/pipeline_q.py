@@ -1124,7 +1124,7 @@ WSAMPLE_MOD = HASH_MOD
     "q_weighted_sample",
     oracle=f"""
         WITH u AS (SELECT doc_id, n_chars,
-                          (CAST((doc_id * {WSAMPLE_MULT}) % {WSAMPLE_MOD} AS DOUBLE)
+                          (CAST((doc_id % {WSAMPLE_MOD} * {WSAMPLE_MULT}) % {WSAMPLE_MOD} AS DOUBLE)
                            + 1.0) / {WSAMPLE_MOD + 1}.0 AS unit
                    FROM documents
                    WHERE n_chars > 0)
@@ -1154,7 +1154,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scan(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     unit = (
-        ((F.col("doc_id") * WSAMPLE_MULT) % WSAMPLE_MOD).cast("double")
+        ((F.col("doc_id") % WSAMPLE_MOD * WSAMPLE_MULT) % WSAMPLE_MOD).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(WSAMPLE_MOD + 1))
     return (
@@ -1240,7 +1240,7 @@ SPLIT_TEST_FRAC = 0.1
     "q_train_val_test_split",
     oracle=f"""
         WITH u AS (SELECT doc_id, source, n_chars,
-                          CAST((doc_id * {SPLIT_MULT}) % {SPLIT_MOD} AS DOUBLE)
+                          CAST((doc_id % {SPLIT_MOD} * {SPLIT_MULT}) % {SPLIT_MOD} AS DOUBLE)
                               / {SPLIT_MOD} AS unit
                    FROM documents),
          s AS (SELECT CASE WHEN unit < {SPLIT_VAL_FRAC} THEN 'val'
@@ -1275,7 +1275,7 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scan(spark, sf_dir, "documents")
     unit = (
-        (F.col("doc_id") * SPLIT_MULT) % SPLIT_MOD
+        (F.col("doc_id") % SPLIT_MOD * SPLIT_MULT) % SPLIT_MOD
     ).cast("double") / F.lit(float(SPLIT_MOD))
     split = (
         F.when(unit < SPLIT_VAL_FRAC, "val")

@@ -412,10 +412,10 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH keys AS (
           SELECT o_custkey AS k FROM orders
-          WHERE ((o_custkey * 2654435761) % 1000003) % 4 = 0),
+          WHERE ((o_custkey % 1000003 * 2654435761) % 1000003) % 4 = 0),
         ev AS (
           SELECT user_id AS k FROM events
-          WHERE ((user_id * 2654435761) % 1000003) % 4 = 0),
+          WHERE ((user_id % 1000003 * 2654435761) % 1000003) % 4 = 0),
         est AS (
           SELECT CAST(count(*) AS BIGINT) * 4 AS est_rows
           FROM keys JOIN ev ON keys.k = ev.k),
@@ -459,7 +459,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hadoop_log_analysis_spark.functions import HASH_MOD, HASH_MULT
 
-    stratum = lambda c: ((F.col(c) * HASH_MULT) % HASH_MOD) % 4 == 0  # noqa: E731
+    stratum = lambda c: ((F.col(c) % HASH_MOD * HASH_MULT) % HASH_MOD) % 4 == 0  # noqa: E731
     orders = scan(spark, sf_dir, "orders")
     ev = scan(spark, sf_dir, "events")
     keys = orders.filter(stratum("o_custkey")).select(
@@ -496,7 +496,7 @@ RING_VNODES = 16  # virtual nodes per shard
     oracle=f"""
         WITH keys AS (
           SELECT DISTINCT user_id AS k,
-                 (user_id * 2654435761) % 1000003 AS p
+                 (user_id % 1000003 * 2654435761) % 1000003 AS p
           FROM events),
         ring AS (
           SELECT s, ((s * 7919 + v + 1) * 2654435761) % 1000003 AS pt
@@ -816,7 +816,7 @@ def q_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
           SELECT epoch_ns(ts) // 86400000000000 AS day,
-                 ((event_id * 2654435761 + user_id) % 1000003) AS h
+                 ((event_id % 1000003 * 2654435761 + user_id) % 1000003) AS h
           FROM events)
         SELECT CAST(day AS BIGINT) AS day,
                CAST(count(*) AS BIGINT) AS n_rows,
@@ -853,7 +853,7 @@ def q_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scan(spark, sf_dir, "events").select(
         F.expr("ts_ns div 86400000000000").alias("day"),
         (
-            (F.col("event_id") * F.lit(2654435761).cast("long")
+            (F.col("event_id") % 1000003 * F.lit(2654435761).cast("long")
              + F.col("user_id"))
             % 1000003
         ).alias("h"),

@@ -381,3 +381,90 @@ def test_fixture_scale_headroom(key):
         f"{limit:.3g} — escalate this site to DECIMAL(38,0) accumulation "
         "(functions.exact_avg_wide / dsum2 pattern)"
     )
+
+
+# --- 2-dp money emission audit (r10, sf1-probe finding #1) ---
+# money_sum emits CAST(sum(DECIMAL(18,2)) AS DOUBLE); the two engines'
+# decimal->double casts agree only while the integer significand
+# (sum * 100) stays under 2^53 (see functions.dec_sum_double for the
+# divergence mechanics and the scale-proof emission). Rather than
+# per-site probes, bound every site CONSERVATIVELY by its source
+# column's whole-table absolute mass — any filter/group only shrinks
+# a site's sum, so sum(abs(col)) * 100 is an upper bound for every
+# money_sum over that column. Derived columns map to the bound of
+# their worst-case row multiplicity times the source column.
+MONEY_SUM_SOURCES = {
+    # column literal in a money_sum(...) call -> (probe SQL for the
+    # whole-table absolute mass of the 2-dp source)
+    "c_acctbal": "SELECT sum(abs(c_acctbal)) FROM customer",
+    "s_acctbal": "SELECT sum(abs(s_acctbal)) FROM supplier",
+    "o_totalprice": "SELECT sum(abs(o_totalprice)) FROM orders",
+    "l_extendedprice": "SELECT sum(abs(l_extendedprice)) FROM lineitem",
+    "l_quantity": "SELECT sum(abs(l_quantity)) FROM lineitem",
+    "value": "SELECT sum(abs(value)) FROM events",
+    # q_asof_by_user carries one prior-purchase value per event row:
+    # bound = |events| * max|value|
+    "prior_purchase": "SELECT count(*) * max(abs(value)) FROM events",
+    # q_column_stats' loop applies money_sum to each of l_quantity /
+    # l_discount / l_extendedprice; l_extendedprice's mass dominates
+    "<dynamic:queries/scale_q.py>":
+        "SELECT sum(abs(l_extendedprice)) FROM lineitem",
+}
+
+
+def discover_money_sum_columns() -> set[str]:
+    cols = set()
+    for dirpath, _, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, PKG)
+            if rel == os.path.join("functions", "__init__.py"):
+                continue
+            src = open(path).read()
+            for node in ast.walk(ast.parse(src)):
+                if (
+                    isinstance(node, ast.Call)
+                    and getattr(node.func, "id",
+                                getattr(node.func, "attr", ""))
+                    == "money_sum"
+                ):
+                    arg = node.args[0]
+                    if isinstance(arg, ast.Constant) and isinstance(
+                        arg.value, str
+                    ):
+                        cols.add(arg.value)
+                    else:
+                        # non-literal arg: the site registers under a
+                        # per-file sentinel with a dominating bound
+                        cols.add(
+                            f"<dynamic:{rel.replace(os.sep, '/')}>"
+                        )
+    return cols
+
+
+def test_money_sum_sites_are_all_audited():
+    cols = discover_money_sum_columns()
+    missing = cols - set(MONEY_SUM_SOURCES)
+    assert not missing, (
+        f"money_sum columns without a MONEY_SUM_SOURCES bound: {missing}"
+    )
+
+
+@pytest.mark.parametrize("col", sorted(MONEY_SUM_SOURCES))
+def test_money_sum_significand_headroom(col):
+    """sum(abs(col)) * 100 (the worst any money_sum site over this
+    column can reach) must sit >= 1 order under 2^53 at the probe SF —
+    past that, migrate the site to functions.dec_sum_double."""
+    con = duckdb_connection(PROBE_SF)
+    try:
+        mass = float(con.execute(MONEY_SUM_SOURCES[col]).fetchone()[0])
+    finally:
+        con.close()
+    significand = mass * 100.0
+    assert significand < 2.0**53 / 10.0, (
+        f"money_sum({col!r}): worst-case significand {significand:.3g} "
+        "nears 2^53 — the engines' decimal->double casts diverge there; "
+        "migrate the hot sites to functions.dec_sum_double"
+    )
