@@ -283,20 +283,20 @@ def main() -> None:
     # Annex rows: timed via .count() (full plan execution without
     # fetching multi-million-row results into the driver — the
     # containment join's 8.28M rows OOM'd a default-heap JVM once),
-    # 1 warm + median of N_RUNS fresh plans. The annex series is
-    # internally consistent round-over-round (always count-based) but
-    # not comparable to the collect-based headline rows.
+    # 1 warm + ONE timed fresh plan — the streaming-row precedent:
+    # q_containment_join alone runs ~180 s at sf0.1, so median-of-3
+    # would triple the suite's wall time to refine a number whose
+    # purpose is round-over-round HISTORY, not precision. The annex
+    # series is internally consistent (always count-based, single-run)
+    # but not comparable to the collect-based headline rows.
     spark.conf.set("spark.sql.shuffle.partitions", base_parts)
     annex: dict[str, float] = {}
     for name in annex_names():
         fn = registry[name].fn
         fn(spark, sf_dir).count()  # warm
-        fresh = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            fresh.append(time.perf_counter() - t0)
-        annex[name] = round(statistics.median(fresh), 4)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        annex[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     # The streaming drain is ~24 microbatches of ~1.3 s deterministic
