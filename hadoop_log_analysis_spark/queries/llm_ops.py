@@ -1005,21 +1005,45 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_outliers",
     oracle="""
-        WITH d AS (SELECT label, i, avg(embedding[i]) AS m
+        WITH d AS (SELECT label, i,
+                          -- CAST the FLOAT element to DOUBLE FIRST:
+                          -- DuckDB evaluates FLOAT * DOUBLE in FLOAT
+                          -- (typeof = FLOAT), unlike Spark's
+                          -- double-promoting multiply
+                          CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                              * 10000000.0
+                                              + 0.5) AS BIGINT)) AS DOUBLE)
+                            / (CAST(count(embedding[i]) AS DOUBLE)
+                               * 10000000.0) AS m
                    FROM embeddings, generate_series(1, 64) t(i)
                    GROUP BY label, i),
-        c AS (SELECT label, list(m ORDER BY i) AS centroid FROM d GROUP BY label),
+        c2 AS (SELECT label,
+                      sum(CAST(floor(m * m * 100000000000000.0 + 0.5)
+                               AS BIGINT)) AS n2g
+               FROM d GROUP BY label),
         s AS (SELECT e.label, e.vec_id,
-                     list_dot_product(e.embedding, c.centroid)
-                     / (sqrt(list_dot_product(e.embedding, e.embedding))
-                        * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
-              FROM embeddings e JOIN c USING (label)),
-        r AS (SELECT label, vec_id, round(sim, 6) AS centroid_sim,
-                     row_number() OVER (PARTITION BY label
-                                        ORDER BY round(sim, 6), vec_id) AS rn
-              FROM s)
+                     sum(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * d.m
+                                    * 100000000000000.0 + 0.5)
+                              AS BIGINT)) AS dotg,
+                     sum(CAST(floor(CAST(e.embedding[d.i] AS DOUBLE)
+                                    * CAST(e.embedding[d.i] AS DOUBLE)
+                                    * 100000000000000.0 + 0.5)
+                              AS BIGINT)) AS n1g
+              FROM embeddings e JOIN d USING (label)
+              GROUP BY e.label, e.vec_id),
+        r AS (SELECT label, vec_id,
+                     floor((CAST(dotg AS DOUBLE)
+                            / (sqrt(CAST(n1g AS DOUBLE))
+                               * sqrt(CAST(n2g AS DOUBLE))))
+                           * 1000000.0 + 0.5) / 1000000.0 AS centroid_sim
+              FROM s JOIN c2 USING (label)),
+        rr AS (SELECT label, vec_id, centroid_sim,
+                      row_number() OVER (PARTITION BY label
+                                         ORDER BY centroid_sim, vec_id)
+                        AS rn
+               FROM r)
         SELECT label, vec_id, centroid_sim
-        FROM r WHERE rn <= 3
+        FROM rr WHERE rn <= 3
         ORDER BY label, vec_id
     """,
     tags=("L3", "L7"),
@@ -1040,26 +1064,53 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     second exchange moves only 3*|labels|*|partitions| structs (see
     topk.py's honest cost accounting).
     """
-    from hadoop_log_analysis_spark.operators.similarity import cosine
     from hadoop_log_analysis_spark.operators.topk import grouped_bottom_k
 
     emb = scan(spark, sf_dir, "embeddings")
+    # Exact-grid scoring end-to-end (r10, sf1-probe finding): both
+    # avg(float) centroids AND the cosine dot product are float sums
+    # whose accumulation ORDER differs between engines — at 10x
+    # vectors per label the last-ulp differences flipped the 6-dp
+    # display grid. Recipe: (a) the centroid mean is exact_avg on a
+    # 1e-7 grid (bit-identical doubles both sides); (b) dot and both
+    # norms accumulate per-element 1e-14-grid INTEGERS (per term
+    # <= 0.34 * 1e14 = 3.4e13, 64 terms -> 2.2e15 ≪ 2^63, and the
+    # grid factor cancels in dot/sqrt(n1*n2)); (c) the only doubles
+    # ever compared are derived from identical integers by identical
+    # IEEE ops, then pinned (floor algorithm), never round()'d.
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(exact_avg(F.col("x"), 7).alias("m"))
     )
     cents = per_dim.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
         ).alias("centroid")
     )
+    grid = "100000000000000.0D"
+    dotg = F.expr(
+        "aggregate(zip_with(embedding, centroid, (x, y) -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * y * {grid} + 0.5D) AS BIGINT)), "
+        "0L, (a, b) -> a + b)"
+    )
+    n1g = F.expr(
+        "aggregate(transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+        f"* {grid} + 0.5D) AS BIGINT)), 0L, (a, b) -> a + b)"
+    )
+    n2g = F.expr(
+        "aggregate(transform(centroid, y -> "
+        f"CAST(floor(y * y * {grid} + 0.5D) AS BIGINT)), "
+        "0L, (a, b) -> a + b)"
+    )
+    sim = dotg.cast("double") / (
+        F.sqrt(n1g.cast("double")) * F.sqrt(n2g.cast("double"))
+    )
     scored = emb.join(F.broadcast(cents), "label").select(
         "label",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
-            "centroid_sim"
-        ),
+        pin(sim, 6).alias("centroid_sim"),
     )
     return (
         grouped_bottom_k(

@@ -103,6 +103,10 @@ def main() -> int:
         if problems:
             bad += 1
             print(f"FAIL {name}: " + " | ".join(problems), flush=True)
+        elif os.environ.get("HLA_SWEEP_VERBOSE"):
+            # per-query ok lines so a partial long sweep (e.g. the sf1
+            # probe over the full registry) still records its coverage
+            print(f"ok {name}: {len(spdf)}", flush=True)
     print(f"DONE: {bad} mismatches over {len(todo)} queries")
     spark.stop()
     return 1 if bad else 0

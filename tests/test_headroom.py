@@ -145,6 +145,14 @@ HEADROOM_REGISTRY = {
         "term_bound": 1.0,
         "rows_sql": "SELECT count(*) FROM embeddings",
     },
+    # q_embedding_outliers centroid mean (r10 sf1-probe fix): one
+    # embedding component per row; group = vectors per label
+    ("queries/llm_ops.py", "exact_avg", 'F.col("x")', 7): {
+        "term_sql": ("SELECT max(abs(v)) FROM (SELECT unnest(embedding) "
+                     "AS v FROM embeddings) u"),
+        "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+                     "FROM embeddings GROUP BY label) g"),
+    },
     # q_embedding_quantize: |x - dequant| <= component range; group = dims
     ("queries/pipeline_q.py", "exact_avg", 'F.abs(F.col("x") - dequant)', 8): {
         "term_sql": ("SELECT 2 * max(abs(v)) FROM (SELECT unnest(embedding) "
