@@ -4628,7 +4628,11 @@ BOLLINGER_K = 2.0
           SELECT region, d, cents,
                  count(*) OVER fr AS n,
                  sum(cents) OVER fr AS s1,
-                 sum(cents * cents) OVER fr AS s2
+                 -- HUGEINT the FIRST factor: DuckDB's window SUM
+                 -- promotes to int128, but the inner BIGINT * BIGINT
+                 -- does not — daily cents pass 2^31.5 at sf1-class
+                 -- revenue densities and the square wraps (sf1 probe)
+                 sum(CAST(cents AS HUGEINT) * cents) OVER fr AS s2
           FROM daily
           WINDOW fr AS (PARTITION BY region ORDER BY d
                         ROWS BETWEEN {BOLLINGER_WIN - 1} PRECEDING
