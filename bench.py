@@ -164,20 +164,32 @@ ANNEX_ROTATION = (
     "q_hhi_concentration",
 )
 ANNEX_WINDOW = 5
-# BENCH_r*.json count when the annex landed (r10): window 0 runs when
-# exactly this many driver bench rounds exist, window 1 the next, ...
-ANNEX_BASE = 9
+# The driver round in which the annex landed (window 0 ran while
+# BENCH_r10 was being produced); window k-10 runs in round k.
+ANNEX_BASE_ROUND = 10
 
 
 def annex_names() -> list[str]:
     """The 5 annex queries for THIS round: a deterministic rotating
-    window over ANNEX_ROTATION keyed on how many BENCH_r*.json files
-    the driver has recorded — self-advancing, no state file."""
+    window over ANNEX_ROTATION keyed on the CURRENT ROUND NUMBER —
+    max round parsed from the driver's BENCH_r(\\d+).json files, plus
+    one (this run produces the next round's artifact). Keying on the
+    parsed round instead of the raw file count (ADVICE r10 #4) makes
+    the window immune to extra/missing files: an untracked re-run
+    saved under a new name or a deleted artifact shifted a count-based
+    window silently, decoupling the annex history from judged rounds."""
     import glob
+    import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    k = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    start = ((k - ANNEX_BASE) * ANNEX_WINDOW) % len(ANNEX_ROTATION)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    current_round = (max(rounds) if rounds else 0) + 1
+    start = ((current_round - ANNEX_BASE_ROUND)
+             * ANNEX_WINDOW) % len(ANNEX_ROTATION)
     doubled = ANNEX_ROTATION + ANNEX_ROTATION
     return list(doubled[start:start + ANNEX_WINDOW])
 
@@ -280,22 +292,27 @@ def main() -> None:
         rerun[name] = round(statistics.median(reruns), 4)
         spread[name] = [round(min(fresh), 4), round(max(fresh), 4)]
 
-    # Annex rows: timed via .count() (full plan execution without
+    # Annex rows: timed via the noop sink (ADVICE r10 #2 — .count()
+    # let Catalyst's EliminateSorts drop each query's final global
+    # orderBy and prune projection-only columns, so the annex history
+    # could miss regressions in exactly that work; noop consumes every
+    # column and keeps the sort, executing the FULL plan without
     # fetching multi-million-row results into the driver — the
-    # containment join's 8.28M rows OOM'd a default-heap JVM once),
+    # containment join's 8.28M rows OOM'd a default-heap JVM once).
     # 1 warm + ONE timed fresh plan — the streaming-row precedent:
     # q_containment_join alone runs ~180 s at sf0.1, so median-of-3
     # would triple the suite's wall time to refine a number whose
     # purpose is round-over-round HISTORY, not precision. The annex
-    # series is internally consistent (always count-based, single-run)
-    # but not comparable to the collect-based headline rows.
+    # series is internally consistent from r11 on (noop-based,
+    # single-run; r10's window was count-based — annex_method records
+    # the switch) and not comparable to the collect-based headlines.
     spark.conf.set("spark.sql.shuffle.partitions", base_parts)
     annex: dict[str, float] = {}
     for name in annex_names():
         fn = registry[name].fn
-        fn(spark, sf_dir).count()  # warm
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         annex[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
@@ -313,6 +330,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "annex": annex,
+            "annex_method": "noop_sink",
             "queries_rerun_baseline_methodology": rerun,
             "queries_spread": spread,
             "n_runs": N_RUNS,

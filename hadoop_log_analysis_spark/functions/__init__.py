@@ -197,20 +197,37 @@ def sql_dec_sum_double(expr: str, dp: int) -> str:
 
 
 def money_sum(col: Column | str) -> Column:
-    """Order-free money total: exact DECIMAL sum displayed as double.
+    """Order-free money total: exact DECIMAL sum displayed as double,
+    emitted through the scale-proof two-step path.
 
     Replaces ``F.round(F.sum(money_double), 2)``: the double sum can
     land within an ulp of a 2-dp boundary and flip with accumulation
-    order (observed at sf0.1); the decimal sum is exact, and the ONE
-    final decimal->double conversion is IEEE round-to-nearest of the
-    same exact rational on both engines. Mirror with
+    order (observed at sf0.1); the decimal sum is exact. The emission
+    is :func:`dec_sum_double` at dp=2 (r11, closing the sf1 probe
+    finding #1's residual): the previous ``F.sum(decimal).cast(
+    "double")`` was Spark's correctly-rounded ONE-step BigDecimal cast,
+    which agrees with DuckDB's two-step (significand->double, then
+    /100) only while the sum's integer significand stays under 2^53 —
+    ~sf300 for the fixtures' money mass (tests/test_headroom.py money
+    audit). The two-step emission is bit-identical to the one-step
+    below 2^53 (int->double exact, one correctly-rounded division) and
+    identical-by-construction to DuckDB at ANY scale. Mirror with
     :func:`sql_money_sum`.
     """
-    return F.sum(money(col)).cast("double")
+    return dec_sum_double(money(col), 2)
 
 
 def sql_money_sum(expr: str) -> str:
-    """DuckDB mirror of :func:`money_sum` for oracle strings."""
+    """DuckDB mirror of :func:`money_sum` for oracle strings.
+
+    Stays the one-step ``CAST(sum(DECIMAL) AS DOUBLE)``: in DuckDB
+    that cast already lowers to significand->double then /scale — the
+    SAME machine ops as :func:`sql_dec_sum_double`'s explicit HUGEINT
+    form (see dec_sum_double's divergence mechanics) — so the inline
+    oracle strings across the registry are equivalent to the two-step
+    at any scale and need no rewrite; it was SPARK's one-step that
+    diverged past 2^53.
+    """
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
 
 

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_log_analysis_spark.functions import exact_avg, money, money_sum
+from hadoop_log_analysis_spark.functions import (
+    exact_avg,
+    exact_avg_wide,
+    money,
+    money_sum,
+)
 from hadoop_log_analysis_spark.queries import query
 from hadoop_log_analysis_spark.sources.catalog import register_views, scan
 
@@ -599,8 +604,12 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # values, bit-identical cross-engine), so the clipped term
             # is identical per row; the grid pin remains for the
             # order-free exact average, and the raw avg is ONE
-            # division of the exact DECIMAL sum
-            exact_avg(clipped, 6).alias("wins_avg"),
+            # division of the exact DECIMAL sum. The accumulator is
+            # the DECIMAL(38,0) _wide tier (r11 pre-escalation: this
+            # was the registry's tightest int64 margin, tripping at
+            # ~sf80; DuckDB's sum(BIGINT) is HUGEINT already, so the
+            # oracle needs no change and the site is now sf1e20-class)
+            exact_avg_wide(clipped, 6).alias("wins_avg"),
             (money_sum("value") / F.count("*")).alias("raw_avg"),
         )
         .orderBy("event_type")

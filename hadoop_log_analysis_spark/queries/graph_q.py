@@ -344,7 +344,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # observation rides that job), so plans stay flat either way.
     # k=2 output proven hash-identical by
     # tests/test_properties.py::test_bfs_checkpoint_cadence_invariant.
+    # Validate like connected_components' max_iter guard (ADVICE r10
+    # #3): the value is used as a modulus, so 0 would raise
+    # ZeroDivisionError mid-query and a negative would never
+    # checkpoint — reject loudly instead.
     ckpt_every = int(os.environ.get("HLA_BFS_CHECKPOINT_EVERY_K", "1"))
+    if ckpt_every < 1:
+        raise ValueError(
+            f"HLA_BFS_CHECKPOINT_EVERY_K must be >= 1, got {ckpt_every}"
+        )
     seed = spark.createDataFrame([("spark", 0)], "tok string, hops int")
     dist = seed
     frontier = seed

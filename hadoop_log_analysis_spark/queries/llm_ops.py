@@ -1443,6 +1443,99 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, threshold=0.5).orderBy("a_id", "b_id")
 
 
+SHINGLE_T = 0.8
+SHINGLE_COPY_MOD = 25  # every 25th doc gets a planted truncated copy
+SHINGLE_TRUNC = 8  # the copy drops its last 8 words
+
+
+@query(
+    "q_shingle_similarity_join",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+        off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        copies AS (SELECT doc_id + o AS doc_id,
+                          ws[1:greatest(len(ws) - {SHINGLE_TRUNC}, 3)] AS ws
+                   FROM base, off WHERE doc_id % {SHINGLE_COPY_MOD} = 0),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, len(ws) - 2),
+                          i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+                      )) AS s
+               FROM corpus WHERE len(ws) >= 3)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(a.s || b.s)), 4) AS jacc
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= {SHINGLE_T}
+        ORDER BY a_id, b_id
+    """,
+    tags=("L2", "join", "skew"),
+)
+def q_shingle_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: word-3-gram SHINGLE-set Jaccard join at 0.8 — the prefix
+    filter exercised on the vocabulary it is built for (VERDICT r10
+    "Next round" #4). q_set_similarity_join runs the same operator
+    over unigram sets, where the fixture's ~31-token vocabulary makes
+    prefix filtering degenerate toward all-pairs (its docstring says
+    so); SHINGLING is the standard near-dup representation that fixes
+    the vocabulary, not a synthetic workaround: 3-gram shingles over
+    these documents form a ~30k-term Zipf-shaped space in which two
+    documents share a prefix token only if they share a rare exact
+    3-word sequence — so |candidates| collapses to ~O(true pairs)
+    (the pruning fraction is pinned by
+    tests/test_llm_ops.py::test_shingle_prefix_filter_prunes and
+    measured in SCALE.md).
+
+    Duplicate structure is PLANTED identically on both sides (the
+    q_embedding_near_dups recipe): every 25th doc gets a copy
+    truncated by its last 8 words at doc_id + max(doc_id)+1 — shingle
+    Jaccard ~ (n-10)/(n-2) >= 0.8 for typical lengths, so the answer
+    is the planted near-dup pairs plus any real shingle-level
+    near-dups, never a vacuous 0 rows and never a quadratic fraction
+    of the cross product.
+
+    The shingle encoding reuses set_similarity_join UNCHANGED: each
+    doc's text is re-emitted as space-joined ``w1_w2_w3`` shingle
+    words, so the operator's split-tokenize sees shingle sets. Docs
+    under 3 words have no shingles and are excluded on both sides.
+    """
+    from hadoop_log_analysis_spark.operators.dedup import set_similarity_join
+
+    docs = scan(spark, sf_dir, "documents")
+    # bounded driver action: 1-row aggregate (the _planted_id_offset
+    # precedent, llm_ops.py:50)
+    off = (
+        docs.agg(F.coalesce(F.max("doc_id"), F.lit(0))).collect()[0][0] + 1
+    )
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    copies = base.filter(F.col("doc_id") % SHINGLE_COPY_MOD == 0).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.slice(
+            "ws", 1,
+            F.greatest(F.size("ws") - SHINGLE_TRUNC, F.lit(3)).cast("int"),
+        ).alias("ws"),
+    )
+    corpus = base.unionAll(copies).filter(F.size("ws") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ),
+    )
+    shingle_text = corpus.select(
+        "doc_id", F.array_join(shingles, " ").alias("text")
+    )
+    return set_similarity_join(shingle_text, threshold=SHINGLE_T).orderBy(
+        "a_id", "b_id"
+    )
+
+
 CONTAINMENT_T = 0.9
 
 

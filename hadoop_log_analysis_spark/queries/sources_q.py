@@ -637,7 +637,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_total"),
             F.count("value").cast("long").alias("n_with_value"),
             F.coalesce(
-                F.sum(money("value")).cast("double"), F.lit(0.0)
+                money_sum("value"), F.lit(0.0)
             ).alias("value_sum"),
         )
         .orderBy("event_type")

@@ -339,7 +339,7 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.count("carried").alias("n_carried"),
-            F.sum(money("carried")).cast("double").alias("s_carried"),
+            money_sum("carried").alias("s_carried"),
         )
         .orderBy("event_type")
     )

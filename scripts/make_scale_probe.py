@@ -76,6 +76,18 @@ SHIFTED_KEYS = {
 COPIED = ("region", "nation")
 
 
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _embedding_dim(src: str) -> int:
+    if src not in _DIM_CACHE:
+        dim, = duckdb.execute(
+            f"SELECT len(embedding) FROM read_parquet('{src}') LIMIT 1"
+        ).fetchone()
+        _DIM_CACHE[src] = int(dim)
+    return _DIM_CACHE[src]
+
+
 def caesar_maps(i: int) -> tuple[str, str]:
     lo, up = string.ascii_lowercase, string.ascii_uppercase
     rot = i % 26
@@ -95,12 +107,21 @@ def replica_select(table: str, cols: list[str], src: str, i: int,
         elif table == "documents" and c == "text":
             frm, to = caesar_maps(i)
             exprs.append(f"translate(text, '{frm}', '{to}') AS text")
-        elif table == "embeddings" and c == "embedding" and i % 16 != 0:
-            r = i % 16  # fixture dim is 16; rotation by dim = identity
-            exprs.append(
-                f"list_concat(embedding[{r + 1}:], embedding[1:{r}])"
-                f"::FLOAT[] AS embedding"
-            )
+        elif table == "embeddings" and c == "embedding":
+            # Rotate by i % dim, dim READ FROM THE PARQUET (ADVICE r10
+            # #1: a hardcoded dim silently emitted unrotated clones of
+            # replica 0 once i reached it — the quadratic cross-replica
+            # near-dup blowup this rotation exists to avoid). Rotation
+            # by 0 (i % dim == 0, incl. replica 0) is the identity.
+            dim = _embedding_dim(src)
+            r = i % dim
+            if r == 0:
+                exprs.append(c)
+            else:
+                exprs.append(
+                    f"list_concat(embedding[{r + 1}:], embedding[1:{r}])"
+                    f"::FLOAT[] AS embedding"
+                )
         else:
             exprs.append(c)
     return f"SELECT {', '.join(exprs)} FROM read_parquet('{src}')"

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Derive a SKEW-INJECTED variant of the sf1 scale probe.
+
+VERDICT r10 "What's missing" #2: the sf1 probe replicates sf0.1 with
+FK-disjoint keys, so every shuffle key's skew profile is identical to
+sf0.1's — AQE skew-join splitting, the salted-join path
+(operators/skew.py), and the chunked-postings defense have never faced
+a genuinely hot key at 10x. This script injects a realistic Zipf head
+into a COPY of the sf1 scratch data (read-only inputs untouched) so
+
+  * the heavy-tier parity sweep can re-verify correctness UNDER skew
+    (scripts/parity_sweep.py <out-dir> <names...> — both engines read
+    the same skewed parquet, so the oracle contract is unchanged), and
+  * scripts/skew_probe_time.py can measure straggler ratios and verify
+    the skew defenses (AQE skew split, salting, chunked postings)
+    actually engage on a hot key.
+
+Injected skew (deterministic, documented, FK-safe):
+
+* events: ONE HOT USER owns ~20% of all events — rows with
+  event_id %% 5 == 0 get user_id := <smallest existing user_id>.
+  ts/event_id untouched, so the subus_key fold stays collision-free
+  and per-event comparisons are unaffected; only the user_id
+  DISTRIBUTION changes (sessionize / per-user windows / user joins
+  now have a 200k-row hot partition at factor-10 scale).
+* lineitem: ONE HOT ORDER key receives ~10% of all lineitems — rows
+  with l_orderkey %% 10 == 3 get l_orderkey := <smallest o_orderkey
+  ending in 3> (an EXISTING order, itself %% 10 == 3 so it keeps its
+  own lines; FK validity preserved — every l_orderkey still resolves).
+  Order-key joins/aggs now carry a ~600k-row hot key.
+* documents: ONE HOT TOKEN appears in ~30% of docs — rows with
+  doc_id %% 10 < 3 get text := text || ' zqhotzq' and n_chars
+  recomputed (the fixture invariant n_chars = length(text) is kept).
+  'zqhotzq' is outside every replica's Caesar-rotated vocabulary, so
+  it adds exactly one df=15k head term to the token tables (inverted
+  index postings, token joins) without perturbing any existing
+  near-dup relationship below the similarity thresholds.
+* all other tables: byte-copied unchanged.
+
+Usage:
+    python scripts/make_skew_probe.py [--src DIR] [--out DIR]
+
+Defaults: src <repo>/.tmp/sf1 (run scripts/make_scale_probe.py first),
+out <repo>/.tmp/sf1_skew. Idempotent per table (delete out dir to
+regenerate). Prints the injected head shares as evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HOT_TOKEN = "zqhotzq"
+COPIED = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "embeddings",
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=os.path.join(REPO, ".tmp", "sf1"))
+    ap.add_argument("--out", default=os.path.join(REPO, ".tmp", "sf1_skew"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    hot_user, = con.execute(
+        f"SELECT min(user_id) FROM read_parquet('{args.src}/events.parquet')"
+    ).fetchone()
+    hot_order, = con.execute(
+        "SELECT min(o_orderkey) FROM "
+        f"read_parquet('{args.src}/orders.parquet') WHERE o_orderkey % 10 = 3"
+    ).fetchone()
+
+    transforms = {
+        "events": f"""
+            SELECT event_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN {hot_user}
+                        ELSE user_id END AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{args.src}/events.parquet')
+        """,
+        "lineitem": f"""
+            SELECT CASE WHEN l_orderkey % 10 = 3 THEN {hot_order}
+                        ELSE l_orderkey END AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{args.src}/lineitem.parquet')
+        """,
+        "documents": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 3
+                        THEN text || ' {HOT_TOKEN}' ELSE text END AS text,
+                   lang, source,
+                   CASE WHEN doc_id % 10 < 3
+                        THEN n_chars + {len(HOT_TOKEN) + 1}
+                        ELSE n_chars END AS n_chars
+            FROM read_parquet('{args.src}/documents.parquet')
+        """,
+    }
+
+    for table in COPIED + tuple(transforms):
+        src = f"{args.src}/{table}.parquet"
+        dst = f"{args.out}/{table}.parquet"
+        if os.path.exists(dst):
+            print(f"skip {table}: exists", flush=True)
+            continue
+        if table in COPIED:
+            shutil.copyfile(src, dst)
+            print(f"copied {table}", flush=True)
+        else:
+            con.execute(f"COPY ({transforms[table]}) TO '{dst}' "
+                        "(FORMAT PARQUET)")
+            n, = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}')"
+            ).fetchone()
+            print(f"wrote {table}: {n} rows", flush=True)
+
+    # Evidence: the injected Zipf head, plus the invariants that must
+    # survive the injection.
+    u_n, u_hot = con.execute(f"""
+        SELECT count(*),
+               sum(CASE WHEN user_id = {hot_user} THEN 1 ELSE 0 END)
+        FROM read_parquet('{args.out}/events.parquet')
+    """).fetchone()
+    o_n, o_hot = con.execute(f"""
+        SELECT count(*),
+               sum(CASE WHEN l_orderkey = {hot_order} THEN 1 ELSE 0 END)
+        FROM read_parquet('{args.out}/lineitem.parquet')
+    """).fetchone()
+    d_n, d_hot = con.execute(f"""
+        SELECT count(*),
+               sum(CASE WHEN text LIKE '% {HOT_TOKEN}' THEN 1 ELSE 0 END)
+        FROM read_parquet('{args.out}/documents.parquet')
+    """).fetchone()
+    dangling, = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{args.out}/lineitem.parquet') li
+        ANTI JOIN read_parquet('{args.out}/orders.parquet') o
+        ON li.l_orderkey = o.o_orderkey
+    """).fetchone()
+    nchars_bad, = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{args.out}/documents.parquet')
+        WHERE n_chars <> length(text)
+    """).fetchone()
+    sub_n, sub_d = con.execute(
+        "SELECT count(*), count(DISTINCT epoch_us(ts) * 100 + event_id % 100)"
+        f" FROM read_parquet('{args.out}/events.parquet')"
+    ).fetchone()
+    print(f"hot user {hot_user}: {u_hot}/{u_n} events "
+          f"({100.0 * u_hot / u_n:.1f}%)", flush=True)
+    print(f"hot order {hot_order}: {o_hot}/{o_n} lineitems "
+          f"({100.0 * o_hot / o_n:.1f}%)", flush=True)
+    print(f"hot token '{HOT_TOKEN}': {d_hot}/{d_n} docs "
+          f"({100.0 * d_hot / d_n:.1f}%)", flush=True)
+    print(f"dangling lineitem FKs: {dangling}", flush=True)
+    print(f"n_chars<>length(text) rows: {nchars_bad}", flush=True)
+    print(f"subus_key uniqueness: {sub_n} rows, {sub_d} keys", flush=True)
+    ok = (dangling == 0 and nchars_bad == 0 and sub_n == sub_d
+          and u_hot * 5 >= u_n and o_hot * 12 >= o_n and d_hot * 4 >= d_n)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,8 +53,10 @@ _MAX_TOKENS_PER_DOC = ("SELECT max(len(string_split(text, ' '))) "
 #   term_bound: static claim when the term is range-limited by algebra
 #   rows_sql: probe for the worst accumulation-group row count
 HEADROOM_REGISTRY = {
-    # q_winsorized_stats: value clamped to [p01, p99] -> |term| <= max|value|
-    ("queries/advanced.py", "exact_avg", 'clipped', 6): {
+    # q_winsorized_stats: value clamped to [p05, p95] -> |term| <=
+    # max|value|; escalated to the DECIMAL(38,0) _wide tier in r11
+    # (was the registry's tightest int64 margin, ~sf80)
+    ("queries/advanced.py", "exact_avg_wide", 'clipped', 6): {
         "term_sql": "SELECT max(abs(value)) FROM events",
         "rows_sql": ("SELECT max(cnt) FROM (SELECT count(*) AS cnt "
                      "FROM events GROUP BY event_type) g"),
@@ -391,16 +393,19 @@ def test_fixture_scale_headroom(key):
     )
 
 
-# --- 2-dp money emission audit (r10, sf1-probe finding #1) ---
-# money_sum emits CAST(sum(DECIMAL(18,2)) AS DOUBLE); the two engines'
-# decimal->double casts agree only while the integer significand
-# (sum * 100) stays under 2^53 (see functions.dec_sum_double for the
-# divergence mechanics and the scale-proof emission). Rather than
-# per-site probes, bound every site CONSERVATIVELY by its source
-# column's whole-table absolute mass — any filter/group only shrinks
-# a site's sum, so sum(abs(col)) * 100 is an upper bound for every
-# money_sum over that column. Derived columns map to the bound of
-# their worst-case row multiplicity times the source column.
+# --- 2-dp money emission audit (r10, sf1-probe finding #1; r11:
+# migrated) --- money_sum now emits through dec_sum_double (integer
+# significand accumulated in DECIMAL(38,0)/HUGEINT, ONE int->double
+# conversion, one division — identical machine ops on both engines at
+# any scale), so the 2^53 cast cliff the r10 audit watched is retired
+# for every money_sum site. The audit now asserts the NEW path's
+# bound: the DECIMAL(38,0) significand accumulator must stay orders
+# under 1e38. Rather than per-site probes, bound every site
+# CONSERVATIVELY by its source column's whole-table absolute mass —
+# any filter/group only shrinks a site's sum, so sum(abs(col)) * 100
+# is an upper bound for every money_sum over that column. Derived
+# columns map to the bound of their worst-case row multiplicity times
+# the source column.
 MONEY_SUM_SOURCES = {
     # column literal in a money_sum(...) call -> (probe SQL for the
     # whole-table absolute mass of the 2-dp source)
@@ -413,6 +418,9 @@ MONEY_SUM_SOURCES = {
     # q_asof_by_user carries one prior-purchase value per event row:
     # bound = |events| * max|value|
     "prior_purchase": "SELECT count(*) * max(abs(value)) FROM events",
+    # q_locf_fill forward-fills one value per event row (r11:
+    # site migrated from a hand-rolled one-step emission to money_sum)
+    "carried": "SELECT count(*) * max(abs(value)) FROM events",
     # q_column_stats' loop applies money_sum to each of l_quantity /
     # l_discount / l_extendedprice; l_extendedprice's mass dominates
     "<dynamic:queries/scale_q.py>":
@@ -463,16 +471,38 @@ def test_money_sum_sites_are_all_audited():
 @pytest.mark.parametrize("col", sorted(MONEY_SUM_SOURCES))
 def test_money_sum_significand_headroom(col):
     """sum(abs(col)) * 100 (the worst any money_sum site over this
-    column can reach) must sit >= 1 order under 2^53 at the probe SF —
-    past that, migrate the site to functions.dec_sum_double."""
+    column can reach) must sit >= 3 orders under the DECIMAL(38,0)
+    accumulator bound at the probe SF. money_sum emits through
+    dec_sum_double since r11, so the old 2^53 cast cliff (engines'
+    decimal->double casts diverging at ~sf300) is retired; what
+    remains is the exact-integer accumulator's own ~1e38 ceiling —
+    astronomically far (a 2-dp money mass of 1e36 is ~1e13 x the
+    global economy), asserted anyway so the audit stays mechanical."""
     con = duckdb_connection(PROBE_SF)
     try:
         mass = float(con.execute(MONEY_SUM_SOURCES[col]).fetchone()[0])
     finally:
         con.close()
     significand = mass * 100.0
-    assert significand < 2.0**53 / 10.0, (
+    assert significand < 1e38 / MARGIN, (
         f"money_sum({col!r}): worst-case significand {significand:.3g} "
-        "nears 2^53 — the engines' decimal->double casts diverge there; "
-        "migrate the hot sites to functions.dec_sum_double"
+        "nears DECIMAL(38,0) — escalate the accumulator precision"
     )
+
+
+def test_money_sum_is_two_step_emission(spark):
+    """Pin the migration itself: money_sum must route through
+    dec_sum_double's two-step emission (sum of DECIMAL(38,0) grid
+    integers, then ONE double division) — a regression to
+    ``F.sum(decimal).cast("double")`` would silently re-open the 2^53
+    one-step-cast divergence the sf1 probe falsified."""
+    from pyspark.sql import functions as F
+
+    from hadoop_log_analysis_spark.functions import money_sum
+
+    df = spark.range(1).select(
+        money_sum(F.col("id").cast("double")).alias("s")
+    )
+    plan = df._jdf.queryExecution().analyzed().toString().lower()
+    assert "decimal(38,0)" in plan, plan
+    assert "/ 100.0" in plan, plan
