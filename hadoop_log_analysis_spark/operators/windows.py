@@ -13,8 +13,13 @@ it exactly reproducible (no float/µs-truncation ambiguity).
 
 Scale note: both shuffle once on the group/entity key and never
 materialize a group in memory (window operators spill); skewed
-entities are the only hazard — mitigate upstream with salting if one
-key dominates.
+entities are the only hazard. The r11 skew probe measured that hazard
+directly (SCALE.md "skew probe": a user owning 20% of events floods
+one window task with 7.2x the median shuffle bytes, and AQE CANNOT
+split a window partition — session semantics need the whole key in
+one task). ``sessionize_split`` below is the shipped defense: the
+two-phase range-split that bounds any single task's share of a hot
+key by time span while remaining hash-identical to ``sessionize``.
 """
 
 from __future__ import annotations
@@ -62,3 +67,102 @@ def sessionize(
     return events.withColumn("__brk", brk).withColumn(
         "sid", F.sum("__brk").over(run)
     ).drop("__brk")
+
+
+def sessionize_split(
+    events: DataFrame,
+    gap: int,
+    span: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Skew-resilient ``sessionize``: hash-identical output, but the
+    heavy window partitions on ``(entity, time-slice)`` so no single
+    task ever owns more of a hot entity than one ``span`` of its
+    events (r11 skew probe, SCALE.md: a 20%-of-events hot user floods
+    one window task with 7.2x the median shuffle bytes, and AQE cannot
+    split a window partition — session semantics need the whole key in
+    one task; this operator is the algebraic fix that can).
+
+    Two-phase exact decomposition of lag -> gap-flag -> running-sum:
+
+    1. LOCAL pass — window over ``(entity, slice)`` with
+       ``slice = ts div span`` (same-ts rows land in the same slice,
+       so within-entity ties never straddle a boundary): per-row local
+       break flags and local running session ids, treating each
+       slice's first row as a provisional break.
+    2. SLICE-SUMMARY pass — one row per non-empty ``(entity, slice)``
+       (``first_ts``, ``last_ts``, ``n_brk`` local breaks). A window
+       over slices PER ENTITY (bounded by time-range/span, never by
+       row count) decides, per slice, whether its first row actually
+       continues the previous slice's last session
+       (``first_ts - prev_last_ts <= gap`` -> ``adj = 1``) and
+       accumulates the true-session-id offset
+       ``off = running sum of (n_brk - adj) over earlier slices``.
+       Joining the summary back (shuffle on the same composite key —
+       co-partitioned, and the summary side is tiny), the exact id is
+       ``sid = local_sid - adj + off``.
+
+    Exactness: a break inside a slice sees the true previous row (same
+    window); a break at a slice boundary is provisionally counted and
+    then cancelled by ``adj`` exactly when the boundary gap is within
+    ``gap``; offsets re-base each slice onto the entity's true running
+    break count. Verified hash-identical to ``sessionize`` by
+    tests/test_operators.py (property sweep over gap/span/hot-key
+    shapes) and by q_sessionize_split's driver oracle — the SAME SQL
+    as q_sessionize's.
+
+    Cost: one extra (tiny) shuffle of the slice summary + the
+    summary-side window whose partitions are per-entity SLICE COUNTS.
+    Worth paying only when a key is hot; the decision rule mirrors
+    salted_join's (SCALE.md skew probe): plain ``sessionize`` first,
+    range-split where one entity's row share rivals a partition.
+    ``span`` trades split granularity against summary size — at 100 TB
+    pick span ~ (target task rows) x (hot key's event rate).
+    """
+    tsc = F.col(ts_col)
+    # exact integer division: floor(double_div) can mis-slice a
+    # boundary row by one when 1/span is under the quotient's half-ulp
+    # (harmless for exactness — any ts-monotone slicing is — but the
+    # docstring's "same slice" tie claim should be literally true)
+    sliced = events.withColumn("__slice", F.expr(f"`{ts_col}` div {span}"))
+
+    w = Window.partitionBy(entity_col, "__slice").orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(prev.isNull() | ((tsc - prev) > gap), 1).otherwise(0)
+    local = sliced.withColumn("__brk", brk).withColumn(
+        "__lsid", F.sum("__brk").over(run)
+    )
+
+    summary = local.groupBy(entity_col, "__slice").agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+        F.sum("__brk").alias("__nbrk"),
+    )
+    sw = Window.partitionBy(entity_col).orderBy("__slice")
+    prev_last = F.lag("__last").over(sw)
+    adj = F.when(
+        prev_last.isNotNull() & ((F.col("__first") - prev_last) <= gap), 1
+    ).otherwise(0)
+    offsets = (
+        summary.withColumn("__adj", adj)
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum(F.col("__nbrk") - F.col("__adj")).over(
+                    sw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(entity_col, "__slice", "__adj", "__off")
+    )
+
+    return (
+        local.join(offsets, [entity_col, "__slice"])
+        .withColumn(
+            "sid", (F.col("__lsid") - F.col("__adj") + F.col("__off"))
+        )
+        .drop("__slice", "__brk", "__lsid", "__adj", "__off")
+    )

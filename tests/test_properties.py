@@ -2164,3 +2164,61 @@ def test_dec_sum_double_crosses_2_53_identically(spark):
         + f" AS s FROM (SELECT unnest(range({n})) AS i)"
     ).fetchone()[0]
     assert repr(got) == repr(want), (got, want)
+
+
+def test_sessionize_split_matches_plain_and_splits_hot_key(spark):
+    """sessionize_split (r11 skew defense) must be row-for-row
+    identical to sessionize for EVERY (gap, span) shape — span smaller
+    than gap, span equal to one event step, span so large a single
+    slice holds everything (degenerating to the plain plan) — on a
+    stream engineered with the hazards: one hot entity owning most
+    rows, boundary gaps exactly == gap (no break) and gap+1 (break),
+    duplicate timestamps (ties must not straddle slices), and sessions
+    spanning many slices. And it must actually SPLIT: under the
+    composite (entity, slice) key the hot entity's largest window
+    partition must carry a small fraction of its rows."""
+    from hadoop_log_analysis_spark.operators.windows import (
+        sessionize,
+        sessionize_split,
+    )
+
+    gap = 100
+    rows = []
+    # hot entity 0: bursts of 7 events 3 apart (with a duplicate ts in
+    # each burst), bursts separated alternately by exactly gap (same
+    # session) and gap+1 (break), marching across many span boundaries
+    t = 1_000
+    for burst in range(300):
+        for i in range(7):
+            rows.append((0, t + 3 * i))
+        rows.append((0, t + 9))  # duplicate of the i=3 event's ts
+        t = t + 3 * 6 + (gap if burst % 2 == 0 else gap + 1)
+    # cold entities 1..4: sparse, every gap+1 -> all singleton sessions
+    for e in range(1, 5):
+        for k in range(25):
+            rows.append((e, 500 + e + k * (gap + 1)))
+    df = spark.createDataFrame(rows, "user_id INT, tus LONG")
+
+    want = sessionize(df, gap=gap, ts_col="tus").groupBy(
+        "user_id", "sid"
+    ).agg(F.count("*").alias("n"), F.min("tus").alias("lo"),
+          F.max("tus").alias("hi"))
+
+    for span in (37, 100, 101, 1_000, 10_000_000_000):
+        got = sessionize_split(df, gap=gap, span=span, ts_col="tus").groupBy(
+            "user_id", "sid"
+        ).agg(F.count("*").alias("n"), F.min("tus").alias("lo"),
+              F.max("tus").alias("hi"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    # the split claim: at span=1000 the hot entity's largest
+    # (entity, slice) group is a sliver of its 2400 rows
+    hot_max = (
+        df.filter("user_id = 0")
+        .groupBy((F.col("tus") / 1000).cast("long").alias("s"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot_max <= 2400 * 0.05
