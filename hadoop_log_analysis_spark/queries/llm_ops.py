@@ -1448,6 +1448,43 @@ SHINGLE_COPY_MOD = 25  # every 25th doc gets a planted truncated copy
 SHINGLE_TRUNC = 8  # the copy drops its last 8 words
 
 
+def shingle_corpus(docs: DataFrame) -> DataFrame:
+    """The shingle corpus q_shingle_similarity_join joins over,
+    exposed so tests and the scale probe measure the SAME corpus the
+    registered query runs on (pruning-fraction evidence must be about
+    the real input, not a re-derivation that can drift): documents
+    plus a planted truncated copy of every SHINGLE_COPY_MOD-th doc,
+    each re-emitted as a space-joined word-3-gram shingle string for
+    set_similarity_join's split-tokenizer. docs must carry
+    (doc_id, text)."""
+    # bounded driver action: 1-row aggregate (the _planted_id_offset
+    # precedent, llm_ops.py:50)
+    off = (
+        docs.agg(F.coalesce(F.max("doc_id"), F.lit(0))).collect()[0][0] + 1
+    )
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    copies = base.filter(F.col("doc_id") % SHINGLE_COPY_MOD == 0).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.slice(
+            "ws", 1,
+            F.greatest(F.size("ws") - SHINGLE_TRUNC, F.lit(3)).cast("int"),
+        ).alias("ws"),
+    )
+    corpus = base.unionAll(copies).filter(F.size("ws") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ),
+    )
+    return corpus.select(
+        "doc_id", F.array_join(shingles, " ").alias("text")
+    )
+
+
 @query(
     "q_shingle_similarity_join",
     oracle=f"""
@@ -1505,32 +1542,7 @@ def q_shingle_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_log_analysis_spark.operators.dedup import set_similarity_join
 
     docs = scan(spark, sf_dir, "documents")
-    # bounded driver action: 1-row aggregate (the _planted_id_offset
-    # precedent, llm_ops.py:50)
-    off = (
-        docs.agg(F.coalesce(F.max("doc_id"), F.lit(0))).collect()[0][0] + 1
-    )
-    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    copies = base.filter(F.col("doc_id") % SHINGLE_COPY_MOD == 0).select(
-        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
-        F.slice(
-            "ws", 1,
-            F.greatest(F.size("ws") - SHINGLE_TRUNC, F.lit(3)).cast("int"),
-        ).alias("ws"),
-    )
-    corpus = base.unionAll(copies).filter(F.size("ws") >= 3)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 2),
-        lambda i: F.concat_ws(
-            "_",
-            F.element_at("ws", i),
-            F.element_at("ws", i + 1),
-            F.element_at("ws", i + 2),
-        ),
-    )
-    shingle_text = corpus.select(
-        "doc_id", F.array_join(shingles, " ").alias("text")
-    )
+    shingle_text = shingle_corpus(docs)
     return set_similarity_join(shingle_text, threshold=SHINGLE_T).orderBy(
         "a_id", "b_id"
     )

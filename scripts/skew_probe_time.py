@@ -279,12 +279,21 @@ def main() -> int:
     # cannot split (window semantics need the whole key in one task);
     # measured honestly with raw hash-partition shares
     q_sess = registry["q_sessionize"].fn
+    q_split = registry["q_sessionize_split"].fn
     raw = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
     result["sessionize"] = {
         "plain": measure(spark, "sessionize plain",
                          lambda: q_sess(spark, PLAIN), confs=raw),
         "skew": measure(spark, "sessionize skew",
                         lambda: q_sess(spark, SKEW), confs=raw),
+        # the r11 defense: sessionize_split windows on (user, day-slice)
+        # so the hot user's 201k events spread across its active days —
+        # the byte ratio must collapse back toward the plain profile
+        # while the ANSWER stays byte-identical (same oracle SQL)
+        "split_plain": measure(spark, "sessionize_split plain",
+                               lambda: q_split(spark, PLAIN), confs=raw),
+        "split_skew": measure(spark, "sessionize_split skew",
+                              lambda: q_split(spark, SKEW), confs=raw),
     }
 
     # D. hot-token postings: collect_list funnel vs chunked build

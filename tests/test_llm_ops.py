@@ -661,3 +661,58 @@ def test_ahash_banding_pigeonhole_recall_and_precision(spark):
     assert guaranteed <= set(got), "pigeonhole-guaranteed pair missed"
     # sanity: the planted near-dup structure produces at least one pair
     assert len(truth) > 0 and len(got) > 0
+
+
+def test_shingle_prefix_filter_prunes(spark):
+    """q_shingle_similarity_join's reason to exist (VERDICT r10 #4):
+    on the word-3-gram SHINGLE vocabulary the PPJoin prefix filter
+    must actually prune — |candidates| a small fraction of n(n-1)/2 —
+    while recall stays exact (every planted truncated copy found).
+    q_set_similarity_join's unigram run degenerates toward all-pairs
+    on the fixture's ~31-token vocabulary; this pins the non-degenerate
+    behavior on the SAME corpus the registered query joins over
+    (llm_ops.shingle_corpus), so the docstring's pruning claim is a
+    tested invariant, not prose."""
+    from hadoop_log_analysis_spark.operators.dedup import (
+        set_similarity_candidates,
+    )
+    from hadoop_log_analysis_spark.queries.llm_ops import (
+        SHINGLE_COPY_MOD,
+        SHINGLE_T,
+        shingle_corpus,
+    )
+
+    docs = scan(spark, SF001, "documents").select("doc_id", "text")
+    corpus = shingle_corpus(docs)
+    n = corpus.count()
+    all_pairs = n * (n - 1) / 2
+
+    cands = set_similarity_candidates(corpus, SHINGLE_T)
+    n_cands = cands.count()
+    # the pruning claim: candidates are a sliver of the cross product
+    # (unigram q_set_similarity_join's candidate set is ~all pairs)
+    assert n_cands < 0.01 * all_pairs, (n_cands, all_pairs)
+
+    # recall floor: every planted truncated copy must survive into the
+    # candidate set (the filter may only prune NON-qualifying pairs;
+    # the exact verify downstream is oracle-checked by the driver).
+    # A planted pair qualifies when its base doc has enough words that
+    # dropping SHINGLE_TRUNC=8 keeps shingle-J (m-10)/(m-2) >= 0.8 --
+    # m >= 42; shorter docs are legitimately below threshold.
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    planted = (
+        docs.filter(
+            (F.col("doc_id") % SHINGLE_COPY_MOD == 0)
+            & (F.size(F.split("text", " ")) >= 42)
+        )
+        .select(
+            F.col("doc_id").alias("a_id"),
+            (F.col("doc_id") + F.lit(off)).alias("b_id"),
+        )
+    )
+    n_planted = planted.count()
+    assert n_planted > 0
+    found = planted.join(
+        cands.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi"
+    ).count()
+    assert found == n_planted, (found, n_planted)
