@@ -162,6 +162,10 @@ ANNEX_ROTATION = (
     "q_winsorized_stats",
     "q_stats_agg",
     "q_hhi_concentration",
+    # r11 additions, appended at the END so existing windows keep
+    # their planned rounds; these enter when the rotation wraps
+    "q_shingle_similarity_join",
+    "q_sessionize_split",
 )
 ANNEX_WINDOW = 5
 # The driver round in which the annex landed (window 0 ran while
