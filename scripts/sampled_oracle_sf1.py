@@ -12,9 +12,10 @@ hash-equal the sf0.1 brute-force oracle. This runs the queries at FULL
 sf1 (all 10 replicas in the corpus — candidate generation, prefix
 filters, LSH banding and shuffles all see the 10x data) and compares:
 
-* q_containment_join, q_set_similarity_join: replica-7 slice (a
-  NON-trivial Caesar-rotated, key-shifted replica), ids -7e9, vs the
-  sf0.1 oracle. Jaccard/containment are integer-ratio exact, so the
+* q_containment_join, q_set_similarity_join (and, r11,
+  q_shingle_similarity_join with its planted-copy id remap):
+  replica-7 slice (a NON-trivial Caesar-rotated, key-shifted
+  replica), ids -7e9, vs the sf0.1 oracle. Jaccard/containment are integer-ratio exact, so the
   rotated replica must match to the last 4-dp digit. Cross-replica
   pairs (possible only through the shared digit/punct token space) are
   counted and reported; per-replica output counts must be uniform.
@@ -150,6 +151,63 @@ def main() -> int:
                f"(full sf1 output {len(mapped)} rows remapped == sf0.1 "
                f"oracle; leak 0)")
 
+    def shingle_check(name: str = "q_shingle_similarity_join") -> None:
+        """Full-sf1 run of the r11 shingle join; replica-7 slice vs the
+        sf0.1 oracle. Same soundness as token_pair_check — Caesar
+        rotation is a word bijection, so 3-gram shingle sets rotate
+        with it and within-replica shingle Jaccard is invariant — plus
+        one planted-copy wrinkle: copies live at base_id + off where
+        off = max(doc_id)+1 of the WHOLE corpus, so replica-7 copy ids
+        remap as (id - off_sf1) - 7e9 + off_sf0.1. Replica membership
+        of a copy is its base doc's replica. The copy-selection
+        predicate (doc_id % 25 == 0) survives the +7e9 key shift
+        because 7e9 % 25 == 0 (true of every i*1e9, i = 0..9)."""
+        off1 = scan(spark, args.sf1, "documents").agg(
+            F.max("doc_id")).collect()[0][0] + 1
+        off01 = scan(spark, SF01, "documents").agg(
+            F.max("doc_id")).collect()[0][0] + 1
+
+        def rep_of(c):
+            col = F.col(c)
+            base = F.when(col < off1, col).otherwise(col - off1)
+            return (base / KEY_OFF).cast("long")
+
+        def remap(c):
+            col = F.col(c)
+            return (
+                F.when(col < off1, col - TOKEN_REPLICA * KEY_OFF)
+                .otherwise(col - off1 - TOKEN_REPLICA * KEY_OFF + off01)
+            ).alias(c)
+
+        df = queries[name](spark, args.sf1)
+        per = (
+            df.groupBy(rep_of("a_id").alias("ra"), rep_of("b_id").alias("rb"))
+            .count().collect()
+        )
+        within = {int(r["ra"]): int(r["count"]) for r in per
+                  if r["ra"] == r["rb"]}
+        n_cross = sum(int(r["count"]) for r in per if r["ra"] != r["rb"])
+        sliced = (
+            queries[name](spark, args.sf1)
+            .filter(
+                (rep_of("a_id") == TOKEN_REPLICA)
+                & (rep_of("b_id") == TOKEN_REPLICA)
+            )
+            .select(remap("a_id"), remap("b_id"), "jacc")
+            .toPandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        opdf = run_oracle(oracles[name], SF01)
+        problems = compare_frames(sliced, opdf)
+        counts = sorted(within.values())
+        if len(within) != 10 or counts[0] != counts[-1]:
+            problems.append(f"per-replica counts not uniform: {within}")
+        report(name, problems,
+               f"(replica {TOKEN_REPLICA} slice {len(sliced)} rows == sf0.1 "
+               f"oracle; 10x{counts[0] if counts else 0} uniform; "
+               f"cross-replica pairs {n_cross})")
+
     def two_core_check(name: str = "q_two_core") -> None:
         """q_two_core's pipeline (graph_q.py:919) over full sf1 with the
         summary grouped per replica — 10 rows, each == the sf0.1 oracle
@@ -232,12 +290,15 @@ def main() -> int:
         "q_embedding_near_dups",
         "q_set_similarity_join",
         "q_containment_join",
+        "q_shingle_similarity_join",
     ]
     for name in todo:
         if name == "q_two_core":
             two_core_check()
         elif name == "q_embedding_near_dups":
             embedding_check()
+        elif name == "q_shingle_similarity_join":
+            shingle_check()
         else:
             token_pair_check(name)
 
