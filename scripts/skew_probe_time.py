@@ -180,7 +180,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out",
                     default=os.path.join(REPO, ".tmp", "skew_probe.json"))
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these sections (user_join fact_fact "
+                         "sessionize inverted_index agg_taxonomy)")
     args = ap.parse_args()
+
+    def wants(section: str) -> bool:
+        return args.only is None or section in args.only
 
     from pyspark.sql import functions as F
 
@@ -245,35 +251,37 @@ def main() -> int:
                     "load_avg_start": [round(x, 2) for x in os.getloadavg()]}
 
     # A. hot-user join: AQE split + salting vs the naive SMJ
-    result["user_join"] = {
-        "plain_data_noskewjoin": measure(
-            spark, "user_join plain", lambda: naive_user_join(PLAIN),
-            confs=skew_off, collect=True, assert_skewed=False),
-        "skew_data_noskewjoin": measure(
-            spark, "user_join skew naive", lambda: naive_user_join(SKEW),
-            confs=skew_off, collect=True, assert_skewed=False),
-        "skew_data_aqe_split": measure(
-            spark, "user_join skew AQE", lambda: naive_user_join(SKEW),
-            confs=skew_on, collect=True, assert_skewed=True),
-        "skew_data_salted": measure(
-            spark, "user_join skew salted", lambda: salted_user_join(SKEW),
-            confs=skew_off, collect=True),
-    }
+    if wants("user_join"):
+        result["user_join"] = {
+            "plain_data_noskewjoin": measure(
+                spark, "user_join plain", lambda: naive_user_join(PLAIN),
+                confs=skew_off, collect=True, assert_skewed=False),
+            "skew_data_noskewjoin": measure(
+                spark, "user_join skew naive", lambda: naive_user_join(SKEW),
+                confs=skew_off, collect=True, assert_skewed=False),
+            "skew_data_aqe_split": measure(
+                spark, "user_join skew AQE", lambda: naive_user_join(SKEW),
+                confs=skew_on, collect=True, assert_skewed=True),
+            "skew_data_salted": measure(
+                spark, "user_join skew salted", lambda: salted_user_join(SKEW),
+                confs=skew_off, collect=True),
+        }
 
     # B. hot-order fact-fact join under the normal session posture
     # (+ fixture-scaled skew thresholds so AQE's runtime answer shows)
     q_ff = registry["q_join_fact_fact"].fn
-    result["fact_fact"] = {
-        "plain_raw": measure(spark, "fact_fact plain raw",
-                             lambda: q_ff(spark, PLAIN), confs=skew_off,
-                             collect=True),
-        "skew_raw": measure(spark, "fact_fact skew raw",
-                            lambda: q_ff(spark, SKEW), confs=skew_off,
-                            collect=True),
-        "skew_aqe": measure(spark, "fact_fact skew AQE",
-                            lambda: q_ff(spark, SKEW), confs=skew_on,
-                            collect=True, assert_skewed=True),
-    }
+    if wants("fact_fact"):
+        result["fact_fact"] = {
+            "plain_raw": measure(spark, "fact_fact plain raw",
+                                 lambda: q_ff(spark, PLAIN), confs=skew_off,
+                                 collect=True),
+            "skew_raw": measure(spark, "fact_fact skew raw",
+                                lambda: q_ff(spark, SKEW), confs=skew_off,
+                                collect=True),
+            "skew_aqe": measure(spark, "fact_fact skew AQE",
+                                lambda: q_ff(spark, SKEW), confs=skew_on,
+                                collect=True, assert_skewed=True),
+        }
 
     # C. hot-user window partition (sessionize) — the skew class AQE
     # cannot split (window semantics need the whole key in one task);
@@ -281,34 +289,87 @@ def main() -> int:
     q_sess = registry["q_sessionize"].fn
     q_split = registry["q_sessionize_split"].fn
     raw = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
-    result["sessionize"] = {
-        "plain": measure(spark, "sessionize plain",
-                         lambda: q_sess(spark, PLAIN), confs=raw),
-        "skew": measure(spark, "sessionize skew",
-                        lambda: q_sess(spark, SKEW), confs=raw),
-        # the r11 defense: sessionize_split windows on (user, day-slice)
-        # so the hot user's 201k events spread across its active days —
-        # the byte ratio must collapse back toward the plain profile
-        # while the ANSWER stays byte-identical (same oracle SQL)
-        "split_plain": measure(spark, "sessionize_split plain",
-                               lambda: q_split(spark, PLAIN), confs=raw),
-        "split_skew": measure(spark, "sessionize_split skew",
-                              lambda: q_split(spark, SKEW), confs=raw),
-    }
+    if wants("sessionize"):
+        result["sessionize"] = {
+            "plain": measure(spark, "sessionize plain",
+                             lambda: q_sess(spark, PLAIN), confs=raw),
+            "skew": measure(spark, "sessionize skew",
+                            lambda: q_sess(spark, SKEW), confs=raw),
+            # the r11 defense: sessionize_split windows on (user, day-slice)
+            # so the hot user's 201k events spread across its active days —
+            # the byte ratio must collapse back toward the plain profile
+            # while the ANSWER stays byte-identical (same oracle SQL)
+            "split_plain": measure(spark, "sessionize_split plain",
+                                   lambda: q_split(spark, PLAIN), confs=raw),
+            "split_skew": measure(spark, "sessionize_split skew",
+                                  lambda: q_split(spark, SKEW), confs=raw),
+        }
 
     # D. hot-token postings: collect_list funnel vs chunked build
     q_inv = registry["q_inverted_index"].fn
     q_invc = registry["q_inverted_index_chunked"].fn
-    result["inverted_index"] = {
-        "naive_plain": measure(spark, "inv_index plain",
-                               lambda: q_inv(spark, PLAIN), confs=raw),
-        "naive_skew": measure(spark, "inv_index skew",
-                              lambda: q_inv(spark, SKEW), confs=raw),
-        "chunked_plain": measure(spark, "inv_index_chunked plain",
-                                 lambda: q_invc(spark, PLAIN), confs=raw),
-        "chunked_skew": measure(spark, "inv_index_chunked skew",
-                                lambda: q_invc(spark, SKEW), confs=raw),
-    }
+    if wants("inverted_index"):
+        result["inverted_index"] = {
+            "naive_plain": measure(spark, "inv_index plain",
+                                   lambda: q_inv(spark, PLAIN), confs=raw),
+            "naive_skew": measure(spark, "inv_index skew",
+                                  lambda: q_inv(spark, SKEW), confs=raw),
+            "chunked_plain": measure(spark, "inv_index_chunked plain",
+                                     lambda: q_invc(spark, PLAIN), confs=raw),
+            "chunked_skew": measure(spark, "inv_index_chunked skew",
+                                    lambda: q_invc(spark, SKEW), confs=raw),
+        }
+
+    # E. aggregation skew taxonomy (r11 continuation): AQE cannot split
+    # aggregation exchanges either, but ALGEBRAIC aggs never need it —
+    # partial aggregation emits at most one row per (key, map task), so
+    # the hot key's reduce-side share is bounded by #map partitions, not
+    # by its row count. HOLISTIC aggs (collect_list) have no
+    # volume-reducing combine: every value ships, and the hot key's
+    # whole payload funnels into one reduce task — exactly the
+    # inverted-index funnel, isolated here from tokenization noise. The
+    # defense is the same contract as inverted_index_chunked: collect
+    # under (key, chunk) so no single task ever owns more than one
+    # chunk, and CONSUME chunked (never re-merge into one row).
+    def agg_algebraic(sf_dir: str):
+        ev = scan(spark, sf_dir, "events").select("user_id", "value")
+        return ev.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+    def agg_holistic(sf_dir: str):
+        ev = scan(spark, sf_dir, "events").select("user_id", "value")
+        return ev.groupBy("user_id").agg(
+            F.collect_list("value").alias("vals")
+        )
+
+    def agg_holistic_chunked(sf_dir: str):
+        # chunk = event-time day slice (the sessionize_split knob);
+        # deterministic, data-independent fan-out of the hot key
+        ev = scan(spark, sf_dir, "events").select(
+            "user_id",
+            "value",
+            F.expr("ts_ns div 86400000000000").alias("chunk"),
+        )
+        return ev.groupBy("user_id", "chunk").agg(
+            F.collect_list("value").alias("vals")
+        )
+
+    if wants("agg_taxonomy"):
+        result["agg_taxonomy"] = {
+            "algebraic_plain": measure(
+                spark, "agg sum plain", lambda: agg_algebraic(PLAIN),
+                confs=raw),
+            "algebraic_skew": measure(
+                spark, "agg sum skew", lambda: agg_algebraic(SKEW),
+                confs=raw),
+            "holistic_skew": measure(
+                spark, "agg collect_list skew", lambda: agg_holistic(SKEW),
+                confs=raw),
+            "holistic_chunked_skew": measure(
+                spark, "agg collect_list chunked skew",
+                lambda: agg_holistic_chunked(SKEW), confs=raw),
+        }
 
     result["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
     fails = [
