@@ -272,6 +272,25 @@ def test_sessionize_reuses_one_user_exchange(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
 
 
+def test_sessionize_split_windows_on_composite_key(spark):
+    # The r11 skew defense's whole point is the PARTITIONING: the heavy
+    # per-row window must hash on (user_id, __slice) — never on bare
+    # user_id, which would recreate the hot-key funnel the operator
+    # exists to break. Only the tiny slice-summary window and the final
+    # presentation sort may key on user_id alone.
+    import re
+
+    plan = _formatted(REGISTRY["q_sessionize_split"].fn(spark, SF001))
+    composite = re.findall(
+        r"hashpartitioning\(user_id#\d+L?, __slice", plan
+    )
+    assert composite, "local window must partition on (user_id, __slice)"
+    # the row-bearing lag/running-sum windows sit over the composite
+    # key; a Window whose spec is [user_id] only may carry at most the
+    # bounded slice summary (its input is an Aggregate, not raw rows)
+    assert re.findall(r"\(\d+\) Window", plan), "expected window operators"
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     # 100 TB posture: a selective dim filter on a SHUFFLE join injects
     # a bloom filter (BloomFilterMightContain) on the fact side,
