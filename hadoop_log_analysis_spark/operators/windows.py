@@ -120,6 +120,11 @@ def sessionize_split(
     ``span`` trades split granularity against summary size — at 100 TB
     pick span ~ (target task rows) x (hot key's event rate).
     """
+    if span < 1:
+        # SQL `ts div 0` is NULL, which would silently collapse every
+        # row into one NULL slice — fail loudly instead (the
+        # HLA_BFS_CHECKPOINT_EVERY_K validation discipline, r10 advice)
+        raise ValueError(f"span must be >= 1, got {span}")
     tsc = F.col(ts_col)
     # exact integer division: floor(double_div) can mis-slice a
     # boundary row by one when 1/span is under the quotient's half-ulp

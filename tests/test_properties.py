@@ -2222,3 +2222,16 @@ def test_sessionize_split_matches_plain_and_splits_hot_key(spark):
         .collect()[0][0]
     )
     assert hot_max <= 2400 * 0.05
+
+
+def test_sessionize_split_rejects_degenerate_span(spark):
+    """span <= 0 would make SQL `ts div span` NULL, silently collapsing
+    every row into one slice — the operator must refuse instead."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.operators.windows import sessionize_split
+
+    df = spark.createDataFrame([(1, 10)], "user_id INT, tus LONG")
+    for span in (0, -5):
+        with _pytest.raises(ValueError):
+            sessionize_split(df, gap=100, span=span, ts_col="tus")
