@@ -107,10 +107,12 @@ def sessionize_split(
     window); a break at a slice boundary is provisionally counted and
     then cancelled by ``adj`` exactly when the boundary gap is within
     ``gap``; offsets re-base each slice onto the entity's true running
-    break count. Verified hash-identical to ``sessionize`` by
-    tests/test_operators.py (property sweep over gap/span/hot-key
-    shapes) and by q_sessionize_split's driver oracle — the SAME SQL
-    as q_sessionize's.
+    break count. NULL entities / timestamps are ordinary window groups
+    in both operators (the join back is null-safe). Verified
+    hash-identical to ``sessionize`` by tests/test_properties.py::
+    test_sessionize_split_matches_plain_and_splits_hot_key (sweep over
+    gap/span/hot-key/NULL shapes) and by q_sessionize_split's driver
+    oracle — the SAME SQL as q_sessionize's.
 
     Cost: one extra (tiny) shuffle of the slice summary + the
     summary-side window whose partitions are per-entity SLICE COUNTS.
@@ -164,10 +166,23 @@ def sessionize_split(
         .select(entity_col, "__slice", "__adj", "__off")
     )
 
+    # NULL-SAFE join back: Window.partitionBy and groupBy both treat a
+    # NULL entity (or NULL ts -> NULL slice) as one ordinary group, so
+    # sessionize KEEPS such rows — an equi-join here would silently
+    # drop them (NULL != NULL) and break the hash-identical contract
+    # on general inputs (r11 review finding; NULL rows are in the
+    # property sweep)
+    off_side = offsets.withColumnRenamed(entity_col, "__ent").withColumnRenamed(
+        "__slice", "__sl"
+    )
     return (
-        local.join(offsets, [entity_col, "__slice"])
+        local.join(
+            off_side,
+            F.col(entity_col).eqNullSafe(F.col("__ent"))
+            & F.col("__slice").eqNullSafe(F.col("__sl")),
+        )
         .withColumn(
             "sid", (F.col("__lsid") - F.col("__adj") + F.col("__off"))
         )
-        .drop("__slice", "__brk", "__lsid", "__adj", "__off")
+        .drop("__ent", "__sl", "__slice", "__brk", "__lsid", "__adj", "__off")
     )

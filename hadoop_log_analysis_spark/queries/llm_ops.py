@@ -1528,11 +1528,14 @@ def q_shingle_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Duplicate structure is PLANTED identically on both sides (the
     q_embedding_near_dups recipe): every 25th doc gets a copy
-    truncated by its last 8 words at doc_id + max(doc_id)+1 — shingle
-    Jaccard ~ (n-10)/(n-2) >= 0.8 for typical lengths, so the answer
-    is the planted near-dup pairs plus any real shingle-level
-    near-dups, never a vacuous 0 rows and never a quadratic fraction
-    of the cross product.
+    truncated by its last 8 words at doc_id + max(doc_id)+1 — on a
+    duplicate-shingle-free text of n words that is set-Jaccard
+    (n-10)/(n-2) >= 0.8 from n >= 42 (repeated 3-grams shrink the
+    distinct set and can push a pair below threshold, which is why
+    the recall test derives its ground truth from the actual shingle
+    sets, not this margin), so the answer is the qualifying planted
+    pairs plus any real shingle-level near-dups — never a vacuous 0
+    rows and never a quadratic fraction of the cross product.
 
     The shingle encoding reuses set_similarity_join UNCHANGED: each
     doc's text is re-emitted as space-joined ``w1_w2_w3`` shingle

@@ -693,22 +693,33 @@ def test_shingle_prefix_filter_prunes(spark):
     # (unigram q_set_similarity_join's candidate set is ~all pairs)
     assert n_cands < 0.01 * all_pairs, (n_cands, all_pairs)
 
-    # recall floor: every planted truncated copy must survive into the
-    # candidate set (the filter may only prune NON-qualifying pairs;
-    # the exact verify downstream is oracle-checked by the driver).
-    # A planted pair qualifies when its base doc has enough words that
-    # dropping SHINGLE_TRUNC=8 keeps shingle-J (m-10)/(m-2) >= 0.8 --
-    # m >= 42; shorter docs are legitimately below threshold.
+    # recall floor: every planted pair that ACTUALLY qualifies must
+    # survive into the candidate set (the filter may only prune
+    # NON-qualifying pairs; the exact verify downstream is
+    # oracle-checked by the driver). Qualification is computed from
+    # the real distinct-shingle sets rather than a word-count margin:
+    # repeated 3-grams shrink a doc's shingle SET, so "(m-10)/(m-2)
+    # >= t at m >= 42 words" over-claims on texts with duplicate
+    # shingles (r11 review finding).
     off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    sets = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sets.select(
+        (F.col("doc_id") - F.lit(off)).alias("a_id"),
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sb"),
+    ).filter(F.col("b_id") >= off)
     planted = (
-        docs.filter(
-            (F.col("doc_id") % SHINGLE_COPY_MOD == 0)
-            & (F.size(F.split("text", " ")) >= 42)
+        a.join(b, "a_id")
+        .withColumn(
+            "jacc",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
         )
-        .select(
-            F.col("doc_id").alias("a_id"),
-            (F.col("doc_id") + F.lit(off)).alias("b_id"),
-        )
+        .filter(F.col("jacc") >= SHINGLE_T)
+        .select("a_id", "b_id")
     )
     n_planted = planted.count()
     assert n_planted > 0

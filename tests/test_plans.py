@@ -285,10 +285,18 @@ def test_sessionize_split_windows_on_composite_key(spark):
         r"hashpartitioning\(user_id#\d+L?, __slice", plan
     )
     assert composite, "local window must partition on (user_id, __slice)"
-    # the row-bearing lag/running-sum windows sit over the composite
-    # key; a Window whose spec is [user_id] only may carry at most the
-    # bounded slice summary (its input is an Aggregate, not raw rows)
-    assert re.findall(r"\(\d+\) Window", plan), "expected window operators"
+    # the row-bearing windows order raw event time (tus) and MUST be
+    # composite-keyed: a windowspec of (user_id, tus ASC) — bare
+    # entity key directly over event rows — is exactly the funnel
+    # this operator exists to break, so its spec string must never
+    # appear; the bare-user_id windows that do exist (slice summary)
+    # order by __slice, never tus
+    assert not re.findall(
+        r"windowspecdefinition\(user_id#\d+L?, tus#", plan
+    ), "raw-row window keyed on bare user_id — the hot-key funnel"
+    assert re.findall(
+        r"windowspecdefinition\(user_id#\d+L?, __slice#\d+L?, tus#", plan
+    ), "expected composite-keyed raw-row windows"
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):

@@ -2197,6 +2197,10 @@ def test_sessionize_split_matches_plain_and_splits_hot_key(spark):
     for e in range(1, 5):
         for k in range(25):
             rows.append((e, 500 + e + k * (gap + 1)))
+    # NULL hazards (r11 review finding): a NULL entity and a NULL ts
+    # are ordinary window groups in sessionize — the split plan's join
+    # back must be null-safe or these rows silently vanish
+    rows += [(None, 100), (None, 150), (None, 150 + gap + 1), (3, None)]
     df = spark.createDataFrame(rows, "user_id INT, tus LONG")
 
     want = sessionize(df, gap=gap, ts_col="tus").groupBy(
