@@ -38,6 +38,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """0/0 on a zero-norm vector is NaN, which Spark ORDERS ABOVE
+    every double — a zero vector would rank first in any cosine
+    top-k. The regime is asserted OUT of the data contract
+    (tests/test_headroom.py::test_no_zero_norm_embeddings, the
+    subus_key-gate pattern) rather than guarded per-row, because
+    every inline DuckDB oracle mirror would have to replicate the
+    guard identically; extend both sides in one change if a corpus
+    with legitimate zero vectors ever lands."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

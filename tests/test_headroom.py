@@ -506,3 +506,29 @@ def test_money_sum_is_two_step_emission(spark):
     plan = df._jdf.queryExecution().analyzed().toString().lower()
     assert "decimal(38,0)" in plan, plan
     assert "/ 100.0" in plan, plan
+
+
+def test_no_zero_norm_embeddings():
+    """Precondition gate for the cosine tier (r11): operators/
+    similarity.cosine divides by norm(a)*norm(b); a zero-norm vector
+    yields NaN, and Spark ORDERS NaN ABOVE every double — a zero
+    vector would rank FIRST in any cosine top-k, silently. Rather than
+    hide the hazard behind a per-row guard that the inline DuckDB
+    oracle mirrors would each have to replicate (and could typo-drift
+    on), the repo asserts the regime out of the data contract the way
+    subus_key uniqueness and the money-significand audit do: the
+    corpus must contain no zero-norm (or NULL/empty) embedding at the
+    probe SF. A pipeline ingesting vectors that can be zero must
+    filter them upstream (the curation tier's job) or extend cosine
+    AND every oracle mirror with the sim:=0 convention in one change.
+    """
+    con = duckdb_connection(PROBE_SF)
+    try:
+        n_bad, = con.execute(
+            "SELECT count(*) FROM embeddings WHERE embedding IS NULL "
+            "OR len(embedding) = 0 OR NOT list_aggregate("
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0"
+        ).fetchone()
+    finally:
+        con.close()
+    assert n_bad == 0, f"{n_bad} zero-norm embeddings violate the cosine contract"
