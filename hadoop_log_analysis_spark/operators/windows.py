@@ -108,7 +108,8 @@ def sessionize_split(
     then cancelled by ``adj`` exactly when the boundary gap is within
     ``gap``; offsets re-base each slice onto the entity's true running
     break count. NULL entities / timestamps are ordinary window groups
-    in both operators (the join back is null-safe). Verified
+    in both operators; rows the main equi-join would drop re-enter via
+    dedicated pushdown-filtered branches (below). Verified
     hash-identical to ``sessionize`` by tests/test_properties.py::
     test_sessionize_split_matches_plain_and_splits_hot_key (sweep over
     gap/span/hot-key/NULL shapes) and by q_sessionize_split's driver
@@ -116,17 +117,89 @@ def sessionize_split(
 
     Cost: one extra (tiny) shuffle of the slice summary + the
     summary-side window whose partitions are per-entity SLICE COUNTS.
-    Worth paying only when a key is hot; the decision rule mirrors
-    salted_join's (SCALE.md skew probe): plain ``sessionize`` first,
-    range-split where one entity's row share rivals a partition.
-    ``span`` trades split granularity against summary size — at 100 TB
-    pick span ~ (target task rows) x (hot key's event rate).
+    The join back is a plain equi-join on ``(entity, __slice)`` so the
+    big side REUSES the local window's exchange+sort (r12 fix — the
+    r11 eqNullSafe condition forced Spark to re-exchange both sides on
+    coalesce-wrapped keys, ~2x the operator's whole cost on uniform
+    data); NULL-key rows, which an equi-join drops, are recovered by
+    two pushdown-filtered near-empty side branches (the
+    q_null_skew_join_split pattern). Worth paying only when a key is
+    hot; the decision rule mirrors salted_join's (SCALE.md skew
+    probe): plain ``sessionize`` first, range-split where one
+    entity's row share rivals a partition. ``span`` trades split
+    granularity against summary size — at 100 TB pick span ~ (target
+    task rows) x (hot key's event rate).
     """
     if span < 1:
         # SQL `ts div 0` is NULL, which would silently collapse every
         # row into one NULL slice — fail loudly instead (the
         # HLA_BFS_CHECKPOINT_EVERY_K validation discipline, r10 advice)
         raise ValueError(f"span must be >= 1, got {span}")
+    cols = [F.col(c) for c in events.columns] + [F.col("sid")]
+
+    # MAIN branch: the full two-phase machinery; its equi-join keeps
+    # exactly the rows with non-NULL (entity, slice) keys. NULL-key
+    # rows still feed the slice SUMMARY (they shift later slices'
+    # offsets: in plain sessionize a NULL-ts row always breaks, and
+    # the first real-ts row after it sees prev.isNull() -> breaks too)
+    # but drop from the join output and are re-emitted below.
+    main = _sessionize_split_core(events, gap, span, entity_col, ts_col)
+
+    # NULL-ts branch (pushdown-filtered scan, normally ~0 rows): a
+    # NULL ts makes slice NULL. Such rows sort FIRST in their entity's
+    # window (nulls-first ascending), and EVERY one breaks (first row:
+    # no previous; later rows: previous ts is NULL -> prev.isNull());
+    # so plain sessionize numbers them 1..k in window order = plain
+    # row_number over the same composite (entity, NULL-slice) key.
+    null_ts = (
+        events.filter(F.col(ts_col).isNull())
+        .withColumn("__slice", F.lit(None).cast("long"))
+        .withColumn(
+            "sid",
+            F.row_number()
+            .over(Window.partitionBy(entity_col, "__slice").orderBy(ts_col))
+            .cast("long"),
+        )
+        .select(*cols)
+    )
+
+    # NULL-entity branch (pushdown-filtered scan): one window group in
+    # plain sessionize, so it is self-contained — but it can be HOT
+    # (unattributed events), so it gets the same range-split, keyed on
+    # a constant surrogate entity that the core's equi-join can carry.
+    # Its own NULL-ts rows feed this branch's summary (offset-exact)
+    # and are dropped by the inner equi-join — the null_ts branch
+    # above already emits them.
+    null_ent = (
+        _sessionize_split_core(
+            events.filter(F.col(entity_col).isNull()).withColumn(
+                "__ent0", F.lit(0)
+            ),
+            gap,
+            span,
+            "__ent0",
+            ts_col,
+        )
+        .drop("__ent0")
+        .select(*cols)
+    )
+
+    return main.select(*cols).unionByName(null_ts).unionByName(null_ent)
+
+
+def _sessionize_split_core(
+    events: DataFrame,
+    gap: int,
+    span: int,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """The two-phase split (see ``sessionize_split``), returning only
+    rows whose ``(entity, ts div span)`` key is non-NULL: the join
+    back is a PLAIN equi-join so Spark reuses the local window's
+    hash exchange on the big side (plan-asserted by
+    tests/test_plans.py::test_sessionize_split_windows_on_composite_key)
+    instead of re-shuffling on null-safe coalesce-wrapped keys."""
     tsc = F.col(ts_col)
     # exact integer division: floor(double_div) can mis-slice a
     # boundary row by one when 1/span is under the quotient's half-ulp
@@ -166,23 +239,10 @@ def sessionize_split(
         .select(entity_col, "__slice", "__adj", "__off")
     )
 
-    # NULL-SAFE join back: Window.partitionBy and groupBy both treat a
-    # NULL entity (or NULL ts -> NULL slice) as one ordinary group, so
-    # sessionize KEEPS such rows — an equi-join here would silently
-    # drop them (NULL != NULL) and break the hash-identical contract
-    # on general inputs (r11 review finding; NULL rows are in the
-    # property sweep)
-    off_side = offsets.withColumnRenamed(entity_col, "__ent").withColumnRenamed(
-        "__slice", "__sl"
-    )
     return (
-        local.join(
-            off_side,
-            F.col(entity_col).eqNullSafe(F.col("__ent"))
-            & F.col("__slice").eqNullSafe(F.col("__sl")),
-        )
+        local.join(offsets, on=[entity_col, "__slice"])
         .withColumn(
             "sid", (F.col("__lsid") - F.col("__adj") + F.col("__off"))
         )
-        .drop("__ent", "__sl", "__slice", "__brk", "__lsid", "__adj", "__off")
+        .drop("__slice", "__brk", "__lsid", "__adj", "__off")
     )

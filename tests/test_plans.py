@@ -288,15 +288,34 @@ def test_sessionize_split_windows_on_composite_key(spark):
     # the row-bearing windows order raw event time (tus) and MUST be
     # composite-keyed: a windowspec of (user_id, tus ASC) — bare
     # entity key directly over event rows — is exactly the funnel
-    # this operator exists to break, so its spec string must never
-    # appear; the bare-user_id windows that do exist (slice summary)
-    # order by __slice, never tus
-    assert not re.findall(
-        r"windowspecdefinition\(user_id#\d+L?, tus#", plan
-    ), "raw-row window keyed on bare user_id — the hot-key funnel"
+    # this operator exists to break. The ONE sanctioned exception is
+    # the NULL-ts recovery branch's row_number (its lit-NULL slice key
+    # constant-folds away), which must sit over a pushdown-filtered
+    # IsNull(tus) scan — i.e. over ~0 rows, never the full events
+    bare = re.findall(
+        r"(\w+\(\)?\)?) windowspecdefinition\(user_id#\d+L?, tus#", plan
+    )
+    assert bare == ["row_number()"], (
+        f"raw-row window keyed on bare user_id — the hot-key funnel: {bare}"
+    )
+    # tus is computed from ts, so the isnull guard lands as a Filter
+    # just above the column-pruned scan rather than in PushedFilters
+    assert re.search(r"Condition : isnull\(\(\(unix_micros", plan), (
+        "the bare-key row_number branch must scan only ts-IS-NULL rows"
+    )
     assert re.findall(
         r"windowspecdefinition\(user_id#\d+L?, __slice#\d+L?, tus#", plan
     ), "expected composite-keyed raw-row windows"
+    # r12: the join back must be a PLAIN equi-join on (user_id, __slice)
+    # so the big side reuses the local window's exchange — the r11
+    # eqNullSafe condition re-exchanged both sides on coalesce-wrapped
+    # keys (~2x the operator's cost on uniform data, SCALE.md)
+    assert "coalesce(user_id" not in plan, (
+        "null-safe join keys re-exchange the big side"
+    )
+    assert re.findall(
+        r"Left keys \[2\]: \[user_id#\d+L?, __slice#", plan
+    ), "main branch must equi-join on (user_id, __slice)"
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
