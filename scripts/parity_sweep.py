@@ -9,6 +9,9 @@ final `DONE: <n> mismatches over <m> queries` summary.
 Usage:
     python scripts/parity_sweep.py [sf_dir] [query_name ...]
 
+A ``@tier`` argument expands to a named query list (see TIERS below),
+e.g. ``python scripts/parity_sweep.py .tmp/sf1_zipf @skew_batch``.
+
 With no query names the FULL registry is swept and two extra gates run
 first:
 
@@ -59,9 +62,45 @@ def check_subus_unique(spark: SparkSession, sf: str) -> bool:
     return n == d
 
 
+# Named query tiers for the scale/skew probes (r11 ran these as ad-hoc
+# command lines; @-expansion makes the tier reproducible). The batch
+# tier deliberately EXCLUDES the O(N^2)-oracle pair queries
+# (q_set_similarity_join etc. — DuckDB grinds for hours at sf1; they
+# get scripts/sampled_oracle_sf1.py instead).
+TIERS = {
+    "skew_batch": [
+        "q_join5", "q_join_fact_fact", "q_broadcast_join",
+        "q_left_join_counts", "q_semi_join", "q_anti_join",
+        "q_theta_band_join", "q_range_join", "q_asof_join",
+        "q_null_safe_join", "q_bucketed_join", "q_salted_agg",
+        "q_salted_join", "q_null_skew_join_split",
+        "q_bloom_prefilter_join", "q_sessionize", "q_sessionize_split",
+        "q_session_window_native", "q_session_bounce_rate",
+        "q_window_rank", "q_rank_variants", "q_time_range_window",
+        "q_inverted_index", "q_inverted_index_chunked", "q_tfidf",
+        "q_bm25", "q_cohort_retention", "q_funnel_steps",
+        "q_funnel_latency", "q_pareto_users", "q_percentile_ranks",
+        "q_minhash_near_dups",
+    ],
+    # r12 adds the stream-STREAM joins: join-key state under a hot key
+    # was the one streaming skew surface not yet cross-checked
+    "skew_stream": [
+        "q_stream_sessions", "q_stream_stateful_counts",
+        "q_stream_static_join", "q_stream_dedup",
+        "q_stream_hourly_errors", "q_stream_sliding_counts",
+        "q_stream_heavy_hitters", "q_stream_stream_join",
+        "q_stream_stream_left_join",
+    ],
+}
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:]
+    names = [
+        n
+        for arg in sys.argv[2:]
+        for n in (TIERS[arg[1:]] if arg.startswith("@") else [arg])
+    ]
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("parity-sweep")

@@ -87,24 +87,28 @@ def main() -> int:
             print(f"PASS {name} {extra}", flush=True)
 
     def token_pair_check(name: str) -> None:
-        """Full-sf1 run; replica-7 slice, -7e9, vs the sf0.1 oracle."""
-        df = queries[name](spark, args.sf1)
+        """Full-sf1 run; replica-7 slice, -7e9, vs the sf0.1 oracle.
+        Cached: counts + slice both derive from one join run (ADVICE
+        r11 on shingle_check; same fix here)."""
+        df = queries[name](spark, args.sf1).persist()
         rep_a = (F.col("a_id") / KEY_OFF).cast("long")
         rep_b = (F.col("b_id") / KEY_OFF).cast("long")
-        per = (
-            df.groupBy(rep_a.alias("ra"), rep_b.alias("rb"))
-            .count().collect()
-        )
-        within = {int(r["ra"]): int(r["count"]) for r in per
-                  if r["ra"] == r["rb"]}
-        n_cross = sum(int(r["count"]) for r in per if r["ra"] != r["rb"])
-        sliced = (
-            queries[name](spark, args.sf1)
-            .filter((rep_a == TOKEN_REPLICA) & (rep_b == TOKEN_REPLICA))
-            .withColumn("a_id", F.col("a_id") - TOKEN_REPLICA * KEY_OFF)
-            .withColumn("b_id", F.col("b_id") - TOKEN_REPLICA * KEY_OFF)
-            .toPandas()
-        )
+        try:
+            per = (
+                df.groupBy(rep_a.alias("ra"), rep_b.alias("rb"))
+                .count().collect()
+            )
+            within = {int(r["ra"]): int(r["count"]) for r in per
+                      if r["ra"] == r["rb"]}
+            n_cross = sum(int(r["count"]) for r in per if r["ra"] != r["rb"])
+            sliced = (
+                df.filter((rep_a == TOKEN_REPLICA) & (rep_b == TOKEN_REPLICA))
+                .withColumn("a_id", F.col("a_id") - TOKEN_REPLICA * KEY_OFF)
+                .withColumn("b_id", F.col("b_id") - TOKEN_REPLICA * KEY_OFF)
+                .toPandas()
+            )
+        finally:
+            df.unpersist()
         opdf = run_oracle(oracles[name], SF01)
         problems = compare_frames(sliced, opdf)
         counts = sorted(within.values())
@@ -179,25 +183,32 @@ def main() -> int:
                 .otherwise(col - off1 - TOKEN_REPLICA * KEY_OFF + off01)
             ).alias(c)
 
-        df = queries[name](spark, args.sf1)
-        per = (
-            df.groupBy(rep_of("a_id").alias("ra"), rep_of("b_id").alias("rb"))
-            .count().collect()
-        )
-        within = {int(r["ra"]): int(r["count"]) for r in per
-                  if r["ra"] == r["rb"]}
-        n_cross = sum(int(r["count"]) for r in per if r["ra"] != r["rb"])
-        sliced = (
-            queries[name](spark, args.sf1)
-            .filter(
-                (rep_of("a_id") == TOKEN_REPLICA)
-                & (rep_of("b_id") == TOKEN_REPLICA)
+        # cache the join output: the per-replica counts AND the
+        # replica-7 slice both derive from it, and the full-sf1 join
+        # costs ~18 s+ per run (ADVICE r11 — the r11 version executed
+        # it twice)
+        df = queries[name](spark, args.sf1).persist()
+        try:
+            per = (
+                df.groupBy(rep_of("a_id").alias("ra"),
+                           rep_of("b_id").alias("rb"))
+                .count().collect()
             )
-            .select(remap("a_id"), remap("b_id"), "jacc")
-            .toPandas()
-            .sort_values(["a_id", "b_id"])
-            .reset_index(drop=True)
-        )
+            within = {int(r["ra"]): int(r["count"]) for r in per
+                      if r["ra"] == r["rb"]}
+            n_cross = sum(int(r["count"]) for r in per if r["ra"] != r["rb"])
+            sliced = (
+                df.filter(
+                    (rep_of("a_id") == TOKEN_REPLICA)
+                    & (rep_of("b_id") == TOKEN_REPLICA)
+                )
+                .select(remap("a_id"), remap("b_id"), "jacc")
+                .toPandas()
+                .sort_values(["a_id", "b_id"])
+                .reset_index(drop=True)
+            )
+        finally:
+            df.unpersist()
         opdf = run_oracle(oracles[name], SF01)
         problems = compare_frames(sliced, opdf)
         counts = sorted(within.values())

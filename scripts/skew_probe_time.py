@@ -177,13 +177,18 @@ def measure(spark, tag: str, thunk, confs: dict | None = None,
 
 
 def main() -> int:
+    global SKEW
     ap = argparse.ArgumentParser()
     ap.add_argument("--out",
                     default=os.path.join(REPO, ".tmp", "skew_probe.json"))
     ap.add_argument("--only", nargs="*", default=None,
                     help="run only these sections (user_join fact_fact "
                          "sessionize inverted_index agg_taxonomy)")
+    ap.add_argument("--skew-dir", default=SKEW,
+                    help="skewed data dir (default .tmp/sf1_skew; pass "
+                         ".tmp/sf1_zipf for the r12 Zipf-head probe)")
     args = ap.parse_args()
+    SKEW = args.skew_dir
 
     def wants(section: str) -> bool:
         return args.only is None or section in args.only

@@ -524,10 +524,18 @@ def test_no_zero_norm_embeddings():
     """
     con = duckdb_connection(PROBE_SF)
     try:
+        # r12 (ADVICE r11): also flag NULL/NaN ELEMENTS — a NULL element
+        # makes the squared sum NULL (so `NOT sum > 0` is NULL and the
+        # row slipped past the r11 predicate), a NaN element makes it
+        # NaN (which DuckDB orders ABOVE 0, so `sum > 0` was true) —
+        # yet both produce non-finite cosine in Spark, the exact
+        # NaN-sorts-first hazard this gate exists to exclude.
         n_bad, = con.execute(
             "SELECT count(*) FROM embeddings WHERE embedding IS NULL "
             "OR len(embedding) = 0 OR NOT list_aggregate("
-            "list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0"
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0 "
+            "OR len(list_filter(embedding, "
+            "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0"
         ).fetchone()
     finally:
         con.close()
