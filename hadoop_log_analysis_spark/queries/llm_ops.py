@@ -2939,6 +2939,156 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sparse_cosine_pairs_sharded(
+    docs: DataFrame, shard_col: str, k: int
+) -> DataFrame:
+    """q_sparse_cosine_pairs' pipeline with a SHARD-LOCAL normalizer:
+    idf (and the df-cut) computed within each ``shard_col`` group, the
+    postings self-join restricted to same-shard docs, top-``k`` pairs
+    PER SHARD. ``docs`` needs (doc_id, text, <shard_col>).
+
+    Two jobs: (1) q_sparse_cosine_pairs_by_source registers it over
+    the ``source`` column — per-domain idf is the right weighting for
+    a mixed crawl, where one domain's stopword is another's signal;
+    (2) scripts/sampled_oracle_sf1.py runs it with shard = replica at
+    sf1, where a shard-local idf over one replica EQUALS sf0.1's
+    global idf (same nd, same dfs under the Caesar-rotated vocab), so
+    the replica-7 slice is hash-comparable against the plain query's
+    sf0.1 oracle — the cheap sf1 evidence VERDICT r11 "What's missing"
+    #3 asked for (the plain query's corpus-size-dependent ln(10*nd/df)
+    legitimately blocks the per-replica oracle; the r11 fallback was a
+    dedicated 101 GB-heap DuckDB session).
+
+    Scale shape is the parent's (df-cut bounds the postings join) with
+    one improvement: every shuffle — tf, df, postings join, norms,
+    ranks — keys on (shard, x), so shards never exchange rows and a
+    skewed shard bounds its own tasks.
+    """
+    tok = docs.select(
+        shard_col, "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy(shard_col, "doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    df = tf.groupBy(shard_col, "tok").agg(F.count("*").alias("df"))
+    n = docs.groupBy(shard_col).agg(F.count("*").alias("nd"))
+    w = (
+        tf.join(df, [shard_col, "tok"])
+        .join(F.broadcast(n), shard_col)
+        .filter(F.col("df") <= 0.25 * F.col("nd"))
+        .select(
+            shard_col,
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("nd") / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy(shard_col, "doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nr")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col(f"a.{shard_col}") == F.col(f"b.{shard_col}"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col(f"a.{shard_col}").alias(shard_col),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
+    )
+    x = nrm.alias("x")
+    y = nrm.alias("y")
+    sim = (
+        dot.alias("dot")
+        .join(
+            x,
+            (F.col(f"dot.{shard_col}") == F.col(f"x.{shard_col}"))
+            & (F.col("a_id") == F.col("x.doc_id")),
+        )
+        .join(
+            y,
+            (F.col(f"dot.{shard_col}") == F.col(f"y.{shard_col}"))
+            & (F.col("b_id") == F.col("y.doc_id")),
+        )
+        .select(
+            F.col(f"dot.{shard_col}").alias(shard_col),
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("d") / (F.col("x.nr") * F.col("y.nr")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    rk = Window.partitionBy(shard_col).orderBy(
+        F.desc("cos_sim"), "a_id", "b_id"
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy(shard_col, F.desc("cos_sim"), "a_id", "b_id")
+    )
+
+
+@query(
+    "q_sparse_cosine_pairs_by_source",
+    oracle="""
+        WITH tok AS (SELECT source, doc_id,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT source, doc_id, tok, count(*) AS tf
+               FROM tok GROUP BY 1, 2, 3),
+        df AS (SELECT source, tok, count(*) AS df FROM tf GROUP BY 1, 2),
+        n AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+        w AS (SELECT tf.source, tf.doc_id, tf.tok,
+                     tf.tf * ln(n.nd * 1.0 / df.df) AS wt
+              FROM tf JOIN df ON tf.source = df.source AND tf.tok = df.tok
+                      JOIN n ON n.source = tf.source
+              WHERE df.df <= 0.25 * n.nd),
+        nrm AS (SELECT source, doc_id, sqrt(sum(wt * wt)) AS nr
+                FROM w GROUP BY 1, 2),
+        dot AS (SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+                       sum(a.wt * b.wt) AS d
+                FROM w a JOIN w b
+                  ON a.source = b.source AND a.tok = b.tok
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3),
+        r AS (SELECT dot.source, a_id, b_id,
+                     round(d / (x.nr * y.nr), 6) AS cos_sim
+              FROM dot JOIN nrm x ON x.source = dot.source
+                                 AND x.doc_id = a_id
+                       JOIN nrm y ON y.source = dot.source
+                                 AND y.doc_id = b_id),
+        rk AS (SELECT source, a_id, b_id, cos_sim,
+                      row_number() OVER (PARTITION BY source
+                          ORDER BY cos_sim DESC, a_id, b_id) AS rn
+               FROM r)
+        SELECT source, a_id, b_id, cos_sim
+        FROM rk WHERE rn <= 5
+        ORDER BY source, cos_sim DESC, a_id, b_id
+    """,
+    tags=("L3", "L5", "dedup", "similarity"),
+)
+def q_sparse_cosine_pairs_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 sparse-cosine pairs PER SOURCE with source-local idf —
+    see sparse_cosine_pairs_sharded (per-domain idf weights each
+    domain's vocabulary by ITS OWN document frequencies; the global
+    variant q_sparse_cosine_pairs lets a web-heavy corpus's stopwords
+    depress every domain's weights)."""
+    docs = scan(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    return sparse_cosine_pairs_sharded(docs, "source", 5)
+
+
 @query(
     "q_lang_id_confusion",
     oracle="""

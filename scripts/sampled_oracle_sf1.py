@@ -30,11 +30,19 @@ filters, LSH banding and shuffles all see the 10x data) and compares:
   replica-disjoint) — all 10 per-replica rows must equal the sf0.1
   oracle's single row.
 
-q_sparse_cosine_pairs is NOT coverable by this method: its idf term
-is ln(corpus_n/df) — corpus-size-dependent, so within-replica cosines
-at sf1 are legitimately different numbers than at sf0.1, and the
-output is a global top-20. Its sf1 exactness stands on the dedicated-
-session DuckDB run recorded in SCALE.md (the 101 GB oracle).
+q_sparse_cosine_pairs itself is NOT coverable by this method: its idf
+term is ln(corpus_n/df) — corpus-size-dependent, so within-replica
+cosines at sf1 are legitimately different numbers than at sf0.1, and
+the output is a global top-20. r12 (VERDICT r11 "What's missing" #3)
+restores hash-grade sf1 evidence through the SHARD-LOCAL variant
+(queries.llm_ops.sparse_cosine_pairs_sharded, registered as
+q_sparse_cosine_pairs_by_source): sparse_cosine_check runs it at full
+sf1 with shard = replica, where the shard-local idf over one replica
+EQUALS sf0.1's global idf, so the replica-7 top-20, key-remapped, must
+hash-equal the PLAIN query's sf0.1 oracle. That exercises the same
+tf/df/df-cut/postings-join/norm/cosine pipeline on the 10x corpus;
+the 101 GB dedicated-session DuckDB run remains the only direct
+evidence for the global-idf normalizer itself.
 
 Usage:
     python scripts/sampled_oracle_sf1.py [--sf1 .tmp/sf1] [--names ...]
@@ -219,6 +227,60 @@ def main() -> int:
                f"oracle; 10x{counts[0] if counts else 0} uniform; "
                f"cross-replica pairs {n_cross})")
 
+    def sparse_cosine_check(name: str = "q_sparse_cosine_pairs") -> None:
+        """Shard-local-idf run at full sf1 with shard = replica; the
+        replica-7 top-20, key-remapped, vs the PLAIN query's sf0.1
+        oracle. Sound because a replica is an exact Caesar-rotated,
+        key-shifted copy of sf0.1: shard-local nd and df equal sf0.1's
+        global ones, so every within-replica weight — and therefore
+        every 6-dp-rounded cosine — is the same number; the remap is
+        order-preserving within a replica, so the per-shard top-20 tie
+        break selects the same pairs."""
+        from hadoop_log_analysis_spark.queries.llm_ops import (
+            sparse_cosine_pairs_sharded,
+        )
+
+        off1 = scan(spark, args.sf1, "documents").agg(
+            F.max("doc_id")).collect()[0][0] + 1
+        off01 = scan(spark, SF01, "documents").agg(
+            F.max("doc_id")).collect()[0][0] + 1
+        base = F.when(F.col("doc_id") < off1, F.col("doc_id")).otherwise(
+            F.col("doc_id") - off1
+        )
+        docs = (
+            scan(spark, args.sf1, "documents")
+            .select("doc_id", "text")
+            .withColumn("__rep", (base / KEY_OFF).cast("long"))
+        )
+        out = sparse_cosine_pairs_sharded(docs, "__rep", 20).persist()
+
+        def remap(c):
+            col = F.col(c)
+            return (
+                F.when(col < off1, col - TOKEN_REPLICA * KEY_OFF)
+                .otherwise(col - off1 - TOKEN_REPLICA * KEY_OFF + off01)
+            ).alias(c)
+
+        try:
+            per = {int(r["__rep"]): int(r["n"]) for r in out.groupBy(
+                "__rep").agg(F.count("*").alias("n")).collect()}
+            sliced = (
+                out.filter(F.col("__rep") == TOKEN_REPLICA)
+                .select(remap("a_id"), remap("b_id"), "cos_sim")
+                .toPandas()
+            )
+        finally:
+            out.unpersist()
+        opdf = run_oracle(oracles[name], SF01)
+        problems = compare_frames(sliced, opdf)
+        counts = sorted(per.values())
+        if len(per) != 10 or counts[0] != counts[-1]:
+            problems.append(f"per-replica counts not uniform: {per}")
+        report(name, problems,
+               f"(replica {TOKEN_REPLICA} top-{len(sliced)} == sf0.1 "
+               f"oracle via shard-local idf; 10x{counts[0] if counts else 0}"
+               " uniform)")
+
     def two_core_check(name: str = "q_two_core") -> None:
         """q_two_core's pipeline (graph_q.py:919) over full sf1 with the
         summary grouped per replica — 10 rows, each == the sf0.1 oracle
@@ -302,6 +364,7 @@ def main() -> int:
         "q_set_similarity_join",
         "q_containment_join",
         "q_shingle_similarity_join",
+        "q_sparse_cosine_pairs",
     ]
     for name in todo:
         if name == "q_two_core":
@@ -310,6 +373,8 @@ def main() -> int:
             embedding_check()
         elif name == "q_shingle_similarity_join":
             shingle_check()
+        elif name == "q_sparse_cosine_pairs":
+            sparse_cosine_check()
         else:
             token_pair_check(name)
 

@@ -810,6 +810,17 @@ def test_sparse_cosine_pairs_no_cartesian_no_python(spark):
     plan = _formatted(REGISTRY["q_sparse_cosine_pairs"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the r12 shard-local variant inherits the same contract, and its
+    # postings self-join must key on (shard, tok) — shards never
+    # exchange rows, so a skewed shard bounds its own tasks
+    import re
+
+    plan2 = _formatted(
+        REGISTRY["q_sparse_cosine_pairs_by_source"].fn(spark, SF001)
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+    assert re.search(r"hashpartitioning\(source#\d+, tok#", plan2)
 
 
 def test_vocab_growth_has_no_corpus_scale_window(spark):

@@ -2239,3 +2239,35 @@ def test_sessionize_split_rejects_degenerate_span(spark):
     for span in (0, -5):
         with _pytest.raises(ValueError):
             sessionize_split(df, gap=100, span=span, ts_col="tus")
+
+
+def test_sparse_cosine_sharded_constant_shard_equals_global(spark):
+    """The sampled sf1 oracle for q_sparse_cosine_pairs (r12) rests on
+    one algebraic identity: sparse_cosine_pairs_sharded with the WHOLE
+    corpus as a single shard computes exactly q_sparse_cosine_pairs
+    (shard-local nd/df/df-cut degenerate to the global ones, per-shard
+    top-k to the global top-k). Pin the identity at fixture scale so a
+    drift in either pipeline (a changed rounding, df-cut, or tie
+    break) breaks HERE, not silently inside the sf1 evidence."""
+    from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.llm_ops import (
+        sparse_cosine_pairs_sharded,
+    )
+
+    reg = load_registry()
+    docs = (
+        scan(spark, SF001, "documents")
+        .select("doc_id", "text")
+        .withColumn("__one", F.lit(0))
+    )
+    got = [
+        tuple(r)
+        for r in sparse_cosine_pairs_sharded(docs, "__one", 20)
+        .drop("__one")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in reg["q_sparse_cosine_pairs"].fn(spark, SF001).collect()
+    ]
+    assert got == want
