@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from hadoop_log_analysis_spark.functions import money, money_sum, ts_us
 from hadoop_log_analysis_spark.operators.windows import (
     sessionize,
+    sessionize_auto,
     sessionize_split,
     topk_per_group,
 )
@@ -274,6 +275,52 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = scan(spark, sf_dir, "events").select("user_id", ts_us().alias("tus"))
     sessions = sessionize_split(ev, gap=_MIN30_US, span=_DAY_US, ts_col="tus")
+    return (
+        sessions.groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("tus") - F.min("tus")).alias("dur_us"),
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
+@query(
+    "q_sessionize_auto",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS tus,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), s AS (
+            SELECT user_id, tus,
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM g
+        )
+        SELECT user_id, sid, count(*) AS n, max(tus) - min(tus) AS dur_us
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, sid
+    """,
+    tags=("W6", "W4", "skew"),
+)
+def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6, measure-then-choose plan (r12): the SAME sessionization
+    answer as q_sessionize/q_sessionize_split (byte-identical oracle
+    SQL — whichever plan the key-share probe selects must be
+    output-invisible), via operators.windows.sessionize_auto: one
+    skew-immune algebraic pass measures the hottest user's row share
+    and range-splits exactly when it rivals a shuffle partition
+    (plain on the uniform fixtures; split on the skew probes —
+    property-tested both ways)."""
+    ev = scan(spark, sf_dir, "events").select("user_id", ts_us().alias("tus"))
+    sessions, _plan = sessionize_auto(
+        ev, gap=_MIN30_US, span=_DAY_US, ts_col="tus"
+    )
     return (
         sessions.groupBy("user_id", "sid")
         .agg(

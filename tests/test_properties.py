@@ -2271,3 +2271,50 @@ def test_sparse_cosine_sharded_constant_shard_equals_global(spark):
         for r in reg["q_sparse_cosine_pairs"].fn(spark, SF001).collect()
     ]
     assert got == want
+
+
+def test_sessionize_auto_chooses_by_key_share(spark):
+    """sessionize_auto (r12) must implement the documented decision
+    rule mechanically: plain when no entity's share rivals a shuffle
+    partition, range-split when one does — and the ANSWER must be
+    identical to plain sessionize either way (the probe is allowed to
+    change the plan, never the output)."""
+    from hadoop_log_analysis_spark.operators.windows import (
+        sessionize,
+        sessionize_auto,
+    )
+
+    gap = 100
+
+    def sess_agg(df):
+        return df.groupBy("user_id", "sid").agg(
+            F.count("*").alias("n"),
+            F.min("tus").alias("lo"),
+            F.max("tus").alias("hi"),
+        )
+
+    # uniform: 32 entities x 40 rows each -> top share 1/32 < 1/8
+    uniform = spark.createDataFrame(
+        [(e, 1000 + e + k * (gap + 1)) for e in range(32) for k in range(40)],
+        "user_id INT, tus LONG",
+    )
+    # hot: entity 0 owns ~70% of rows >> 1/8
+    hot = spark.createDataFrame(
+        [(0, 1000 + 3 * k) for k in range(900)]
+        + [(e, 500 + e + k * (gap + 1)) for e in range(1, 5) for k in range(90)],
+        "user_id INT, tus LONG",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for df, expect in ((uniform, "plain"), (hot, "split")):
+            got, plan = sessionize_auto(
+                df, gap=gap, span=1000, ts_col="tus"
+            )
+            assert plan == expect, (plan, expect)
+            want = sess_agg(sessionize(df, gap=gap, ts_col="tus"))
+            have = sess_agg(got)
+            assert have.exceptAll(want).count() == 0
+            assert want.exceptAll(have).count() == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
