@@ -253,6 +253,7 @@ def main() -> int:
                    **{"spark.sql.adaptive.skewJoin.enabled": "true"})
 
     result: dict = {"confs": {"skew_scaled": SKEW_CONFS},
+                    "skew_dir": SKEW,
                     "load_avg_start": [round(x, 2) for x in os.getloadavg()]}
 
     # A. hot-user join: AQE split + salting vs the naive SMJ
@@ -267,6 +268,20 @@ def main() -> int:
             "skew_data_aqe_split": measure(
                 spark, "user_join skew AQE", lambda: naive_user_join(SKEW),
                 confs=skew_on, collect=True, assert_skewed=True),
+            # r12: same with partition COALESCING off. At MB fixture
+            # scale the coalescer (parallelismFirst default) merges
+            # valley-partition runs into ~total/parallelism chunks
+            # LARGER than the split sub-reads, re-creating a straggler
+            # that is a fixture artifact, not key skew (at 100 TB every
+            # partition exceeds the advisory and nothing coalesces) —
+            # this row shows the split's true effect in isolation
+            "skew_data_aqe_split_nocoalesce": measure(
+                spark, "user_join skew AQE nocoalesce",
+                lambda: naive_user_join(SKEW),
+                confs=dict(skew_on, **{
+                    "spark.sql.adaptive.coalescePartitions.enabled":
+                        "false"}),
+                collect=True, assert_skewed=True),
             "skew_data_salted": measure(
                 spark, "user_join skew salted", lambda: salted_user_join(SKEW),
                 confs=skew_off, collect=True),
