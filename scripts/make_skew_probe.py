@@ -120,14 +120,6 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
-    hot_user, = con.execute(
-        f"SELECT min(user_id) FROM read_parquet('{args.src}/events.parquet')"
-    ).fetchone()
-    hot_order, = con.execute(
-        "SELECT min(o_orderkey) FROM "
-        f"read_parquet('{args.src}/orders.parquet') WHERE o_orderkey % 10 = 3"
-    ).fetchone()
-
     if args.zipf:
         head_users = [r[0] for r in con.execute(
             "SELECT DISTINCT user_id FROM "
@@ -173,6 +165,14 @@ def main() -> int:
         return run(con, args, transforms,
                    head_users=head_users, head_orders=head_orders,
                    head_tokens=head_tokens)
+
+    hot_user, = con.execute(
+        f"SELECT min(user_id) FROM read_parquet('{args.src}/events.parquet')"
+    ).fetchone()
+    hot_order, = con.execute(
+        "SELECT min(o_orderkey) FROM "
+        f"read_parquet('{args.src}/orders.parquet') WHERE o_orderkey % 10 = 3"
+    ).fetchone()
 
     transforms = {
         "events": f"""
@@ -221,31 +221,39 @@ def main() -> int:
                sum(CASE WHEN text LIKE '% {HOT_TOKEN}' THEN 1 ELSE 0 END)
         FROM read_parquet('{args.out}/documents.parquet')
     """).fetchone()
-    dangling, = con.execute(f"""
-        SELECT count(*) FROM read_parquet('{args.out}/lineitem.parquet') li
-        ANTI JOIN read_parquet('{args.out}/orders.parquet') o
-        ON li.l_orderkey = o.o_orderkey
-    """).fetchone()
-    nchars_bad, = con.execute(f"""
-        SELECT count(*) FROM read_parquet('{args.out}/documents.parquet')
-        WHERE n_chars <> length(text)
-    """).fetchone()
-    sub_n, sub_d = con.execute(
-        "SELECT count(*), count(DISTINCT epoch_us(ts) * 100 + event_id % 100)"
-        f" FROM read_parquet('{args.out}/events.parquet')"
-    ).fetchone()
     print(f"hot user {hot_user}: {u_hot}/{u_n} events "
           f"({100.0 * u_hot / u_n:.1f}%)", flush=True)
     print(f"hot order {hot_order}: {o_hot}/{o_n} lineitems "
           f"({100.0 * o_hot / o_n:.1f}%)", flush=True)
     print(f"hot token '{HOT_TOKEN}': {d_hot}/{d_n} docs "
           f"({100.0 * d_hot / d_n:.1f}%)", flush=True)
+    ok = (check_invariants(con, args.out)
+          and u_hot * 5 >= u_n and o_hot * 12 >= o_n and d_hot * 4 >= d_n)
+    return 0 if ok else 1
+
+
+def check_invariants(con, out_dir: str) -> bool:
+    """The fixture invariants BOTH probe variants must preserve:
+    FK-valid lineitems, n_chars == length(text), collision-free
+    subus_key fold. Shared so a new invariant can't drift between the
+    single-key and --zipf paths (r12 review finding)."""
+    dangling, = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{out_dir}/lineitem.parquet') li
+        ANTI JOIN read_parquet('{out_dir}/orders.parquet') o
+        ON li.l_orderkey = o.o_orderkey
+    """).fetchone()
+    nchars_bad, = con.execute(f"""
+        SELECT count(*) FROM read_parquet('{out_dir}/documents.parquet')
+        WHERE n_chars <> length(text)
+    """).fetchone()
+    sub_n, sub_d = con.execute(
+        "SELECT count(*), count(DISTINCT epoch_us(ts) * 100 + event_id % 100)"
+        f" FROM read_parquet('{out_dir}/events.parquet')"
+    ).fetchone()
     print(f"dangling lineitem FKs: {dangling}", flush=True)
     print(f"n_chars<>length(text) rows: {nchars_bad}", flush=True)
     print(f"subus_key uniqueness: {sub_n} rows, {sub_d} keys", flush=True)
-    ok = (dangling == 0 and nchars_bad == 0 and sub_n == sub_d
-          and u_hot * 5 >= u_n and o_hot * 12 >= o_n and d_hot * 4 >= d_n)
-    return 0 if ok else 1
+    return dangling == 0 and nchars_bad == 0 and sub_n == sub_d
 
 
 def write_tables(con, args, transforms) -> None:
@@ -295,20 +303,6 @@ def run(con, args, transforms, head_users, head_orders,
                    THEN 1 ELSE 0 END)
         FROM read_parquet('{args.out}/documents.parquet')
     """).fetchone()
-    dangling, = con.execute(f"""
-        SELECT count(*) FROM read_parquet('{args.out}/lineitem.parquet') li
-        ANTI JOIN read_parquet('{args.out}/orders.parquet') o
-        ON li.l_orderkey = o.o_orderkey
-    """).fetchone()
-    nchars_bad, = con.execute(f"""
-        SELECT count(*) FROM read_parquet('{args.out}/documents.parquet')
-        WHERE n_chars <> length(text)
-    """).fetchone()
-    sub_n, sub_d = con.execute(
-        "SELECT count(*), count(DISTINCT epoch_us(ts) * 100 + event_id % 100)"
-        f" FROM read_parquet('{args.out}/events.parquet')"
-    ).fetchone()
-
     head_set = set(head_users)
     u_head_pct = sum(p for u, _, p in user_shares if u in head_set)
     o_head_pct = sum(p for o, _, p in order_shares if o in set(head_orders))
@@ -321,13 +315,10 @@ def run(con, args, transforms, head_users, head_orders,
     print(f"zipf head tokens: {d_hot}/{d_n} docs carry one "
           f"({100.0 * d_hot / d_n:.1f}%), top token df "
           f"{100.0 * d_top / d_n:.2f}%", flush=True)
-    print(f"dangling lineitem FKs: {dangling}", flush=True)
-    print(f"n_chars<>length(text) rows: {nchars_bad}", flush=True)
-    print(f"subus_key uniqueness: {sub_n} rows, {sub_d} keys", flush=True)
     # head must be a real Zipf HEAD: 20 keys ~35% total, top ~10%, and
     # NO single dominant key (top < 12% — the single-key probe's regime)
     top_u_pct = user_shares[0][2]
-    ok = (dangling == 0 and nchars_bad == 0 and sub_n == sub_d
+    ok = (check_invariants(con, args.out)
           and 30.0 <= u_head_pct <= 40.0 and 30.0 <= o_head_pct <= 42.0
           and 7.0 <= top_u_pct <= 12.0
           and 30.0 <= 100.0 * d_hot / d_n <= 40.0)

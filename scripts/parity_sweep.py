@@ -75,6 +75,7 @@ TIERS = {
         "q_null_safe_join", "q_bucketed_join", "q_salted_agg",
         "q_salted_join", "q_null_skew_join_split",
         "q_bloom_prefilter_join", "q_sessionize", "q_sessionize_split",
+        "q_sessionize_auto",
         "q_session_window_native", "q_session_bounce_rate",
         "q_window_rank", "q_rank_variants", "q_time_range_window",
         "q_inverted_index", "q_inverted_index_chunked", "q_tfidf",
@@ -96,6 +97,11 @@ TIERS = {
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    for arg in sys.argv[2:]:
+        if arg.startswith("@") and arg[1:] not in TIERS:
+            print(f"unknown tier {arg}; known tiers: "
+                  f"{', '.join(sorted(TIERS))}", file=sys.stderr)
+            return 2
     names = [
         n
         for arg in sys.argv[2:]

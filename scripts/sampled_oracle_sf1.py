@@ -240,26 +240,20 @@ def main() -> int:
             sparse_cosine_pairs_sharded,
         )
 
-        off1 = scan(spark, args.sf1, "documents").agg(
-            F.max("doc_id")).collect()[0][0] + 1
-        off01 = scan(spark, SF01, "documents").agg(
-            F.max("doc_id")).collect()[0][0] + 1
-        base = F.when(F.col("doc_id") < off1, F.col("doc_id")).otherwise(
-            F.col("doc_id") - off1
-        )
+        # unlike shingle_check there is no planted-copy id tier here:
+        # every doc_id comes straight from the documents table, so
+        # replica membership and the remap are plain div/shift
         docs = (
             scan(spark, args.sf1, "documents")
             .select("doc_id", "text")
-            .withColumn("__rep", (base / KEY_OFF).cast("long"))
+            .withColumn(
+                "__rep", (F.col("doc_id") / KEY_OFF).cast("long")
+            )
         )
         out = sparse_cosine_pairs_sharded(docs, "__rep", 20).persist()
 
         def remap(c):
-            col = F.col(c)
-            return (
-                F.when(col < off1, col - TOKEN_REPLICA * KEY_OFF)
-                .otherwise(col - off1 - TOKEN_REPLICA * KEY_OFF + off01)
-            ).alias(c)
+            return (F.col(c) - TOKEN_REPLICA * KEY_OFF).alias(c)
 
         try:
             per = {int(r["__rep"]): int(r["n"]) for r in out.groupBy(

@@ -2198,9 +2198,15 @@ def test_sessionize_split_matches_plain_and_splits_hot_key(spark):
         for k in range(25):
             rows.append((e, 500 + e + k * (gap + 1)))
     # NULL hazards (r11 review finding): a NULL entity and a NULL ts
-    # are ordinary window groups in sessionize — the split plan's join
-    # back must be null-safe or these rows silently vanish
-    rows += [(None, 100), (None, 150), (None, 150 + gap + 1), (3, None)]
+    # are ordinary window groups in sessionize — the split plan must
+    # keep them. The r12 rewrite routes them through three disjoint
+    # branches, so the sweep pins each branch's edge: a (NULL, NULL)
+    # row (must be emitted ONCE, by the null_ts branch, not also by
+    # null_ent), MULTIPLE NULL-ts rows on one entity (each its own
+    # break; their count shifts the entity's real-ts session ids),
+    # and a NULL entity mixing NULL and real ts
+    rows += [(None, 100), (None, 150), (None, 150 + gap + 1), (3, None),
+             (3, None), (3, None), (None, None), (None, None), (4, None)]
     df = spark.createDataFrame(rows, "user_id INT, tus LONG")
 
     want = sessionize(df, gap=gap, ts_col="tus").groupBy(
