@@ -186,6 +186,24 @@ def read_events_stream(
     )
 
 
+def _drain_timeout(default_sec: int) -> int:
+    """HLA_STREAM_DRAIN_TIMEOUT_SEC raises the drain deadline on slow
+    or noisy hosts (r12: the heaviest skew-probe drain sits near 300 s
+    and crossed it under host-neighbor jitter — a timeout is a HARNESS
+    bound, not part of any query's semantics). Validated like
+    HLA_BFS_CHECKPOINT_EVERY_K: a nonsensical value must fail loudly,
+    not silently hang or zero out."""
+    env_to = os.environ.get("HLA_STREAM_DRAIN_TIMEOUT_SEC")
+    if env_to is None:
+        return default_sec
+    val = int(env_to)
+    if val < 1:
+        raise ValueError(
+            f"HLA_STREAM_DRAIN_TIMEOUT_SEC must be >= 1, got {env_to}"
+        )
+    return val
+
+
 def run_to_table(
     sdf: DataFrame,
     name: str,
@@ -220,6 +238,7 @@ def run_to_table(
         state_partitions = int(
             os.environ.get("HLA_STREAM_STATE_PARTITIONS", "8")
         )
+    timeout_sec = _drain_timeout(timeout_sec)
     spark = sdf.sparkSession
     # Session-unique checkpoint (r6: a concurrent pytest + sweep pair
     # raced rmtree against an in-flight batch-0 state write and died
@@ -261,6 +280,7 @@ def run_foreach_batch_to_parquet(
     sink keys each batch's files on batch_id and overwrites, making
     replays idempotent (effectively-once end to end).
     """
+    timeout_sec = _drain_timeout(timeout_sec)
     spark = sdf.sparkSession
     app = spark.sparkContext.applicationId
     ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")

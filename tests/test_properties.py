@@ -2324,3 +2324,27 @@ def test_sessionize_auto_chooses_by_key_share(spark):
             assert want.exceptAll(have).count() == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_stream_drain_timeout_env_validated(monkeypatch):
+    """HLA_STREAM_DRAIN_TIMEOUT_SEC (r12): the drain deadline is a
+    harness bound, overridable for slow hosts — the override must be
+    applied when sane and REFUSED loudly when nonsensical (the
+    HLA_BFS_CHECKPOINT_EVERY_K validation discipline)."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.streaming.events_stream import (
+        _drain_timeout,
+    )
+
+    monkeypatch.delenv("HLA_STREAM_DRAIN_TIMEOUT_SEC", raising=False)
+    assert _drain_timeout(300) == 300
+    monkeypatch.setenv("HLA_STREAM_DRAIN_TIMEOUT_SEC", "900")
+    assert _drain_timeout(300) == 900
+    for bad in ("0", "-5"):
+        monkeypatch.setenv("HLA_STREAM_DRAIN_TIMEOUT_SEC", bad)
+        with _pytest.raises(ValueError):
+            _drain_timeout(300)
+    monkeypatch.setenv("HLA_STREAM_DRAIN_TIMEOUT_SEC", "abc")
+    with _pytest.raises(ValueError):
+        _drain_timeout(300)
