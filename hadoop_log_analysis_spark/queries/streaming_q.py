@@ -33,6 +33,16 @@ from hadoop_log_analysis_spark.streaming.events_stream import (
     run_foreach_batch_to_parquet,
     run_to_table,
 )
+from hadoop_log_analysis_spark.streaming.skew import (
+    bucketed_interval_join,
+    merge_bucketed_left,
+)
+
+# Sink-table names shared with measurement tooling
+# (scripts/stream_state_skew.py derives checkpoint paths from these
+# via events_stream.ckpt_path — ADVICE r12: no hard-coded convention).
+T8_LEFT_TABLE = "t8_stream_left_join"
+T8_LEFT_BKT_TABLE = "t8_stream_left_join_bkt"
 
 
 def _us(col):
@@ -543,11 +553,85 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     ).select("click_id", "purchase_id")
-    out = run_to_table(joined, "t8_stream_left_join", "append")
+    out = run_to_table(joined, T8_LEFT_TABLE, "append")
     return (
         out.filter(F.col("click_id") >= 0)
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "q_stream_stream_left_join_bucketed",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("T8", "J3", "J6", "S7", "skew"),
+)
+def q_stream_stream_left_join_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T8 skew defense: q_stream_stream_left_join's hot-key-resilient
+    twin — same LEFT OUTER interval join, but through
+    ``streaming.skew.bucketed_interval_join``: the join's equality key
+    is widened to ``(user_id, ts div 1h)``, so a hot user's buffered
+    state spreads across its live time buckets' state-store partitions
+    instead of concentrating in one (r12 measured 2.80x max/med state
+    bytes under a 20%-share key; streaming has no AQE to split it).
+    The clicks side is exploded into its two candidate buckets; the
+    drained output then collapses per-duplicate NULL rows back to
+    plain left-outer semantics (``merge_bucketed_left`` — an
+    output-sized batch step running exactly where the sentinel strip
+    already does).
+
+    The oracle is BYTE-IDENTICAL to q_stream_stream_left_join's — the
+    sessionize_auto proof pattern: the defense must be output-
+    invisible, and the driver's hash compare enforces it. Sentinel
+    mechanics unchanged (both exploded sentinel duplicates are
+    unmatched -> NULL rows -> stripped by ``click_id >= 0`` before the
+    merge; user_id=-1 never equi-matches). State-spread effect is
+    measured by scripts/stream_state_skew.py (plain vs bucketed).
+    """
+    n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "1"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files, with_sentinel=True)
+    clicks = (
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
+        .filter(F.col("event_type").isin("click", "__sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
+        .filter(F.col("event_type").isin("purchase", "__sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = bucketed_interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        interval_seconds=3600,
+        watermark="2 hours",
+    ).select("click_id", "purchase_id")
+    out = run_to_table(joined, T8_LEFT_BKT_TABLE, "append")
+    return merge_bucketed_left(
+        out.filter(F.col("click_id") >= 0), "click_id", "purchase_id"
+    ).orderBy("click_id", "purchase_id")
 
 
 MG_STREAM_K = 16

@@ -316,7 +316,12 @@ def q_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-immune algebraic pass measures the hottest user's row share
     and range-splits exactly when it rivals a shuffle partition
     (plain on the uniform fixtures; split on the skew probes —
-    property-tested both ways)."""
+    property-tested both ways). NOTE (ADVICE r12): the self-probing
+    default makes this function EAGER — building the DataFrame runs
+    the probe's scan+aggregate job before any action on the result;
+    pipelines holding an upstream key-share statistic pass
+    ``top_share=`` to stay lazy and skip the probe shuffle entirely
+    (tests/test_properties.py pins that no job runs)."""
     ev = scan(spark, sf_dir, "events").select("user_id", ts_us().alias("tus"))
     sessions, _plan = sessionize_auto(
         ev, gap=_MIN30_US, span=_DAY_US, ts_col="tus"

@@ -186,6 +186,16 @@ def read_events_stream(
     )
 
 
+def ckpt_path(name: str, app_id: str) -> str:
+    """The checkpoint directory ``run_to_table`` /
+    ``run_foreach_batch_to_parquet`` use for a given sink table name
+    and Spark application id. Shared so measurement tooling
+    (scripts/stream_state_skew.py) derives the SAME path instead of
+    hard-coding the convention — a rename there must break loudly,
+    not silently profile an empty directory (ADVICE r12)."""
+    return os.path.join(TMP, f"stream_ckpt_{name}_{app_id}")
+
+
 def _drain_timeout(default_sec: int) -> int:
     """HLA_STREAM_DRAIN_TIMEOUT_SEC raises the drain deadline on slow
     or noisy hosts (r12: the heaviest skew-probe drain sits near 300 s
@@ -245,7 +255,7 @@ def run_to_table(
     # with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY — same fix class
     # as q_schema_evolution_read's derived dir).
     app = spark.sparkContext.applicationId
-    ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
+    ckpt = ckpt_path(name, app)
     shutil.rmtree(ckpt, ignore_errors=True)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -283,7 +293,7 @@ def run_foreach_batch_to_parquet(
     timeout_sec = _drain_timeout(timeout_sec)
     spark = sdf.sparkSession
     app = spark.sparkContext.applicationId
-    ckpt = os.path.join(TMP, f"stream_ckpt_{name}_{app}")
+    ckpt = ckpt_path(name, app)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -85,37 +85,55 @@ def main() -> int:
     os.environ.setdefault("HLA_STREAM_JOIN_MFPT", "3")
 
     from hadoop_log_analysis_spark.queries import load_registry
+    from hadoop_log_analysis_spark.queries.streaming_q import (
+        T8_LEFT_BKT_TABLE,
+        T8_LEFT_TABLE,
+    )
     from hadoop_log_analysis_spark.session import get_spark
+    from hadoop_log_analysis_spark.streaming.events_stream import ckpt_path
 
     spark = get_spark(app_name="hla-stream-state-skew")
     spark.sparkContext.setLogLevel("ERROR")
     app = spark.sparkContext.applicationId
     reg = load_registry()
-    fn = reg["q_stream_stream_left_join"].fn
+    # plain join vs the r13 bucketed skew defense, side by side: the
+    # defense's whole claim is the max/med drop at identical output
+    variants = {
+        "plain": ("q_stream_stream_left_join", T8_LEFT_TABLE),
+        "bucketed": ("q_stream_stream_left_join_bucketed", T8_LEFT_BKT_TABLE),
+    }
 
     result = {}
     for sf_dir in args.dirs:
         label = os.path.basename(sf_dir.rstrip("/"))
-        n = fn(spark, sf_dir).count()
-        ckpt = os.path.join(TMP, f"stream_ckpt_t8_stream_left_join_{app}")
-        prof = state_profile(ckpt)
-        rows = {}
-        for op, parts in prof.items():
-            sizes = [parts[p] for p in sorted(parts)]
-            med = statistics.median(sizes)
-            rows[op] = {
-                "n_partitions": len(sizes),
-                "total_kb": round(sum(sizes) / 1e3, 1),
-                "med_kb": round(med / 1e3, 1),
-                "max_kb": round(max(sizes) / 1e3, 1),
-                "bytes_ratio": round(max(sizes) / med, 2) if med else None,
-            }
-        result[label] = {"rows_out": n, "state": rows}
-        print(f"{label}: rows={n} " + json.dumps(rows), flush=True)
-        # fresh checkpoint per dir: the drain keys the ckpt on the app
-        # id, so clear it between dirs or the next drain no-ops
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
+        result[label] = {}
+        for vname, (qname, table) in variants.items():
+            n = reg[qname].fn(spark, sf_dir).count()
+            ckpt = ckpt_path(table, app)
+            prof = state_profile(ckpt)
+            # ADVICE r12: an empty profile means the ckpt convention
+            # drifted — fail loudly, never record a hollow measurement
+            assert prof, (
+                f"no state found under {ckpt}; checkpoint naming "
+                f"desynced from run_to_table"
+            )
+            rows = {}
+            for op, parts in prof.items():
+                sizes = [parts[p] for p in sorted(parts)]
+                med = statistics.median(sizes)
+                rows[op] = {
+                    "n_partitions": len(sizes),
+                    "total_kb": round(sum(sizes) / 1e3, 1),
+                    "med_kb": round(med / 1e3, 1),
+                    "max_kb": round(max(sizes) / 1e3, 1),
+                    "bytes_ratio": round(max(sizes) / med, 2) if med else None,
+                }
+            result[label][vname] = {"rows_out": n, "state": rows}
+            print(f"{label}/{vname}: rows={n} " + json.dumps(rows), flush=True)
+            # fresh checkpoint per dir: the drain keys the ckpt on the
+            # app id, so clear it between dirs or the next drain no-ops
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

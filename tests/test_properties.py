@@ -2326,6 +2326,125 @@ def test_sessionize_auto_chooses_by_key_share(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_sessionize_auto_precomputed_share_skips_probe(spark):
+    """sessionize_auto with ``top_share=`` supplied (r12 verdict
+    missing #4 / ADVICE r12): construction must run NO Spark job —
+    the probe shuffle is skipped and the wrapper is a pure lazy plan
+    builder — while the decision rule and the answer stay identical.
+    Job detection: a dedicated jobGroup must end the call with zero
+    job ids."""
+    from hadoop_log_analysis_spark.operators.windows import (
+        sessionize,
+        sessionize_auto,
+    )
+
+    gap = 100
+    df = spark.createDataFrame(
+        [(e, 1000 + e + k * (gap + 1)) for e in range(8) for k in range(10)],
+        "user_id INT, tus LONG",
+    )
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        sc.setJobGroup("sessionize-auto-probe-check", "must stay empty")
+        got_plain, plan_plain = sessionize_auto(
+            df, gap=gap, span=1000, ts_col="tus", top_share=0.05
+        )
+        got_split, plan_split = sessionize_auto(
+            df, gap=gap, span=1000, ts_col="tus", top_share=0.5
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup(
+            "sessionize-auto-probe-check"
+        )
+        assert jobs == [], f"probe ran a job despite top_share: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # 0.05 * 8 < 1 -> plain; 0.5 * 8 >= 1 -> split; same answer
+    assert (plan_plain, plan_split) == ("plain", "split")
+    want = sessionize(df, gap=gap, ts_col="tus").groupBy("user_id", "sid").agg(
+        F.count("*").alias("n")
+    )
+    for got in (got_plain, got_split):
+        have = got.groupBy("user_id", "sid").agg(F.count("*").alias("n"))
+        assert have.exceptAll(want).count() == 0
+        assert want.exceptAll(have).count() == 0
+
+
+def test_sessionize_auto_tolerates_non_numeric_partitions_conf(spark, monkeypatch):
+    """ADVICE r12 windows.py:223: 'auto'-style values of
+    spark.sql.shuffle.partitions must fall back to defaultParallelism,
+    not throw inside a planning helper. This Spark build validates the
+    conf at set() time, so the platform that returns 'auto' is
+    simulated by patching conf.get."""
+    from hadoop_log_analysis_spark.operators.windows import sessionize_auto
+
+    df = spark.createDataFrame([(1, 10), (1, 20)], "user_id INT, tus LONG")
+    real_get = spark.conf.get
+
+    def fake_get(key, *a, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, *a, **kw)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    got, plan = sessionize_auto(df, gap=5, span=100, ts_col="tus")
+    assert plan in ("plain", "split")
+    assert got.count() == 2
+
+
+def test_merge_bucketed_left_collapses_duplicate_nulls(spark):
+    """streaming.skew.merge_bucketed_left (r13): the drained bucketed
+    left join emits one NULL row per UNMATCHED LEFT DUPLICATE — a
+    matched-elsewhere id's spurious NULL must vanish, a fully
+    unmatched id's two NULLs must collapse to exactly one, and matched
+    pairs must pass through untouched (they are already unique: one
+    bucket per right row)."""
+    from hadoop_log_analysis_spark.streaming.skew import merge_bucketed_left
+
+    out = spark.createDataFrame(
+        [
+            (1, 10),  # matched in bucket b ...
+            (1, None),  # ... spurious NULL from its b+1 duplicate
+            (2, None),  # fully unmatched: NULL from duplicate 1
+            (2, None),  # ... and from duplicate 2
+            (3, 30),  # matched twice (two purchases, same bucket)
+            (3, 31),
+        ],
+        "click_id INT, purchase_id INT",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in merge_bucketed_left(out, "click_id", "purchase_id").collect()
+    }
+    assert got == {(1, 10), (2, None), (3, 30), (3, 31)}
+    n = merge_bucketed_left(out, "click_id", "purchase_id").count()
+    assert n == 4  # exactly one NULL row for id 2, no duplicates
+
+
+def test_bucketed_interval_join_validates_widths():
+    """Degenerate interval/bucket widths fail loudly (the
+    HLA_BFS_CHECKPOINT_EVERY_K validation discipline): width 0 would
+    make `div` return NULL and silently empty the join."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.streaming.skew import (
+        bucketed_interval_join,
+    )
+
+    with _pytest.raises(ValueError):
+        bucketed_interval_join(
+            None, None, "a", "b", "ta", "tb",
+            interval_seconds=0, watermark="1 hour",
+        )
+    with _pytest.raises(ValueError):
+        bucketed_interval_join(
+            None, None, "a", "b", "ta", "tb",
+            interval_seconds=10, watermark="1 hour", bucket_seconds=0,
+        )
+
+
 def test_stream_drain_timeout_env_validated(monkeypatch):
     """HLA_STREAM_DRAIN_TIMEOUT_SEC (r12): the drain deadline is a
     harness bound, overridable for slow hosts — the override must be

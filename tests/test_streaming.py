@@ -109,7 +109,14 @@ def test_watermark_drops_late_row_exact_count(spark):
     assert emitted == {("2024-01-01T00:00:00", 2)}
 
 
-def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q_stream_stream_left_join", "q_stream_stream_left_join_bucketed"],
+)
+def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch, qname):
     """T8 at the BENCH drain config (ADVICE r9 bench.py:151): the
     folded drain — HLA_STREAM_JOIN_MFPT=3 over 2 drop files packs the
     replay into two microbatches, and correctness then rests on Spark
@@ -117,12 +124,14 @@ def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch):
     batch. Until now that path was covered only by manual sf0.1
     re-verification; this pins it in CI with the driver's exact
     comparator, so a Spark-version change in no-data-batch triggering
-    desyncs the benched path LOUDLY instead of silently."""
+    desyncs the benched path LOUDLY instead of silently. r13: also
+    pins the bucketed skew-defense twin — its exploded sentinels and
+    drained merge must survive the folded replay identically."""
     from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
 
     monkeypatch.setenv("HLA_STREAM_JOIN_DROP_FILES", "2")
     monkeypatch.setenv("HLA_STREAM_JOIN_MFPT", "3")
-    spec = REGISTRY["q_stream_stream_left_join"]
+    spec = REGISTRY[qname]
     got = spec.fn(spark, SF001).toPandas()
     want = run_oracle(spec.oracle, SF001)
     problems = compare_frames(got, want)
