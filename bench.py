@@ -166,15 +166,42 @@ ANNEX_ROTATION = (
     # their planned rounds; these enter when the rotation wraps
     "q_shingle_similarity_join",
     "q_sessionize_split",
+    # r13 addition (same append-only discipline): the bucketed
+    # stream-stream skew defense — enters when the rotation wraps
+    "q_stream_stream_left_join_bucketed",
 )
-ANNEX_WINDOW = 5
+ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while
-# BENCH_r10 was being produced); window k-10 runs in round k.
+# BENCH_r10 was being produced). Rounds 10-12 ran width-5 windows
+# (entries 0-14); r13 widens to 10/round (VERDICT r12 missing #3 —
+# finish the 20-entry backlog in two rounds instead of four), with
+# the start offset anchored on the 15 already-covered entries so the
+# widening SKIPS nothing.
 ANNEX_BASE_ROUND = 10
+ANNEX_WIDE_ROUND = 13  # first round at the widened window
+ANNEX_LEGACY_COVERED = 15  # entries consumed by the width-5 rounds
+
+
+def annex_window_for_round(current_round: int) -> list[str]:
+    """Pure window computation (tests/test_bench_annex.py): width-5
+    windows for the historical rounds 10-12, width-ANNEX_WINDOW from
+    ANNEX_WIDE_ROUND on, anchored at the 15 entries those historical
+    windows already covered so the widening skips nothing."""
+    if current_round < ANNEX_WIDE_ROUND:
+        start = ((current_round - ANNEX_BASE_ROUND)
+                 * 5) % len(ANNEX_ROTATION)  # historical width-5 windows
+        width = 5
+    else:
+        start = (ANNEX_LEGACY_COVERED
+                 + (current_round - ANNEX_WIDE_ROUND)
+                 * ANNEX_WINDOW) % len(ANNEX_ROTATION)
+        width = ANNEX_WINDOW
+    doubled = ANNEX_ROTATION + ANNEX_ROTATION
+    return list(doubled[start:start + width])
 
 
 def annex_names() -> list[str]:
-    """The 5 annex queries for THIS round: a deterministic rotating
+    """The annex queries for THIS round: a deterministic rotating
     window over ANNEX_ROTATION keyed on the CURRENT ROUND NUMBER —
     max round parsed from the driver's BENCH_r(\\d+).json files, plus
     one (this run produces the next round's artifact). Keying on the
@@ -192,10 +219,7 @@ def annex_names() -> list[str]:
         if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
     ]
     current_round = (max(rounds) if rounds else 0) + 1
-    start = ((current_round - ANNEX_BASE_ROUND)
-             * ANNEX_WINDOW) % len(ANNEX_ROTATION)
-    doubled = ANNEX_ROTATION + ANNEX_ROTATION
-    return list(doubled[start:start + ANNEX_WINDOW])
+    return annex_window_for_round(current_round)
 
 # Streaming drains replay ~24 microbatches at ~1.3 s fixed overhead
 # each (~35 s per execution at sf0.1) — median-of-3 would triple the

@@ -352,6 +352,67 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join_bucketed",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("T8", "J6", "S7", "skew"),
+)
+def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 skew defense, INNER variant: q_stream_stream_join through
+    ``streaming.skew.bucketed_interval_join`` — the equality key
+    widened to ``(user_id, ts div 1h)`` spreads a hot user's buffered
+    state across its live buckets' state-store partitions. Unlike the
+    outer twin, the inner form needs NO drained merge and NO
+    sentinels: every match is emitted as soon as both rows arrive, a
+    purchase has exactly one bucket so at most one click duplicate can
+    equi-match it (no duplicate pairs), and nothing waits for an
+    eviction-time flush — the defense is a pure streaming plan end to
+    end. Oracle byte-identical to q_stream_stream_join's (output-
+    invisibility, driver-hash-enforced)."""
+    drop = derive_drop_dir(spark, sf_dir)
+    clicks = (
+        read_events_stream(spark, drop)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, drop)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = bucketed_interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        interval_seconds=3600,
+        watermark="2 hours",
+        how="inner",
+    ).select("click_id", "purchase_id")
+    out = run_to_table(joined, "t8_stream_stream_join_bkt", "append")
+    return out.orderBy("click_id", "purchase_id")
+
+
+@query(
     "q_stream_checkpoint_recovery",
     oracle="""
         SELECT event_type, count(*) AS n

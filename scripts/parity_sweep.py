@@ -92,7 +92,8 @@ TIERS = {
         "q_stream_heavy_hitters", "q_stream_stream_join",
         "q_stream_stream_left_join",
         # r13: the shipped hot-key state defense — must stay
-        # output-identical to the plain join under every skew shape
+        # output-identical to the plain joins under every skew shape
+        "q_stream_stream_join_bucketed",
         "q_stream_stream_left_join_bucketed",
     ],
 }

@@ -375,6 +375,40 @@ def main() -> int:
             F.collect_list("value").alias("vals")
         )
 
+    # F. chunk-width sensitivity (VERDICT r12 next #5): span got its
+    # sweep r12 (hour 1.26 / day 1.09 / week 1.36 / 4week 1.31); the
+    # chunked-holistic contract's width is the same class of knob but
+    # had only a point measurement. The trade being measured: total
+    # shuffled VOLUME is width-INVARIANT (every value ships exactly
+    # once either way — collect_list has no combine), so the knob
+    # buys max-task spread (hot key split over ~active-span/width
+    # groups) at the cost of GROUP COUNT (rows out = state and
+    # per-group overhead downstream). Sizing rule: pick the widest
+    # chunk whose (hot key's rate x width) still fits a task, i.e.
+    # width ~ target task rows / hot key's events-per-ns.
+    def agg_holistic_chunked_w(sf_dir: str, width_ns: int):
+        ev = scan(spark, sf_dir, "events").select(
+            "user_id",
+            "value",
+            F.expr(f"ts_ns div {width_ns}").alias("chunk"),
+        )
+        return ev.groupBy("user_id", "chunk").agg(
+            F.collect_list("value").alias("vals")
+        )
+
+    if wants("chunk_width"):
+        result["chunk_width"] = {}
+        for label, w_ns in (
+            ("hour", 3_600_000_000_000),
+            ("day", 86_400_000_000_000),
+            ("week", 604_800_000_000_000),
+            ("4week", 2_419_200_000_000_000),
+        ):
+            result["chunk_width"][label] = measure(
+                spark, f"agg collect_list chunk={label} skew",
+                lambda w_ns=w_ns: agg_holistic_chunked_w(SKEW, w_ns),
+                confs=raw)
+
     if wants("agg_taxonomy"):
         result["agg_taxonomy"] = {
             "algebraic_plain": measure(
