@@ -2350,6 +2350,12 @@ def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary flip, hence 4). Sign convention: each
     component's largest-|loading| position is made positive. Output:
     top-8 loadings per component — plain scalar rows, no arrays.
+
+    Verification: rows-only BY DESIGN (no tractable DuckDB eigensolve
+    oracle); pinned instead by the spectral-invariant tests in
+    tests/test_llm_ops.py (eigenvalue ordering, Rayleigh-quotient
+    bounds, sign convention) on top of q_embedding_covariance's full
+    hash oracle for the covariance it decomposes.
     """
     import numpy as np
 
