@@ -378,14 +378,17 @@ def main() -> int:
     # F. chunk-width sensitivity (VERDICT r12 next #5): span got its
     # sweep r12 (hour 1.26 / day 1.09 / week 1.36 / 4week 1.31); the
     # chunked-holistic contract's width is the same class of knob but
-    # had only a point measurement. The trade being measured: total
-    # shuffled VOLUME is width-INVARIANT (every value ships exactly
-    # once either way — collect_list has no combine), so the knob
-    # buys max-task spread (hot key split over ~active-span/width
-    # groups) at the cost of GROUP COUNT (rows out = state and
-    # per-group overhead downstream). Sizing rule: pick the widest
-    # chunk whose (hot key's rate x width) still fits a task, i.e.
-    # width ~ target task rows / hot key's events-per-ns.
+    # had only a point measurement. The trade (measured, Zipf probe):
+    # every VALUE ships exactly once at any width, but the partial
+    # collect_list rows carry per-GROUP framing (key tuple + list
+    # header per map task per group), so total shuffle bytes GROW as
+    # chunks narrow (5.1 MB at 4week -> 12.1 MB at hour here, where
+    # values are single doubles; with real payloads the value bytes
+    # dominate and the overhead share shrinks) while max-task spread
+    # improves (bytes_ratio 1.37 -> 1.03). Sizing rule: pick the
+    # widest chunk whose (hot key's rate x width) still fits a task,
+    # i.e. width ~ target task rows / hot key's event rate — day is
+    # the knee on this fixture (1.05 at 10.2 MB; week jumps to 1.33).
     def agg_holistic_chunked_w(sf_dir: str, width_ns: int):
         ev = scan(spark, sf_dir, "events").select(
             "user_id",
