@@ -34,6 +34,7 @@ from hadoop_log_analysis_spark.streaming.events_stream import (
     run_to_table,
 )
 from hadoop_log_analysis_spark.streaming.skew import (
+    bucket_seconds_env,
     bucketed_interval_join,
     merge_bucketed_left,
 )
@@ -406,6 +407,7 @@ def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         right_ts="p_ts",
         interval_seconds=3600,
         watermark="2 hours",
+        bucket_seconds=bucket_seconds_env(3600),
         how="inner",
     ).select("click_id", "purchase_id")
     out = run_to_table(joined, "t8_stream_stream_join_bkt", "append")
@@ -688,6 +690,7 @@ def q_stream_stream_left_join_bucketed(
         right_ts="p_ts",
         interval_seconds=3600,
         watermark="2 hours",
+        bucket_seconds=bucket_seconds_env(3600),
     ).select("click_id", "purchase_id")
     out = run_to_table(joined, T8_LEFT_BKT_TABLE, "append")
     return merge_bucketed_left(

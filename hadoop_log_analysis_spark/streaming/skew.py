@@ -43,7 +43,9 @@ matched in one bucket but not the other yields a spurious
 duplicate. Both collapse under the rule "emit ``(id, NULL)`` iff the
 id has no match at all" — a batch aggregation over the OUTPUT (not
 the corpus), sized by result rows. Precondition: ``left_id`` is
-unique per left row (an event id; the fixture contract), otherwise
+unique AND non-NULL per left row (an event id; the fixture contract
+— a repeated or NULL id would collapse distinct unmatched rows in
+the merge), otherwise
 row multiplicity of all-NULL ids is not recoverable from the output
 alone. At 100 TB the merge is the same output-keyed dedup a
 downstream foreachBatch sink would run; here it runs on the drained
@@ -59,8 +61,29 @@ the state-spread effect is measured by scripts/stream_state_skew.py
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def bucket_seconds_env(default_sec: int) -> int:
+    """HLA_STREAM_BUCKET_SECONDS overrides the registered bucketed
+    queries' bucket width so the probes can sweep the knob without
+    code edits (the HLA_STREAM_JOIN_* pattern). Output is
+    width-invariant (tests/test_properties.py sweeps it; the oracles
+    hash-enforce it), so overriding never changes answers — only the
+    state-spread/duplication trade. Validated like the drain timeout:
+    nonsense fails loudly."""
+    env = os.environ.get("HLA_STREAM_BUCKET_SECONDS")
+    if env is None:
+        return default_sec
+    val = int(env)
+    if val < 1:
+        raise ValueError(
+            f"HLA_STREAM_BUCKET_SECONDS must be >= 1, got {env}"
+        )
+    return val
 
 
 def bucketed_interval_join(
@@ -97,10 +120,16 @@ def bucketed_interval_join(
     # integer `div` (not floor(double/)): exact at any magnitude, and
     # monotone either side of the epoch — candidate coverage only needs
     # monotonicity, not boundary alignment
+    # explode_OUTER, not explode: a NULL left timestamp yields a NULL
+    # candidate sequence, and plain explode would DROP the row — but a
+    # left-outer interval join keeps a NULL-ts left row (its range
+    # condition is NULL -> unmatched -> emitted with NULL right side).
+    # explode_outer keeps it with a NULL bucket that can never
+    # equi-match, restoring plain semantics for both join types.
     lb = (
         left.withColumn(
             "__lbkt",
-            F.explode(
+            F.explode_outer(
                 F.sequence(
                     F.expr(f"unix_micros(`{left_ts}`) div {w_us}"),
                     F.expr(f"(unix_micros(`{left_ts}`) + {i_us}) div {w_us}"),

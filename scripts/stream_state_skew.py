@@ -76,6 +76,10 @@ def main() -> int:
                              os.path.join(TMP, "sf1_skew"),
                              os.path.join(TMP, "sf1_zipf")])
     ap.add_argument("--out", default=os.path.join(TMP, "stream_state_skew.json"))
+    ap.add_argument("--variants", nargs="*", default=["plain", "bucketed"],
+                    help="which join variants to drain (plain bucketed); "
+                         "width-curve runs set HLA_STREAM_BUCKET_SECONDS "
+                         "and pass --variants bucketed")
     args = ap.parse_args()
 
     # bench replay granularity (2 files / mFPT=3) keeps the drain fast;
@@ -102,6 +106,11 @@ def main() -> int:
         "plain": ("q_stream_stream_left_join", T8_LEFT_TABLE),
         "bucketed": ("q_stream_stream_left_join_bucketed", T8_LEFT_BKT_TABLE),
     }
+    unknown = set(args.variants) - set(variants)
+    if unknown:
+        print(f"unknown variants: {sorted(unknown)}", file=sys.stderr)
+        return 2
+    variants = {k: v for k, v in variants.items() if k in args.variants}
 
     result = {}
     for sf_dir in args.dirs:
@@ -128,7 +137,13 @@ def main() -> int:
                     "max_kb": round(max(sizes) / 1e3, 1),
                     "bytes_ratio": round(max(sizes) / med, 2) if med else None,
                 }
-            result[label][vname] = {"rows_out": n, "state": rows}
+            row = {"rows_out": n, "state": rows}
+            if vname == "bucketed":
+                # self-describing artifact: which width produced this
+                row["bucket_seconds"] = int(
+                    os.environ.get("HLA_STREAM_BUCKET_SECONDS", "3600")
+                )
+            result[label][vname] = row
             print(f"{label}/{vname}: rows={n} " + json.dumps(rows), flush=True)
             # fresh checkpoint per dir: the drain keys the ckpt on the
             # app id, so clear it between dirs or the next drain no-ops

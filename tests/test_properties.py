@@ -2445,6 +2445,83 @@ def test_bucketed_interval_join_validates_widths():
         )
 
 
+def test_bucketed_interval_join_exact_across_widths(spark):
+    """bucketed_interval_join must be multiset-identical to the plain
+    interval join for EVERY bucket width — wider than the interval
+    (1-2 candidates), equal (2), narrower (more duplicates), and a
+    non-divisor width — for both inner and leftOuter (+merge), on data
+    with a hot key, NULL keys, and NULL timestamps. Exactness argument
+    in streaming/skew.py's docstring; this sweeps it empirically on
+    BATCH frames (withWatermark is a no-op there), which shares the
+    join algebra with the streaming plan while keeping the sweep
+    cheap. The streaming execution itself is pinned by the
+    q_stream_stream_*_bucketed oracles and the bench-mfpt test."""
+    from hadoop_log_analysis_spark.streaming.skew import (
+        bucketed_interval_join,
+        merge_bucketed_left,
+    )
+
+    base = 1_704_067_200  # 2024-01-01 00:00:00 UTC, seconds
+    rows_l, rows_r = [], []
+    lid = rid = 0
+    # hot key 0: 60 clicks 7 min apart; keys 1-4: 10 each, 31 min apart
+    for k, n, step in ((0, 60, 420), (1, 10, 1860), (2, 10, 1860),
+                       (3, 10, 1860), (4, 10, 1860)):
+        for i in range(n):
+            rows_l.append((lid, k, base + i * step)); lid += 1
+        for i in range(n):
+            rows_r.append((rid, k, base + 150 + i * (step + 95))); rid += 1
+    # NULL key rows on both sides; NULL ts rows on both sides
+    rows_l += [(lid, None, base + 50), (lid + 1, 1, None)]
+    lid += 2
+    rows_r += [(rid, None, base + 60), (rid + 1, 2, None)]
+
+    def mk(rows, pfx):
+        df = spark.createDataFrame(
+            rows, f"{pfx}id LONG, {pfx}k INT, {pfx}sec LONG"
+        )
+        return df.select(
+            f"{pfx}id", f"{pfx}k",
+            F.timestamp_seconds(F.col(f"{pfx}sec")).alias(f"{pfx}ts"),
+        )
+
+    left, right = mk(rows_l, "l"), mk(rows_r, "r")
+    interval = 3600
+    cond = (
+        (F.col("lk") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 3600 SECOND"))
+    )
+    want_inner = left.join(right, cond, "inner").select("lid", "rid")
+    want_left = left.join(right, cond, "leftOuter").select("lid", "rid")
+    assert want_inner.count() > 50  # non-vacuous fixture
+    assert want_left.filter(F.col("rid").isNull()).count() > 0
+
+    for w in (7200, 3600, 1800, 901):
+        got_inner = bucketed_interval_join(
+            left, right, "lk", "rk", "lts", "rts",
+            interval_seconds=interval, watermark="2 hours",
+            bucket_seconds=w, how="inner",
+        ).select("lid", "rid")
+        got_left = merge_bucketed_left(
+            bucketed_interval_join(
+                left, right, "lk", "rk", "lts", "rts",
+                interval_seconds=interval, watermark="2 hours",
+                bucket_seconds=w, how="leftOuter",
+            ).select("lid", "rid"),
+            "lid", "rid",
+        )
+        for got, want, tag in (
+            (got_inner, want_inner, "inner"),
+            (got_left, want_left, "leftOuter"),
+        ):
+            extra = got.exceptAll(want).count()
+            missing = want.exceptAll(got).count()
+            assert extra == 0 and missing == 0, (
+                f"W={w} {tag}: extra={extra} missing={missing}"
+            )
+
+
 def test_stream_drain_timeout_env_validated(monkeypatch):
     """HLA_STREAM_DRAIN_TIMEOUT_SEC (r12): the drain deadline is a
     harness bound, overridable for slow hosts — the override must be
@@ -2467,3 +2544,22 @@ def test_stream_drain_timeout_env_validated(monkeypatch):
     monkeypatch.setenv("HLA_STREAM_DRAIN_TIMEOUT_SEC", "abc")
     with _pytest.raises(ValueError):
         _drain_timeout(300)
+
+
+def test_stream_bucket_seconds_env_validated(monkeypatch):
+    """HLA_STREAM_BUCKET_SECONDS (r13): the probes' width-sweep knob
+    for the bucketed joins — applied when sane, refused loudly when
+    nonsensical (width 0 would NULL every bucket and silently empty
+    the join)."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.streaming.skew import bucket_seconds_env
+
+    monkeypatch.delenv("HLA_STREAM_BUCKET_SECONDS", raising=False)
+    assert bucket_seconds_env(3600) == 3600
+    monkeypatch.setenv("HLA_STREAM_BUCKET_SECONDS", "900")
+    assert bucket_seconds_env(3600) == 900
+    for bad in ("0", "-5", "abc"):
+        monkeypatch.setenv("HLA_STREAM_BUCKET_SECONDS", bad)
+        with _pytest.raises(ValueError):
+            bucket_seconds_env(3600)
