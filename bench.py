@@ -166,9 +166,10 @@ ANNEX_ROTATION = (
     # their planned rounds; these enter when the rotation wraps
     "q_shingle_similarity_join",
     "q_sessionize_split",
-    # r13 addition (same append-only discipline): the bucketed
-    # stream-stream skew defense — enters when the rotation wraps
+    # r13 additions (same append-only discipline): the bucketed
+    # stream-stream skew defenses — enter when the rotation wraps
     "q_stream_stream_left_join_bucketed",
+    "q_stream_stream_join_bucketed",
 )
 ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while
