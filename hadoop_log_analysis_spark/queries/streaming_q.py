@@ -320,10 +320,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances the watermark monotonically, so the availableNow drain
     emits exactly the batch join's matches — a full-hash oracle, the
     strongest check a streaming op can carry.
+
+    r13: honors the same HLA_STREAM_JOIN_DROP_FILES / _MFPT replay
+    envs as the left-outer pair (the result is replay-granularity
+    invariant — that IS the parity law — and inner joins need no
+    sentinel flush: matches emit when both rows are present, so
+    folding the replay is always safe); measurement tooling can now
+    compare all four stream-stream joins at one replay config.
     """
-    drop = derive_drop_dir(spark, sf_dir)
+    n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "2"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
     clicks = (
-        read_events_stream(spark, drop)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "2 hours")
         .select(
@@ -333,7 +342,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        read_events_stream(spark, drop)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "2 hours")
         .select(
@@ -378,10 +387,14 @@ def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     equi-match it (no duplicate pairs), and nothing waits for an
     eviction-time flush — the defense is a pure streaming plan end to
     end. Oracle byte-identical to q_stream_stream_join's (output-
-    invisibility, driver-hash-enforced)."""
-    drop = derive_drop_dir(spark, sf_dir)
+    invisibility, driver-hash-enforced). Honors the shared
+    HLA_STREAM_JOIN_DROP_FILES / _MFPT replay envs (r13, see
+    q_stream_stream_join)."""
+    n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "2"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
     clicks = (
-        read_events_stream(spark, drop)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -390,7 +403,7 @@ def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     purchases = (
-        read_events_stream(spark, drop)
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
