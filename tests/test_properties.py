@@ -2475,6 +2475,15 @@ def test_bucketed_interval_join_exact_across_widths(spark):
     rows_l += [(lid, None, base + 50), (lid + 1, 1, None)]
     lid += 2
     rows_r += [(rid, None, base + 60), (rid + 1, 2, None)]
+    rid += 2
+    # pre-1970 rows (negative epoch): `div` truncates toward zero
+    # there rather than flooring, so bucket BOUNDARIES shift — the
+    # docstring claims correctness needs only monotonicity + candidate
+    # coverage, not alignment; pin it with matches that straddle the
+    # epoch and a negative-side pair inside one interval
+    rows_l += [(lid, 7, -1800), (lid + 1, 7, -7000)]
+    lid += 2
+    rows_r += [(rid, 7, 300), (rid + 1, 7, -5000), (rid + 2, 7, -6999)]
 
     def mk(rows, pfx):
         df = spark.createDataFrame(
