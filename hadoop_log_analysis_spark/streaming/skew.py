@@ -115,6 +115,17 @@ def bucketed_interval_join(
     w = bucket_seconds if bucket_seconds is not None else interval_seconds
     if w < 1:
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    # The duplicate-left construction is exact ONLY for join types
+    # whose output is per-MATCH plus (for left outer) per-left-row NULLs
+    # the merge can collapse. Semi/anti emit per LEFT ROW (a row whose
+    # two duplicates match two different right rows would emit twice in
+    # a semi; an anti would emit a matched row's unmatched duplicate),
+    # and full outer adds right-side NULLs the merge does not model —
+    # all three would be SILENTLY wrong, so refuse them loudly.
+    if how.lower().replace("_", "") not in ("inner", "leftouter", "left"):
+        raise ValueError(
+            f"bucketed_interval_join supports inner/leftOuter only, got {how!r}"
+        )
     w_us = w * 1_000_000
     i_us = interval_seconds * 1_000_000
     # integer `div` (not floor(double/)): exact at any magnitude, and

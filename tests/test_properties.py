@@ -2443,6 +2443,14 @@ def test_bucketed_interval_join_validates_widths():
             None, None, "a", "b", "ta", "tb",
             interval_seconds=10, watermark="1 hour", bucket_seconds=0,
         )
+    # semi/anti/full outer have per-left-row (or right-NULL) semantics
+    # the duplicate-left construction silently breaks — must refuse
+    for bad_how in ("leftSemi", "left_anti", "fullOuter", "full"):
+        with _pytest.raises(ValueError):
+            bucketed_interval_join(
+                None, None, "a", "b", "ta", "tb",
+                interval_seconds=10, watermark="1 hour", how=bad_how,
+            )
 
 
 def test_bucketed_interval_join_exact_across_widths(spark):
