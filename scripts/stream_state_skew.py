@@ -105,6 +105,12 @@ def main() -> int:
     variants = {
         "plain": ("q_stream_stream_left_join", T8_LEFT_TABLE),
         "bucketed": ("q_stream_stream_left_join_bucketed", T8_LEFT_BKT_TABLE),
+        # the INNER pair shares the mechanism (no sentinels/merge);
+        # not in the default set — request via --variants
+        "plain_inner": ("q_stream_stream_join", "t8_stream_stream_join"),
+        "bucketed_inner": (
+            "q_stream_stream_join_bucketed", "t8_stream_stream_join_bkt"
+        ),
     }
     unknown = set(args.variants) - set(variants)
     if unknown:
@@ -138,7 +144,7 @@ def main() -> int:
                     "bytes_ratio": round(max(sizes) / med, 2) if med else None,
                 }
             row = {"rows_out": n, "state": rows}
-            if vname == "bucketed":
+            if vname.startswith("bucketed"):
                 # self-describing artifact: which width produced this
                 row["bucket_seconds"] = int(
                     os.environ.get("HLA_STREAM_BUCKET_SECONDS", "3600")
