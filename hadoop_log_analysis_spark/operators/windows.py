@@ -252,8 +252,16 @@ def sessionize_auto(
             .agg(F.sum("count").alias("n"), F.max("count").alias("top"))
             .collect()[0]
         )
-        top_share = (top / total) if total else 0.0
-    if top_share * partitions >= 1:
+        # exact integer comparison (ADVICE r13): top/total*partitions
+        # can land a half-ulp UNDER 1 at exact boundaries (top/total =
+        # 1/3, partitions = 3 -> 0.9999999999999998), flipping the PLAN
+        # (never the answer) to plain on a boundary-hot frame
+        split = bool(total) and top * partitions >= total
+    else:
+        # caller-supplied share is already a float — tolerate the same
+        # half-ulp shortfall with a tiny epsilon
+        split = top_share * partitions >= 1 - 1e-9
+    if split:
         return (
             sessionize_split(events, gap, span, entity_col, ts_col),
             "split",

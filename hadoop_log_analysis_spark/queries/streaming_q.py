@@ -45,6 +45,20 @@ from hadoop_log_analysis_spark.streaming.skew import (
 T8_LEFT_TABLE = "t8_stream_left_join"
 T8_LEFT_BKT_TABLE = "t8_stream_left_join_bkt"
 
+# The bucketed T8 twins' registered default width, set at the MEASURED
+# knee of the r13 width curve (SCALE.md "Width sensitivity"): W = 4I
+# flattens 2.77x hot-key state concentration to the same 1.03x as
+# W = I while cutting the left-duplication state tax from ~45% to +5%
+# (expected duplication 1 + I/W). W = I remains the right choice only
+# for BURST-hot keys whose active span is comparable to the interval
+# (too few live buckets at 4I to spread across) — the fixture's hot
+# keys are month-long, and at 100 TB the rule is
+# W ~ active_span / (10 x state-partitions), clamped per SCALE.md.
+# HLA_STREAM_BUCKET_SECONDS overrides for width sweeps; output is
+# width-invariant (driver-hash-enforced by the byte-identical oracles).
+T8_INTERVAL_SECONDS = 3600
+T8_BUCKET_SECONDS = 4 * T8_INTERVAL_SECONDS
+
 
 def _us(col):
     return F.unix_micros(col)
@@ -379,8 +393,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 skew defense, INNER variant: q_stream_stream_join through
     ``streaming.skew.bucketed_interval_join`` — the equality key
-    widened to ``(user_id, ts div 1h)`` spreads a hot user's buffered
-    state across its live buckets' state-store partitions. Unlike the
+    widened to ``(user_id, ts div W)`` spreads a hot user's buffered
+    state across its live buckets' state-store partitions. Registered
+    width = T8_BUCKET_SECONDS (W = 4I, the measured r13 knee: same
+    1.03x spread as W = I at +5% instead of ~45% total state). Unlike the
     outer twin, the inner form needs NO drained merge and NO
     sentinels: every match is emitted as soon as both rows arrive, a
     purchase has exactly one bucket so at most one click duplicate can
@@ -418,9 +434,9 @@ def q_stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         right_key="p_user",
         left_ts="c_ts",
         right_ts="p_ts",
-        interval_seconds=3600,
+        interval_seconds=T8_INTERVAL_SECONDS,
         watermark="2 hours",
-        bucket_seconds=bucket_seconds_env(3600),
+        bucket_seconds=bucket_seconds_env(T8_BUCKET_SECONDS),
         how="inner",
     ).select("click_id", "purchase_id")
     out = run_to_table(joined, "t8_stream_stream_join_bkt", "append")
@@ -655,11 +671,14 @@ def q_stream_stream_left_join_bucketed(
     """T8 skew defense: q_stream_stream_left_join's hot-key-resilient
     twin — same LEFT OUTER interval join, but through
     ``streaming.skew.bucketed_interval_join``: the join's equality key
-    is widened to ``(user_id, ts div 1h)``, so a hot user's buffered
+    is widened to ``(user_id, ts div W)``, so a hot user's buffered
     state spreads across its live time buckets' state-store partitions
     instead of concentrating in one (r12 measured 2.80x max/med state
     bytes under a 20%-share key; streaming has no AQE to split it).
-    The clicks side is exploded into its two candidate buckets; the
+    Registered width = T8_BUCKET_SECONDS (W = 4I, the measured r13
+    knee — same 1.03x spread as W = I at +5% instead of ~45% total
+    state; see the constant's comment for when W = I is still right).
+    The clicks side is exploded into its candidate buckets; the
     drained output then collapses per-duplicate NULL rows back to
     plain left-outer semantics (``merge_bucketed_left`` — an
     output-sized batch step running exactly where the sentinel strip
@@ -701,9 +720,9 @@ def q_stream_stream_left_join_bucketed(
         right_key="p_user",
         left_ts="c_ts",
         right_ts="p_ts",
-        interval_seconds=3600,
+        interval_seconds=T8_INTERVAL_SECONDS,
         watermark="2 hours",
-        bucket_seconds=bucket_seconds_env(3600),
+        bucket_seconds=bucket_seconds_env(T8_BUCKET_SECONDS),
     ).select("click_id", "purchase_id")
     out = run_to_table(joined, T8_LEFT_BKT_TABLE, "append")
     return merge_bucketed_left(

@@ -47,7 +47,11 @@ unique AND non-NULL per left row (an event id; the fixture contract
 — a repeated or NULL id would collapse distinct unmatched rows in
 the merge), otherwise
 row multiplicity of all-NULL ids is not recoverable from the output
-alone. At 100 TB the merge is the same output-keyed dedup a
+alone. The NULL half is enforced LOUDLY at execution time (r14,
+ADVICE r13 — ``merge_bucketed_left`` raises on a NULL id instead of
+silently merging); the uniqueness half stays a documented contract
+(undetectable from the output alone — multiplicity is
+width-dependent). At 100 TB the merge is the same output-keyed dedup a
 downstream foreachBatch sink would run; here it runs on the drained
 batch table, exactly where q_stream_stream_left_join already strips
 its watermark sentinels.
@@ -163,24 +167,82 @@ def bucketed_interval_join(
 
 
 def merge_bucketed_left(
-    out: DataFrame, left_id: str, right_id: str
+    out: DataFrame,
+    left_id: str,
+    right_id: str,
+    payload_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Collapse per-duplicate NULL rows of a drained bucketed LEFT
     outer join to plain left-outer semantics: keep every match, and
-    emit ``(left_id, NULL)`` exactly once iff the id matched nothing
-    in ANY bucket. Output-sized batch step (module docstring); columns
-    are restricted to ``(left_id, right_id)`` — the join's payload
-    projection — since NULL-row payloads are constant per left id.
+    emit ``(left_id, NULL-right)`` exactly once iff the id matched
+    nothing in ANY bucket. Output-sized batch step (module docstring).
+
+    ``payload_cols`` (r14 — the r13 verdict's generalization item)
+    names additional columns to carry through; output column order is
+    ``(left_id, *payload_cols, right_id)``. LEFT-side payloads are
+    constant per ``left_id`` by construction (every bucket duplicate
+    replicates the same left row), so the NULL-only branch recovers
+    them with ``first()`` inside the same single aggregation — one
+    pass either way, no join back against the corpus. RIGHT-side
+    payload columns work through the SAME ``first()``: a NULL-only
+    id's rows are all right-NULL, so ``first()`` yields exactly the
+    NULL a plain left-outer join emits for an unmatched row, and
+    matched rows pass right payloads through untouched.
+
+    Precondition (module docstring): ``left_id`` unique AND non-NULL
+    per LEFT INPUT row. A NULL id is now refused LOUDLY at execution
+    time (ADVICE r13 — silently collapsing distinct unmatched rows
+    into one NULL output row would break the byte-identical-oracle
+    guarantee for any caller that violates the fixture contract); the
+    guard is woven into the ``left_id`` output column itself so column
+    pruning cannot elide it. Repeated ids remain undetectable from the
+    drained output alone (row multiplicity is width-dependent) — that
+    half stays a documented contract.
     """
-    matched = out.filter(F.col(right_id).isNotNull()).select(left_id, right_id)
+    for c in payload_cols:
+        if c in (left_id, right_id):
+            raise ValueError(
+                f"payload_cols must not repeat the id columns, got {c!r}"
+            )
+        if c not in out.columns:
+            raise ValueError(
+                f"payload column {c!r} not in drained output {out.columns}"
+            )
+    # loud NULL-id guard: raise_error lives INSIDE the left_id column
+    # every branch reads, so Catalyst cannot prune it (a dropped
+    # assert_true side-column would be optimized away)
+    guarded = out.withColumn(
+        left_id,
+        F.when(
+            F.col(left_id).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"merge_bucketed_left: NULL {left_id} in drained "
+                    "output — violates the unique-non-NULL left-id "
+                    "precondition (streaming/skew.py module docstring); "
+                    "distinct unmatched left rows would silently "
+                    "collapse into one NULL row"
+                )
+            ),
+        ).otherwise(F.col(left_id)),
+    )
+    payload = list(payload_cols)
+    matched = guarded.filter(F.col(right_id).isNotNull()).select(
+        left_id, *payload, right_id
+    )
     # ids with zero non-NULL matches, via one aggregation — a self
     # anti-join over the drained view would both re-scan it and trip
-    # Spark's self-join attribute dedup on memory-sink plans
+    # Spark's self-join attribute dedup on memory-sink plans. first()
+    # is exact for left payloads (constant per id) AND right payloads
+    # (all-NULL within a null-only group — docstring).
+    aggs = [F.count(right_id).alias("__n_matches")] + [
+        F.first(c).alias(c) for c in payload
+    ]
     null_only = (
-        out.groupBy(left_id)
-        .agg(F.count(right_id).alias("__n_matches"))
+        guarded.groupBy(left_id)
+        .agg(*aggs)
         .filter(F.col("__n_matches") == 0)
-        .select(left_id)
+        .select(left_id, *payload)
         .withColumn(right_id, F.lit(None).cast(out.schema[right_id].dataType))
     )
     return matched.unionByName(null_only)

@@ -80,6 +80,15 @@ def main() -> int:
                     help="which join variants to drain (plain bucketed); "
                          "width-curve runs set HLA_STREAM_BUCKET_SECONDS "
                          "and pass --variants bucketed")
+    ap.add_argument("--provider", choices=["hdfs", "rocksdb"], default="hdfs",
+                    help="state store provider: hdfs = Spark's default "
+                         "HDFSBackedStateStoreProvider (in-memory map + "
+                         "delta files); rocksdb = RocksDBStateStoreProvider, "
+                         "the provider SCALE.md names for 100 TB state. "
+                         "The on-disk layout differs (zip snapshots + "
+                         "changelogs vs deltas) but both keep one "
+                         "directory per state PARTITION, so the same "
+                         "per-partition byte walk measures the spread")
     args = ap.parse_args()
 
     # bench replay granularity (2 files / mFPT=3) keeps the drain fast;
@@ -98,6 +107,16 @@ def main() -> int:
 
     spark = get_spark(app_name="hla-stream-state-skew")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider == "rocksdb":
+        # session-level conf is read at stream START, so setting it
+        # here (after get_spark, before any drain) binds every drain
+        # below; catalog.scan's REQUIRED_CONFS re-assertion does not
+        # touch stateStore confs, so it survives scan() calls
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     app = spark.sparkContext.applicationId
     reg = load_registry()
     # plain join vs the r13 bucketed skew defense, side by side: the
@@ -143,11 +162,17 @@ def main() -> int:
                     "max_kb": round(max(sizes) / 1e3, 1),
                     "bytes_ratio": round(max(sizes) / med, 2) if med else None,
                 }
-            row = {"rows_out": n, "state": rows}
+            row = {"rows_out": n, "state": rows, "provider": args.provider}
             if vname.startswith("bucketed"):
                 # self-describing artifact: which width produced this
+                # (default = the registered knee, not a re-hardcode)
+                from hadoop_log_analysis_spark.queries.streaming_q import (
+                    T8_BUCKET_SECONDS,
+                )
                 row["bucket_seconds"] = int(
-                    os.environ.get("HLA_STREAM_BUCKET_SECONDS", "3600")
+                    os.environ.get(
+                        "HLA_STREAM_BUCKET_SECONDS", str(T8_BUCKET_SECONDS)
+                    )
                 )
             result[label][vname] = row
             print(f"{label}/{vname}: rows={n} " + json.dumps(rows), flush=True)

@@ -2372,6 +2372,34 @@ def test_sessionize_auto_precomputed_share_skips_probe(spark):
         assert want.exceptAll(have).count() == 0
 
 
+def test_sessionize_auto_exact_boundary_split(spark):
+    """ADVICE r13 windows.py: at EXACT decision boundaries the float
+    form top/total*partitions lands a half-ulp under 1 (1/3 * 3 =
+    0.9999999999999998) and would flip the PLAN (never the answer) to
+    plain. The self-probe branch must use the exact integer comparison
+    top*partitions >= total; a caller-supplied top_share gets an
+    epsilon. Fixture: 3 partitions, top entity owns exactly 1/3."""
+    from hadoop_log_analysis_spark.operators.windows import sessionize_auto
+
+    gap = 100
+    # 3 entities x 3 rows each: top share exactly 1/3 of 9
+    df = spark.createDataFrame(
+        [(e, 1000 + e + k * (gap + 1)) for e in range(3) for k in range(3)],
+        "user_id INT, tus LONG",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        _, plan_probe = sessionize_auto(df, gap=gap, span=1000, ts_col="tus")
+        _, plan_given = sessionize_auto(
+            df, gap=gap, span=1000, ts_col="tus", top_share=1 / 3
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert plan_probe == "split", "integer boundary must choose split"
+    assert plan_given == "split", "epsilon boundary must choose split"
+
+
 def test_sessionize_auto_tolerates_non_numeric_partitions_conf(spark, monkeypatch):
     """ADVICE r12 windows.py:223: 'auto'-style values of
     spark.sql.shuffle.partitions must fall back to defaultParallelism,
@@ -2453,22 +2481,11 @@ def test_bucketed_interval_join_validates_widths():
             )
 
 
-def test_bucketed_interval_join_exact_across_widths(spark):
-    """bucketed_interval_join must be multiset-identical to the plain
-    interval join for EVERY bucket width — wider than the interval
-    (1-2 candidates), equal (2), narrower (more duplicates), and a
-    non-divisor width — for both inner and leftOuter (+merge), on data
-    with a hot key, NULL keys, and NULL timestamps. Exactness argument
-    in streaming/skew.py's docstring; this sweeps it empirically on
-    BATCH frames (withWatermark is a no-op there), which shares the
-    join algebra with the streaming plan while keeping the sweep
-    cheap. The streaming execution itself is pinned by the
-    q_stream_stream_*_bucketed oracles and the bench-mfpt test."""
-    from hadoop_log_analysis_spark.streaming.skew import (
-        bucketed_interval_join,
-        merge_bucketed_left,
-    )
-
+def _bucketed_join_skew_frames(spark):
+    """The bucketed-join exactness fixture (hot key + NULL keys + NULL
+    timestamps + negative-epoch rows), shared by the width sweep and
+    the payload-merge test. Returns (left, right, plain-join cond,
+    interval_seconds)."""
     base = 1_704_067_200  # 2024-01-01 00:00:00 UTC, seconds
     rows_l, rows_r = [], []
     lid = rid = 0
@@ -2502,13 +2519,31 @@ def test_bucketed_interval_join_exact_across_widths(spark):
             F.timestamp_seconds(F.col(f"{pfx}sec")).alias(f"{pfx}ts"),
         )
 
-    left, right = mk(rows_l, "l"), mk(rows_r, "r")
-    interval = 3600
     cond = (
         (F.col("lk") == F.col("rk"))
         & (F.col("rts") >= F.col("lts"))
         & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 3600 SECOND"))
     )
+    return mk(rows_l, "l"), mk(rows_r, "r"), cond, 3600
+
+
+def test_bucketed_interval_join_exact_across_widths(spark):
+    """bucketed_interval_join must be multiset-identical to the plain
+    interval join for EVERY bucket width — wider than the interval
+    (1-2 candidates), equal (2), narrower (more duplicates), and a
+    non-divisor width — for both inner and leftOuter (+merge), on data
+    with a hot key, NULL keys, and NULL timestamps. Exactness argument
+    in streaming/skew.py's docstring; this sweeps it empirically on
+    BATCH frames (withWatermark is a no-op there), which shares the
+    join algebra with the streaming plan while keeping the sweep
+    cheap. The streaming execution itself is pinned by the
+    q_stream_stream_*_bucketed oracles and the bench-mfpt test."""
+    from hadoop_log_analysis_spark.streaming.skew import (
+        bucketed_interval_join,
+        merge_bucketed_left,
+    )
+
+    left, right, cond, interval = _bucketed_join_skew_frames(spark)
     want_inner = left.join(right, cond, "inner").select("lid", "rid")
     want_left = left.join(right, cond, "leftOuter").select("lid", "rid")
     assert want_inner.count() > 50  # non-vacuous fixture
@@ -2537,6 +2572,82 @@ def test_bucketed_interval_join_exact_across_widths(spark):
             assert extra == 0 and missing == 0, (
                 f"W={w} {tag}: extra={extra} missing={missing}"
             )
+
+
+def test_merge_bucketed_left_carries_payload_cols(spark):
+    """merge_bucketed_left with payload_cols (r14 — the r13 verdict's
+    generalization item): the payload-carrying merge must multiset-
+    match the PLAIN leftOuter interval join with the same projection,
+    on the full skew fixture (hot key + NULL keys + NULL ts +
+    negative epochs), for both a left payload (constant per id,
+    recovered by first()) and a right payload (NULL on unmatched rows
+    by left-outer semantics). Sweeps the registered-default and
+    narrow widths so duplicate NULL collapse is exercised."""
+    from hadoop_log_analysis_spark.streaming.skew import (
+        bucketed_interval_join,
+        merge_bucketed_left,
+    )
+
+    left, right, cond, interval = _bucketed_join_skew_frames(spark)
+    proj = ["lid", "lk", "lts", "rts", "rid"]
+    want = left.join(right, cond, "leftOuter").select(*proj)
+    assert want.filter(F.col("rid").isNull()).count() > 0  # non-vacuous
+    for w in (4 * interval, interval, 901):
+        out = bucketed_interval_join(
+            left, right, "lk", "rk", "lts", "rts",
+            interval_seconds=interval, watermark="2 hours",
+            bucket_seconds=w, how="leftOuter",
+        ).select(*proj)
+        got = merge_bucketed_left(
+            out, "lid", "rid", payload_cols=("lk", "lts", "rts")
+        )
+        assert got.columns == proj
+        extra = got.exceptAll(want).count()
+        missing = want.exceptAll(got).count()
+        assert extra == 0 and missing == 0, (
+            f"W={w} payload merge: extra={extra} missing={missing}"
+        )
+
+
+def test_merge_bucketed_left_rejects_null_left_id(spark):
+    """ADVICE r13 skew.py: a NULL left_id in the drained output
+    violates the unique-non-NULL id precondition and would silently
+    collapse distinct unmatched left rows into one NULL row — the
+    merge must now refuse it LOUDLY at execution time (the guard
+    lives inside the left_id column itself, so pruning can't elide
+    it), on both the matched and the NULL-only path."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.streaming.skew import merge_bucketed_left
+
+    out = spark.createDataFrame(
+        [(1, 10), (None, None), (2, None)],
+        "click_id INT, purchase_id INT",
+    )
+    with _pytest.raises(Exception, match="NULL click_id"):
+        merge_bucketed_left(out, "click_id", "purchase_id").collect()
+
+
+def test_merge_bucketed_left_validates_payload_cols():
+    """payload_cols naming an id column or a column absent from the
+    drained output is a caller bug — refused loudly before any plan
+    is built (the knob-validation discipline)."""
+    import pytest as _pytest
+
+    from hadoop_log_analysis_spark.streaming.skew import merge_bucketed_left
+
+    class _FakeDF:  # only .columns is reached before the raise
+        columns = ["click_id", "purchase_id", "c_ts"]
+
+    with _pytest.raises(ValueError, match="must not repeat"):
+        merge_bucketed_left(
+            _FakeDF(), "click_id", "purchase_id",
+            payload_cols=("click_id",),
+        )
+    with _pytest.raises(ValueError, match="not in drained output"):
+        merge_bucketed_left(
+            _FakeDF(), "click_id", "purchase_id", payload_cols=("nope",)
+        )
 
 
 def test_stream_drain_timeout_env_validated(monkeypatch):
