@@ -44,6 +44,7 @@ from hadoop_log_analysis_spark.streaming.skew import (
 # via events_stream.ckpt_path — ADVICE r12: no hard-coded convention).
 T8_LEFT_TABLE = "t8_stream_left_join"
 T8_LEFT_BKT_TABLE = "t8_stream_left_join_bkt"
+T8_LEFT_BKT_PAYLOAD_TABLE = "t8_stream_left_join_bkt_pl"
 
 # The bucketed T8 twins' registered default width, set at the MEASURED
 # knee of the r13 width curve (SCALE.md "Width sensitivity"): W = 4I
@@ -727,6 +728,82 @@ def q_stream_stream_left_join_bucketed(
     out = run_to_table(joined, T8_LEFT_BKT_TABLE, "append")
     return merge_bucketed_left(
         out.filter(F.col("click_id") >= 0), "click_id", "purchase_id"
+    ).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "q_stream_stream_left_join_bucketed_payload",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               epoch_us(c.ts) AS click_ts_us,
+               p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    tags=("T8", "J3", "J6", "S7", "skew"),
+)
+def q_stream_stream_left_join_bucketed_payload(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T8 skew defense, payload-carrying variant (r14 — the r13
+    verdict's generalization item made driver-visible): identical to
+    q_stream_stream_left_join_bucketed, but the click's own timestamp
+    rides through ``merge_bucketed_left(payload_cols=("c_ts",))`` and
+    is emitted as ``click_ts_us``. This is the shape a production
+    consumer actually wants — the full left row back, not just the id
+    pair — and the oracle extends the plain join's with the same
+    column, so the driver's hash compare proves the payload branch
+    (first()-per-id recovery on NULL-only ids) byte-exact, not just
+    multiset-exact in the unit sweep (tests/test_properties.py
+    ``test_merge_bucketed_left_carries_payload_cols``). Time crosses
+    the engine boundary as epoch-µs (module docstring)."""
+    n_files = int(os.environ.get("HLA_STREAM_JOIN_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_JOIN_MFPT", "1"))
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files, with_sentinel=True)
+    clicks = (
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
+        .filter(F.col("event_type").isin("click", "__sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, drop, max_files_per_trigger=mfpt)
+        .filter(F.col("event_type").isin("purchase", "__sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = bucketed_interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        interval_seconds=T8_INTERVAL_SECONDS,
+        watermark="2 hours",
+        bucket_seconds=bucket_seconds_env(T8_BUCKET_SECONDS),
+    ).select("click_id", "c_ts", "purchase_id")
+    out = run_to_table(joined, T8_LEFT_BKT_PAYLOAD_TABLE, "append")
+    merged = merge_bucketed_left(
+        out.filter(F.col("click_id") >= 0),
+        "click_id",
+        "purchase_id",
+        payload_cols=("c_ts",),
+    )
+    return merged.select(
+        "click_id",
+        F.unix_micros(F.col("c_ts")).alias("click_ts_us"),
+        "purchase_id",
     ).orderBy("click_id", "purchase_id")
 
 
