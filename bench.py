@@ -170,6 +170,8 @@ ANNEX_ROTATION = (
     # stream-stream skew defenses — enter when the rotation wraps
     "q_stream_stream_left_join_bucketed",
     "q_stream_stream_join_bucketed",
+    # r14 addition: the payload-carrying merge variant
+    "q_stream_stream_left_join_bucketed_payload",
 )
 ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while
