@@ -114,7 +114,11 @@ import pytest
 
 @pytest.mark.parametrize(
     "qname",
-    ["q_stream_stream_left_join", "q_stream_stream_left_join_bucketed"],
+    [
+        "q_stream_stream_left_join",
+        "q_stream_stream_left_join_bucketed",
+        "q_stream_stream_left_join_bucketed_payload",
+    ],
 )
 def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch, qname):
     """T8 at the BENCH drain config (ADVICE r9 bench.py:151): the
@@ -126,7 +130,9 @@ def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch, qname)
     comparator, so a Spark-version change in no-data-batch triggering
     desyncs the benched path LOUDLY instead of silently. r13: also
     pins the bucketed skew-defense twin — its exploded sentinels and
-    drained merge must survive the folded replay identically."""
+    drained merge must survive the folded replay identically. r14:
+    and the payload-carrying merge variant (first()-per-id recovery
+    under the folded replay)."""
     from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
 
     monkeypatch.setenv("HLA_STREAM_JOIN_DROP_FILES", "2")
