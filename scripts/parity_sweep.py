@@ -95,6 +95,8 @@ TIERS = {
         # output-identical to the plain joins under every skew shape
         "q_stream_stream_join_bucketed",
         "q_stream_stream_left_join_bucketed",
+        # r14: the payload-carrying merge variant
+        "q_stream_stream_left_join_bucketed_payload",
     ],
 }
 
