@@ -172,6 +172,10 @@ ANNEX_ROTATION = (
     "q_stream_stream_join_bucketed",
     # r14 addition: the payload-carrying merge variant
     "q_stream_stream_left_join_bucketed_payload",
+    # r14 additions: streaming near-dup suppression + the DISTINCT
+    # window-aggregate workaround — same append-only discipline
+    "q_stream_minhash_dedup",
+    "q_window_count_distinct",
 )
 ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while

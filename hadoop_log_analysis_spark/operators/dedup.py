@@ -128,16 +128,30 @@ def with_minhash(
     )
 
 
+def band_hash_expr(
+    sig_col: str = "sig", bands: int = 16, rows_per_band: int = 4
+) -> Column:
+    """array<bigint> of banded-LSH bucket hashes over a signature column.
+
+    Element j is xxhash64 of band j's ``rows_per_band`` signature slice;
+    two docs agreeing on any band land in the same bucket. Shared by the
+    batch candidate generator (``lsh_candidate_pairs``) and the streaming
+    first-seen suppressor (streaming.docs_dedup) so both sides hash the
+    SAME buckets — the streaming-vs-batch parity test depends on it.
+    """
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), j -> "
+        f"  xxhash64(array_join(transform(slice({sig_col}, j * {rows_per_band} + 1,"
+        f" {rows_per_band}), x -> cast(x AS string)), '_')))"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
     (columns ``a_id``, ``b_id``; a < b, distinct)."""
-    band_arr = F.expr(
-        f"transform(sequence(0, {bands - 1}), j -> "
-        f"  xxhash64(array_join(transform(slice(sig, j * {rows_per_band} + 1,"
-        f" {rows_per_band}), x -> cast(x AS string)), '_')))"
-    )
+    band_arr = band_hash_expr("sig", bands, rows_per_band)
     buckets = sigs.select(
         F.col(id_col),
         F.posexplode(band_arr).alias("band_idx", "band_hash"),

@@ -1314,3 +1314,49 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trades",
         "volume",
     ).orderBy("hr_us")
+
+
+@query(
+    "q_stream_minhash_dedup",
+    tags=("T5", "T6", "L2"),
+)
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5xL2: streaming near-duplicate suppression — the ingest-side
+    twin of q_minhash_near_dups. Documents replay as an arrival-ordered
+    stream; MinHash signatures and banded LSH bucket keys are computed
+    JVM-side (the SAME bucket hashes as the batch path, via
+    operators.dedup.band_hash_expr), and applyInPandasWithState keyed
+    by (band_idx, band_hash) keeps each bucket's first-seen document as
+    12 bytes of state, emitting a dup-hit row for every later arrival
+    in the bucket (streaming.docs_dedup module docstring: semantics,
+    determinism, and why this state shape is skew-PROOF — a
+    boilerplate bucket holds one winner no matter how many docs hash
+    into it).
+
+    Result: the suppressed-documents report — for each doc that
+    collided in >= 1 band, how many bands hit and the earliest
+    colliding winner. Rows-only BY DESIGN (MinHash is not expressible
+    in DuckDB SQL — same verification class as q_minhash_near_dups);
+    correctness story: tests/test_streaming.py pins multiset equality
+    of the drained hit set against an exact Python greedy simulation
+    over batch-computed signatures, at TWO microbatch widths
+    (batch-boundary invariance), and pins that the kept set equals the
+    simulation's keepers.
+    """
+    from hadoop_log_analysis_spark.streaming.docs_dedup import (
+        derive_docs_drop_dir,
+        read_docs_stream,
+        stream_minhash_dup_hits,
+    )
+
+    drop = derive_docs_drop_dir(spark, sf_dir)
+    hits = stream_minhash_dup_hits(read_docs_stream(spark, drop))
+    out = run_to_table(hits, "t5_minhash_dedup", "append")
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.countDistinct("band_idx").alias("n_bands_hit"),
+            F.min("winner_id").alias("min_winner_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -446,3 +446,52 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_window_count_distinct",
+    oracle="""
+        SELECT event_id,
+               count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS n_types_1h
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("W4", "A3"),
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4xA3: per-event count of DISTINCT event types the same user
+    produced in the trailing hour (event inclusive) — the behavioral
+    breadth feature a fraud / engagement model reads at each event.
+
+    Spark has no DISTINCT window aggregate (DuckDB does — the oracle
+    uses it directly); the engine expresses it as
+    size(collect_set(...)) over a µs RANGE frame, which partial-
+    aggregates the set per frame JVM-side. RANGE mode pins tie
+    semantics on both engines: all peers at the current µs are in
+    frame, so same-instant events see each other symmetrically and the
+    per-event_id output is deterministic without a tie-break column.
+
+    Scale shape: partitioned by user_id (high cardinality — this is
+    the scale-SAFE orientation; partitioning by the handful of event
+    types would recreate the single-partition window class
+    sessionize_split exists for). Set state per frame is bounded by
+    |event types|, a small constant, so the running collect_set never
+    grows past it.
+    """
+    ev = scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us())
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.size(F.collect_set("event_type").over(w))
+            .cast("long")
+            .alias("n_types_1h"),
+        ).orderBy("event_id")
+    )

@@ -1,0 +1,225 @@
+"""Streaming near-duplicate suppression over a documents feed (T5 x L2).
+
+Batch near-dup dedup (operators.dedup: MinHash -> banded LSH ->
+candidate pairs) answers "which pairs in this corpus are near-dups".
+An INGEST pipeline asks a different question: "is this arriving
+document a near-dup of anything seen before?" — and must answer it
+incrementally, without re-joining the corpus per batch. This module
+is that operator:
+
+  doc stream -> MinHash signature (JVM-side array exprs, reused from
+  operators.dedup) -> banded LSH bucket keys (band_hash_expr — the
+  SAME bucket hashes as the batch path) -> posexplode to one row per
+  (band, bucket) -> applyInPandasWithState keyed by (band_idx,
+  band_hash): state is the bucket's FIRST-SEEN document (winner), and
+  every later arrival in the bucket emits a dup-hit row
+  (doc_id, band_idx, winner_id). A document is suppressed iff it hit
+  in at least one band — the standard LSH OR-construction.
+
+Semantics (first-seen-wins, variant "all docs register"): the bucket
+winner is the first document EVER to touch the bucket, whether or not
+that document was itself suppressed via some other band. This is the
+deterministic greedy ingest order — doc D is a dup iff some earlier
+doc shares a band bucket with D — and it is exactly reproducible by a
+sequential scan, which is what tests/test_streaming.py pins
+(multiset equality of the drained hit set against a Python greedy
+simulation over the batch-computed signatures, at two different
+microbatch widths).
+
+Determinism: the drop directory replays in event-time order
+(mtime-stamped range partitions, same scheme as events_stream), and
+within a microbatch each bucket group is sorted by (ts_us, doc_id)
+before the winner is chosen — so processing order == event order and
+ties are impossible (ts_us is doc_id-derived and unique). On a truly
+out-of-order live feed the operator degrades to first-PROCESSED-wins,
+which is the honest streaming semantic; the suppressed set changes
+only for docs whose arrival order inverted.
+
+Scale posture (100 TB ingest): this is the skew-PROOF shape of
+streaming dedup. State per bucket is ONE (winner_id, winner_ts_us)
+row regardless of how many documents hash into it — a boilerplate
+bucket hit by 10^6 near-identical docs holds 12 bytes of state while
+a stream-stream join key would hold 10^6 rows (the 2.77x
+concentration streaming/skew.py exists to flatten). Total state is
+O(#distinct buckets) <= bands x #novel docs, independent of the dup
+rate. Only the 4-column exploded key rows cross into Python (Arrow
+batches); signature computation stays in whole-stage codegen. On an
+unbounded feed, bound the horizon with a state TTL
+(GroupStateTimeout.EventTimeTimeout) exactly as
+dropDuplicatesWithinWatermark bounds exact dedup — the bounded
+availableNow replay here keeps NoTimeout so the drained result is the
+full greedy answer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_log_analysis_spark.operators.dedup import (
+    band_hash_expr,
+    minhash_signature,
+)
+from hadoop_log_analysis_spark.streaming.events_stream import TMP, _tag
+
+# Synthetic arrival clock for the documents fixture (it has no event
+# time): doc_id seconds after 2024-01-01T00:00:00Z. Strictly
+# increasing in doc_id, so "arrival order" == doc_id order and every
+# ts is unique — the determinism contract above.
+DOCS_BASE_US = 1_704_067_200 * 1_000_000
+
+DOCS_DROP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def derive_docs_drop_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> str:
+    """Write documents as ``n_files`` arrival-ordered JSON-lines files.
+
+    Same replay scheme as events_stream.derive_drop_dir: files are
+    range-partitioned on ts_us (file 0 = earliest) and mtime-stamped
+    strictly increasing, so a maxFilesPerTrigger stream replays the
+    feed in arrival order. Built once per sf; deterministic content.
+    """
+    from hadoop_log_analysis_spark.sources.catalog import scan
+
+    path = os.path.join(TMP, f"docs_drop_{n_files}f_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(DOCS_BASE_US) + F.col("doc_id") * 1_000_000).alias("ts_us"),
+        "text",
+        "source",
+    )
+    (
+        docs.repartitionByRange(n_files, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    # mtime-stamp in range order (see events_stream: identical write
+    # timestamps would randomize the file source's replay order).
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = (
+        os.path.getmtime(os.path.join(path, parts[0]))
+        if parts
+        else os.path.getmtime(path)
+    )
+    for i, f in enumerate(parts):
+        full = os.path.join(path, f)
+        os.utime(full, (base + 10 * i, base + 10 * i))
+    open(marker, "w").close()
+    return path
+
+
+def read_docs_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming file source over a documents drop directory."""
+    return (
+        spark.readStream.schema(DOCS_DROP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+
+_DUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("winner_id", T.LongType()),
+        T.StructField("winner_ts_us", T.LongType()),
+    ]
+)
+
+DUP_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("winner_id", T.LongType()),
+    ]
+)
+
+
+def _first_seen_fn(key, pdf_iter, state):
+    """Per-bucket first-seen winner; every later arrival emits a hit.
+
+    The batch's rows for this bucket are sorted by (ts_us, doc_id); if
+    no winner exists yet the earliest row claims the bucket silently
+    (it is novel IN THIS BUCKET) and everything after it — this batch
+    or any later one — emits exactly one (doc_id, band_idx, winner_id)
+    hit row. The winner is never displaced: on an ordered replay no
+    later batch can precede it, and on a live out-of-order feed
+    first-processed-wins is the intended semantic (module docstring).
+    """
+    import pandas as pd
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "doc_id"], kind="mergesort")
+    if state.exists:
+        winner_id = state.get[0]
+    else:
+        first = rows.iloc[0]
+        winner_id = int(first["doc_id"])
+        state.update((winner_id, int(first["ts_us"])))
+        rows = rows.iloc[1:]
+    if len(rows):
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"].astype("int64"),
+                "band_idx": int(key[0]),
+                "winner_id": winner_id,
+            }
+        )
+
+
+def stream_minhash_dup_hits(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming LSH dup-hit detector (module docstring for semantics).
+
+    Input: a streaming documents DataFrame with (doc_id, ts_us, text).
+    Output stream (append): one row per (suppressed doc, colliding
+    band) with the bucket's first-seen winner. Downstream keeper
+    selection is one anti-semantics aggregation over the drained hits:
+    a doc is kept iff it emitted zero hit rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sig = docs.withColumn(
+        "sig", minhash_signature("text", num_hashes, shingle_k, seed)
+    )
+    buckets = sig.select(
+        "doc_id",
+        "ts_us",
+        F.posexplode(band_hash_expr("sig", bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    return buckets.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=DUP_HITS_SCHEMA,
+        stateStructType=_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

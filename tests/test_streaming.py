@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from hadoop_log_analysis_spark.queries import load_registry
 from hadoop_log_analysis_spark.sources.catalog import scan
-from tests.conftest import SF001
+from tests.conftest import SF001, SF0001
 
 REGISTRY = load_registry()
 
@@ -142,3 +142,55 @@ def test_stream_stream_left_join_parity_at_bench_mfpt(spark, monkeypatch, qname)
     want = run_oracle(spec.oracle, SF001)
     problems = compare_frames(got, want)
     assert not problems, f"bench-config drain desynced from oracle: {problems}"
+
+
+def test_stream_minhash_dedup_matches_greedy_simulation(spark):
+    """T5xL2 (streaming.docs_dedup): the drained dup-hit multiset must
+    equal an exact Python greedy simulation of first-seen-per-bucket
+    over the batch-computed signatures — at TWO microbatch widths, so
+    the winner/hit assignment is batch-boundary invariant — and the
+    kept set must equal the simulation's keepers."""
+    from collections import Counter
+
+    from hadoop_log_analysis_spark.operators.dedup import (
+        band_hash_expr,
+        minhash_signature,
+    )
+    from hadoop_log_analysis_spark.streaming.docs_dedup import (
+        derive_docs_drop_dir,
+        read_docs_stream,
+        stream_minhash_dup_hits,
+    )
+    from hadoop_log_analysis_spark.streaming.events_stream import run_to_table
+
+    docs = scan(spark, SF0001, "documents").select("doc_id", "text")
+    sig_rows = (
+        docs.withColumn("sig", minhash_signature("text"))
+        .select("doc_id", band_hash_expr("sig").alias("bands"))
+        .collect()
+    )
+    # Greedy ingest simulation: docs arrive in doc_id order (the drop
+    # dir's synthetic clock is doc_id-derived); the first doc EVER to
+    # touch a bucket owns it, later touchers emit one hit per band.
+    seen: dict = {}
+    expected: Counter = Counter()
+    all_ids = set()
+    for r in sorted(sig_rows, key=lambda r: r.doc_id):
+        all_ids.add(r.doc_id)
+        for bi, bh in enumerate(r.bands):
+            if (bi, bh) in seen:
+                expected[(r.doc_id, bi, seen[(bi, bh)])] += 1
+            else:
+                seen[(bi, bh)] = r.doc_id
+    assert expected, "fixture should contain near-duplicates"
+
+    drop = derive_docs_drop_dir(spark, SF0001)
+    for mfpt in (1, 4):
+        hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, mfpt))
+        out = run_to_table(hits, f"test_mh_dedup_{mfpt}", "append")
+        got = Counter(
+            (r.doc_id, r.band_idx, r.winner_id) for r in out.collect()
+        )
+        assert got == expected, f"hit multiset diverges at mfpt={mfpt}"
+        kept = all_ids - {d for d, _, _ in got}
+        assert kept == all_ids - {d for d, _, _ in expected}
