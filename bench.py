@@ -176,6 +176,7 @@ ANNEX_ROTATION = (
     # window-aggregate workaround — same append-only discipline
     "q_stream_minhash_dedup",
     "q_window_count_distinct",
+    "q_stream_knn",
 )
 ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while

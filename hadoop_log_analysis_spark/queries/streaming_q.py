@@ -1327,7 +1327,7 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side (the SAME bucket hashes as the batch path, via
     operators.dedup.band_hash_expr), and applyInPandasWithState keyed
     by (band_idx, band_hash) keeps each bucket's first-seen document as
-    12 bytes of state, emitting a dup-hit row for every later arrival
+    16 bytes of state, emitting a dup-hit row for every later arrival
     in the bucket (streaming.docs_dedup module docstring: semantics,
     determinism, and why this state shape is skew-PROOF — a
     boilerplate bucket holds one winner no matter how many docs hash
@@ -1360,3 +1360,62 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_stream_knn",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 25 = 0),
+        s AS (
+          SELECT q.q_id, e.vec_id,
+                 list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS rawsim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.q_id),
+        r AS (
+          SELECT q_id, vec_id, rawsim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rawsim DESC, vec_id) AS rn
+          FROM s)
+        SELECT q_id, vec_id, round(rawsim, 6) AS sim, rn
+        FROM r WHERE rn <= 10
+        ORDER BY q_id, rn
+    """,
+    tags=("T8", "L3", "T7"),
+)
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8xL3: streaming vector search — every 25th embedding arrives
+    as a query stream and gets its exact cosine top-10 from the static
+    corpus (self excluded), via the stateless foreachBatch enrichment
+    in streaming/retrieval.py (module docstring: why retrieval carries
+    ZERO streaming state, and how the join widens to the IVF route
+    when the corpus outgrows broadcast). Full DuckDB oracle — the
+    drained stream must hash-match the batch SQL answer, the same
+    double-dot-product exactness contract as the batch L3 tier."""
+    from hadoop_log_analysis_spark.streaming.retrieval import (
+        derive_query_drop_dir,
+        read_query_stream,
+        run_stream_knn,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        TMP, f"stream_knn_{tag}_{spark.sparkContext.applicationId}"
+    )
+    corpus = scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    drop = derive_query_drop_dir(spark, sf_dir)
+    result = run_stream_knn(
+        read_query_stream(spark, drop),
+        corpus,
+        k=10,
+        name=f"t8_knn_{tag}",
+        out_dir=out_dir,
+    )
+    return result.orderBy("q_id", "rn")

@@ -38,7 +38,7 @@ only for docs whose arrival order inverted.
 Scale posture (100 TB ingest): this is the skew-PROOF shape of
 streaming dedup. State per bucket is ONE (winner_id, winner_ts_us)
 row regardless of how many documents hash into it — a boilerplate
-bucket hit by 10^6 near-identical docs holds 12 bytes of state while
+bucket hit by 10^6 near-identical docs holds 16 bytes of state while
 a stream-stream join key would hold 10^6 rows (the 2.77x
 concentration streaming/skew.py exists to flatten). Total state is
 O(#distinct buckets) <= bands x #novel docs, independent of the dup
@@ -64,7 +64,7 @@ from hadoop_log_analysis_spark.operators.dedup import (
     band_hash_expr,
     minhash_signature,
 )
-from hadoop_log_analysis_spark.streaming.events_stream import TMP, _tag
+from hadoop_log_analysis_spark.streaming.events_stream import TMP, _tag, stamp_replay_order
 
 # Synthetic arrival clock for the documents fixture (it has no event
 # time): doc_id seconds after 2024-01-01T00:00:00Z. Strictly
@@ -112,19 +112,7 @@ def derive_docs_drop_dir(
         .write.mode("overwrite")
         .json(path)
     )
-    # mtime-stamp in range order (see events_stream: identical write
-    # timestamps would randomize the file source's replay order).
-    parts = sorted(
-        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
-    )
-    base = (
-        os.path.getmtime(os.path.join(path, parts[0]))
-        if parts
-        else os.path.getmtime(path)
-    )
-    for i, f in enumerate(parts):
-        full = os.path.join(path, f)
-        os.utime(full, (base + 10 * i, base + 10 * i))
+    stamp_replay_order(path)
     open(marker, "w").close()
     return path
 

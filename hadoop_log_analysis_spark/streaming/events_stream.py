@@ -47,6 +47,29 @@ def _tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
+def stamp_replay_order(path: str) -> tuple[int, float]:
+    """mtime-stamp a drop dir's part files strictly increasing in part
+    order. The file source replays files in modification-time order; a
+    single batch write stamps them identically, which would randomize
+    replay order and break every time-ordered-replay contract (T4/T5
+    watermarks, first-seen dedup, the bucketed joins' sentinels). Part
+    numbering follows repartitionByRange order, so part-00000 is the
+    earliest time slice. Returns (n_parts, base_mtime) so callers that
+    append marker files (the sentinel writer) can stamp past the end."""
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
+    )
+    base = (
+        os.path.getmtime(os.path.join(path, parts[0]))
+        if parts
+        else os.path.getmtime(path)
+    )
+    for i, f in enumerate(parts):
+        full = os.path.join(path, f)
+        os.utime(full, (base + 10 * i, base + 10 * i))
+    return len(parts), base
+
+
 def derive_drop_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -112,22 +135,7 @@ def derive_drop_dir(
         .write.mode("overwrite")
         .json(path)
     )
-    # The file source replays files in modification-time order; the write
-    # above stamps them all identically, which would randomize replay
-    # order and make watermark-dependent ops (T4/T5) drop whole files as
-    # late. Stamp strictly increasing mtimes in ts order (part numbering
-    # follows the range-partition order: part-00000 = earliest slice).
-    parts = sorted(
-        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".json")
-    )
-    base = (
-        os.path.getmtime(os.path.join(path, parts[0]))
-        if parts
-        else os.path.getmtime(path)
-    )
-    for i, f in enumerate(parts):
-        full = os.path.join(path, f)
-        os.utime(full, (base + 10 * i, base + 10 * i))
+    n_parts, base = stamp_replay_order(path)
     if with_sentinel:
         import json as _json
 
@@ -157,7 +165,7 @@ def derive_drop_dir(
             sfile = os.path.join(path, f"part-zz-sentinel-{j}.json")
             with open(sfile, "w") as fh:
                 fh.write(_json.dumps(sentinel) + "\n")
-            t = base + 10 * (len(parts) + j)
+            t = base + 10 * (n_parts + j)
             os.utime(sfile, (t, t))
     open(marker, "w").close()
     return path

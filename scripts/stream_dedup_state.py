@@ -62,6 +62,7 @@ def main() -> int:
     from hadoop_log_analysis_spark.streaming.events_stream import (
         ckpt_path,
         run_to_table,
+        stamp_replay_order,
     )
     from scripts.stream_state_skew import state_profile
 
@@ -105,14 +106,7 @@ def main() -> int:
             .write.mode("overwrite")
             .json(drop)
         )
-        parts = sorted(
-            f
-            for f in os.listdir(drop)
-            if f.startswith("part-") and f.endswith(".json")
-        )
-        base = os.path.getmtime(os.path.join(drop, parts[0]))
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(drop, f), (base + 10 * i,) * 2)
+        stamp_replay_order(drop)
 
         table = f"dedup_state_{fname}"
         hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, 2))

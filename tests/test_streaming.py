@@ -194,3 +194,39 @@ def test_stream_minhash_dedup_matches_greedy_simulation(spark):
         assert got == expected, f"hit multiset diverges at mfpt={mfpt}"
         kept = all_ids - {d for d, _, _ in got}
         assert kept == all_ids - {d for d, _, _ in expected}
+
+
+def test_stream_knn_batch_boundary_invariant(spark):
+    """T8xL3 (streaming/retrieval.py): retrieval is stateless, so the
+    drained top-k must be IDENTICAL under different microbatch widths
+    — and each query's rows must form a complete 1..k rank prefix."""
+    from hadoop_log_analysis_spark.sources.catalog import scan as _scan
+    from hadoop_log_analysis_spark.streaming.retrieval import (
+        derive_query_drop_dir,
+        read_query_stream,
+        run_stream_knn,
+    )
+    import os
+
+    from hadoop_log_analysis_spark.streaming.events_stream import TMP
+
+    corpus = _scan(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    drop = derive_query_drop_dir(spark, SF0001)
+    results = {}
+    for mfpt in (1, 4):
+        out_dir = os.path.join(TMP, f"test_knn_{mfpt}")
+        df = run_stream_knn(
+            read_query_stream(spark, drop, mfpt),
+            corpus,
+            k=10,
+            name=f"test_knn_{mfpt}",
+            out_dir=out_dir,
+        )
+        results[mfpt] = {tuple(r) for r in df.collect()}
+    assert results[1] == results[4]
+    assert results[1], "query feed should produce results"
+    by_q: dict = {}
+    for q_id, _vec, _sim, rn in results[1]:
+        by_q.setdefault(q_id, []).append(rn)
+    for q_id, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), q_id
