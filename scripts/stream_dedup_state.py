@@ -48,6 +48,10 @@ def main() -> int:
     ap.add_argument(
         "--out", default=os.path.join(TMP, "stream_dedup_state.json")
     )
+    ap.add_argument("--provider", choices=["hdfs", "rocksdb"], default="hdfs",
+                    help="state store provider (same flag semantics as "
+                         "stream_state_skew.py; rocksdb is the provider "
+                         "SCALE.md names for 100 TB state)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -68,6 +72,14 @@ def main() -> int:
 
     spark = get_spark(app_name="hla-stream-dedup-state")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider == "rocksdb":
+        # bound at stream start, survives catalog.scan's REQUIRED_CONFS
+        # re-assertion (see stream_state_skew.py)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     app = spark.sparkContext.applicationId
     tag = os.path.basename(os.path.normpath(args.sf_dir))
 
@@ -131,6 +143,7 @@ def main() -> int:
             "hit_rows": n_hits,
             "suppressed_docs": n_suppressed,
             "state": rows,
+            "provider": args.provider,
         }
         print(f"{fname}: hits={n_hits} suppressed={n_suppressed} "
               + json.dumps(rows), flush=True)
