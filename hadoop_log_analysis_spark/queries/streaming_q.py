@@ -1349,9 +1349,40 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_minhash_dup_hits,
     )
 
-    drop = derive_docs_drop_dir(spark, sf_dir)
-    hits = stream_minhash_dup_hits(read_docs_stream(spark, drop))
-    out = run_to_table(hits, "t5_minhash_dedup", "append")
+    # Replay-granularity knobs, the stream-stream join's pattern
+    # (r14 isolation: 92 s at the default 8-file/mFPT=1 replay vs
+    # 15 s folded — per-microbatch fixed cost, not data; the drained
+    # result is replay-invariant, pinned by the greedy-parity test at
+    # two widths, so timing runs may fold the replay freely while
+    # parity keeps the default where batch boundaries are the point).
+    n_files = int(os.environ.get("HLA_STREAM_DEDUP_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_DEDUP_MFPT", "1"))
+    if n_files < 1 or mfpt < 1:
+        raise ValueError(
+            f"HLA_STREAM_DEDUP_DROP_FILES/_MFPT must be >= 1, "
+            f"got {n_files}/{mfpt}"
+        )
+    drop = derive_docs_drop_dir(spark, sf_dir, n_files=n_files)
+    hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, mfpt))
+    # State-partition sizing is the OPPOSITE of the stream-stream
+    # join's: the join holds few keys with big state (8 partitions
+    # amortize its per-task fixed cost), while this op holds
+    # bands x docs TINY groups whose cost is the per-group Python
+    # stateful-runner overhead — which parallelizes with task count.
+    # r14 isolation at sf0.1 (80k groups): 2 partitions -> 96 s,
+    # 16 -> 12.6 s, same drained result (hash parity is partition-
+    # count invariant; greedy test pins the multiset).
+    state_parts = int(
+        os.environ.get("HLA_STREAM_DEDUP_STATE_PARTITIONS", "16")
+    )
+    if state_parts < 1:
+        raise ValueError(
+            f"HLA_STREAM_DEDUP_STATE_PARTITIONS must be >= 1, "
+            f"got {state_parts}"
+        )
+    out = run_to_table(
+        hits, "t5_minhash_dedup", "append", state_partitions=state_parts
+    )
     return (
         out.groupBy("doc_id")
         .agg(

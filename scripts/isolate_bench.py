@@ -40,6 +40,8 @@ def main() -> None:
     os.environ.setdefault("HLA_STREAM_JOIN_DROP_FILES", "2")
     os.environ.setdefault("HLA_STREAM_JOIN_MFPT", "3")
     os.environ.setdefault("HLA_STREAM_PSI_DROP_FILES", "2")
+    os.environ.setdefault("HLA_STREAM_DEDUP_DROP_FILES", "2")
+    os.environ.setdefault("HLA_STREAM_DEDUP_MFPT", "3")
     os.environ.setdefault("HLA_STREAM_STATE_PARTITIONS", "2")
     print(f"load_avg at start: {[round(x, 2) for x in os.getloadavg()]}")
     reg = load_registry()

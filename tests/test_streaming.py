@@ -184,14 +184,22 @@ def test_stream_minhash_dedup_matches_greedy_simulation(spark):
                 seen[(bi, bh)] = r.doc_id
     assert expected, "fixture should contain near-duplicates"
 
-    drop = derive_docs_drop_dir(spark, SF0001)
-    for mfpt in (1, 4):
+    # three replay configs: the default 8-file dir at two microbatch
+    # widths, plus the folded 2-file/mFPT=3 BENCH drain config (the
+    # HLA_STREAM_DEDUP_* knobs' timing regime) — all must produce the
+    # identical greedy hit multiset
+    configs = [
+        (derive_docs_drop_dir(spark, SF0001), 1),
+        (derive_docs_drop_dir(spark, SF0001), 4),
+        (derive_docs_drop_dir(spark, SF0001, n_files=2), 3),
+    ]
+    for i, (drop, mfpt) in enumerate(configs):
         hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, mfpt))
-        out = run_to_table(hits, f"test_mh_dedup_{mfpt}", "append")
+        out = run_to_table(hits, f"test_mh_dedup_{i}", "append")
         got = Counter(
             (r.doc_id, r.band_idx, r.winner_id) for r in out.collect()
         )
-        assert got == expected, f"hit multiset diverges at mfpt={mfpt}"
+        assert got == expected, f"hit multiset diverges at config {i}"
         kept = all_ids - {d for d, _, _ in got}
         assert kept == all_ids - {d for d, _, _ in expected}
 
