@@ -177,6 +177,7 @@ ANNEX_ROTATION = (
     "q_stream_minhash_dedup",
     "q_window_count_distinct",
     "q_stream_knn",
+    "q_stream_knn_ivf",
 )
 ANNEX_WINDOW = 10
 # The driver round in which the annex landed (window 0 ran while

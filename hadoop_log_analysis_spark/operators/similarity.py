@@ -131,6 +131,83 @@ def ann_ivf_topk(
     )
 
 
+def exact_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a FRAME of queries (q_id, qvec) — the
+    multi-query generalization of ``cosine_topk``. The query frame is
+    broadcast against the corpus scan (queries are the small side in a
+    serving batch); per-query ranking via the shared topk_per_group.
+    Returns (q_id, id_col, sim, rn). Shared by the streaming retrieval
+    path (streaming/retrieval.py) and its tests, so stream and batch
+    rank with the SAME expressions."""
+    from hadoop_log_analysis_spark.operators.windows import topk_per_group
+
+    sims = corpus.join(
+        F.broadcast(queries), F.col("q_id") != F.col(id_col)
+    ).select(
+        "q_id", id_col, cosine(F.col(vec_col), F.col("qvec")).alias("__sim")
+    )
+    top = topk_per_group(
+        sims, ["q_id"], [F.col("__sim").desc(), F.col(id_col)], k=k
+    )
+    return top.select("q_id", id_col, F.round("__sim", 6).alias("sim"), "rn")
+
+
+def ivf_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Multi-query IVF: route each query to its ``n_probe`` nearest
+    centroids (by centroid cosine, bucket tie-break), exact-rerank only
+    inside those buckets — the multi-query generalization of
+    ``ann_ivf_topk`` (identity for a 1-query frame is pinned by test).
+
+    This is the scale path ``exact_topk_multi`` can't walk: the corpus
+    never broadcasts — only the |buckets| centroid table and the
+    (query x n_probe) routing table do — and the bucket equi-join lets
+    a bucket-partitioned corpus layout prune every unprobed partition.
+    Approximate BY DESIGN: recall vs the exact ranker is the coverage
+    fraction on unclustered data (see
+    tests/test_llm_ops.py::test_ivf_is_exact_within_probed_buckets).
+    Returns (q_id, id_col, sim, rn)."""
+    from hadoop_log_analysis_spark.operators.windows import topk_per_group
+
+    routed = topk_per_group(
+        queries.crossJoin(F.broadcast(cents)).select(
+            "q_id",
+            bucket_col,
+            cosine(F.col("centroid"), F.col("qvec")).alias("__cs"),
+        ),
+        ["q_id"],
+        [F.col("__cs").desc(), F.col(bucket_col)],
+        k=n_probe,
+        rank_col="__probe_rn",
+    ).select("q_id", bucket_col)
+    cand = (
+        corpus.join(F.broadcast(routed), bucket_col)
+        .join(F.broadcast(queries.select("q_id", "qvec")), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+    )
+    sims = cand.select(
+        "q_id", id_col, cosine(F.col(vec_col), F.col("qvec")).alias("__sim")
+    )
+    top = topk_per_group(
+        sims, ["q_id"], [F.col("__sim").desc(), F.col(id_col)], k=k
+    )
+    return top.select("q_id", id_col, F.round("__sim", 6).alias("sim"), "rn")
+
+
 def _hyperplanes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic gaussian hyperplanes (spherically symmetric, so
     P[same sign] = 1 - theta/pi holds exactly)."""

@@ -1450,3 +1450,58 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=out_dir,
     )
     return result.orderBy("q_id", "rn")
+
+
+@query(
+    "q_stream_knn_ivf",
+    tags=("T8", "L4", "T7"),
+)
+def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8xL4: streaming APPROXIMATE vector search — q_stream_knn's
+    corpus-past-broadcast route, shipped rather than documented. Same
+    query stream and foreachBatch skeleton; the per-batch ranker is
+    operators.similarity.ivf_topk_multi: route each query to its 2
+    nearest IVF centroids (only the |buckets| centroid table and the
+    query x n_probe routing table broadcast — the corpus itself never
+    does), exact-rerank inside the probed buckets. On a label-bucketed
+    corpus layout the bucket equi-join prunes every unprobed partition.
+
+    Rows-only BY DESIGN (approximate retrieval, same verification
+    class as q_ann_ivf — no SQL oracle can mirror the probe without
+    re-deriving it); correctness story in tests/test_streaming.py +
+    test_llm_ops: the drained stream multiset-equals the batch
+    ivf_topk_multi answer on the full query frame, ivf_topk_multi on a
+    1-query frame equals the trusted ann_ivf_topk, and IVF-is-exact-
+    within-probed-buckets is pinned on the batch side; recall vs the
+    exact ranker is the coverage fraction on this near-random fixture
+    (~n_probe/|buckets|), floor-tested."""
+    from hadoop_log_analysis_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_multi,
+    )
+    from hadoop_log_analysis_spark.streaming.retrieval import (
+        derive_query_drop_dir,
+        read_query_stream,
+        run_stream_knn,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        TMP, f"stream_knn_ivf_{tag}_{spark.sparkContext.applicationId}"
+    )
+    corpus = scan(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = ivf_centroids(corpus)
+    drop = derive_query_drop_dir(spark, sf_dir)
+    result = run_stream_knn(
+        read_query_stream(spark, drop),
+        corpus,
+        k=10,
+        name=f"t8_knn_ivf_{tag}",
+        out_dir=out_dir,
+        ranker=lambda batch_df: ivf_topk_multi(
+            batch_df, corpus, cents, k=10, n_probe=2
+        ),
+    )
+    return result.orderBy("q_id", "rn")

@@ -20,27 +20,31 @@ makes the result trivially batch-boundary invariant (pinned by test
 at two maxFilesPerTrigger widths).
 
 Scale posture (100 TB corpus): the fixture-scale corpus broadcasts
-whole; a corpus past broadcast size swaps the inner join for the IVF
-route (operators.similarity.ivf_centroids / ivf_topk) — broadcast the
-|buckets| centroid table, route each query to its nprobe buckets, and
-join only those corpus partitions. The foreachBatch skeleton is
-unchanged; only the join inside it widens. Exactness story: identical
-to the batch L3 tier (double dot products over float-widened values,
-6-dp rounding at output only), so the full DuckDB oracle applies —
-the drained stream must hash-match the batch SQL answer.
+whole (exact ranker, operators.similarity.exact_topk_multi); past
+broadcast size the ``ranker`` parameter swaps in the SHIPPED IVF
+route (operators.similarity.ivf_topk_multi, q_stream_knn_ivf) —
+only the |buckets| centroid table and the query x n_probe routing
+table broadcast, and the bucket equi-join prunes every unprobed
+partition of a label-bucketed corpus layout. The foreachBatch
+skeleton is identical; only the ranker inside it changes. Exactness
+story: the exact ranker matches the batch L3 tier bit for bit
+(double dot products over float-widened values, 6-dp rounding at
+output only), so its full DuckDB oracle applies — the drained stream
+must hash-match the batch SQL answer; the IVF twin is approximate by
+design and carries stream==batch-ranker multiset parity plus the
+coverage-floor recall test instead.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hadoop_log_analysis_spark.operators.similarity import cosine
-from hadoop_log_analysis_spark.operators.windows import topk_per_group
 from hadoop_log_analysis_spark.streaming.events_stream import (
     TMP,
     _drain_timeout,
@@ -119,16 +123,25 @@ def run_stream_knn(
     name: str,
     out_dir: str,
     timeout_sec: int = 300,
+    ranker: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
-    """Drain a query stream through per-batch exact top-k retrieval.
+    """Drain a query stream through per-batch top-k retrieval.
 
     foreachBatch skeleton per events_stream.run_foreach_batch_to_parquet
     (same checkpoint / availableNow / idempotent batch_id-overwrite
-    discipline); each batch theta-joins its queries against the
-    broadcast static corpus, ranks with the shared topk_per_group
-    operator, and writes only the k rows per query. Returns the read-
-    back (q_id, vec_id, sim, rn) result for the whole drained feed.
+    discipline); each microbatch of queries goes through ``ranker`` —
+    any batch function (q_id, qvec) -> (q_id, vec_id, sim, rn) — and
+    only the k rows per query are written. The default ranker is the
+    exact broadcast-corpus scan (operators.similarity.exact_topk_multi);
+    pass an ``ivf_topk_multi`` closure for the corpus-past-broadcast
+    route. Returns the read-back result for the whole drained feed.
     """
+    from hadoop_log_analysis_spark.operators.similarity import (
+        exact_topk_multi,
+    )
+
+    if ranker is None:
+        ranker = lambda batch_df: exact_topk_multi(batch_df, corpus, k=k)  # noqa: E731
     timeout_sec = _drain_timeout(timeout_sec)
     spark = queries_stream.sparkSession
     app = spark.sparkContext.applicationId
@@ -139,20 +152,8 @@ def run_stream_knn(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sims = batch_df.join(
-            F.broadcast(corpus), F.col("q_id") != F.col("vec_id")
-        ).select(
-            "q_id",
-            "vec_id",
-            cosine(F.col("embedding"), F.col("qvec")).alias("__sim"),
-        )
-        top = topk_per_group(
-            sims, ["q_id"], [F.col("__sim").desc(), F.col("vec_id")], k=k
-        )
         (
-            top.select(
-                "q_id", "vec_id", F.round("__sim", 6).alias("sim"), "rn"
-            )
+            ranker(batch_df)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )

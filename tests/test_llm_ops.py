@@ -727,3 +727,28 @@ def test_shingle_prefix_filter_prunes(spark):
         cands.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi"
     ).count()
     assert found == n_planted, (found, n_planted)
+
+
+def test_ivf_topk_multi_matches_single_query_op(spark):
+    """ivf_topk_multi on a 1-query frame must equal the trusted
+    ann_ivf_topk (whose exact-within-probed-buckets identity is pinned
+    above) — the multi-query generalization adds routing fan-out, not
+    semantics."""
+    from hadoop_log_analysis_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_multi,
+    )
+
+    emb = scan(spark, SF001, "embeddings")
+    single = [(r.vec_id, r.sim) for r in ann_ivf_topk(emb, 0, k=10, n_probe=3).collect()]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    multi = [
+        (r.vec_id, r.sim)
+        for r in ivf_topk_multi(q, emb, ivf_centroids(emb), k=10, n_probe=3)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert multi == single

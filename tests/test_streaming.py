@@ -238,3 +238,64 @@ def test_stream_knn_batch_boundary_invariant(spark):
         by_q.setdefault(q_id, []).append(rn)
     for q_id, rns in by_q.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), q_id
+
+
+def test_stream_knn_ivf_matches_batch_ranker(spark):
+    """T8xL4 (streaming/retrieval.py): the drained approximate stream
+    must multiset-equal the batch ivf_topk_multi answer over the full
+    query frame (same centroids, same routing) — replay adds nothing
+    and loses nothing — and stay a strict subset-or-equal of recall
+    against the exact ranker at the coverage floor."""
+    from hadoop_log_analysis_spark.operators.similarity import (
+        exact_topk_multi,
+        ivf_centroids,
+        ivf_topk_multi,
+    )
+    from hadoop_log_analysis_spark.streaming.retrieval import (
+        QUERY_BASE_US,
+        derive_query_drop_dir,
+        read_query_stream,
+        run_stream_knn,
+    )
+    import os
+
+    from hadoop_log_analysis_spark.streaming.events_stream import TMP
+
+    corpus = scan(spark, SF0001, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = ivf_centroids(corpus)
+    queries = (
+        scan(spark, SF0001, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+    )
+    batch = {
+        tuple(r)
+        for r in ivf_topk_multi(queries, corpus, cents, k=10, n_probe=2).collect()
+    }
+    drop = derive_query_drop_dir(spark, SF0001)
+    streamed = {
+        tuple(r)
+        for r in run_stream_knn(
+            read_query_stream(spark, drop, 2),
+            corpus,
+            k=10,
+            name="test_knn_ivf",
+            out_dir=os.path.join(TMP, "test_knn_ivf"),
+            ranker=lambda b: ivf_topk_multi(b, corpus, cents, k=10, n_probe=2),
+        ).collect()
+    }
+    assert streamed == batch and streamed
+    # coverage-level recall floor vs the exact ranker (near-random
+    # fixture: recall ~= n_probe/|buckets| = 0.2; floor at half that)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in exact_topk_multi(queries, corpus, k=10).collect()
+    }
+    approx = {(q, v) for q, v, _s, _r in streamed}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.1, f"IVF stream recall {recall:.2f} below coverage floor"
