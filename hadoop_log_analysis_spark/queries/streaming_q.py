@@ -1349,12 +1349,14 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_minhash_dup_hits,
     )
 
-    # Replay-granularity knobs, the stream-stream join's pattern
-    # (r14 isolation: 92 s at the default 8-file/mFPT=1 replay vs
-    # 15 s folded — per-microbatch fixed cost, not data; the drained
-    # result is replay-invariant, pinned by the greedy-parity test at
-    # two widths, so timing runs may fold the replay freely while
-    # parity keeps the default where batch boundaries are the point).
+    # Replay-granularity knobs, the stream-stream join's pattern.
+    # Unlike the join, folding is NOT this op's lever — r14 isolation
+    # measured 92.3 s unfolded vs 96.3 s folded at 2 state partitions
+    # (per-microbatch fixed cost is a minor term here); the dominant
+    # cost is per-group Python overhead, fixed by the state-partition
+    # sizing below. The knobs exist so timing runs can still control
+    # replay shape; the drained result is replay-invariant (greedy-
+    # parity test pins three configs incl. the folded one).
     n_files = int(os.environ.get("HLA_STREAM_DEDUP_DROP_FILES", "8"))
     mfpt = int(os.environ.get("HLA_STREAM_DEDUP_MFPT", "1"))
     if n_files < 1 or mfpt < 1:
