@@ -275,6 +275,14 @@ def main() -> None:
     # parity tests keep the 8-file/8-partition defaults.
     os.environ.setdefault("HLA_STREAM_PSI_DROP_FILES", "2")
     os.environ.setdefault("HLA_STREAM_STATE_PARTITIONS", "2")
+    # r14: the streaming dedup's annex rows use the same folded replay
+    # as the joins (its result is replay-invariant, greedy-parity test
+    # pins the folded config; its state tasks self-size via its own
+    # HLA_STREAM_DEDUP_STATE_PARTITIONS default — the many-key regime
+    # must NOT inherit the 2-partition few-key sizing above, see
+    # BASELINE r14 addendum 2: 2 parts 96 s vs 16 parts 12.6 s).
+    os.environ.setdefault("HLA_STREAM_DEDUP_DROP_FILES", "2")
+    os.environ.setdefault("HLA_STREAM_DEDUP_MFPT", "3")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_registry()
     spark = get_spark(app_name="hla-bench")
