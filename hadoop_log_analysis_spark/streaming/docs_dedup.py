@@ -33,7 +33,10 @@ before the winner is chosen — so processing order == event order and
 ties are impossible (ts_us is doc_id-derived and unique). On a truly
 out-of-order live feed the operator degrades to first-PROCESSED-wins,
 which is the honest streaming semantic; the suppressed set changes
-only for docs whose arrival order inverted.
+only for docs whose arrival order inverted. With a horizon set, rows
+BELOW the watermark never even reach the operator (Spark filters late
+input to stateful ops once a watermark exists — pinned by the TTL
+test), so the caveat narrows to above-watermark disorder.
 
 Scale posture (100 TB ingest): this is the skew-PROOF shape of
 streaming dedup. State per bucket is ONE (winner_id, winner_ts_us)
@@ -44,11 +47,12 @@ concentration streaming/skew.py exists to flatten). Total state is
 O(#distinct buckets) <= bands x #novel docs, independent of the dup
 rate. Only the 4-column exploded key rows cross into Python (Arrow
 batches); signature computation stays in whole-stage codegen. On an
-unbounded feed, bound the horizon with a state TTL
-(GroupStateTimeout.EventTimeTimeout) exactly as
+unbounded feed, pass ``horizon_us`` to bound the dedup horizon
+(``_make_ttl_fn``: winners suppress only within their horizon, and
+EventTimeTimeout evicts buckets the watermark has passed) exactly as
 dropDuplicatesWithinWatermark bounds exact dedup — the bounded
-availableNow replay here keeps NoTimeout so the drained result is the
-full greedy answer.
+availableNow replay default keeps NoTimeout so the drained result is
+the full greedy answer.
 """
 
 from __future__ import annotations
@@ -176,6 +180,65 @@ def _first_seen_fn(key, pdf_iter, state):
         )
 
 
+def _make_ttl_fn(horizon_us: int):
+    """First-seen with a dedup HORIZON: a winner only suppresses
+    arrivals within ``horizon_us`` of its own event time; a later
+    arrival re-claims the bucket (and suppresses ITS horizon), exactly
+    the contract ``dropDuplicatesWithinWatermark`` gives exact keys.
+
+    Two mechanisms, deliberately separate:
+
+    * SEMANTICS are enforced row-by-row against the stored winner ts
+      (``ts - winner_ts > horizon`` -> re-claim) — event-time
+      deterministic and independent of when Spark fires timers, so the
+      greedy-with-expiry simulation reproduces the output exactly.
+    * STATE CLEANUP is the EventTimeTimeout: expiry is set to
+      winner_ts + horizon, and once the watermark passes it the bucket
+      entry is removed. Removal is semantically neutral — any in-order
+      future row is past the horizon and would re-claim anyway — so
+      the timer's only job is bounding state to LIVE buckets, which is
+      what makes the operator runnable on an unbounded feed.
+    """
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "doc_id"], kind="mergesort")
+        if state.exists:
+            winner_id, winner_ts = state.get
+        else:
+            winner_id = winner_ts = None
+        out_docs: list[tuple[int, int]] = []
+        for ts, doc in zip(rows["ts_us"], rows["doc_id"]):
+            ts, doc = int(ts), int(doc)
+            if winner_id is None or ts - winner_ts > horizon_us:
+                winner_id, winner_ts = doc, ts
+            else:
+                out_docs.append((doc, winner_id))
+        state.update((winner_id, winner_ts))
+        # Event-time timer in ms; must exceed the current watermark
+        # (Spark refuses a timer already in the past — possible when a
+        # late row re-claims an old bucket).
+        expiry_ms = (winner_ts + horizon_us) // 1000
+        state.setTimeoutTimestamp(
+            max(expiry_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if out_docs:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in out_docs],
+                    "band_idx": int(key[0]),
+                    "winner_id": [w for _, w in out_docs],
+                }
+            )
+
+    return fn
+
+
 def stream_minhash_dup_hits(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -183,6 +246,8 @@ def stream_minhash_dup_hits(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    horizon_us: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming LSH dup-hit detector (module docstring for semantics).
 
@@ -191,6 +256,16 @@ def stream_minhash_dup_hits(
     band) with the bucket's first-seen winner. Downstream keeper
     selection is one anti-semantics aggregation over the drained hits:
     a doc is kept iff it emitted zero hit rows.
+
+    ``horizon_us=None`` (the bounded-replay default) keeps every
+    bucket winner forever — the drained result is the full greedy
+    answer. On an UNBOUNDED feed pass a horizon: winners only
+    suppress within ``horizon_us`` of their event time, later
+    arrivals re-claim, and EventTimeTimeout evicts buckets the
+    watermark has passed, bounding state to live buckets
+    (``_make_ttl_fn``; eviction observability is pinned by test — a
+    late in-horizon arrival after the timer fired re-claims instead
+    of hitting).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -204,10 +279,23 @@ def stream_minhash_dup_hits(
             "band_idx", "band_hash"
         ),
     )
-    return buckets.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _first_seen_fn,
+    if horizon_us is None:
+        return buckets.groupBy("band_idx", "band_hash").applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=DUP_HITS_SCHEMA,
+            stateStructType=_DUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if horizon_us < 1:
+        raise ValueError(f"horizon_us must be >= 1, got {horizon_us}")
+    with_ts = buckets.withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("ts", watermark_delay)
+    return with_ts.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _make_ttl_fn(horizon_us),
         outputStructType=DUP_HITS_SCHEMA,
         stateStructType=_DUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

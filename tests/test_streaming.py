@@ -299,3 +299,105 @@ def test_stream_knn_ivf_matches_batch_ranker(spark):
     approx = {(q, v) for q, v, _s, _r in streamed}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.1, f"IVF stream recall {recall:.2f} below coverage floor"
+
+
+def test_stream_minhash_dedup_ttl_horizon(spark):
+    """TTL variant (docs_dedup._make_ttl_fn): winners suppress only
+    within horizon_us of their own event time; later arrivals re-claim
+    the bucket; and the EventTimeTimeout actually EVICTS — a late
+    in-horizon arrival delivered after the timer fired re-claims
+    instead of hitting, which is only observable if state.remove()
+    ran. Hand-built feed, identical text => all 16 bands collide."""
+    import json
+    import os
+    import shutil
+
+    from hadoop_log_analysis_spark.streaming.docs_dedup import (
+        read_docs_stream,
+        stream_minhash_dup_hits,
+    )
+    from hadoop_log_analysis_spark.streaming.events_stream import (
+        TMP,
+        run_to_table,
+        stamp_replay_order,
+    )
+
+    base = 1_704_067_200_000_000
+    mn = 60_000_000
+    text_x = "the same boilerplate text repeated verbatim every time"
+    text_y = "a completely different document about something else entirely"
+    text_z = "yet another unrelated third document with its own words here"
+    horizon = 90 * mn
+    # file-per-batch, in arrival order:
+    #  A(0, X)        claims every X bucket
+    #  B(80min, X)    within horizon of A -> 16 hits on A
+    #  C(180min, X)   past A's horizon -> re-claims silently
+    #  D(260min, X)   within horizon of C -> 16 hits on C
+    #  E(700min, Y)   unrelated; advances watermark past C+horizon
+    #  G(705min, Y)   batch with no X-bucket data -> timers fire,
+    #                 C's buckets evicted
+    #  F(300min, X)   LATE (watermark ~705min) but within horizon of C:
+    #                 with state alive it would hit C; after eviction it
+    #                 re-claims -> emits nothing (proves remove() ran)
+    #  H(310min, X)   also late, within horizon of F: hits F — which
+    #                 both proves applyInPandasWithState DELIVERS
+    #                 late rows (no automatic late filtering; the
+    #                 operator's in-order contract is the caller's)
+    #                 and that F's re-claim really registered
+    files = [
+        (10, 0, text_x),
+        (11, 80 * mn, text_x),
+        (12, 180 * mn, text_x),
+        (13, 260 * mn, text_x),
+        (14, 700 * mn, text_y),
+        (15, 705 * mn, text_z),
+        (16, 300 * mn, text_x),
+        (17, 310 * mn, text_x),
+    ]
+    drop = os.path.join(TMP, "docs_drop_ttlcase")
+    shutil.rmtree(drop, ignore_errors=True)
+    os.makedirs(drop)
+    for i, (doc_id, off, text) in enumerate(files):
+        with open(os.path.join(drop, f"part-{i:05d}.json"), "w") as f:
+            f.write(json.dumps({
+                "doc_id": doc_id, "ts_us": base + off,
+                "text": text, "source": "s",
+            }) + "\n")
+    stamp_replay_order(drop)
+
+    hits = stream_minhash_dup_hits(
+        read_docs_stream(spark, drop, 1), horizon_us=horizon
+    )
+    out = run_to_table(hits, "test_mh_ttl", "append")
+    got = sorted((r.doc_id, r.band_idx, r.winner_id) for r in out.collect())
+    # F and H emit NOTHING: watermark filtering drops late input before
+    # applyInPandasWithState (observed and pinned here — Spark filters
+    # sub-watermark rows for stateful ops when a watermark is set, so
+    # the late-feed caveat in the module docstring applies only to
+    # out-of-order rows ABOVE the watermark).
+    expected = sorted(
+        [(11, b, 10) for b in range(16)] + [(13, b, 12) for b in range(16)]
+    )
+    assert got == expected, f"TTL horizon semantics diverged: {got[:8]}..."
+
+    # EVICTION proof, read from the checkpoint itself (Spark 4 state
+    # data source; the coordinator endpoint exists because this session
+    # just ran the drain): the X buckets' entries — winner 10 then 12 —
+    # must be GONE (watermark 700min passed C's 270min expiry at the
+    # G batch, which carried no X data, so the timers fired), leaving
+    # only E's and G's 16 buckets each, live because their expiries
+    # exceed the final watermark.
+    import glob
+
+    app = spark.sparkContext.applicationId
+    ckpt = sorted(glob.glob(os.path.join(TMP, f"stream_ckpt_test_mh_ttl_{app}")))[-1]
+    live = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select("value.groupState.winner_id")
+        .collect()
+    )
+    winners = sorted(r.winner_id for r in live)
+    assert winners == [14] * 16 + [15] * 16, (
+        f"expected only the Y/Z buckets live after eviction, got {winners}"
+    )
