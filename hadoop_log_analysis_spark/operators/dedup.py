@@ -280,13 +280,25 @@ def _ranked_token_sets(
     definition, so a change (e.g. a df cap for stop tokens) cannot
     desynchronize the two operators (r4 review finding).
 
-    Returns (id, ranks) with ranks ascending; the rank table is
-    vocabulary-sized and broadcast into the re-encode join.
+    Returns (id, ranks) with ranks ascending, MATERIALIZED via
+    localCheckpoint (r14 optimization, guide §2.4/§3.3): the consumers
+    self-join on this frame, and before materialization the whole
+    build — scan → tokenize → df groupBy → global-rank Window →
+    re-encode join → collect_list — was planned once PER SELF-JOIN
+    SIDE (plans/r14/q_set_similarity_join_before.txt operators 1–23 vs
+    24–47). The tokenize step is additionally referenced twice WITHIN
+    one build (df ranking + re-encode), so an expensive text
+    expression (the shingle corpus's 3-gram generation) ran 4x per
+    query. Two eager checkpoints — the tokenized sets, then the ranked
+    sets — make it run once; both frames are the distinct-token-set
+    projection of the corpus (far smaller than the text), and at scale
+    this is the guide §8 "decide over small rows" materialization, two
+    corpus passes instead of four.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
-    )
+    ).localCheckpoint(eager=True)
     df_rank = (
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -301,6 +313,78 @@ def _ranked_token_sets(
         .join(F.broadcast(df_rank), "tok")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
+        .localCheckpoint(eager=True)
+    )
+
+
+# Rank values 1..64 fit one signed-long bitmask (shiftleft(1L, 63) is
+# the sign bit; &, |, bit_count are sign-agnostic, so 64 is safe).
+_MASK_VOCAB_MAX = 64
+
+
+def _jaccard_prefix(
+    ranked: DataFrame, threshold: float, keep_cols: tuple = ("ranks",)
+) -> DataFrame:
+    """Prefix-exploded index for the Jaccard filter: one row per
+    (id, ranks, ptok) with ptok drawn from the first
+    |x| - ceil(t|x|) + 1 (rarest) ranks. ``widen``-ed before the
+    candidate self-join (r14): every exchange BELOW the explosion
+    carries only corpus-row-count-sized data, so AQE's advisory
+    coalescing legitimately shrinks it to ~1 partition — and the
+    multiplicative fan-out of the join happens ABOVE the last
+    exchange, where AQE cannot see it. Explicit round-robin
+    repartition up to defaultParallelism (a no-op whenever the input
+    is already wider, i.e. at real scale) spreads the fan-out across
+    the cores (guide §2.5 input-skew class).
+    """
+    from hadoop_log_analysis_spark.operators.partitioning import widen
+
+    return widen(
+        ranked.select(
+            "id",
+            *keep_cols,
+            F.explode(
+                F.slice(
+                    "ranks",
+                    1,
+                    (
+                        F.size("ranks")
+                        - F.ceil(F.size("ranks") * F.lit(threshold))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("ptok"),
+        )
+    )
+
+
+def _jaccard_prefix_pairs(ranked: DataFrame, threshold: float) -> DataFrame:
+    """PRE-DEDUP candidate pairs (a_id, b_id, a_ranks, b_ranks),
+    a_id < b_id, one row per shared prefix token: the provable
+    superset of qualifying pairs, before duplicate collapse."""
+    pref = _jaccard_prefix(ranked, threshold)
+    a = pref.select(
+        F.col("id").alias("a_id"), F.col("ranks").alias("a_ranks"), "ptok"
+    )
+    b = pref.select(
+        F.col("id").alias("b_id"), F.col("ranks").alias("b_ranks"), "ptok"
+    )
+    return (
+        a.join(b, "ptok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_ranks", "b_ranks")
+    )
+
+
+def _rank_mask() -> Column:
+    """Token set as a single long: bit (rank-1) set per member rank.
+    Only valid when every rank <= _MASK_VOCAB_MAX — callers must prove
+    that first (set/containment joins probe max(rank) from the
+    materialized rank frame, so the guarantee is by construction, not
+    by assumption)."""
+    return F.expr(
+        "aggregate(ranks, cast(0 as bigint), "
+        "(acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
     )
 
 
@@ -317,33 +401,8 @@ def set_similarity_candidates(
     (a_id, b_id, a_ranks, b_ranks), a_id < b_id, distinct — a provable
     superset of every pair with J >= threshold."""
     ranked = _ranked_token_sets(docs, text_col, id_col)
-    # Prefix length |x| - ceil(t|x|) + 1; explode only the prefix.
-    pref = ranked.select(
-        "id",
-        "ranks",
-        F.explode(
-            F.slice(
-                "ranks",
-                1,
-                (
-                    F.size("ranks")
-                    - F.ceil(F.size("ranks") * F.lit(threshold))
-                    + 1
-                ).cast("int"),
-            )
-        ).alias("ptok"),
-    )
-    a = pref.select(
-        F.col("id").alias("a_id"), F.col("ranks").alias("a_ranks"), "ptok"
-    )
-    b = pref.select(
-        F.col("id").alias("b_id"), F.col("ranks").alias("b_ranks"), "ptok"
-    )
-    return (
-        a.join(b, "ptok")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_ranks", "b_ranks")
-        .dropDuplicates(["a_id", "b_id"])
+    return _jaccard_prefix_pairs(ranked, threshold).dropDuplicates(
+        ["a_id", "b_id"]
     )
 
 
@@ -378,16 +437,113 @@ def set_similarity_join(
     prefix filtering degenerates toward all-pairs locally — the
     operator's win appears exactly on the Zipfian vocabularies it is
     built for.
+
+    r14 execution-shape optimizations (results byte-identical, proven
+    by the unchanged brute-force oracle):
+
+    * verify-before-dedup — the old candidates→dedup→verify order ran
+      ``dropDuplicates`` with ``first(array)`` aggregates, which are
+      not hash-aggregable, so Spark SORTED the full pre-dedup
+      candidate stream (112.6M wide rows at sf0.1). Verifying first
+      makes the dedup a plain HashAggregate over OUTPUT-sized
+      (a_id, b_id, jacc) rows; jacc is functionally determined by the
+      pair, so collapsing occurrences after the filter keeps exactly
+      the dedup-then-verify pair set.
+    * bitmask fast path — when the probed vocabulary fits 64 ranks
+      (max rank read from the materialized rank frame: by
+      construction, not assumption), each set rides the join as ONE
+      long and the verify is two bit_counts; |A∩B| and |A∪B| are the
+      same integers the array path produces, so the double division
+      and round(4) are bit-identical. Narrower rows through the
+      exchange (guide §2.3) exactly in the degenerate-vocabulary
+      regime where the candidate stream is largest. Above 64 ranks
+      the array path runs unchanged.
     """
-    cands = set_similarity_candidates(docs, threshold, text_col, id_col)
-    jacc = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
-        "double"
-    ) / F.size(F.array_union("a_ranks", "b_ranks")).cast("double")
-    return (
-        cands.withColumn("jacc", jacc)
-        .filter(F.col("jacc") >= threshold)
-        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
+    ranked = _ranked_token_sets(docs, text_col, id_col)
+    # Bounded driver action on the MATERIALIZED frame (no corpus
+    # rescan): ranks are sorted, so max(last element) is the vocab
+    # size actually in use.
+    n_vocab = (
+        ranked.agg(F.max(F.element_at("ranks", -1))).collect()[0][0] or 0
     )
+    if n_vocab <= _MASK_VOCAB_MAX:
+        pref = _jaccard_prefix(
+            ranked.select("id", "ranks", _rank_mask().alias("mask")),
+            threshold,
+            keep_cols=["mask"],
+        )
+        a = pref.select(
+            F.col("id").alias("a_id"), F.col("mask").alias("a_mask"), "ptok"
+        )
+        b = pref.select(
+            F.col("id").alias("b_id"), F.col("mask").alias("b_mask"), "ptok"
+        )
+        jacc = F.expr("bit_count(a_mask & b_mask)").cast("double") / F.expr(
+            "bit_count(a_mask | b_mask)"
+        ).cast("double")
+        verified = (
+            a.join(b, "ptok")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("jacc", jacc)
+        )
+    else:
+        jacc = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
+            "double"
+        ) / F.size(F.array_union("a_ranks", "b_ranks")).cast("double")
+        verified = _jaccard_prefix_pairs(ranked, threshold).withColumn(
+            "jacc", jacc
+        )
+    return (
+        verified.filter(F.col("jacc") >= threshold)
+        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def _containment_sides(
+    ranked: DataFrame, threshold: float, keep_cols: tuple
+) -> tuple[DataFrame, DataFrame]:
+    """The two exploded index sides of the containment filter over a
+    ranked frame carrying ``keep_cols`` payloads (ranks for the array
+    path, mask for the bitmask path): the A side explodes only its
+    prefix, the B side its FULL rank list, semi-join-pruned to tokens
+    that occur in some a-prefix. Both sides are ``widen``-ed for the
+    same AQE-coalesce-vs-join-fan-out reason as
+    :func:`_jaccard_prefix`."""
+    from hadoop_log_analysis_spark.operators.partitioning import widen
+
+    a_pref = widen(
+        ranked.select(
+            F.col("id").alias("a_id"),
+            *[F.col(c).alias(f"a_{c}") for c in keep_cols],
+            F.explode(
+                F.slice(
+                    "ranks",
+                    1,
+                    (
+                        F.size("ranks")
+                        - F.ceil(F.size("ranks") * F.lit(threshold))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("tok_rank"),
+        )
+    )
+    b_full = ranked.select(
+        F.col("id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in keep_cols],
+        F.explode("ranks").alias("tok_rank"),
+    )
+    # EXACT B-side prune: only tokens that occur in SOME a-prefix can
+    # generate a candidate, so the full-explode index semi-joins down
+    # to the distinct prefix-token set before the candidate join. The
+    # prefix side is rarest-first, so this drops precisely the high-df
+    # stop tokens whose index rows dominate the explode at scale — the
+    # safe form of the "cap stop-token buckets" mitigation (no recall
+    # loss; exactness still pinned by the brute-force-oracle tests).
+    pref_toks = a_pref.select("tok_rank").distinct()
+    b_full = widen(b_full.join(pref_toks, "tok_rank", "left_semi"))
+    return a_pref, b_full
 
 
 def containment_candidates(
@@ -402,35 +558,7 @@ def containment_candidates(
     (a_id, b_id, a_ranks, b_ranks), a_id != b_id, distinct — a
     provable superset of every pair with C(a, b) >= threshold."""
     ranked = _ranked_token_sets(docs, text_col, id_col)
-    a_pref = ranked.select(
-        F.col("id").alias("a_id"),
-        F.col("ranks").alias("a_ranks"),
-        F.explode(
-            F.slice(
-                "ranks",
-                1,
-                (
-                    F.size("ranks")
-                    - F.ceil(F.size("ranks") * F.lit(threshold))
-                    + 1
-                ).cast("int"),
-            )
-        ).alias("tok_rank"),
-    )
-    b_full = ranked.select(
-        F.col("id").alias("b_id"),
-        F.col("ranks").alias("b_ranks"),
-        F.explode("ranks").alias("tok_rank"),
-    )
-    # EXACT B-side prune: only tokens that occur in SOME a-prefix can
-    # generate a candidate, so the full-explode index semi-joins down
-    # to the distinct prefix-token set before the candidate join. The
-    # prefix side is rarest-first, so this drops precisely the high-df
-    # stop tokens whose index rows dominate the explode at scale — the
-    # safe form of the "cap stop-token buckets" mitigation (no recall
-    # loss; exactness still pinned by the brute-force-oracle tests).
-    pref_toks = a_pref.select("tok_rank").distinct()
-    b_full = b_full.join(pref_toks, "tok_rank", "left_semi")
+    a_pref, b_full = _containment_sides(ranked, threshold, ["ranks"])
     return (
         a_pref.join(b_full, "tok_rank")
         .filter(F.col("a_id") != F.col("b_id"))
@@ -467,13 +595,42 @@ def containment_join(
     tokens, so stop-token buckets are the hot spot — cap or pre-drop
     tokens with df above a bound (they cannot discriminate at high t)
     exactly as LSH bucket caps do.
+
+    r14 execution-shape optimizations: verify-before-dedup and the
+    vocab<=64 bitmask fast path, for exactly the reasons documented on
+    :func:`set_similarity_join` (same degenerate-vocabulary regime,
+    same byte-identical-output argument — |A∩B| and |A| are the same
+    integers under both representations).
     """
-    cands = containment_candidates(docs, threshold, text_col, id_col)
-    cont = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
-        "double"
-    ) / F.size("a_ranks").cast("double")
+    ranked = _ranked_token_sets(docs, text_col, id_col)
+    n_vocab = (
+        ranked.agg(F.max(F.element_at("ranks", -1))).collect()[0][0] or 0
+    )
+    if n_vocab <= _MASK_VOCAB_MAX:
+        enc = ranked.select("id", "ranks", _rank_mask().alias("mask"))
+        a_pref, b_full = _containment_sides(enc, threshold, ["mask"])
+        cont = F.expr("bit_count(a_mask & b_mask)").cast("double") / F.expr(
+            "bit_count(a_mask)"
+        ).cast("double")
+        verified = (
+            a_pref.join(b_full, "tok_rank")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .withColumn("containment", cont)
+        )
+    else:
+        a_pref, b_full = _containment_sides(ranked, threshold, ["ranks"])
+        cont = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
+            "double"
+        ) / F.size("a_ranks").cast("double")
+        verified = (
+            a_pref.join(b_full, "tok_rank")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .withColumn("containment", cont)
+        )
     return (
-        cands.withColumn("containment", cont)
-        .filter(F.col("containment") >= threshold)
-        .select("a_id", "b_id", F.round("containment", 4).alias("containment"))
+        verified.filter(F.col("containment") >= threshold)
+        .select(
+            "a_id", "b_id", F.round("containment", 4).alias("containment")
+        )
+        .dropDuplicates(["a_id", "b_id"])
     )

@@ -96,17 +96,31 @@ def top_bigram_frac(text_col: str = "text") -> Column:
 
     The token split is let-bound (singleton-array transform) and the
     mode is computed within-row over the bigram array — map-only, no
-    shuffle, O(distinct-bigrams^2) per row which is bounded by doc
-    length, not corpus size.
+    shuffle.
+
+    r14: the mode count is the longest equal-adjacent run of the
+    SORTED bigram array (one aggregate fold, O(n log n) per row) —
+    the original formulation filtered the whole bigram array once per
+    distinct bigram (O(distinct x slots) string comparisons per row,
+    ~38k for a 200-token doc), which dominated q_gopher_rules'
+    runtime (guide §1.2 step 2, per-task work). Identical integer
+    mode count, so the emitted fraction is bit-identical.
     """
     return F.expr(
         f"""
         transform(array(split({text_col}, ' ')), toks ->
           CASE WHEN size(toks) < 2 THEN 0.0D ELSE
-            transform(array(transform(sequence(1, size(toks) - 1),
-                        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))),
-              bg -> CAST(array_max(transform(array_distinct(bg),
-                           b -> size(filter(bg, x -> x = b)))) AS DOUBLE)
+            transform(array(array_sort(transform(sequence(1, size(toks) - 1),
+                        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))),
+              bg -> CAST(aggregate(bg,
+                           struct(CAST(NULL AS STRING) AS prev,
+                                  0 AS run, 0 AS best),
+                           (acc, x) -> CASE WHEN x = acc.prev THEN
+                               struct(x AS prev, acc.run + 1 AS run,
+                                      greatest(acc.best, acc.run + 1) AS best)
+                             ELSE struct(x AS prev, 1 AS run,
+                                         greatest(acc.best, 1) AS best) END,
+                           acc -> acc.best) AS DOUBLE)
                     / CAST(size(bg) AS DOUBLE))[0]
           END)[0]
         """

@@ -752,3 +752,38 @@ def test_ivf_topk_multi_matches_single_query_op(spark):
         .collect()
     ]
     assert multi == single
+
+
+def test_top_bigram_frac_runlength_mode_exact(spark):
+    """r14 optimization guard: top_bigram_frac's within-row mode is now
+    the longest equal-adjacent run of the SORTED bigram array (O(n log
+    n)) instead of one filter pass per distinct bigram (O(n^2)); pin
+    equality with the brute-force mode on ties, total repeats,
+    single-token docs, and doubled-space empty tokens."""
+    from collections import Counter
+
+    from hadoop_log_analysis_spark.operators import text as TXT
+
+    rows = [
+        (1, "a b a b a c"),
+        (2, "x"),
+        (3, "t t t t"),
+        (4, "a b c d"),
+        (5, "q  w q  w"),
+        (6, "z z y y z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", TXT.top_bigram_frac().alias("f")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        if len(toks) < 2:
+            want = 0.0
+        else:
+            bg = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+            want = max(Counter(bg).values()) / len(bg)
+        assert abs(got[doc_id] - want) < 1e-12, (doc_id, got[doc_id], want)

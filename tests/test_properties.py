@@ -957,6 +957,90 @@ def test_set_similarity_prefix_filter_prunes_zipfian_corpus(spark):
     )
 
 
+def test_prefix_filter_mask_path_boundary(spark):
+    """r14 optimization guard: set_similarity_join/containment_join
+    switch to a single-long bitmask verify when the probed vocabulary
+    fits 64 ranks. Pin (a) exactness against brute force at vocab =
+    EXACTLY 64, where the top rank occupies the sign bit — the
+    encoding's edge; (b) that adding one 65th token flips the SAME
+    corpus to the array path with identical results on the original
+    ids (mask path ≡ array path, data-adaptively chosen); (c) the
+    plan really switches (bit_count present iff the mask path ran)."""
+    import itertools
+
+    from hadoop_log_analysis_spark.operators.dedup import (
+        containment_join,
+        set_similarity_join,
+    )
+
+    V = 64
+
+    def toks_of(i: int) -> list[str]:
+        # every token k appears in ~min(1, 8/k) of docs; token 64
+        # (rarest, rank 64 -> sign bit) appears in a few docs
+        return [
+            f"w{k:02d}"
+            for k in range(1, V + 1)
+            if (i * 2654435761 + k * 40503) % max(k, 8) < 8
+        ] or ["w01"]
+
+    docs_py = []
+    for i in range(60):
+        t = toks_of(i)
+        docs_py.append((i, " ".join(t)))
+        if i % 3 == 0 and len(t) >= 10:
+            docs_py.append((1000 + i, " ".join(t[: int(len(t) * 0.9)])))
+    # force full-vocab coverage so max rank is exactly 64
+    docs_py.append((5000, " ".join(f"w{k:02d}" for k in range(1, V + 1))))
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+    sets = {i: set(s.split(" ")) for i, s in docs_py}
+
+    got_j = set_similarity_join(docs, 0.5)
+    assert "bit_count" in got_j._jdf.queryExecution().analyzed().toString()
+    got_jacc = {(r.a_id, r.b_id): r.jacc for r in got_j.collect()}
+    want_jacc = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+    }
+    assert set(got_jacc) == set(want_jacc) and want_jacc
+    assert all(
+        abs(got_jacc[p] - want_jacc[p]) < 5e-5 for p in want_jacc
+    )
+
+    got_c = containment_join(docs, 0.9)
+    assert "bit_count" in got_c._jdf.queryExecution().analyzed().toString()
+    got_cont = {(r.a_id, r.b_id): r.containment for r in got_c.collect()}
+    want_cont = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a])
+        for a, b in itertools.permutations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+    }
+    assert set(got_cont) == set(want_cont) and want_cont
+    assert all(
+        abs(got_cont[p] - want_cont[p]) < 5e-5 for p in want_cont
+    )
+
+    # one 65-rank doc flips the whole corpus to the array path; the
+    # original pairs must come out identical (path equivalence)
+    wide = spark.createDataFrame(
+        docs_py + [(6000, " ".join(f"x{k}" for k in range(1, 66)))],
+        "doc_id long, text string",
+    )
+    wide_j = set_similarity_join(wide, 0.5)
+    assert "bit_count" not in wide_j._jdf.queryExecution().analyzed().toString()
+    wide_jacc = {
+        (r.a_id, r.b_id): r.jacc for r in wide_j.collect() if r.a_id != 6000
+    }
+    assert wide_jacc == got_jacc
+    wide_cont = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_join(wide, 0.9).collect()
+        if r.a_id != 6000 and r.b_id != 6000
+    }
+    assert wide_cont == got_cont
+
+
 def test_cms_overestimates_within_epsilon_bound(spark):
     """Count-Min sketch law on real keys: the estimate NEVER
     undercounts (min over d rows of an overcounting cell), and the
