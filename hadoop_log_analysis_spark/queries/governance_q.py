@@ -516,35 +516,42 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
         )
     )
-    neg = (
-        pairs.filter(F.col("label") != F.col("qlab"))
-        .groupBy("qid")
+    # r14 OPTIMIZATION (guide §2.3 "aggregate before you shuffle" /
+    # §2.4): the neg and pos branches each re-ran the full
+    # |corpus| x |queries| cosine pass (two separate subtrees over the
+    # broadcast cross join — map-side, so no Exchange for runtime
+    # reuse to share) and met again in a join. One conditional
+    # aggregation computes both maxima in a single pass over the
+    # scored stream with no join — at scale that halves the dominant
+    # cost (the corpus-side cosine scan). max(when(...)) is NULL
+    # exactly when a branch has no rows, so the non-NULL filter
+    # reproduces the inner join's qid set; the aggregated values are
+    # the same maxima over the same 6-dp-rounded sims.
+    both = (
+        pairs.groupBy("qid")
         .agg(
             F.max(
-                F.struct(
-                    F.col("sim").alias("s"), (-F.col("vec_id")).alias("nid")
+                F.when(
+                    F.col("label") != F.col("qlab"),
+                    F.struct(
+                        F.col("sim").alias("s"),
+                        (-F.col("vec_id")).alias("nid"),
+                    ),
                 )
-            ).alias("m")
+            ).alias("m"),
+            F.max(
+                F.when(F.col("label") == F.col("qlab"), F.col("sim"))
+            ).alias("pos_sim"),
         )
-        .select(
-            "qid",
-            (-F.col("m.nid")).alias("hard_neg_id"),
-            F.col("m.s").alias("neg_sim"),
-        )
-    )
-    pos = (
-        pairs.filter(F.col("label") == F.col("qlab"))
-        .groupBy("qid")
-        .agg(F.max("sim").alias("pos_sim"))
+        .filter(F.col("m").isNotNull() & F.col("pos_sim").isNotNull())
     )
     return (
-        neg.join(pos, "qid")
-        .select(
+        both.select(
             "qid",
-            "hard_neg_id",
-            F.round("neg_sim", 6).alias("hard_neg_sim"),
+            (-F.col("m.nid")).alias("hard_neg_id"),
+            F.round(F.col("m.s"), 6).alias("hard_neg_sim"),
             F.round("pos_sim", 6).alias("best_pos_sim"),
-            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+            F.round(F.col("pos_sim") - F.col("m.s"), 6).alias("margin"),
         )
         .orderBy("qid")
     )

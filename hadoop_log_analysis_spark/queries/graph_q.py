@@ -718,11 +718,20 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_t = e.groupBy("tok").agg(F.count("*").alias("d"))
-    n_docs = e.select("doc_id").distinct().count()
+    # r14 OPTIMIZATION (guide §2.4 / §5 driver): n_docs was a DRIVER
+    # count() action — a separate execution, so the corpus explode +
+    # distinct ran once for it and again for the query itself
+    # (runtime Exchange reuse is per-execution and cannot span
+    # actions; at 100 TB the action is a wasted full corpus pass).
+    # As a broadcast 1-row aggregate the band filter stays fully lazy
+    # inside the one execution, where every e-subtree shares the
+    # reused distinct Exchange. 0.9 * n_docs is the same double
+    # arithmetic on the same exact count either way.
+    n_docs = e.agg(F.countDistinct("doc_id").alias("n_docs"))
     ek = e.join(
-        df_t.filter(
-            (F.col("d") >= 2) & (F.col("d") <= 0.9 * n_docs)
-        ).select("tok", "d"),
+        df_t.crossJoin(F.broadcast(n_docs))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 0.9 * F.col("n_docs")))
+        .select("tok", "d"),
         "tok",
     )
     a1 = ek.groupBy("tok").agg((F.count("*") * 1.0).alias("s"))

@@ -41,13 +41,26 @@ def format_events_as_log_lines(events: DataFrame) -> DataFrame:
 
 def parse_app_log(lines: DataFrame) -> DataFrame:
     """S3: regex-parse app-log lines to typed columns; non-matching
-    (malformed) lines are dropped."""
+    (malformed) lines are dropped.
+
+    r14 OPTIMIZATION (guide §1.2 step 2, per-task work): the original
+    extraction ran the full regex FIVE times per line (one rlike + one
+    regexp_extract per column). The rlike filter stays the single
+    source of truth for what counts as well-formed; on a line it
+    accepts, the four capture groups are exactly the 2nd..5th fields
+    of a 5-limit pipe split (groups 1-3 cannot contain '|' — \\d+ and
+    [a-z]+ — so the first four pipes ARE the delimiters, and group 4
+    greedily spans everything after the fourth pipe, which is
+    precisely the split remainder). One regex + one split per line
+    instead of five regex passes.
+    """
     matched = lines.filter(F.col("value").rlike(APP_LOG_PATTERN))
+    parts = F.split("value", r"\|", 5)
     return matched.select(
-        F.regexp_extract("value", APP_LOG_PATTERN, 1).cast("long").alias("event_id"),
-        F.regexp_extract("value", APP_LOG_PATTERN, 2).cast("long").alias("user_id"),
-        F.regexp_extract("value", APP_LOG_PATTERN, 3).alias("event_type"),
-        F.regexp_extract("value", APP_LOG_PATTERN, 4).alias("props"),
+        F.element_at(parts, 2).cast("long").alias("event_id"),
+        F.element_at(parts, 3).cast("long").alias("user_id"),
+        F.element_at(parts, 4).alias("event_type"),
+        F.element_at(parts, 5).alias("props"),
     )
 
 

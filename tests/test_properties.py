@@ -2775,3 +2775,44 @@ def test_stream_bucket_seconds_env_validated(monkeypatch):
         monkeypatch.setenv("HLA_STREAM_BUCKET_SECONDS", bad)
         with _pytest.raises(ValueError):
             bucket_seconds_env(3600)
+
+
+def test_parse_app_log_split_extraction_matches_regex_groups(spark):
+    """r14 optimization pin: parse_app_log now extracts fields with one
+    5-limit pipe split after the (unchanged) rlike gate instead of four
+    regexp_extract passes. On every line the gate accepts, the split
+    fields must equal the regex capture groups — including props
+    payloads that CONTAIN pipes/braces (the greedy group-4 case) — and
+    the gate itself must keep dropping the malformed classes."""
+    import re
+
+    from hadoop_log_analysis_spark.sources.logs import (
+        APP_LOG_PATTERN,
+        parse_app_log,
+    )
+
+    lines = [
+        'evt|1|2|click|{"k": 1}',                  # plain
+        'evt|3|4|view|{"path": "a|b|c"}',          # pipes INSIDE props
+        'evt|5|6|purchase|{"nest": {"x": 2}}',     # braces inside props
+        "evt|7|8|signup|{}",                       # minimal props
+        'evt|9|10|view|{"trail": "}|{"}',          # brace-pipe soup
+        "evt|11|12|Click|{}",                      # uppercase type: drop
+        "evt|x|2|click|{}",                        # non-digit id: drop
+        "evt|1|2|click|nojson",                    # props not {...}: drop
+        "evt|1|2|click",                           # missing field: drop
+        "",                                        # empty: drop
+        "this is not a log line",                  # garbage: drop
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.props)
+        for r in parse_app_log(df).collect()
+    }
+    pat = re.compile(APP_LOG_PATTERN)
+    want = {
+        int(m.group(1)): (int(m.group(2)), m.group(3), m.group(4))
+        for ln in lines
+        if (m := pat.fullmatch(ln))
+    }
+    assert got == want and len(want) == 5
