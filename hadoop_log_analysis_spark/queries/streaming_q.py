@@ -256,8 +256,31 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     this documented fallback remains the T6 implementation."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    drop = derive_drop_dir(spark, sf_dir)
-    events = read_events_stream(spark, drop, max_files_per_trigger=1)
+    # r14 OPTIMIZATION (guide §1.2 step 2 / the q_stream_minhash_dedup
+    # sizing law): this drain's cost is per-GROUP Python stateful-
+    # runner overhead — every user present in a batch is one Python
+    # call — which parallelizes with state-task count and shrinks
+    # with batch count (each user re-emits per batch). Replay knobs
+    # (default = the parity-tested 8-file/mFPT=1 cadence) follow the
+    # stream-stream join's pattern; the drained answer is
+    # max(running count) per user = the final total, so it is
+    # batching- AND partition-count-invariant (driver hash parity is
+    # the oracle; re-verified at 4 replay/partition configs incl. 1-
+    # and 2-batch folds). Measured at sf0.1, med-of-3: 12.1 s (8
+    # batches x 8 state tasks) -> 9.7 s (default replay, 32 tasks)
+    # -> 1.7 s (folded replay via the envs, 32 tasks).
+    n_files = int(os.environ.get("HLA_STREAM_COUNTS_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_COUNTS_MFPT", "1"))
+    state_parts = int(
+        os.environ.get("HLA_STREAM_COUNTS_STATE_PARTITIONS", "32")
+    )
+    if n_files < 1 or mfpt < 1 or state_parts < 1:
+        raise ValueError(
+            "HLA_STREAM_COUNTS_DROP_FILES/_MFPT/_STATE_PARTITIONS must "
+            f"be >= 1, got {n_files}/{mfpt}/{state_parts}"
+        )
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    events = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     updates = events.groupBy("user_id").applyInPandasWithState(
         _count_state_fn,
         outputStructType=_T6_OUT_SCHEMA,
@@ -265,7 +288,9 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_table(updates, "t6_stateful", "update")
+    out = run_to_table(
+        updates, "t6_stateful", "update", state_partitions=state_parts
+    )
     return (
         out.groupBy("user_id").agg(F.max("n_so_far").alias("n")).orderBy("user_id")
     )
@@ -1229,8 +1254,32 @@ def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    drop = derive_drop_dir(spark, sf_dir)
-    ev = read_events_stream(spark, drop, max_files_per_trigger=1)
+    # r14 OPTIMIZATION: same cost law and same knobs as
+    # q_stream_stateful_counts — per-group Python overhead x batch
+    # count dominates (every user re-emits per batch). Folding the
+    # replay is sound HERE because the state fn sorts each batch's
+    # rows by (ts, event_id) before appending (the concatenated seq
+    # string is identical under any batching of the time-ordered
+    # files) and the drained answer takes the per-user max of
+    # emissions, which the docstring's monotonicity argument makes
+    # the final value under every cadence. Partition count only moves
+    # WHERE a user's state lives. Driver hash parity is the oracle
+    # (re-verified at 4 replay/partition configs incl. 1- and 2-batch
+    # folds). Measured at sf0.1, med-of-3: 12.1 s (8 batches x 8
+    # state tasks) -> 9.6 s (default replay, 32 tasks) -> 1.8 s
+    # (folded replay via the envs, 32 tasks).
+    n_files = int(os.environ.get("HLA_STREAM_SEQ_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_SEQ_MFPT", "1"))
+    state_parts = int(
+        os.environ.get("HLA_STREAM_SEQ_STATE_PARTITIONS", "32")
+    )
+    if n_files < 1 or mfpt < 1 or state_parts < 1:
+        raise ValueError(
+            "HLA_STREAM_SEQ_DROP_FILES/_MFPT/_STATE_PARTITIONS must "
+            f"be >= 1, got {n_files}/{mfpt}/{state_parts}"
+        )
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    ev = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     updates = ev.groupBy("user_id").applyInPandasWithState(
         _seq_state_fn,
         outputStructType=_SEQ_OUT_SCHEMA,
@@ -1238,7 +1287,9 @@ def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_table(updates, "t6_stream_seq", "update")
+    out = run_to_table(
+        updates, "t6_stream_seq", "update", state_partitions=state_parts
+    )
     return (
         out.groupBy("user_id")
         .agg(

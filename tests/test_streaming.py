@@ -401,3 +401,37 @@ def test_stream_minhash_dedup_ttl_horizon(spark):
     assert winners == [14] * 16 + [15] * 16, (
         f"expected only the Y/Z buckets live after eviction, got {winners}"
     )
+
+
+@pytest.mark.parametrize(
+    "qname, env_prefix",
+    [
+        ("q_stream_stateful_counts", "HLA_STREAM_COUNTS"),
+        ("q_stream_sequence_match", "HLA_STREAM_SEQ"),
+    ],
+)
+def test_stateful_pair_parity_at_folded_replay(spark, monkeypatch, qname,
+                                               env_prefix):
+    """r14 optimization pin: the two applyInPandasWithState drains got
+    the q_stream_minhash_dedup treatment (per-query state-partition
+    sizing + replay-fold knobs — their cost is per-group Python calls
+    x batch count). The drained answer is a per-user max of monotone
+    running values, so it must be batching-invariant; this pins the
+    FOLDED replay (2 files, mFPT=3 — one microbatch, the measurement
+    config) against the DuckDB oracle with the driver's exact
+    comparator, so a regression in the in-batch (ts, event_id) sort or
+    the monotonicity argument desyncs loudly. Also pins the loud
+    validation of the new knobs."""
+    from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
+
+    monkeypatch.setenv(f"{env_prefix}_DROP_FILES", "2")
+    monkeypatch.setenv(f"{env_prefix}_MFPT", "3")
+    monkeypatch.setenv(f"{env_prefix}_STATE_PARTITIONS", "4")
+    spec = REGISTRY[qname]
+    got = spec.fn(spark, SF001).toPandas()
+    want = run_oracle(spec.oracle, SF001)
+    problems = compare_frames(got, want)
+    assert not problems, f"folded stateful drain desynced: {problems}"
+    monkeypatch.setenv(f"{env_prefix}_STATE_PARTITIONS", "0")
+    with pytest.raises(ValueError):
+        spec.fn(spark, SF001)
