@@ -435,3 +435,24 @@ def test_stateful_pair_parity_at_folded_replay(spark, monkeypatch, qname,
     monkeypatch.setenv(f"{env_prefix}_STATE_PARTITIONS", "0")
     with pytest.raises(ValueError):
         spec.fn(spark, SF001)
+
+
+def test_stream_dedup_parity_at_folded_replay(spark, monkeypatch):
+    """r14 optimization pin: q_stream_dedup's replay-fold knobs. Every
+    injected duplicate shares its original's event time and file
+    slice, so folding only narrows the watermark movement between
+    original and dup — the drained set must stay the unique rows.
+    Pins the folded cadence against the DuckDB oracle with the
+    driver's comparator, plus the loud knob validation."""
+    from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
+
+    monkeypatch.setenv("HLA_STREAM_T5_DEDUP_DROP_FILES", "2")
+    monkeypatch.setenv("HLA_STREAM_T5_DEDUP_MFPT", "3")
+    spec = REGISTRY["q_stream_dedup"]
+    got = spec.fn(spark, SF001).toPandas()
+    want = run_oracle(spec.oracle, SF001)
+    problems = compare_frames(got, want)
+    assert not problems, f"folded dedup drain desynced: {problems}"
+    monkeypatch.setenv("HLA_STREAM_T5_DEDUP_MFPT", "0")
+    with pytest.raises(ValueError):
+        spec.fn(spark, SF001)
