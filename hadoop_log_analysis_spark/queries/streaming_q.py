@@ -65,6 +65,26 @@ def _us(col):
     return F.unix_micros(col)
 
 
+def _complete_mode_replay() -> tuple[int, int]:
+    """r14 OPTIMIZATION: shared replay-fold knobs for the COMPLETE-mode,
+    no-watermark drains (q_stream_hourly_errors, q_stream_sliding_counts,
+    q_stream_sessions, q_stream_ohlc). Complete mode re-emits the full
+    aggregate each batch and holds no watermark, so the drained result
+    is a pure function of the total replayed data — batching-invariant
+    by the same law the r8 PSI fold used ("complete-mode agg has no
+    watermark, its drained result is batching-invariant"). Defaults =
+    the parity-tested 8-file/mFPT=1 cadence; measurement configs fold.
+    Loud validation per the repo's env-knob discipline."""
+    n_files = int(os.environ.get("HLA_STREAM_COMPLETE_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_COMPLETE_MFPT", "1"))
+    if n_files < 1 or mfpt < 1:
+        raise ValueError(
+            "HLA_STREAM_COMPLETE_DROP_FILES/_MFPT must be >= 1, "
+            f"got {n_files}/{mfpt}"
+        )
+    return n_files, mfpt
+
+
 @query(
     "q_stream_hourly_errors",
     oracle="""
@@ -79,8 +99,9 @@ def _us(col):
 def q_stream_hourly_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7+T1: tumbling 1-hour window over the error stream, complete
     mode (all windows retained -> deterministic == batch answer)."""
-    drop = derive_drop_dir(spark, sf_dir)
-    events = read_events_stream(spark, drop)
+    n_files, mfpt = _complete_mode_replay()
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    events = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     agg = (
         events.filter(F.col("event_type") == "error")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -106,8 +127,9 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: sliding window (1 h width / 15 min slide) event counts,
     complete mode. Each event lands in 4 overlapping windows; the
     oracle enumerates the same 4 window starts per event."""
-    drop = derive_drop_dir(spark, sf_dir)
-    events = read_events_stream(spark, drop)
+    n_files, mfpt = _complete_mode_replay()
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    events = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     agg = (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
@@ -144,8 +166,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin of batch W6 sessionization, and the oracle IS the
     batch formulation (lag -> break -> running sum -> agg). Spark's
     session_window end = last event + gap, mirrored as +1800000000 µs."""
-    drop = derive_drop_dir(spark, sf_dir)
-    events = read_events_stream(spark, drop)
+    n_files, mfpt = _complete_mode_replay()
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    events = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     agg = (
         events.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -1356,8 +1379,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain IS µs, so the fold multiplies the raw epoch (safe: 1.7e17
     < 2^63).
     """
-    drop = derive_drop_dir(spark, sf_dir)
-    events = read_events_stream(spark, drop)
+    n_files, mfpt = _complete_mode_replay()
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    events = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     k = subus_key(F.unix_micros(F.col("ts")))
     agg = (
         events.filter(F.col("event_type") == "purchase")

@@ -456,3 +456,33 @@ def test_stream_dedup_parity_at_folded_replay(spark, monkeypatch):
     monkeypatch.setenv("HLA_STREAM_T5_DEDUP_MFPT", "0")
     with pytest.raises(ValueError):
         spec.fn(spark, SF001)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_stream_hourly_errors",
+        "q_stream_sliding_counts",
+        "q_stream_sessions",
+        "q_stream_ohlc",
+    ],
+)
+def test_complete_mode_parity_at_folded_replay(spark, monkeypatch, qname):
+    """r14 optimization pin: the complete-mode, no-watermark drains
+    share HLA_STREAM_COMPLETE_{DROP_FILES,MFPT} (the r8 PSI law —
+    complete mode re-emits the full aggregate and holds no watermark,
+    so the drained result is a pure function of the total replayed
+    data). Pins the folded cadence against the DuckDB oracle with the
+    driver's comparator, plus the loud knob validation."""
+    from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
+
+    monkeypatch.setenv("HLA_STREAM_COMPLETE_DROP_FILES", "2")
+    monkeypatch.setenv("HLA_STREAM_COMPLETE_MFPT", "3")
+    spec = REGISTRY[qname]
+    got = spec.fn(spark, SF001).toPandas()
+    want = run_oracle(spec.oracle, SF001)
+    problems = compare_frames(got, want)
+    assert not problems, f"folded complete-mode drain desynced: {problems}"
+    monkeypatch.setenv("HLA_STREAM_COMPLETE_MFPT", "-1")
+    with pytest.raises(ValueError):
+        spec.fn(spark, SF001)
