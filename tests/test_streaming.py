@@ -486,3 +486,24 @@ def test_complete_mode_parity_at_folded_replay(spark, monkeypatch, qname):
     monkeypatch.setenv("HLA_STREAM_COMPLETE_MFPT", "-1")
     with pytest.raises(ValueError):
         spec.fn(spark, SF001)
+
+
+def test_stream_heavy_hitters_parity_at_folded_replay(spark, monkeypatch):
+    """r14 optimization pin: q_stream_heavy_hitters' fold knobs.
+    Misra-Gries emissions are cadence-dependent, but the exact recount
+    thresholded at n/(k+1) filters extra candidates and the MG
+    guarantee puts every true heavy hitter in any cadence's final
+    state — so the drained ANSWER must be cadence-invariant. Pins the
+    folded cadence against the oracle + the loud knob validation."""
+    from hadoop_log_analysis_spark.oracle import compare_frames, run_oracle
+
+    monkeypatch.setenv("HLA_STREAM_HH_DROP_FILES", "2")
+    monkeypatch.setenv("HLA_STREAM_HH_MFPT", "3")
+    spec = REGISTRY["q_stream_heavy_hitters"]
+    got = spec.fn(spark, SF001).toPandas()
+    want = run_oracle(spec.oracle, SF001)
+    problems = compare_frames(got, want)
+    assert not problems, f"folded MG drain desynced: {problems}"
+    monkeypatch.setenv("HLA_STREAM_HH_DROP_FILES", "0")
+    with pytest.raises(ValueError):
+        spec.fn(spark, SF001)
