@@ -323,7 +323,10 @@ _MASK_VOCAB_MAX = 64
 
 
 def _jaccard_prefix(
-    ranked: DataFrame, threshold: float, keep_cols: tuple = ("ranks",)
+    ranked: DataFrame,
+    threshold: float,
+    keep_cols: tuple = ("ranks",),
+    with_prefix_mask: bool = False,
 ) -> DataFrame:
     """Prefix-exploded index for the Jaccard filter: one row per
     (id, ranks, ptok) with ptok drawn from the first
@@ -336,25 +339,50 @@ def _jaccard_prefix(
     repartition up to defaultParallelism (a no-op whenever the input
     is already wider, i.e. at real scale) spreads the fan-out across
     the cores (guide §2.5 input-skew class).
+
+    ``with_prefix_mask`` additionally emits ``pmask``, the bitmask of
+    the row's prefix ranks, for the min-shared-bit candidate
+    uniqueness filter (bitmask path only; requires ranks <= 64).
     """
     from hadoop_log_analysis_spark.operators.partitioning import widen
 
-    return widen(
-        ranked.select(
-            "id",
-            *keep_cols,
-            F.explode(
-                F.slice(
-                    "ranks",
-                    1,
-                    (
-                        F.size("ranks")
-                        - F.ceil(F.size("ranks") * F.lit(threshold))
-                        + 1
-                    ).cast("int"),
-                )
-            ).alias("ptok"),
+    pranks = F.slice(
+        "ranks",
+        1,
+        (
+            F.size("ranks") - F.ceil(F.size("ranks") * F.lit(threshold)) + 1
+        ).cast("int"),
+    )
+    base = ranked.select("id", *keep_cols, pranks.alias("_pranks"))
+    out_cols = ["id", *keep_cols]
+    if with_prefix_mask:
+        base = base.withColumn(
+            "pmask",
+            F.expr(
+                "aggregate(_pranks, cast(0 as bigint), "
+                "(acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
+            ),
         )
+        out_cols.append("pmask")
+    return widen(base.select(*out_cols, F.explode("_pranks").alias("ptok")))
+
+
+def _is_min_shared_bit(tok_col: str, shared: Column) -> Column:
+    """True iff ``tok_col``'s bit is the LEAST set bit of ``shared``
+    (v & -v isolates the lowest set bit for every two's-complement
+    long, sign bit included — the vocab-64 boundary test pins that
+    edge). Applied to a prefix-token candidate join where ``shared``
+    is the bitmask of the pair's shared indexed tokens, this keeps
+    EXACTLY ONE join row per candidate pair — the occurrence at the
+    pair's minimal shared rank — so the downstream per-pair
+    ``dropDuplicates`` (a full-width HashAggregate + exchange over the
+    candidate stream, the dominant cost in the degenerate-vocabulary
+    regime) becomes unnecessary: uniqueness holds by construction.
+    ``shared`` is never 0 on a joined row (the join key itself is a
+    shared indexed token), so no pair is dropped entirely."""
+    return (
+        F.expr(f"shiftleft(cast(1 as bigint), {tok_col} - 1)")
+        == shared.bitwiseAND(-shared)
     )
 
 
@@ -458,6 +486,13 @@ def set_similarity_join(
       exchange (guide §2.3) exactly in the degenerate-vocabulary
       regime where the candidate stream is largest. Above 64 ranks
       the array path runs unchanged.
+    * min-shared-bit uniqueness (see :func:`_is_min_shared_bit`) — on
+      the bitmask path each candidate pair survives the join exactly
+      once, so the final ``dropDuplicates`` disappears: at sf0.1 that
+      aggregate consumed ~80M qualifying-occurrence rows to produce
+      8.9M pairs and dominated the runtime (measured 13.2 → 2.4 s
+      med-of-3, scripts/probe_setsim2.py). The array path keeps the
+      dedup (no mask to take a least bit of).
     """
     ranked = _ranked_token_sets(docs, text_col, id_col)
     # Bounded driver action on the MATERIALIZED frame (no corpus
@@ -471,21 +506,38 @@ def set_similarity_join(
             ranked.select("id", "ranks", _rank_mask().alias("mask")),
             threshold,
             keep_cols=["mask"],
+            with_prefix_mask=True,
         )
         a = pref.select(
-            F.col("id").alias("a_id"), F.col("mask").alias("a_mask"), "ptok"
+            F.col("id").alias("a_id"),
+            F.col("mask").alias("a_mask"),
+            F.col("pmask").alias("a_pmask"),
+            "ptok",
         )
         b = pref.select(
-            F.col("id").alias("b_id"), F.col("mask").alias("b_mask"), "ptok"
+            F.col("id").alias("b_id"),
+            F.col("mask").alias("b_mask"),
+            F.col("pmask").alias("b_pmask"),
+            "ptok",
         )
         jacc = F.expr("bit_count(a_mask & b_mask)").cast("double") / F.expr(
             "bit_count(a_mask | b_mask)"
         ).cast("double")
+        # min-shared-bit uniqueness (r14): the shared INDEXED tokens of
+        # a candidate pair are exactly a_pmask & b_pmask (both sides
+        # explode their prefix), so keeping the occurrence at the least
+        # shared bit yields each pair once — no per-pair dedup needed.
         verified = (
             a.join(b, "ptok")
             .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                _is_min_shared_bit(
+                    "ptok", F.col("a_pmask").bitwiseAND(F.col("b_pmask"))
+                )
+            )
             .withColumn("jacc", jacc)
         )
+        pair_unique = True
     else:
         jacc = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
             "double"
@@ -493,29 +545,31 @@ def set_similarity_join(
         verified = _jaccard_prefix_pairs(ranked, threshold).withColumn(
             "jacc", jacc
         )
-    return (
-        verified.filter(F.col("jacc") >= threshold)
-        .select("a_id", "b_id", F.round("jacc", 4).alias("jacc"))
-        .dropDuplicates(["a_id", "b_id"])
+        pair_unique = False
+    out = verified.filter(F.col("jacc") >= threshold).select(
+        "a_id", "b_id", F.round("jacc", 4).alias("jacc")
     )
+    return out if pair_unique else out.dropDuplicates(["a_id", "b_id"])
 
 
 def _containment_sides(
-    ranked: DataFrame, threshold: float, keep_cols: tuple
+    ranked: DataFrame, threshold: float, keep_cols: tuple, a_extra: tuple = ()
 ) -> tuple[DataFrame, DataFrame]:
     """The two exploded index sides of the containment filter over a
     ranked frame carrying ``keep_cols`` payloads (ranks for the array
     path, mask for the bitmask path): the A side explodes only its
     prefix, the B side its FULL rank list, semi-join-pruned to tokens
-    that occur in some a-prefix. Both sides are ``widen``-ed for the
-    same AQE-coalesce-vs-join-fan-out reason as
+    that occur in some a-prefix. ``a_extra`` columns ride the A side
+    only (the prefix mask for min-shared-bit uniqueness — the B side
+    must not pay for columns it never reads). Both sides are
+    ``widen``-ed for the same AQE-coalesce-vs-join-fan-out reason as
     :func:`_jaccard_prefix`."""
     from hadoop_log_analysis_spark.operators.partitioning import widen
 
     a_pref = widen(
         ranked.select(
             F.col("id").alias("a_id"),
-            *[F.col(c).alias(f"a_{c}") for c in keep_cols],
+            *[F.col(c).alias(f"a_{c}") for c in (*keep_cols, *a_extra)],
             F.explode(
                 F.slice(
                     "ranks",
@@ -596,27 +650,51 @@ def containment_join(
     tokens with df above a bound (they cannot discriminate at high t)
     exactly as LSH bucket caps do.
 
-    r14 execution-shape optimizations: verify-before-dedup and the
-    vocab<=64 bitmask fast path, for exactly the reasons documented on
-    :func:`set_similarity_join` (same degenerate-vocabulary regime,
-    same byte-identical-output argument — |A∩B| and |A| are the same
-    integers under both representations).
+    r14 execution-shape optimizations: verify-before-dedup, the
+    vocab<=64 bitmask fast path, and min-shared-bit candidate
+    uniqueness on that path (shared bits = a_pmask & b_mask here — A
+    contributes only its indexed prefix, B its full set), for exactly
+    the reasons documented on :func:`set_similarity_join` (same
+    degenerate-vocabulary regime, same byte-identical-output argument
+    — |A∩B| and |A| are the same integers under both representations).
     """
     ranked = _ranked_token_sets(docs, text_col, id_col)
     n_vocab = (
         ranked.agg(F.max(F.element_at("ranks", -1))).collect()[0][0] or 0
     )
     if n_vocab <= _MASK_VOCAB_MAX:
-        enc = ranked.select("id", "ranks", _rank_mask().alias("mask"))
-        a_pref, b_full = _containment_sides(enc, threshold, ["mask"])
+        pmask = F.expr(
+            "aggregate(slice(ranks, 1, cast(size(ranks)"
+            f" - ceil(size(ranks) * {threshold}) + 1 as int)),"
+            " cast(0 as bigint),"
+            " (acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
+        )
+        enc = ranked.select(
+            "id", "ranks", _rank_mask().alias("mask"), pmask.alias("pmask")
+        )
+        a_pref, b_full = _containment_sides(
+            enc, threshold, ["mask"], a_extra=("pmask",)
+        )
         cont = F.expr("bit_count(a_mask & b_mask)").cast("double") / F.expr(
             "bit_count(a_mask)"
         ).cast("double")
+        # min-shared-bit uniqueness (r14): a candidate pair's joined
+        # occurrences are exactly the tokens of prefix(A) ∩ B =
+        # a_pmask & b_mask (the B-side semi-prune only removes tokens
+        # outside EVERY a-prefix, so it never removes a member of this
+        # pair's intersection), so keeping the least shared bit yields
+        # each (a, b) once — no per-pair dedup needed.
         verified = (
             a_pref.join(b_full, "tok_rank")
             .filter(F.col("a_id") != F.col("b_id"))
+            .filter(
+                _is_min_shared_bit(
+                    "tok_rank", F.col("a_pmask").bitwiseAND(F.col("b_mask"))
+                )
+            )
             .withColumn("containment", cont)
         )
+        pair_unique = True
     else:
         a_pref, b_full = _containment_sides(ranked, threshold, ["ranks"])
         cont = F.size(F.array_intersect("a_ranks", "b_ranks")).cast(
@@ -627,10 +705,8 @@ def containment_join(
             .filter(F.col("a_id") != F.col("b_id"))
             .withColumn("containment", cont)
         )
-    return (
-        verified.filter(F.col("containment") >= threshold)
-        .select(
-            "a_id", "b_id", F.round("containment", 4).alias("containment")
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        pair_unique = False
+    out = verified.filter(F.col("containment") >= threshold).select(
+        "a_id", "b_id", F.round("containment", 4).alias("containment")
     )
+    return out if pair_unique else out.dropDuplicates(["a_id", "b_id"])

@@ -1041,6 +1041,54 @@ def test_prefix_filter_mask_path_boundary(spark):
     assert wide_cont == got_cont
 
 
+def test_mask_path_emits_each_pair_exactly_once(spark):
+    """r14 min-shared-bit uniqueness guard: the bitmask paths of
+    set_similarity_join / containment_join no longer run a per-pair
+    dropDuplicates — uniqueness must hold BY CONSTRUCTION (keep only
+    the join row at the least shared indexed bit). The brute-force
+    comparisons elsewhere build {(a, b): val} dicts, which would
+    silently collapse duplicate output rows, so this test asserts
+    directly: on a corpus where every near-dup pair shares MANY prefix
+    tokens (the worst case for per-pair join multiplicity), the output
+    row count equals the distinct pair count, and no Deduplicate/
+    Aggregate-over-pairs node is needed to get there."""
+    from hadoop_log_analysis_spark.operators.dedup import (
+        containment_join,
+        set_similarity_join,
+    )
+
+    # 40 docs over a 20-token vocab, heavy overlap: every pair shares
+    # most of its prefix tokens, so pre-filter join multiplicity is
+    # high (the old plan relied on dropDuplicates here).
+    docs_py = [
+        (i, " ".join(f"w{k:02d}" for k in range(1, 21) if (i + k) % 5 != 0))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+
+    out_j = set_similarity_join(docs, 0.5)
+    plan = out_j._jdf.queryExecution().analyzed().toString()
+    assert "bit_count" in plan, "corpus must take the bitmask path"
+    # the PER-PAIR dedup node is gone (containment_join's plan keeps a
+    # Deduplicate [tok_rank] — the B-side token prune — which is fine)
+    assert "Deduplicate [a_id" not in plan, (
+        "bitmask path must not need a per-pair dedup"
+    )
+    rows_j = out_j.collect()
+    pairs_j = {(r.a_id, r.b_id) for r in rows_j}
+    assert len(rows_j) == len(pairs_j) and pairs_j, (
+        f"duplicate pairs emitted: {len(rows_j)} rows, "
+        f"{len(pairs_j)} distinct"
+    )
+
+    out_c = containment_join(docs, 0.8)
+    plan_c = out_c._jdf.queryExecution().analyzed().toString()
+    assert "bit_count" in plan_c and "Deduplicate [a_id" not in plan_c
+    rows_c = out_c.collect()
+    pairs_c = {(r.a_id, r.b_id) for r in rows_c}
+    assert len(rows_c) == len(pairs_c) and pairs_c
+
+
 def test_cms_overestimates_within_epsilon_bound(spark):
     """Count-Min sketch law on real keys: the estimate NEVER
     undercounts (min over d rows of an overcounting cell), and the
