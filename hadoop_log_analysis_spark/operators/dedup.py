@@ -294,6 +294,18 @@ def _ranked_token_sets(
     projection of the corpus (far smaller than the text), and at scale
     this is the guide §8 "decide over small rows" materialization, two
     corpus passes instead of four.
+
+    CONSTRUCTION-TIME EXECUTION (ADVICE r14 low): the two eager
+    checkpoints mean every public caller (set_similarity_join,
+    containment_join, *_candidates) runs two corpus-pass Spark jobs at
+    DataFrame-CONSTRUCTION time — plan capture / explain-only callers
+    pay them too — and truncates lineage (executor loss during a later
+    action fails the query instead of recomputing). That trade is
+    deliberate: the consumers self-join this frame AND probe max(rank)
+    with a driver action, so a lazy build would re-run the corpus scan
+    per use. A caller composing candidates + join over the SAME corpus
+    should build this frame once and pass it via the public functions'
+    ``ranked=`` parameter so the materialization is not paid twice.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -321,6 +333,50 @@ def _ranked_token_sets(
 # the sign bit; &, |, bit_count are sign-agnostic, so 64 is safe).
 _MASK_VOCAB_MAX = 64
 
+# Guard band for the prefix-length ceil (r15, with ADVICE r14 medium):
+# the bound needs ceil(t * |x|) over the REALS. IEEE round-to-nearest
+# already cannot SHORTEN the prefix (a product rounding down across an
+# integer only lengthens it, and |t_double*n - t*n| <= 0.25 ulp keeps
+# exactly-integral products from rounding up across — verified for
+# every n < 200 at the registered thresholds), so this guard defends
+# only the residual case of a threshold whose double product lands a
+# hair above an integer at very large |x|: subtracting 1e-9 before the
+# ceil can only LENGTHEN the prefix (candidate superset -> recall-safe;
+# the exact verify keeps the output byte-identical). 1e-9 is far above
+# double rounding error at |x| <= 2^31 yet far below any honest
+# threshold granularity, so no legitimate boundary moves — measured:
+# candidate counts are unchanged on the fixtures.
+_CEIL_GUARD = 1e-9
+
+
+def _prefix_len(threshold: float):
+    """Prefix length |x| - ceil(t|x|) + 1 as a Column over ``ranks`` —
+    THE single arithmetic path for every prefix derivation (explode,
+    slice, prefix bitmask). One definition so the exploded index and
+    the pmask used by min-shared-bit uniqueness can never disagree on
+    which ranks are "in the prefix" (ADVICE r14 medium: the bitmask
+    path previously computed pmask via a DECIMAL SQL literal while the
+    explode used double arithmetic — a one-token disagreement makes
+    min-shared-bit match no joined row and silently drops the pair)."""
+    return (
+        F.size("ranks")
+        - F.ceil(F.size("ranks") * F.lit(threshold) - F.lit(_CEIL_GUARD))
+        + 1
+    ).cast("int")
+
+
+def _prefix_slice(threshold: float):
+    """The prefix ranks (first ``_prefix_len`` elements of ``ranks``)."""
+    return F.slice("ranks", 1, _prefix_len(threshold))
+
+
+# Bitmask of an array-of-ranks column: bit (rank-1) set per member.
+def _mask_agg(col: str):
+    return F.expr(
+        f"aggregate({col}, cast(0 as bigint), "
+        "(acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
+    )
+
 
 def _jaccard_prefix(
     ranked: DataFrame,
@@ -346,23 +402,12 @@ def _jaccard_prefix(
     """
     from hadoop_log_analysis_spark.operators.partitioning import widen
 
-    pranks = F.slice(
-        "ranks",
-        1,
-        (
-            F.size("ranks") - F.ceil(F.size("ranks") * F.lit(threshold)) + 1
-        ).cast("int"),
+    base = ranked.select(
+        "id", *keep_cols, _prefix_slice(threshold).alias("_pranks")
     )
-    base = ranked.select("id", *keep_cols, pranks.alias("_pranks"))
     out_cols = ["id", *keep_cols]
     if with_prefix_mask:
-        base = base.withColumn(
-            "pmask",
-            F.expr(
-                "aggregate(_pranks, cast(0 as bigint), "
-                "(acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
-            ),
-        )
+        base = base.withColumn("pmask", _mask_agg("_pranks"))
         out_cols.append("pmask")
     return widen(base.select(*out_cols, F.explode("_pranks").alias("ptok")))
 
@@ -410,10 +455,7 @@ def _rank_mask() -> Column:
     that first (set/containment joins probe max(rank) from the
     materialized rank frame, so the guarantee is by construction, not
     by assumption)."""
-    return F.expr(
-        "aggregate(ranks, cast(0 as bigint), "
-        "(acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
-    )
+    return _mask_agg("ranks")
 
 
 def set_similarity_candidates(
@@ -421,14 +463,19 @@ def set_similarity_candidates(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair stage of :func:`set_similarity_join`, exposed so
     the pruning claim is testable (VERDICT r4 "weak" #1): the property
     suite asserts |candidates| << n(n-1)/2 on a Zipfian vocabulary
     while recall stays 1.0 vs brute force. Returns
     (a_id, b_id, a_ranks, b_ranks), a_id < b_id, distinct — a provable
-    superset of every pair with J >= threshold."""
-    ranked = _ranked_token_sets(docs, text_col, id_col)
+    superset of every pair with J >= threshold. Construction runs two
+    eager corpus passes unless a prebuilt ``ranked`` frame
+    (:func:`_ranked_token_sets` output) is supplied — see that
+    function's docstring."""
+    if ranked is None:
+        ranked = _ranked_token_sets(docs, text_col, id_col)
     return _jaccard_prefix_pairs(ranked, threshold).dropDuplicates(
         ["a_id", "b_id"]
     )
@@ -439,6 +486,7 @@ def set_similarity_join(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join via prefix filtering
     (the PPJoin/AllPairs principle, Chaudhuri et al. / Xiao et al.):
@@ -493,8 +541,13 @@ def set_similarity_join(
       8.9M pairs and dominated the runtime (measured 13.2 → 2.4 s
       med-of-3, scripts/probe_setsim2.py). The array path keeps the
       dedup (no mask to take a least bit of).
+
+    Construction runs two eager corpus passes plus a 1-row vocab probe
+    unless a prebuilt ``ranked`` frame is supplied (ADVICE r14 low —
+    see :func:`_ranked_token_sets`).
     """
-    ranked = _ranked_token_sets(docs, text_col, id_col)
+    if ranked is None:
+        ranked = _ranked_token_sets(docs, text_col, id_col)
     # Bounded driver action on the MATERIALIZED frame (no corpus
     # rescan): ranks are sorted, so max(last element) is the vocab
     # size actually in use.
@@ -570,17 +623,7 @@ def _containment_sides(
         ranked.select(
             F.col("id").alias("a_id"),
             *[F.col(c).alias(f"a_{c}") for c in (*keep_cols, *a_extra)],
-            F.explode(
-                F.slice(
-                    "ranks",
-                    1,
-                    (
-                        F.size("ranks")
-                        - F.ceil(F.size("ranks") * F.lit(threshold))
-                        + 1
-                    ).cast("int"),
-                )
-            ).alias("tok_rank"),
+            F.explode(_prefix_slice(threshold)).alias("tok_rank"),
         )
     )
     b_full = ranked.select(
@@ -605,13 +648,17 @@ def containment_candidates(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair stage of :func:`containment_join`, exposed for
     the same pruning-evidence reason as
     :func:`set_similarity_candidates`. Returns
     (a_id, b_id, a_ranks, b_ranks), a_id != b_id, distinct — a
-    provable superset of every pair with C(a, b) >= threshold."""
-    ranked = _ranked_token_sets(docs, text_col, id_col)
+    provable superset of every pair with C(a, b) >= threshold.
+    Construction runs two eager corpus passes unless a prebuilt
+    ``ranked`` frame is supplied (see :func:`_ranked_token_sets`)."""
+    if ranked is None:
+        ranked = _ranked_token_sets(docs, text_col, id_col)
     a_pref, b_full = _containment_sides(ranked, threshold, ["ranks"])
     return (
         a_pref.join(b_full, "tok_rank")
@@ -626,6 +673,7 @@ def containment_join(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT directed containment join: pairs (a, b), a != b, with
     C(a, b) = |A ∩ B| / |A| >= threshold — "at least ``threshold`` of
@@ -657,20 +705,29 @@ def containment_join(
     the reasons documented on :func:`set_similarity_join` (same
     degenerate-vocabulary regime, same byte-identical-output argument
     — |A∩B| and |A| are the same integers under both representations).
+
+    Construction runs two eager corpus passes plus a 1-row vocab probe
+    unless a prebuilt ``ranked`` frame is supplied (ADVICE r14 low —
+    see :func:`_ranked_token_sets`).
     """
-    ranked = _ranked_token_sets(docs, text_col, id_col)
+    if ranked is None:
+        ranked = _ranked_token_sets(docs, text_col, id_col)
     n_vocab = (
         ranked.agg(F.max(F.element_at("ranks", -1))).collect()[0][0] or 0
     )
     if n_vocab <= _MASK_VOCAB_MAX:
-        pmask = F.expr(
-            "aggregate(slice(ranks, 1, cast(size(ranks)"
-            f" - ceil(size(ranks) * {threshold}) + 1 as int)),"
-            " cast(0 as bigint),"
-            " (acc, r) -> acc | shiftleft(cast(1 as bigint), r - 1))"
-        )
+        # pmask from the IDENTICAL slice expression the A-side explode
+        # uses (_prefix_slice — ADVICE r14 medium): one arithmetic
+        # path, so the mask can never contain a rank the index does
+        # not explode (which would break min-shared-bit uniqueness and
+        # silently drop the pair).
         enc = ranked.select(
-            "id", "ranks", _rank_mask().alias("mask"), pmask.alias("pmask")
+            "id",
+            "ranks",
+            _rank_mask().alias("mask"),
+            _prefix_slice(threshold).alias("_pranks"),
+        ).select(
+            "id", "ranks", "mask", _mask_agg("_pranks").alias("pmask")
         )
         a_pref, b_full = _containment_sides(
             enc, threshold, ["mask"], a_extra=("pmask",)

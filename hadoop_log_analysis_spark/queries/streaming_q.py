@@ -73,10 +73,15 @@ def _complete_mode_replay() -> tuple[int, int]:
     is a pure function of the total replayed data — batching-invariant
     by the same law the r8 PSI fold used ("complete-mode agg has no
     watermark, its drained result is batching-invariant"). Defaults =
-    the parity-tested 8-file/mFPT=1 cadence; measurement configs fold.
-    Loud validation per the repo's env-knob discipline."""
+    the 8-file/mFPT=2 cadence these four queries ran at for every round
+    before the knobs existed (read_events_stream's historical default —
+    ADVICE r14 low: the r14 knob landed with mFPT=1, silently doubling
+    the default microbatch count from 4 to 8); measurement configs
+    fold further via the envs, and the CI parity test pins the default
+    AND folded cadences. Loud validation per the repo's env-knob
+    discipline."""
     n_files = int(os.environ.get("HLA_STREAM_COMPLETE_DROP_FILES", "8"))
-    mfpt = int(os.environ.get("HLA_STREAM_COMPLETE_MFPT", "1"))
+    mfpt = int(os.environ.get("HLA_STREAM_COMPLETE_MFPT", "2"))
     if n_files < 1 or mfpt < 1:
         raise ValueError(
             "HLA_STREAM_COMPLETE_DROP_FILES/_MFPT must be >= 1, "
@@ -1474,7 +1479,24 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"got {n_files}/{mfpt}"
         )
     drop = derive_docs_drop_dir(spark, sf_dir, n_files=n_files)
-    hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, mfpt))
+    # r15 OPTIMIZATION: coarsen the stateful grouping from one Python
+    # call per (band, bucket) — ~80k calls per batch at sf0.1, the
+    # measured dominant cost — to one per (band, pmod(bucket, G)).
+    # The bucket -> group mapping is key-pure so the greedy answer is
+    # unchanged (CI pins the multiset against the per-bucket path's
+    # simulation at two cadences); G trades Python-call count against
+    # group-rewrite granularity (stream_minhash_dup_hits docstring).
+    # Measured at sf0.1 (bench envs, med-of-3): 13.5 s per-bucket ->
+    # see OPTIMIZATION_r15.md. G=0 disables (per-bucket shape).
+    groups = int(os.environ.get("HLA_STREAM_DEDUP_GROUPS_PER_BAND", "128"))
+    if groups < 0:
+        raise ValueError(
+            f"HLA_STREAM_DEDUP_GROUPS_PER_BAND must be >= 0, got {groups}"
+        )
+    hits = stream_minhash_dup_hits(
+        read_docs_stream(spark, drop, mfpt),
+        groups_per_band=groups or None,
+    )
     # State-partition sizing is the OPPOSITE of the stream-stream
     # join's: the join holds few keys with big state (8 partitions
     # amortize its per-task fixed cost), while this op holds
@@ -1482,7 +1504,10 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateful-runner overhead — which parallelizes with task count.
     # r14 isolation at sf0.1 (80k groups): 2 partitions -> 96 s,
     # 16 -> 12.6 s, same drained result (hash parity is partition-
-    # count invariant; greedy test pins the multiset).
+    # count invariant; greedy test pins the multiset). With the r15
+    # grouped path the per-group cost amortizes inside each call, so
+    # the partition count matters far less — the knob stays for the
+    # per-bucket (G=0) shape.
     state_parts = int(
         os.environ.get("HLA_STREAM_DEDUP_STATE_PARTITIONS", "16")
     )

@@ -139,6 +139,17 @@ _DUP_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# Grouped-path state: one row per (band_idx, bucket-GROUP), holding the
+# group's claimed buckets as parallel arrays. Total state is unchanged
+# — O(#claimed buckets) entries either way — only its row granularity
+# coarsens (see stream_minhash_dup_hits: groups_per_band).
+_GROUPED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        T.StructField("winner_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
 DUP_HITS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -176,6 +187,59 @@ def _first_seen_fn(key, pdf_iter, state):
                 "doc_id": rows["doc_id"].astype("int64"),
                 "band_idx": int(key[0]),
                 "winner_id": winner_id,
+            }
+        )
+
+
+def _grouped_first_seen_fn(key, pdf_iter, state):
+    """Per-bucket-GROUP first-seen winners (r15 optimization): one
+    Python call handles every bucket whose hash lands in this group,
+    so the per-group stateful-runner overhead — the operator's
+    measured dominant cost (OPTIMIZATION_r14 "Not yet optimized" #1:
+    ~80k per-bucket Python calls per batch at sf0.1) — amortizes over
+    ``rows/groups`` buckets instead of being paid once per bucket.
+
+    Semantics are IDENTICAL to :func:`_first_seen_fn` bucket by
+    bucket: rows are sorted by (ts_us, doc_id) — a stable global sort,
+    so each bucket's rows keep that order — and a sequential dict scan
+    claims each unseen (band_hash -> winner) and emits one hit row per
+    later arrival. The bucket -> group mapping is a pure function of
+    the bucket key (pmod(band_hash, G)), so every row of a bucket
+    reaches the same group and the greedy recurrence is untouched;
+    tests pin the drained multiset against the per-bucket path's
+    greedy simulation at two replay cadences."""
+    import pandas as pd
+
+    chunks = list(pdf_iter)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+    rows = rows.sort_values(["ts_us", "doc_id"], kind="mergesort")
+    if state.exists:
+        hashes, winners = state.get
+        owner = dict(zip(hashes, winners))
+    else:
+        owner = {}
+    n0 = len(owner)
+    out_docs: list[int] = []
+    out_wins: list[int] = []
+    for bh, doc in zip(
+        rows["band_hash"].to_numpy(), rows["doc_id"].to_numpy()
+    ):
+        w = owner.get(bh)
+        if w is None:
+            owner[int(bh)] = int(doc)
+        else:
+            out_docs.append(doc)
+            out_wins.append(w)
+    if len(owner) != n0:
+        state.update((list(owner.keys()), list(owner.values())))
+    if out_docs:
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_docs, dtype="int64"),
+                "band_idx": int(key[0]),
+                "winner_id": pd.array(out_wins, dtype="int64"),
             }
         )
 
@@ -248,6 +312,7 @@ def stream_minhash_dup_hits(
     seed: int = 42,
     horizon_us: int | None = None,
     watermark_delay: str = "0 seconds",
+    groups_per_band: int | None = None,
 ) -> DataFrame:
     """Streaming LSH dup-hit detector (module docstring for semantics).
 
@@ -266,6 +331,25 @@ def stream_minhash_dup_hits(
     (``_make_ttl_fn``; eviction observability is pinned by test — a
     late in-horizon arrival after the timer fired re-claims instead
     of hitting).
+
+    ``groups_per_band`` (r15, bounded-replay path only) coarsens the
+    stateful grouping from one group per (band, bucket) to one per
+    (band, pmod(bucket_hash, G)): applyInPandasWithState pays a fixed
+    Python stateful-runner cost PER GROUP PER BATCH, and with ~5 tiny
+    buckets per doc-band this operator's cost is that fixed cost times
+    ~bands x docs — at sf0.1, ~80k Python calls per batch (the r14
+    sizing law). G groups per band cut the call count to bands x G
+    while each call handles its buckets with one vectorized
+    dict-claim pass; the bucket -> group mapping is key-pure, so the
+    greedy answer is UNCHANGED (CI pins the multiset at two replay
+    cadences). The trade, stated for 100 TB honesty: per-bucket state
+    rows are read/written individually, while a group row is
+    rewritten whole whenever any of its buckets is touched — so G
+    should scale with corpus size (keep expected buckets/group in the
+    10^1-10^3 range; the fixed default suits batches that touch most
+    groups, which is the throughput-sized-batch regime). ``None``
+    keeps the exact per-bucket shape (the TTL path always uses it:
+    its EventTimeTimeout eviction is per-bucket by design).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -280,6 +364,20 @@ def stream_minhash_dup_hits(
         ),
     )
     if horizon_us is None:
+        if groups_per_band is not None:
+            if groups_per_band < 1:
+                raise ValueError(
+                    f"groups_per_band must be >= 1, got {groups_per_band}"
+                )
+            return buckets.withColumn(
+                "grp", F.pmod("band_hash", F.lit(groups_per_band))
+            ).groupBy("band_idx", "grp").applyInPandasWithState(
+                _grouped_first_seen_fn,
+                outputStructType=DUP_HITS_SCHEMA,
+                stateStructType=_GROUPED_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         return buckets.groupBy("band_idx", "band_hash").applyInPandasWithState(
             _first_seen_fn,
             outputStructType=DUP_HITS_SCHEMA,
@@ -289,6 +387,13 @@ def stream_minhash_dup_hits(
         )
     if horizon_us < 1:
         raise ValueError(f"horizon_us must be >= 1, got {horizon_us}")
+    if groups_per_band is not None:
+        raise ValueError(
+            "groups_per_band is bounded-replay-only: the TTL path's "
+            "EventTimeTimeout eviction is per-bucket by design "
+            "(a group timer would evict sibling buckets early or "
+            "hold them past their horizon)"
+        )
     with_ts = buckets.withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     ).withWatermark("ts", watermark_delay)

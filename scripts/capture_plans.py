@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') for named queries into plans/r14/.
+"""Capture .explain('formatted') for named queries into plans/<round>/ (HLA_PLANS_ROUND, default r15).
 
 Usage: python scripts/capture_plans.py <suffix> <query> [<query> ...]
-Writes plans/r14/<query>_<suffix>.txt. SPARK_GRAFT_SF_DIR overrides
+Writes plans/<round>/<query>_<suffix>.txt. SPARK_GRAFT_SF_DIR overrides
 the default sf0.1 input.
 """
 import os
@@ -17,7 +17,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", os.environ.get("HLA_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     reg = load_registry()
     spark = get_spark(app_name="capture-plans")

@@ -1041,6 +1041,65 @@ def test_prefix_filter_mask_path_boundary(spark):
     assert wide_cont == got_cont
 
 
+def test_prefix_len_exact_integral_boundary(spark):
+    """r15 regression guard (ADVICE r14 medium): every prefix
+    derivation — explode, slice, pmask — now shares ONE arithmetic
+    path (_prefix_slice), with a recall-safe 1e-9 ceil guard. The
+    worst regression a future prefix-arithmetic change could cause is
+    a one-token-short prefix at an exactly-integral t|x| (ceil jumps
+    m -> m+1): a qualifying pair missing exactly the first prefix
+    token then silently never joins. Pin that exact boundary: A has
+    10 tokens, B = A minus A's RAREST token (the only rank a
+    length-1 prefix would index), so C(A, B) = 9/10 = 0.9 and
+    J(A, B) = 0.9 sit exactly at t = 0.9. Both joins must emit the
+    pair; brute force confirms the full output. A 65-rank filler doc
+    repeats the check on the array path (same _prefix_slice, but the
+    regression classes differ)."""
+    import itertools
+
+    from hadoop_log_analysis_spark.operators.dedup import (
+        containment_join,
+        set_similarity_join,
+    )
+
+    # t0 appears only in A (df=1 -> rank 1, A's one-token prefix
+    # under the buggy length); t1..t9 appear in both docs.
+    a_toks = [f"t{k}" for k in range(10)]
+    b_toks = a_toks[1:]
+    base = [(1, " ".join(a_toks)), (2, " ".join(b_toks))]
+
+    for tag, extra in (
+        ("mask", []),
+        ("array", [(9, " ".join(f"x{k}" for k in range(1, 66)))]),
+    ):
+        docs = spark.createDataFrame(
+            base + extra, "doc_id long, text string"
+        )
+        sets = {i: set(s.split(" ")) for i, s in base + extra}
+        got_c = {
+            (r.a_id, r.b_id): r.containment
+            for r in containment_join(docs, threshold=0.9).collect()
+        }
+        want_c = {
+            (a, b): round(len(sets[a] & sets[b]) / len(sets[a]), 4)
+            for a, b in itertools.permutations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a]) >= 0.9
+        }
+        assert (1, 2) in want_c, "fixture must sit on the boundary"
+        assert got_c == want_c, f"{tag} path containment diverged"
+        got_j = {
+            (r.a_id, r.b_id): r.jacc
+            for r in set_similarity_join(docs, threshold=0.9).collect()
+        }
+        want_j = {
+            (a, b): round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 4)
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.9
+        }
+        assert (1, 2) in want_j, "fixture must sit on the boundary"
+        assert got_j == want_j, f"{tag} path jaccard diverged"
+
+
 def test_mask_path_emits_each_pair_exactly_once(spark):
     """r14 min-shared-bit uniqueness guard: the bitmask paths of
     set_similarity_join / containment_join no longer run a per-pair

@@ -184,17 +184,23 @@ def test_stream_minhash_dedup_matches_greedy_simulation(spark):
                 seen[(bi, bh)] = r.doc_id
     assert expected, "fixture should contain near-duplicates"
 
-    # three replay configs: the default 8-file dir at two microbatch
-    # widths, plus the folded 2-file/mFPT=3 BENCH drain config (the
-    # HLA_STREAM_DEDUP_* knobs' timing regime) — all must produce the
-    # identical greedy hit multiset
+    # five replay configs: the default 8-file dir at two microbatch
+    # widths, the folded 2-file/mFPT=3 BENCH drain config (the
+    # HLA_STREAM_DEDUP_* knobs' timing regime), plus the r15
+    # coarse-grouped path (groups_per_band) at the registered default
+    # AND a deliberately tiny/odd G under the finest cadence (many
+    # buckets per group x incremental state across 8 batches) — all
+    # must produce the identical greedy hit multiset
     configs = [
-        (derive_docs_drop_dir(spark, SF0001), 1),
-        (derive_docs_drop_dir(spark, SF0001), 4),
-        (derive_docs_drop_dir(spark, SF0001, n_files=2), 3),
+        (derive_docs_drop_dir(spark, SF0001), 1, None),
+        (derive_docs_drop_dir(spark, SF0001), 4, None),
+        (derive_docs_drop_dir(spark, SF0001, n_files=2), 3, 128),
+        (derive_docs_drop_dir(spark, SF0001), 1, 7),
     ]
-    for i, (drop, mfpt) in enumerate(configs):
-        hits = stream_minhash_dup_hits(read_docs_stream(spark, drop, mfpt))
+    for i, (drop, mfpt, groups) in enumerate(configs):
+        hits = stream_minhash_dup_hits(
+            read_docs_stream(spark, drop, mfpt), groups_per_band=groups
+        )
         out = run_to_table(hits, f"test_mh_dedup_{i}", "append")
         got = Counter(
             (r.doc_id, r.band_idx, r.winner_id) for r in out.collect()
