@@ -144,13 +144,34 @@ def exact_topk_multi(
     serving batch); per-query ranking via the shared topk_per_group.
     Returns (q_id, id_col, sim, rn). Shared by the streaming retrieval
     path (streaming/retrieval.py) and its tests, so stream and batch
-    rank with the SAME expressions."""
+    rank with the SAME expressions.
+
+    r15 OPTIMIZATION (guide §1.2 step 2): norms are projected ONCE PER
+    ROW below the broadcast join instead of recomputed inside every
+    pair's cosine — the |queries| x |corpus| nested-loop evaluated 3
+    array folds per pair where only the dot product actually varies
+    (each corpus norm was recomputed per query and vice versa).
+    Bit-identical output: norm() is the same expression over the same
+    row, sqrt/multiply/divide see the same doubles in the same order,
+    so the 6-dp rounded sim — and the query's DuckDB oracle hash —
+    cannot move."""
     from hadoop_log_analysis_spark.operators.windows import topk_per_group
 
-    sims = corpus.join(
-        F.broadcast(queries), F.col("q_id") != F.col(id_col)
+    corpus_n = corpus.select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("__cn")
+    )
+    queries_n = queries.select(
+        "q_id", "qvec", norm(F.col("qvec")).alias("__qn")
+    )
+    sims = corpus_n.join(
+        F.broadcast(queries_n), F.col("q_id") != F.col(id_col)
     ).select(
-        "q_id", id_col, cosine(F.col(vec_col), F.col("qvec")).alias("__sim")
+        "q_id",
+        id_col,
+        (
+            dot(F.col(vec_col), F.col("qvec"))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("__sim"),
     )
     top = topk_per_group(
         sims, ["q_id"], [F.col("__sim").desc(), F.col(id_col)], k=k

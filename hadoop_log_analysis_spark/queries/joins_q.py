@@ -349,10 +349,21 @@ def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_asof_tolerance's r4 discipline: the as-of right side is made
     key-unique BY CONSTRUCTION with a deterministic arg-max —
     simultaneous orders resolve to the highest orderkey (coalesce
-    before the struct so a NULL price cannot split the engines).
+    before the arg-max so a NULL price cannot split the engines).
     Mirror in oracles with
     ``SELECT ots, arg_max(coalesce(o_totalprice, 0.0), o_orderkey)
     ... GROUP BY ots``.
+
+    r15 OPTIMIZATION (guide §7.2): the arg-max was
+    ``max(struct(o_orderkey, v))`` — a struct-typed buffer is not
+    hash-aggregable, so BOTH union branches of the downstream as-of
+    plan ran Sort + SortAggregate over the orders scan (4 extra sorts,
+    plans/r15/q_asof_join_before.txt operators 6-10/23-27).
+    ``max_by(v, o_orderkey)`` keeps a fixed-width (double, long)
+    buffer -> HashAggregate. EQUIVALENT BY UNIQUENESS: o_orderkey is
+    globally unique, so the struct's lexicographic tie-break on v can
+    never engage — both forms pick exactly the highest-orderkey row
+    (max_by's engine-defined tie behavior is unreachable).
     """
     orders = scan(spark, sf_dir, "orders")
     return (
@@ -363,14 +374,11 @@ def _orders_with_synth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tus")
         )
         .agg(
-            F.max(
-                F.struct(
-                    F.col("o_orderkey").alias("k"),
-                    F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("v"),
-                )
-            ).alias("m")
+            F.max_by(
+                F.coalesce(F.col("o_totalprice"), F.lit(0.0)),
+                F.col("o_orderkey"),
+            ).alias("o_totalprice")
         )
-        .select("tus", F.col("m.v").alias("o_totalprice"))
     )
 
 
@@ -432,18 +440,17 @@ def q_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_asof_join."""
     ev = scan(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", ts_us().alias("tus"))
+    # r15: max_by instead of max(struct) — hash-aggregable (see
+    # _orders_with_synth_ts), equivalent because event_id is unique so
+    # the struct tie-break on the value never engaged.
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", ts_us().alias("tus"))
         .agg(
-            F.max(
-                F.struct(
-                    F.col("event_id").alias("i"),
-                    F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
-                )
-            ).alias("m")
+            F.max_by(
+                F.coalesce(F.col("value"), F.lit(0.0)), F.col("event_id")
+            ).alias("prior_purchase")
         )
-        .select("user_id", "tus", F.col("m.v").alias("prior_purchase"))
     )
     joined = asof_join(
         left, purchases, ts_col="tus", by=["user_id"], payload=["prior_purchase"]
